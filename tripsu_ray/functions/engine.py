@@ -1,0 +1,165 @@
+"""Vectorized rule matching + pseudonymization over Arrow triple batches.
+
+This is the columnar re-expression of the reference's per-triple loop
+(``/root/reference/src/pseudo.rs:20-45`` → ``src/rules.rs:154-252`` →
+``src/crypto.rs:19-37``): instead of probing a HashMap per triple, we
+precompile the (rules × type-index) join into three probe sets once per
+worker, then evaluate every batch with ``pyarrow.compute`` set-membership
+kernels:
+
+- ``sensitive``: term keys of subjects whose indexed types intersect
+  ``nodes.of_type`` — probed by both the subject column (src/rules.rs:167-171)
+  and the named-node object column (src/rules.rs:172-177).
+- ``on_predicate``: predicate term keys (src/rules.rs:192-194).
+- ``otp``: combined ``subject_key\\x1fpredicate_key`` strings for subjects
+  (named or blank) having a type T with predicate in
+  ``on_type_predicate[T]`` (src/rules.rs:196-210).
+
+Mask algebra (src/model.rs:13-31): two boolean columns (S, O); the
+PREDICATE bit exists in the reference but is never acted on — rewrites only
+ever touch subject/object (src/crypto.rs:19-37). ``invert`` flips both
+columns; blank nodes survive even under invert because the blank rewrite is
+the identity (src/crypto.rs:40-46,71-73).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import KIND_BLANK, KIND_IRI, KIND_LITERAL, TRIPLES
+from .crypto import Pseudonymizer
+from .rdf import format_object, format_predicate, format_subject
+from .rules import Rules
+
+_SEP = "\x1f"
+
+
+class CompiledMatcher:
+    """rules × type-index → Arrow value-sets for O(1) vectorized probes.
+
+    ``index`` maps serialized subject term key → iterable of serialized type
+    term keys (the broadcast pass-1 output). Built once per actor in
+    ``__init__`` — never per batch.
+    """
+
+    def __init__(self, rules: Rules, index: dict[str, tuple[str, ...]]):
+        self.rules = rules
+        sensitive = [
+            subj
+            for subj, types in index.items()
+            if any(t in rules.node_of_type for t in types)
+        ]
+        # subjects (named or blank) → predicates that trigger the O bit
+        otp_keys: list[str] = []
+        if rules.obj_on_type_predicate:
+            for subj, types in index.items():
+                preds: set[str] = set()
+                for t in types:
+                    preds |= rules.obj_on_type_predicate.get(t, frozenset())
+                otp_keys.extend(subj + _SEP + p for p in preds)
+        self._sensitive = pa.array(sensitive, type=pa.string())
+        self._on_pred = pa.array(sorted(rules.obj_on_predicate), type=pa.string())
+        self._otp = pa.array(otp_keys, type=pa.string())
+        self.invert = rules.invert
+
+    def masks(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Return (mask_subject, mask_object) boolean numpy arrays."""
+        n = batch.num_rows
+        subj = batch["subject"].combine_chunks()
+        subj_kind = batch["subject_kind"].combine_chunks()
+        obj_kind = batch["object_kind"].combine_chunks()
+        subj_key = format_subject(subj, subj_kind)
+        pred_key = format_predicate(batch["predicate"].combine_chunks())
+
+        false_arr = np.zeros(n, dtype=bool)
+
+        def probe(keys: pa.Array, value_set: pa.Array) -> np.ndarray:
+            if len(value_set) == 0:
+                return false_arr
+            return pc.is_in(keys, value_set=value_set).to_numpy(zero_copy_only=False)
+
+        subj_is_iri = pc.equal(subj_kind, KIND_IRI).to_numpy(zero_copy_only=False)
+        obj_is_iri = pc.equal(obj_kind, KIND_IRI).to_numpy(zero_copy_only=False)
+
+        mask_s = probe(subj_key, self._sensitive) & subj_is_iri
+
+        # object-as-node probe: serialize object as "<iri>" only where iri
+        obj_key = pc.if_else(
+            pc.equal(obj_kind, KIND_IRI),
+            pc.binary_join_element_wise("<", batch["object_value"].combine_chunks(), ">", ""),
+            pa.scalar(None, pa.string()),
+        )
+        mask_o = probe(obj_key, self._sensitive) & obj_is_iri
+        mask_o |= probe(pred_key, self._on_pred)
+        if len(self._otp):
+            combined = pc.binary_join_element_wise(subj_key, pred_key, _SEP)
+            mask_o |= probe(combined, self._otp)
+
+        if self.invert:
+            mask_s, mask_o = ~mask_s, ~mask_o
+        return mask_s, mask_o
+
+
+def rewrite_batch(
+    batch: pa.Table,
+    mask_s: np.ndarray,
+    mask_o: np.ndarray,
+    pseudo: Pseudonymizer,
+) -> pa.Table:
+    """Apply the mask: rewrite subject/object columns, zero-copy passthrough rows.
+
+    Rewrite semantics per src/crypto.rs:19-73 — IRIs keep their namespace
+    prefix; literals collapse to simple literals; blank nodes are identity.
+    Hashing dedupes values first (entities repeat heavily in a graph).
+    """
+    if not (mask_s.any() or mask_o.any()):
+        return batch
+
+    subj = batch["subject"].to_numpy(zero_copy_only=False).astype(object)
+    subj_kind = batch["subject_kind"].to_numpy(zero_copy_only=False)
+    obj = batch["object_value"].to_numpy(zero_copy_only=False).astype(object)
+    obj_kind = batch["object_kind"].to_numpy(zero_copy_only=False)
+    lang = batch["object_lang"].to_numpy(zero_copy_only=False).astype(object)
+    dtype = batch["object_datatype"].to_numpy(zero_copy_only=False).astype(object)
+
+    s_sel = mask_s & (subj_kind == KIND_IRI)  # blank subjects: identity
+    if s_sel.any():
+        subj = subj.copy()
+        subj[s_sel] = pseudo.pseudo_iris(subj[s_sel])
+
+    o_iri = mask_o & (obj_kind == KIND_IRI)
+    o_lit = mask_o & (obj_kind == KIND_LITERAL)
+    if o_iri.any() or o_lit.any():
+        obj = obj.copy()
+        if o_iri.any():
+            obj[o_iri] = pseudo.pseudo_iris(obj[o_iri])
+        if o_lit.any():
+            obj[o_lit] = pseudo.pseudo_unique(obj[o_lit])
+            # literal rewrite yields a *simple* literal: drop lang/datatype
+            lang = lang.copy()
+            dtype = dtype.copy()
+            lang[o_lit] = None
+            dtype[o_lit] = None
+
+    return pa.table(
+        {
+            "subject": pa.array(subj, type=pa.string()),
+            "subject_kind": batch["subject_kind"],
+            "predicate": batch["predicate"],
+            "object_value": pa.array(obj, type=pa.string()),
+            "object_kind": batch["object_kind"],
+            "object_lang": pa.array(lang, type=pa.string()),
+            "object_datatype": pa.array(dtype, type=pa.string()),
+        },
+        schema=TRIPLES,
+    )
+
+
+def pseudonymize_batch(
+    batch: pa.Table, matcher: CompiledMatcher, pseudo: Pseudonymizer
+) -> pa.Table:
+    """match_rules + pseudo_triple for a whole batch (cf. src/pseudo.rs:20-45)."""
+    mask_s, mask_o = matcher.masks(batch)
+    return rewrite_batch(batch, mask_s, mask_o, pseudo)
