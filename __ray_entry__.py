@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in tripsu_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +11,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: synth source_files → extract →
+    type-index → pseudonymize → link → sorted dedup materialize."""
+    from tripsu_ray.pipelines.kg import kg_pipeline
+
+    return kg_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tripsu_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_source_files": q.q_source_files,
+        "kg_extract": q.q_extract,
+        "kg_type_index": q.q_type_index,
+        "kg_pseudo": q.q_pseudo,
+        "kg_link_map": q.q_link_map,
+        "kg_pipeline": q.q_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tripsu_ray.pipelines import oracle
+
+    return {
+        "kg_source_files": oracle.sql_source_files(),
+        "kg_extract": oracle.sql_extract(),
+        "kg_type_index": oracle.sql_type_index(),
+        "kg_pseudo": oracle.sql_pseudo(),
+        "kg_link_map": oracle.sql_link_map(),
+        "kg_pipeline": oracle.sql_pipeline(),
+    }

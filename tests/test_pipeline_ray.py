@@ -1,0 +1,101 @@
+"""Ray Dataset pipeline tests (session-scoped Ray fixture)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tripsu_ray.schema import KIND_IRI, KIND_LITERAL, RDF_TYPE
+from tripsu_ray.sources.synth import read_source_files, source_files_batch
+from tripsu_ray.stages.extract import NS, extract_batch, extract_triples
+from tripsu_ray.stages.index import broadcast_index, build_type_index, collect_index
+from tripsu_ray.stages.link import build_link_map, collect_link_map, link_entities
+from tripsu_ray.stages.materialize import dedup_exact, materialize
+from tripsu_ray.stages.pseudo import pseudonymize
+from tripsu_ray.pipelines.kg import DEFAULT_RULES, kg_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_batch_contents():
+    t = source_files_batch(np.array([1]))  # doc 1: py
+    out = extract_batch(t)
+    df = out.to_pandas()
+    assert (df.subject_kind == KIND_IRI).all()
+    preds = set(df.predicate)
+    for p in ("imports", "defines", "calls", "inRepo", "language", "commitHash", "sha256", "author", "license", "name"):
+        assert NS + p in preds
+    imports = df[df.predicate == NS + "imports"].object_value.tolist()
+    # doc 1: m1=(7+3)%50=10, m2=14%50=14, odd → no hub import
+    assert sorted(imports) == ["http://kg.example/mod/mod_10", "http://kg.example/mod/mod_14"]
+    # content sha256 literal present (per-row invariant)
+    sha = df[df.predicate == NS + "sha256"]
+    assert len(sha) == 1 and len(sha.object_value.iloc[0]) == 64
+    assert (sha.object_kind == KIND_LITERAL).all()
+
+
+def test_extract_hub_module_even_docs():
+    out = extract_batch(source_files_batch(np.array([2]))).to_pandas()
+    imports = out[out.predicate == NS + "imports"].object_value.tolist()
+    assert "http://kg.example/mod/core" in imports
+
+
+def test_extract_js_quirks():
+    # doc 7 → js (7%7==0, not %13): imports carry the .js suffix
+    out = extract_batch(source_files_batch(np.array([7]))).to_pandas()
+    imports = out[out.predicate == NS + "imports"].object_value.tolist()
+    assert all(m.endswith(".js") for m in imports)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayPipeline:
+    def test_type_index(self):
+        triples = extract_triples(read_source_files(SF))
+        idx = collect_index(build_type_index(triples))
+        # every file, repo, module, symbol subject is typed
+        assert len(idx) > 500
+        assert idx["<http://kg.example/repo/org0/repo0>"] == (f"<{NS}Repository>",)
+
+    def test_pseudonymize_deterministic_and_consistent(self):
+        triples = extract_triples(read_source_files(SF))
+        idx_ref = broadcast_index(collect_index(build_type_index(triples)))
+        out = pseudonymize(
+            extract_triples(read_source_files(SF)),
+            DEFAULT_RULES,
+            idx_ref,
+            secret="fixed-salt",
+        ).to_pandas()
+        # repo IRIs rewritten everywhere (subject AND object position), same hash
+        as_subject = set(
+            out[(out.predicate == NS + "license")].subject
+        )
+        as_object = set(out[out.predicate == NS + "inRepo"].object_value)
+        assert as_subject == as_object  # join-consistency across positions
+        # rewritten: prefix kept through the LAST '/', tail replaced by 64-hex
+        assert all(len(s.rsplit("/", 1)[1]) == 64 for s in as_subject)
+        # authors masked (on_predicate), language untouched
+        assert not any(v.startswith("author_") for v in out[out.predicate == NS + "author"].object_value)
+        assert set(out[out.predicate == NS + "language"].object_value) == {"py", "js", "rs"}
+        # commitHash masked only for File subjects (on_type_predicate) — all
+        # commitHash rows have File subjects here, so all are 64-hex ≠ 40-hex
+        ch = out[out.predicate == NS + "commitHash"].object_value
+        assert all(len(v) == 64 for v in ch)
+
+    def test_link_map_merges_js_and_py_forms(self):
+        triples = extract_triples(read_source_files(SF))
+        km = collect_link_map(build_link_map(triples))
+        # canonical for a module key covers mod/ and call/ surface forms
+        assert "mod_10" in km
+        assert km["mod_10"].startswith("http://kg.example/")
+
+    def test_dedup_and_materialize(self):
+        triples = extract_triples(read_source_files(SF))
+        total = triples.count()
+        distinct = dedup_exact(extract_triples(read_source_files(SF))).count()
+        assert distinct < total
+        out = kg_pipeline(SF, link=False, sort=True)
+        df = out.to_pandas()
+        assert df.duplicated().sum() == 0
+
+    def test_full_pipeline_rowcount_stable(self):
+        df = kg_pipeline(SF).to_pandas()
+        assert len(df) == 7581  # pinned: deterministic corpus → deterministic KG

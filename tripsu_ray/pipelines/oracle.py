@@ -1,0 +1,234 @@
+"""DuckDB oracle SQL for the KG pipeline — the same spec, SQL rendering.
+
+Each CTE mirrors one Ray stage 1:1 (synth → extract → type index → pseudo →
+link → materialize). Regex patterns and namespaces are imported from
+``stages.extract`` so Python and SQL cannot drift apart. The driver runs
+these against the pre-registered parquet views at sf=0.01 and compares
+row-count + schema + order-insensitive value hashes with the Ray results.
+
+All IRIs here are *bare* strings: the synthetic corpus contains no blank
+nodes or tagged literals, so the bracketed term-key disambiguation the Ray
+engine uses internally is the identity at this boundary.
+"""
+
+from __future__ import annotations
+
+from ..sources.synth import SOURCE_FILES_SQL
+from ..stages.extract import (
+    AUTHOR_PATTERNS,
+    CALL_NS,
+    CALL_PATTERNS,
+    CLASS_PATTERNS,
+    FILE_NS,
+    FUNC_PATTERNS,
+    IMPORT_PATTERNS,
+    LANGS,
+    LICENSE_PATTERNS,
+    MOD_NS,
+    NS,
+    REPO_NS,
+    SYM_NS,
+)
+from ..pipelines.kg import DEFAULT_RULES, DEFAULT_SALT
+from ..schema import RDF_TYPE
+
+
+def _q(s: str) -> str:
+    """SQL single-quote a string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _unnest_select(pred_expr: str, obj_expr: str, kind: str, pattern: str, lang: str) -> str:
+    return (
+        f"SELECT file_iri AS s, {pred_expr} AS p, {obj_expr} AS o, '{kind}' AS k\n"
+        f"  FROM (SELECT file_iri, sym_base, unnest(regexp_extract_all(content, {_q(pattern)}, 1)) AS m\n"
+        f"        FROM files WHERE lang = '{lang}')"
+    )
+
+
+def files_cte() -> str:
+    return (
+        "files AS (\n"
+        "  SELECT repo, path, commit, lang, content,\n"
+        f"    {_q(FILE_NS)} || repo || '/' || path AS file_iri,\n"
+        f"    {_q(REPO_NS)} || repo AS repo_iri,\n"
+        f"    {_q(SYM_NS)} || repo || '/' || path || '#' AS sym_base\n"
+        "  FROM source_files\n"
+        ")"
+    )
+
+
+def syms_cte() -> str:
+    parts = []
+    for lg in LANGS:
+        for pats, cls in ((FUNC_PATTERNS, "Function"), (CLASS_PATTERNS, "Class")):
+            parts.append(
+                f"SELECT file_iri, sym_base || m AS sym, m AS name, {_q(NS + cls)} AS cls\n"
+                f"  FROM (SELECT file_iri, sym_base, unnest(regexp_extract_all(content, {_q(pats[lg])}, 1)) AS m\n"
+                f"        FROM files WHERE lang = '{lg}')"
+            )
+    return "syms AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+
+
+def build_raw_triples_cte() -> str:
+    """files + syms → raw_triples (one UNION ALL branch per emission rule)."""
+    parts = [
+        f"SELECT file_iri AS s, {_q(RDF_TYPE)} AS p, {_q(NS + 'File')} AS o, 'iri' AS k FROM files",
+        f"SELECT file_iri, {_q(NS + 'inRepo')}, repo_iri, 'iri' FROM files",
+        f"SELECT repo_iri, {_q(RDF_TYPE)}, {_q(NS + 'Repository')}, 'iri' FROM files",
+        f"SELECT file_iri, {_q(NS + 'language')}, lang, 'literal' FROM files",
+        f"SELECT file_iri, {_q(NS + 'commitHash')}, commit, 'literal' FROM files",
+        f"SELECT file_iri, {_q(NS + 'sha256')}, sha256(content), 'literal' FROM files",
+        # defs from the syms CTE
+        f"SELECT file_iri, {_q(NS + 'defines')}, sym, 'iri' FROM syms",
+        f"SELECT sym, {_q(RDF_TYPE)}, cls, 'iri' FROM syms",
+        f"SELECT sym, {_q(NS + 'name')}, name, 'literal' FROM syms",
+    ]
+    for lg in LANGS:
+        parts.append(
+            f"SELECT repo_iri, {_q(NS + 'author')}, regexp_extract(content, {_q(AUTHOR_PATTERNS[lg])}, 1), 'literal' "
+            f"FROM files WHERE lang = '{lg}' AND regexp_matches(content, {_q(AUTHOR_PATTERNS[lg])})"
+        )
+        parts.append(
+            f"SELECT repo_iri, {_q(NS + 'license')}, regexp_extract(content, {_q(LICENSE_PATTERNS[lg])}, 1), 'literal' "
+            f"FROM files WHERE lang = '{lg}' AND regexp_matches(content, {_q(LICENSE_PATTERNS[lg])})"
+        )
+        for pat in IMPORT_PATTERNS[lg]:
+            parts.append(_unnest_select(_q(NS + "imports"), f"{_q(MOD_NS)} || m", "iri", pat, lg))
+            parts.append(
+                f"SELECT {_q(MOD_NS)} || m AS s, {_q(RDF_TYPE)} AS p, {_q(NS + 'Module')} AS o, 'iri' AS k\n"
+                f"  FROM (SELECT unnest(regexp_extract_all(content, {_q(pat)}, 1)) AS m\n"
+                f"        FROM files WHERE lang = '{lg}')"
+            )
+        parts.append(_unnest_select(_q(NS + "calls"), f"{_q(CALL_NS)} || m", "iri", CALL_PATTERNS[lg], lg))
+    return "raw_triples AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+
+
+def pseudo_ctes(rules: dict | None = None, salt: str = DEFAULT_SALT) -> str:
+    rules = DEFAULT_RULES if rules is None else rules
+    of_type = [u.strip("<>") for u in rules.get("nodes", {}).get("of_type", [])]
+    on_pred = [u.strip("<>") for u in rules.get("objects", {}).get("on_predicate", [])]
+    otp = {
+        t.strip("<>"): [p.strip("<>") for p in ps]
+        for t, ps in rules.get("objects", {}).get("on_type_predicate", {}).items()
+    }
+    salt_q = _q(salt)
+
+    of_type_list = ", ".join(_q(u) for u in of_type) or "''"
+    on_pred_list = ", ".join(_q(u) for u in on_pred) or "''"
+    otp_values = (
+        ", ".join(f"({_q(t)}, {_q(p)})" for t, ps in otp.items() for p in ps)
+        or "('', '')"
+    )
+    return f"""
+type_index AS (
+  SELECT DISTINCT s AS subject, o AS type FROM raw_triples WHERE p = {_q(RDF_TYPE)}
+),
+sensitive AS (
+  SELECT DISTINCT subject FROM type_index WHERE type IN ({of_type_list})
+),
+otp_pairs AS (
+  SELECT DISTINCT ti.subject, r.pred
+  FROM type_index ti JOIN (VALUES {otp_values}) AS r(typ, pred) ON ti.type = r.typ
+),
+masked AS (
+  SELECT t.s, t.p, t.o, t.k,
+    (t.s IN (SELECT subject FROM sensitive)) AS ms,
+    ((t.k = 'iri' AND t.o IN (SELECT subject FROM sensitive))
+      OR t.p IN ({on_pred_list})
+      OR EXISTS (SELECT 1 FROM otp_pairs op WHERE op.subject = t.s AND op.pred = t.p)) AS mo
+  FROM raw_triples t
+),
+pseudo AS (
+  SELECT
+    CASE WHEN ms THEN regexp_extract(s, '^(.*[/#])', 1) || sha256({salt_q} || s) ELSE s END AS s,
+    p,
+    CASE WHEN mo THEN
+      CASE WHEN k = 'iri' THEN regexp_extract(o, '^(.*[/#])', 1) || sha256({salt_q} || o)
+           ELSE sha256({salt_q} || o) END
+    ELSE o END AS o,
+    k
+  FROM masked
+)
+""".strip()
+
+
+LINK_CTES = f"""
+link_keys AS (
+  SELECT iri,
+         lower(regexp_replace(regexp_extract(iri, '([^/#]+)$', 1), '\\.(js|py|rs)$', '')) AS key
+  FROM (SELECT DISTINCT iri FROM (
+          SELECT s AS iri FROM pseudo
+          UNION SELECT o FROM pseudo WHERE k = 'iri'))
+  WHERE iri LIKE {_q(MOD_NS + '%')} OR iri LIKE {_q(CALL_NS + '%')}
+),
+canon AS (
+  SELECT key, min(iri) AS canonical FROM link_keys GROUP BY key
+),
+link_map AS (
+  SELECT lk.iri, c.canonical FROM link_keys lk JOIN canon c USING (key)
+),
+linked AS (
+  SELECT coalesce(m1.canonical, p.s) AS s, p.p,
+         CASE WHEN p.k = 'iri' THEN coalesce(m2.canonical, p.o) ELSE p.o END AS o,
+         p.k
+  FROM pseudo p
+  LEFT JOIN link_map m1 ON p.s = m1.iri
+  LEFT JOIN link_map m2 ON p.k = 'iri' AND p.o = m2.iri
+)
+""".strip()
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(ctes)
+
+
+def sql_source_files() -> str:
+    return (
+        _with(SOURCE_FILES_SQL)
+        + "\nSELECT repo, path, commit, lang, sha256(content) AS content_sha256"
+        + "\nFROM source_files ORDER BY repo, path"
+    )
+
+
+def sql_extract() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + "\nSELECT DISTINCT s AS subject, p AS predicate, o AS object_value, k AS object_kind"
+        + "\nFROM raw_triples ORDER BY 1, 2, 3"
+    )
+
+
+def sql_type_index() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"\nSELECT DISTINCT s AS subject, o AS type FROM raw_triples WHERE p = {_q(RDF_TYPE)}"
+        + "\nORDER BY 1, 2"
+    )
+
+
+def sql_pseudo() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte(), pseudo_ctes())
+        + "\nSELECT DISTINCT s AS subject, p AS predicate, o AS object_value, k AS object_kind"
+        + "\nFROM pseudo ORDER BY 1, 2, 3"
+    )
+
+
+def sql_link_map() -> str:
+    return (
+        _with(
+            SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte(), pseudo_ctes(), LINK_CTES
+        )
+        + "\nSELECT key, canonical FROM canon ORDER BY key"
+    )
+
+
+def sql_pipeline() -> str:
+    return (
+        _with(
+            SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte(), pseudo_ctes(), LINK_CTES
+        )
+        + "\nSELECT DISTINCT s AS subject, p AS predicate, o AS object_value, k AS object_kind"
+        + "\nFROM linked ORDER BY 1, 2, 3"
+    )

@@ -1,0 +1,102 @@
+"""Driver-facing query implementations (one per pipeline stage).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame whose
+columns match the corresponding oracle SQL in ``pipelines.oracle`` exactly
+(names AND value domains) — the driver compares them order-insensitively.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.synth import read_source_files
+from ..stages.extract import extract_triples
+from ..stages.index import broadcast_index, build_type_index, collect_index
+from ..stages.link import build_link_map, link_entities
+from ..stages.materialize import dedup_exact
+from ..stages.pseudo import pseudonymize
+from .kg import DEFAULT_RULES, DEFAULT_SALT, kg_pipeline
+
+_KIND_LABELS = np.array(["iri", "blank", "literal"], dtype=object)
+
+
+def _labeled_view(triples_ds):
+    """TRIPLES Dataset → (subject, predicate, object_value, object_kind-label)."""
+
+    def to_view(batch: pa.Table) -> pa.Table:
+        kind = batch["object_kind"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "subject": batch["subject"],
+                "predicate": batch["predicate"],
+                "object_value": batch["object_value"],
+                "object_kind": pa.array(_KIND_LABELS[kind], pa.string()),
+            }
+        )
+
+    return triples_ds.map_batches(to_view, batch_format="pyarrow")
+
+
+def _strip_brackets(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].str.slice(1, -1)  # "<iri>" → "iri" (corpus has no blanks)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_source_files(sf_dir: str):
+    def project(batch: pa.Table) -> pa.Table:
+        sha = pa.array(
+            [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in batch["content"].to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "content_sha256": sha,
+            }
+        )
+
+    return read_source_files(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def _extracted(sf_dir: str):
+    return extract_triples(read_source_files(sf_dir), batch_size=2048)
+
+
+def q_extract(sf_dir: str):
+    return _labeled_view(dedup_exact(_extracted(sf_dir)))
+
+
+def q_type_index(sf_dir: str):
+    idx = build_type_index(_extracted(sf_dir))
+    return idx.map_batches(_strip_brackets, batch_format="pyarrow")
+
+
+def _pseudonymized(sf_dir: str):
+    triples = _extracted(sf_dir)
+    index_ref = broadcast_index(collect_index(build_type_index(triples)))
+    return pseudonymize(
+        _extracted(sf_dir), DEFAULT_RULES, index_ref, secret=DEFAULT_SALT
+    )
+
+
+def q_pseudo(sf_dir: str):
+    return _labeled_view(dedup_exact(_pseudonymized(sf_dir)))
+
+
+def q_link_map(sf_dir: str):
+    return build_link_map(_pseudonymized(sf_dir))
+
+
+def q_pipeline(sf_dir: str):
+    return _labeled_view(kg_pipeline(sf_dir, sort=False))
