@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark driver: flagship KG pipeline over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N,
+   "triples": T, "triples_per_sec": T/sec}
+
+``--scaling`` runs the same job in two fresh processes (num_cpus=8 and 32)
+and reports both throughputs + scaling efficiency (the sandbox stand-in for
+the N vs 4N cluster-size criterion — see BASELINE.md).
+
+Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_REPEAT (corpus amplification, default 20 → ~100k files
+/ ~1.6M raw triples at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("GRAFT_REPEAT", "20"))
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from tripsu_ray.pipelines.kg import DEFAULT_RULES, DEFAULT_SALT
+    from tripsu_ray.stages.materialize import materialize
+    from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+    from tripsu_ray.stages.extract import extract_triples
+    from tripsu_ray.sources.synth import read_source_files
+
+    # checkpoints live on tmpfs: /tmp here is a ~255MB/s virtual disk whose
+    # contention made run times swing 2x; on a real cluster this is the
+    # distributed FS / object storage tier
+    work_root = os.environ.get("GRAFT_WORK_DIR", "/dev/shm/tripsu_ray_bench")
+    ckpt = work_root if os.path.isdir(os.path.dirname(work_root) or "/") else "/tmp/tripsu_ray_bench"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(ckpt, exist_ok=True)
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # warm the page cache (untimed): one pass over the pruned input column
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    # extraction is CPU-cheap (~4 core-s per million triples): recomputing
+    # it fused into each consuming pass beats checkpointing the triple
+    # stream to disk — the stream only hits storage once, inside the
+    # split-dedup materialize.
+    def triples():
+        return extract_triples(read_source_files(sf_dir, repeat=repeat))
+
+    # stage 1 (ONE scan): rule-relevant type pairs + optimistic link map
+    from tripsu_ray.functions.engine import rewrites_any_prefix
+    from tripsu_ray.stages.folds import fold_pass, relevant_types_of
+    from tripsu_ray.stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
+
+    t0 = time.perf_counter()
+    pairs_df, key_map, n_triples = fold_pass(triples(), relevant_types_of(DEFAULT_RULES))
+    matcher = compile_matcher(DEFAULT_RULES, pairs_df)
+    matcher_ref = broadcast_matcher(matcher)
+    timings["fold_index_linkmap"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+
+    def pseudo_stream():
+        return pseudonymize_tasks(triples(), matcher_ref, secret=DEFAULT_SALT)
+
+    if rewrites_any_prefix(matcher, LINKABLE_PREFIXES):
+        key_map = fold_link_map(pseudo_stream())  # exact fallback pass
+    key_map_ref = ray.put(key_map)
+    timings["linkmap_fallback"] = time.perf_counter() - t0
+
+    # final pass: extract → pseudo → canonicalize → split dedup → write
+    t0 = time.perf_counter()
+    linked = canonicalize_tasks(pseudo_stream(), key_map_ref)
+    final = materialize(linked, f"{ckpt}/final", layout="split")
+    n_final = final.count()
+    timings["link_materialize"] = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_all
+    return {
+        "metric": "kg_pipeline_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "repeat": repeat,
+        "triples": n_triples,
+        "final_triples": n_final,
+        "triples_per_sec": round(n_triples / total, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["triples_per_sec"]
+    tput_hi = r_hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "kg_pipeline_scaling",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "triples_per_sec_lo": tput_lo,
+        "triples_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

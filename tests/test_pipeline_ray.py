@@ -7,10 +7,10 @@ import pytest
 from tripsu_ray.schema import KIND_IRI, KIND_LITERAL, RDF_TYPE
 from tripsu_ray.sources.synth import read_source_files, source_files_batch
 from tripsu_ray.stages.extract import NS, extract_batch, extract_triples
-from tripsu_ray.stages.index import broadcast_index, build_type_index, collect_index
+from tripsu_ray.stages.index import build_type_index, collect_index, collect_index_df, type_index_pairs
 from tripsu_ray.stages.link import build_link_map, collect_link_map, link_entities
 from tripsu_ray.stages.materialize import dedup_exact, materialize
-from tripsu_ray.stages.pseudo import pseudonymize
+from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize
 from tripsu_ray.pipelines.kg import DEFAULT_RULES, kg_pipeline
 
 SF = "/root/testdata/sf0.001"
@@ -57,11 +57,11 @@ class TestRayPipeline:
 
     def test_pseudonymize_deterministic_and_consistent(self):
         triples = extract_triples(read_source_files(SF))
-        idx_ref = broadcast_index(collect_index(build_type_index(triples)))
+        pairs_df = collect_index_df(type_index_pairs(triples))
+        matcher_ref = broadcast_matcher(compile_matcher(DEFAULT_RULES, pairs_df))
         out = pseudonymize(
             extract_triples(read_source_files(SF)),
-            DEFAULT_RULES,
-            idx_ref,
+            matcher_ref,
             secret="fixed-salt",
         ).to_pandas()
         # repo IRIs rewritten everywhere (subject AND object position), same hash

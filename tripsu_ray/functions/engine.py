@@ -39,26 +39,40 @@ _SEP = "\x1f"
 class CompiledMatcher:
     """rules × type-index → Arrow value-sets for O(1) vectorized probes.
 
-    ``index`` maps serialized subject term key → iterable of serialized type
-    term keys (the broadcast pass-1 output). Built once per actor in
-    ``__init__`` — never per batch.
+    ``index`` is either a dict {subject term key → iterable of type term
+    keys} (tiny fixtures / tests) or a two-column DataFrame of distinct
+    (subject, type) term-key pairs (the production path — the probe sets
+    derive via vectorized isin/merge, no per-subject Python loop).
+
+    Compile ONCE on the driver, ``ray.put`` the matcher, and hand the
+    ObjectRef to the actor pool: N actors then share one compilation
+    instead of each re-deriving the sets from a broadcast index dict.
     """
 
-    def __init__(self, rules: Rules, index: dict[str, tuple[str, ...]]):
+    def __init__(self, rules: Rules, index):
+        import pandas as pd
+
         self.rules = rules
-        sensitive = [
-            subj
-            for subj, types in index.items()
-            if any(t in rules.node_of_type for t in types)
-        ]
-        # subjects (named or blank) → predicates that trigger the O bit
-        otp_keys: list[str] = []
-        if rules.obj_on_type_predicate:
-            for subj, types in index.items():
-                preds: set[str] = set()
-                for t in types:
-                    preds |= rules.obj_on_type_predicate.get(t, frozenset())
-                otp_keys.extend(subj + _SEP + p for p in preds)
+        if not isinstance(index, pd.DataFrame):
+            index = pd.DataFrame(
+                [(s, t) for s, types in index.items() for t in types],
+                columns=["subject", "type"],
+            )
+        sensitive = index.loc[
+            index["type"].isin(rules.node_of_type), "subject"
+        ].unique()
+        otp_keys: "np.ndarray | list" = []
+        if rules.obj_on_type_predicate and len(index):
+            rule_df = pd.DataFrame(
+                [
+                    (t, p)
+                    for t, ps in rules.obj_on_type_predicate.items()
+                    for p in ps
+                ],
+                columns=["type", "pred"],
+            )
+            merged = index.merge(rule_df, on="type")
+            otp_keys = (merged["subject"] + _SEP + merged["pred"]).unique()
         self._sensitive = pa.array(sensitive, type=pa.string())
         self._on_pred = pa.array(sorted(rules.obj_on_predicate), type=pa.string())
         self._otp = pa.array(otp_keys, type=pa.string())
@@ -155,6 +169,22 @@ def rewrite_batch(
         },
         schema=TRIPLES,
     )
+
+
+def rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:
+    """True if the compiled rules can rewrite an IRI under any given prefix.
+
+    Only *node* rewrites (the sensitive set, probed at subject and object
+    position) ever change IRIs — on_predicate / on_type_predicate rewrite
+    literals only (src/crypto.rs:60-68 path) — and under ``invert`` every
+    non-sensitive IRI is rewritten instead. Used to prove that a downstream
+    IRI-keyed stage (entity linking) may run against the pre-pseudonymization
+    stream, saving a full pass.
+    """
+    if matcher.invert:
+        return True
+    brarr = matcher._sensitive.to_pylist()
+    return any(s.startswith("<" + p) for s in brarr for p in prefixes)
 
 
 def pseudonymize_batch(

@@ -28,10 +28,8 @@ import os
 
 from ..sources.synth import read_source_files
 from ..stages.extract import NS, extract_triples
-from ..stages.index import broadcast_index, build_type_index, collect_index
-from ..stages.link import link_entities
 from ..stages.materialize import materialize
-from ..stages.pseudo import pseudonymize
+from ..stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
 
 DEFAULT_RULES = {
     "nodes": {"of_type": [f"<{NS}Repository>"]},
@@ -55,7 +53,7 @@ def kg_pipeline(
     output_path: str | None = None,
     checkpoint_dir: str | None = None,
     concurrency=4,
-    batch_size: int = 65536,
+    batch_size=None,
 ):
     """Run extract → index → pseudo → link → materialize; returns the final Dataset.
 
@@ -69,37 +67,52 @@ def kg_pipeline(
 
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
 
-    triples = extract_triples(
-        read_source_files(sf_dir), batch_size=2048, concurrency=concurrency
-    )
+    triples = extract_triples(read_source_files(sf_dir))
 
     if checkpoint_dir:
         tri_path = os.path.join(checkpoint_dir, "triples")
         triples.write_parquet(tri_path)
         triples = ray.data.read_parquet(tri_path)
 
-    # pass 1: type index (groupby-aggregate shuffle on subject) → broadcast
-    index = collect_index(build_type_index(triples))
-    index_ref = broadcast_index(index)
+    # pass 1 (ONE scan): rule-relevant type pairs + optimistic link map,
+    # both associative partial aggregates folded on the driver — no shuffle.
+    from ..stages.folds import fold_pass, relevant_types_of
 
-    # pass 2: rule engine actor pool
-    pseudo = pseudonymize(
-        triples,
-        rules_cfg,
-        index_ref,
-        algorithm=algorithm,
-        secret=salt,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    import ray
 
+    pairs_df, key_map, _n = fold_pass(triples, relevant_types_of(rules_cfg))
+    matcher = compile_matcher(rules_cfg, pairs_df)
+    matcher_ref = broadcast_matcher(matcher)
+
+    # pass 2: rule engine (stateless tasks over the broadcast matcher)
+    def pseudo_stream():
+        return pseudonymize_tasks(
+            triples,
+            matcher_ref,
+            algorithm=algorithm,
+            secret=salt,
+            batch_size=batch_size,
+        )
+
+    pseudo = pseudo_stream()
     if checkpoint_dir:
         ps_path = os.path.join(checkpoint_dir, "pseudo")
         pseudo.write_parquet(ps_path)
         pseudo = ray.data.read_parquet(ps_path)
+        pseudo_stream = lambda: pseudo  # noqa: E731
 
     out = pseudo
     if link:
-        out = link_entities(out, batch_size=batch_size, concurrency=concurrency)
+        from ..functions.engine import rewrites_any_prefix
+        from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
 
-    return materialize(out, output_path, sort=sort)
+        # the optimistic (raw-stream) link map is exact iff the rules never
+        # rewrite linkable-namespace IRIs; otherwise recompute it from the
+        # pseudonymized stream (one extra pass — the exact fallback)
+        if rewrites_any_prefix(matcher, LINKABLE_PREFIXES):
+            key_map = fold_link_map(pseudo_stream())
+        key_map_ref = ray.put(key_map)
+        out = canonicalize_tasks(pseudo_stream(), key_map_ref, batch_size=batch_size)
+
+    layout = "split" if output_path else "bucketed"
+    return materialize(out, output_path, sort=sort, layout=layout)

@@ -14,10 +14,10 @@ import pyarrow as pa
 
 from ..sources.synth import read_source_files
 from ..stages.extract import extract_triples
-from ..stages.index import broadcast_index, build_type_index, collect_index
-from ..stages.link import build_link_map, link_entities
+from ..stages.index import build_type_index, collect_index_df, type_index_pairs
+from ..stages.link import build_link_map
 from ..stages.materialize import dedup_exact
-from ..stages.pseudo import pseudonymize
+from ..stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize
 from .kg import DEFAULT_RULES, DEFAULT_SALT, kg_pipeline
 
 _KIND_LABELS = np.array(["iri", "blank", "literal"], dtype=object)
@@ -70,7 +70,7 @@ def q_source_files(sf_dir: str):
 
 
 def _extracted(sf_dir: str):
-    return extract_triples(read_source_files(sf_dir), batch_size=2048)
+    return extract_triples(read_source_files(sf_dir))
 
 
 def q_extract(sf_dir: str):
@@ -83,11 +83,9 @@ def q_type_index(sf_dir: str):
 
 
 def _pseudonymized(sf_dir: str):
-    triples = _extracted(sf_dir)
-    index_ref = broadcast_index(collect_index(build_type_index(triples)))
-    return pseudonymize(
-        _extracted(sf_dir), DEFAULT_RULES, index_ref, secret=DEFAULT_SALT
-    )
+    pairs_df = collect_index_df(type_index_pairs(_extracted(sf_dir)))
+    matcher_ref = broadcast_matcher(compile_matcher(DEFAULT_RULES, pairs_df))
+    return pseudonymize(_extracted(sf_dir), matcher_ref, secret=DEFAULT_SALT)
 
 
 def q_pseudo(sf_dir: str):

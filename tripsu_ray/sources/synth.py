@@ -137,9 +137,25 @@ def read_source_files(sf_dir: str, *, repeat: int = 1, batch_size: int = 2048):
     by the benchmark to scale input volume without external data. The
     correctness oracle always runs with ``repeat=1``.
     """
+    import math
+
+    import pyarrow.parquet as pq
+    import ray
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # documents.parquet is a single file → a naive read is ONE block and the
+    # whole downstream chain fuses into one task. Size blocks for the
+    # POST-amplification row count: each block should expand to ~batch_size
+    # files so the fused gen→extract→… chain parallelizes and no task blows
+    # up 60× in memory. (Passing a small batch_size to map_batches instead
+    # would COALESCE many blocks per task before expanding — the opposite.)
+    path = f"{sf_dir}/documents.parquet"
+    n_ids = pq.read_metadata(path).num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_blocks = max(2 * cpus, math.ceil(n_ids * repeat / batch_size))
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id"], override_num_blocks=num_blocks
+    )
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -147,7 +163,7 @@ def read_source_files(sf_dir: str, *, repeat: int = 1, batch_size: int = 2048):
             ids = (ids[:, None] * repeat + np.arange(repeat)[None, :]).ravel()
         return source_files_batch(ids)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 # --- SQL rendering of the same spec (the oracle's input CTE) ---------------

@@ -213,7 +213,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return _EXTRACTOR(batch)
 
 
-def extract_triples(source_files, *, batch_size: int = 2048, concurrency=None):
+def extract_triples(source_files, *, batch_size=None, concurrency=None):
     """source_files Dataset → triples Dataset (stateless tasks; content dropped)."""
     return source_files.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=batch_size

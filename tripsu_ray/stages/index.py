@@ -45,25 +45,49 @@ def _typed_pairs(batch: pa.Table) -> pa.Table:
 
 
 def build_type_index(triples) -> "ray.data.Dataset":
-    """triples Dataset → distinct (subject, type) Dataset (the type index)."""
-    pairs = triples.map_batches(_typed_pairs, batch_format="pyarrow")
-    # global distinct (shuffle on subject+type; input already locally deduped)
-    return pairs.groupby(["subject", "type"]).count().select_columns(["subject", "type"])
+    """triples Dataset → globally-distinct (subject, type) Dataset.
 
-
-def collect_index(index_ds) -> dict[str, tuple[str, ...]]:
-    """Fold the index Dataset into {subject_key: (type_key, ...)} on the driver.
-
-    Streaming consumption (iter_batches) — never take_all on raw triples;
-    the index is bounded by #distinct typed subjects, not corpus size.
+    Use this when the index itself is the output (write_parquet / the
+    kg_type_index query). For the broadcast path use :func:`collect_index`
+    on :func:`type_index_pairs` — the driver fold dedups anyway, so the
+    groupby shuffle would be pure overhead.
     """
-    index: dict[str, tuple[str, ...]] = {}
-    for batch in index_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for s, t in zip(batch["subject"].to_pylist(), batch["type"].to_pylist()):
-            cur = index.get(s, ())
-            if t not in cur:
-                index[s] = cur + (t,)
-    return index
+    return (
+        type_index_pairs(triples)
+        .groupby(["subject", "type"])
+        .count()
+        .select_columns(["subject", "type"])
+    )
+
+
+def type_index_pairs(triples) -> "ray.data.Dataset":
+    """Locally-deduped (subject, type) pairs — no global shuffle."""
+    return triples.map_batches(_typed_pairs, batch_format="pyarrow")
+
+
+def collect_index_df(pairs_ds) -> "pd.DataFrame":
+    """Fold (subject, type) pairs into a distinct two-column DataFrame.
+
+    Accepts either the shuffled (build_type_index) or the shuffle-free
+    (type_index_pairs) dataset — the vectorized pandas fold dedups. Memory
+    is bounded by #distinct typed subjects, not corpus size; streaming
+    iter_batches, never take_all. This relational form feeds the vectorized
+    CompiledMatcher build directly (no per-subject Python objects).
+    """
+    import pandas as pd
+
+    frames = []
+    for batch in pairs_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        frames.append(batch.to_pandas())
+    if not frames:
+        return pd.DataFrame({"subject": [], "type": []})
+    return pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
+
+
+def collect_index(pairs_ds) -> dict[str, tuple[str, ...]]:
+    """{subject_key: (type_key, ...)} dict view (tests / small indexes)."""
+    df = collect_index_df(pairs_ds)
+    return {s: tuple(g) for s, g in df.groupby("subject", sort=False)["type"]}
 
 
 def broadcast_index(index: dict):

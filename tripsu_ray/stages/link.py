@@ -38,13 +38,20 @@ _EXT_RE = r"\.(js|py|rs)$"
 
 
 def mention_keys(iris: pd.Series) -> pd.Series:
-    """IRI → normalized mention key (None when not linkable)."""
+    """IRI → normalized mention key (None when not linkable).
+
+    The regex only runs on the linkable subset — most IRIs in a code KG are
+    files/symbols, and regexing all of them dominated the whole stage.
+    """
     linkable = iris.str.startswith(LINKABLE_PREFIXES[0]) | iris.str.startswith(
         LINKABLE_PREFIXES[1]
     )
-    seg = iris.str.extract(r"([^/#]+)$", expand=False)
-    key = seg.str.replace(_EXT_RE, "", regex=True).str.lower()
-    return key.where(linkable, None)
+    key = pd.Series(None, index=iris.index, dtype=object)
+    sub = iris[linkable]
+    if len(sub):
+        seg = sub.str.extract(r"([^/#]+)$", expand=False)
+        key.loc[linkable] = seg.str.replace(_EXT_RE, "", regex=True).str.lower()
+    return key
 
 
 def _batch_key_min(batch: pa.Table) -> pa.Table:
@@ -73,17 +80,50 @@ def build_link_map(triples) -> "ray.data.Dataset":
 
 
 def collect_link_map(link_ds) -> dict[str, str]:
-    """Fold to {iri → canonical}, keeping only non-identity rewrites.
-
-    Needs a second pass keyed by iri: we fold (key → canonical) here and
-    derive per-IRI rewrites lazily inside the apply stage (an IRI's key is
-    recomputable from the IRI itself — no need to materialize all members).
-    """
+    """Fold a (key, canonical) Dataset to {key → canonical}."""
     mapping: dict[str, str] = {}
     for batch in link_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for k, c in zip(batch["key"].to_pylist(), batch["canonical"].to_pylist()):
             mapping[k] = c
     return mapping
+
+
+def fold_link_map(triples) -> dict[str, str]:
+    """Shuffle-free link map: per-batch partial MIN → vectorized driver fold.
+
+    MIN is associative, so folding the per-batch partials on the driver is
+    exact and skips the groupby shuffle entirely — the partials are bounded
+    by (#batches × #distinct keys per batch), tiny next to the stream.
+    Use build_link_map when the map itself must be a distributed Dataset.
+    """
+    partial = triples.map_batches(_batch_key_min, batch_format="pyarrow")
+    frames = [
+        b.to_pandas()
+        for b in partial.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    if not frames:
+        return {}
+    df = pd.concat(frames, ignore_index=True)
+    return df.groupby("key")["canonical"].min().to_dict()
+
+
+_KM_CACHE: dict = {}
+
+
+def canonicalize_tasks(triples, key_map_ref, *, batch_size=None):
+    """Task-pool variant of :func:`canonicalize` (fuses with adjacent task
+    stages — see stages/pseudo.py ``pseudonymize_tasks`` for why)."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = key_map_ref.hex() if hasattr(key_map_ref, "hex") else id(key_map_ref)
+        actor = _KM_CACHE.get(key)
+        if actor is None:
+            actor = CanonicalizeActor(key_map_ref)
+            _KM_CACHE[key] = actor
+        return actor(batch)
+
+    return triples.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 class CanonicalizeActor:
@@ -99,12 +139,14 @@ class CanonicalizeActor:
     def _rewrite(self, values: pd.Series, kinds: np.ndarray) -> pd.Series:
         is_iri = kinds == KIND_IRI
         iris = values[is_iri]
-        keys = mention_keys(iris)
-        canon = keys.map(self.key_map)
-        repl = canon.notna() & (canon != iris)
-        if repl.any():
+        # entities repeat heavily: factorize → key/lookup once per DISTINCT iri
+        codes, uniques = pd.factorize(iris)
+        ukeys = mention_keys(pd.Series(uniques, dtype=object))
+        ucanon = ukeys.map(self.key_map)
+        ucanon = ucanon.where(ucanon.notna(), pd.Series(uniques, dtype=object))
+        if (ucanon.to_numpy() != uniques).any():
             values = values.copy()
-            values.loc[iris.index[repl]] = canon[repl]
+            values.loc[iris.index] = ucanon.to_numpy(dtype=object)[codes]
         return values
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -126,7 +168,7 @@ class CanonicalizeActor:
         )
 
 
-def canonicalize(triples, key_map_ref, *, batch_size: int = 65536, concurrency=4):
+def canonicalize(triples, key_map_ref, *, batch_size: int = 16384, concurrency=4):
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)  # autoscale: don't reserve the cluster
     return triples.map_batches(
@@ -139,9 +181,9 @@ def canonicalize(triples, key_map_ref, *, batch_size: int = 65536, concurrency=4
 
 
 def link_entities(triples, *, batch_size: int = 65536, concurrency=4):
-    """Full linking stage: build map (shuffle on key) → broadcast → apply."""
+    """Full linking stage: partial-agg map build → broadcast → map-side apply."""
     import ray
 
-    key_map = collect_link_map(build_link_map(triples))
+    key_map = fold_link_map(triples)
     ref = ray.put(key_map)
     return canonicalize(triples, ref, batch_size=batch_size, concurrency=concurrency)

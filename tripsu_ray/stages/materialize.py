@@ -79,11 +79,119 @@ def _global_dedup(local, num_buckets: int = 256):
     return out.drop_columns(["_bucket"])
 
 
-def materialize(triples, output_path: str | None = None, *, sort: bool = True):
-    """dedup → sort → (optionally) write partitioned Parquet; returns Dataset."""
-    out = dedup_exact(triples)
-    if sort:
-        out = out.sort(SORT_KEYS)
+def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
+    """Exact global dedup that shuffles only the duplicate candidates.
+
+    The classic full-stream groupby moves EVERY row through an all-to-all to
+    remove a tiny fraction of cross-block duplicates. Instead:
+
+    1. checkpoint the locally-deduped stream to Parquet (doubles as the
+       resumable stage checkpoint),
+    2. census: one map pass emits a 64-bit hash per row; the driver folds a
+       multiplicity count (~8B/row — bounded and tiny next to the stream),
+    3. split: rows whose hash count == 1 are PROVABLY globally unique and
+       bypass the shuffle entirely; only hash-count ≥ 2 rows (true
+       duplicates + rare hash collisions) go through the exact grouped
+       dedup.
+
+    Collision-safety: a collision between two different rows only promotes
+    both to the hot side, where dedup groups by the FULL key — correctness
+    never depends on hash uniqueness. Skew-safety: a pathological corpus
+    that is mostly duplicates degrades to the full shuffle, never worse.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    t_path = f"{work_dir}/transformed"
+    triples.map_batches(_dedup_batch, batch_format="pyarrow").write_parquet(t_path)
+    T = ray.data.read_parquet(t_path)
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
+        return pa.table({"h": h})
+
+    counts: dict = {}
+    parts = []
+    for b in T.map_batches(hashes, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        parts.append(b["h"].to_numpy(zero_copy_only=False))
+    all_h = np.concatenate(parts) if parts else np.array([], dtype=np.uint64)
+    uniq, cnt = np.unique(all_h, return_counts=True)
+    hot = np.sort(uniq[cnt > 1])
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
+        if len(hot_arr) == 0:
+            is_hot = np.zeros(len(h), dtype=bool)
+        else:
+            idx = np.searchsorted(hot_arr, h)
+            idx[idx >= len(hot_arr)] = 0
+            is_hot = hot_arr[idx] == h
+        mask = is_hot if keep_hot else ~is_hot
+        return batch.filter(pa.array(mask))
+
+    cold = T.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
+    hot_ds = T.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
+    hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
+    return cold.union(hot_dedup)
+
+
+def materialize(
+    triples,
+    output_path: str | None = None,
+    *,
+    sort: bool = True,
+    layout: str = "bucketed",
+    num_buckets: int = 256,
+):
+    """Deduplicated, deterministically-ordered graph materialize.
+
+    ``layout="bucketed"`` (default, scale path): ONE all-to-all — rows hash-
+    partition on the full triple key; each bucket dedups + sorts internally
+    (vectorized). Output is deterministic (bucket id + intra-bucket order are
+    pure functions of row content) and bucket-partitioned, which is what
+    makes reruns resumable per partition and downstream subject-joins
+    co-partitioned. ``layout="sorted"`` adds a global range sort (second
+    all-to-all) for totally-ordered output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if layout == "split":
+        if output_path is None:
+            raise ValueError("layout='split' needs output_path (for its work dir)")
+        out = dedup_split(triples, f"{output_path}_work", num_buckets=num_buckets)
+    elif layout == "sorted":
+        out = dedup_exact(triples)
+        if sort:
+            out = out.sort(SORT_KEYS)
+    else:
+        local = triples.map_batches(_dedup_batch, batch_format="pyarrow")
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            key = _triple_key(batch)
+            h = pd.util.hash_array(key.to_numpy(zero_copy_only=False)) % num_buckets
+            return batch.append_column("_bucket", pa.array(h.astype(np.int64)))
+
+        def dedup_sort_bucket(group: pa.Table) -> pa.Table:
+            group = _dedup_batch(group)
+            order = pc.sort_indices(
+                group, sort_keys=[(k, "ascending") for k in SORT_KEYS]
+            )
+            return group.take(order)
+
+        bucketed = local.map_batches(add_bucket, batch_format="pyarrow")
+        out = bucketed.groupby("_bucket").map_groups(
+            dedup_sort_bucket, batch_format="pyarrow"
+        )
+        out = out.drop_columns(["_bucket"])
+
     if output_path is not None:
         out.write_parquet(output_path)
         import ray.data
