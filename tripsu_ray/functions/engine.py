@@ -116,6 +116,18 @@ class CompiledMatcher:
         return mask_s, mask_o
 
 
+def _replace_masked(col: pa.Array, sel: np.ndarray, fn) -> pa.Array:
+    """Rewrite only the selected rows of an Arrow column.
+
+    The unselected majority never leaves Arrow — converting full columns to
+    Python strings was the dominant memory cost of this stage.
+    """
+    mask = pa.array(sel)
+    masked_vals = col.filter(mask).to_numpy(zero_copy_only=False).astype(object)
+    replacements = pa.array(fn(masked_vals), type=pa.string())
+    return pc.replace_with_mask(col, mask, replacements)
+
+
 def rewrite_batch(
     batch: pa.Table,
     mask_s: np.ndarray,
@@ -126,46 +138,43 @@ def rewrite_batch(
 
     Rewrite semantics per src/crypto.rs:19-73 — IRIs keep their namespace
     prefix; literals collapse to simple literals; blank nodes are identity.
-    Hashing dedupes values first (entities repeat heavily in a graph).
+    Hashing dedupes values first (entities repeat heavily in a graph); only
+    masked rows are ever materialized as Python objects.
     """
     if not (mask_s.any() or mask_o.any()):
         return batch
 
-    subj = batch["subject"].to_numpy(zero_copy_only=False).astype(object)
     subj_kind = batch["subject_kind"].to_numpy(zero_copy_only=False)
-    obj = batch["object_value"].to_numpy(zero_copy_only=False).astype(object)
     obj_kind = batch["object_kind"].to_numpy(zero_copy_only=False)
-    lang = batch["object_lang"].to_numpy(zero_copy_only=False).astype(object)
-    dtype = batch["object_datatype"].to_numpy(zero_copy_only=False).astype(object)
+    subj = batch["subject"].combine_chunks()
+    obj = batch["object_value"].combine_chunks()
+    lang = batch["object_lang"].combine_chunks()
+    dtype = batch["object_datatype"].combine_chunks()
 
     s_sel = mask_s & (subj_kind == KIND_IRI)  # blank subjects: identity
     if s_sel.any():
-        subj = subj.copy()
-        subj[s_sel] = pseudo.pseudo_iris(subj[s_sel])
+        subj = _replace_masked(subj, s_sel, pseudo.pseudo_iris)
 
     o_iri = mask_o & (obj_kind == KIND_IRI)
     o_lit = mask_o & (obj_kind == KIND_LITERAL)
-    if o_iri.any() or o_lit.any():
-        obj = obj.copy()
-        if o_iri.any():
-            obj[o_iri] = pseudo.pseudo_iris(obj[o_iri])
-        if o_lit.any():
-            obj[o_lit] = pseudo.pseudo_unique(obj[o_lit])
-            # literal rewrite yields a *simple* literal: drop lang/datatype
-            lang = lang.copy()
-            dtype = dtype.copy()
-            lang[o_lit] = None
-            dtype[o_lit] = None
+    if o_iri.any():
+        obj = _replace_masked(obj, o_iri, pseudo.pseudo_iris)
+    if o_lit.any():
+        obj = _replace_masked(obj, o_lit, pseudo.pseudo_unique)
+        # literal rewrite yields a *simple* literal: drop lang/datatype
+        null_mask = pa.array(o_lit)
+        lang = pc.if_else(null_mask, pa.scalar(None, pa.string()), lang)
+        dtype = pc.if_else(null_mask, pa.scalar(None, pa.string()), dtype)
 
     return pa.table(
         {
-            "subject": pa.array(subj, type=pa.string()),
+            "subject": subj,
             "subject_kind": batch["subject_kind"],
             "predicate": batch["predicate"],
-            "object_value": pa.array(obj, type=pa.string()),
+            "object_value": obj,
             "object_kind": batch["object_kind"],
-            "object_lang": pa.array(lang, type=pa.string()),
-            "object_datatype": pa.array(dtype, type=pa.string()),
+            "object_lang": lang,
+            "object_datatype": dtype,
         },
         schema=TRIPLES,
     )

@@ -153,9 +153,10 @@ def read_source_files(sf_dir: str, *, repeat: int = 1, batch_size: int = 2048):
     n_ids = pq.read_metadata(path).num_rows
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_blocks = max(2 * cpus, math.ceil(n_ids * repeat / batch_size))
-    ds = ray.data.read_parquet(
-        path, columns=["doc_id"], override_num_blocks=num_blocks
-    )
+    # a single-row-group parquet reads as ONE block no matter what
+    # override_num_blocks asks for — repartition the (tiny) id column so the
+    # per-block downstream chain actually fans out
+    ds = ray.data.read_parquet(path, columns=["doc_id"]).repartition(num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)

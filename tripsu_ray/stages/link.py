@@ -54,19 +54,37 @@ def mention_keys(iris: pd.Series) -> pd.Series:
     return key
 
 
+def _linkable_unique(batch: pa.Table) -> pd.Series:
+    """Distinct linkable IRIs of a batch, via pure-Arrow prefilter + unique.
+
+    Only the (small) distinct linkable subset is ever converted to Python —
+    pandas-converting the full subject/object columns dominated this stage.
+    """
+
+    def side(col: pa.ChunkedArray, kind: pa.ChunkedArray) -> pa.Array:
+        col = col.combine_chunks()
+        mask = pc.and_(
+            pc.equal(kind.combine_chunks(), KIND_IRI),
+            pc.or_(
+                pc.starts_with(col, LINKABLE_PREFIXES[0]),
+                pc.starts_with(col, LINKABLE_PREFIXES[1]),
+            ),
+        )
+        return pc.unique(col.filter(mask))
+
+    s = side(batch["subject"], batch["subject_kind"])
+    o = side(batch["object_value"], batch["object_kind"])
+    u = pc.unique(pa.concat_arrays([s, o]))
+    return pd.Series(u.to_numpy(zero_copy_only=False), dtype=object)
+
+
 def _batch_key_min(batch: pa.Table) -> pa.Table:
     """Partial aggregate: distinct (key, min(iri)) pairs within a batch."""
-    iris = pd.concat(
-        [
-            batch.filter(pc.equal(batch["subject_kind"], KIND_IRI))["subject"].to_pandas(),
-            batch.filter(pc.equal(batch["object_kind"], KIND_IRI))["object_value"].to_pandas(),
-        ],
-        ignore_index=True,
-    )
+    iris = _linkable_unique(batch)
+    if iris.empty:
+        return pa.table({"key": pa.array([], pa.string()), "canonical": pa.array([], pa.string())})
     keys = mention_keys(iris)
     df = pd.DataFrame({"key": keys, "iri": iris}).dropna(subset=["key"])
-    if df.empty:
-        return pa.table({"key": pa.array([], pa.string()), "canonical": pa.array([], pa.string())})
     agg = df.groupby("key", sort=False)["iri"].min().reset_index()
     return pa.table({"key": agg["key"], "canonical": agg["iri"]})
 
@@ -136,30 +154,44 @@ class CanonicalizeActor:
             ray.get(key_map_ref) if not isinstance(key_map_ref, dict) else key_map_ref
         )
 
-    def _rewrite(self, values: pd.Series, kinds: np.ndarray) -> pd.Series:
-        is_iri = kinds == KIND_IRI
-        iris = values[is_iri]
-        # entities repeat heavily: factorize → key/lookup once per DISTINCT iri
-        codes, uniques = pd.factorize(iris)
-        ukeys = mention_keys(pd.Series(uniques, dtype=object))
-        ucanon = ukeys.map(self.key_map)
-        ucanon = ucanon.where(ucanon.notna(), pd.Series(uniques, dtype=object))
-        if (ucanon.to_numpy() != uniques).any():
-            values = values.copy()
-            values.loc[iris.index] = ucanon.to_numpy(dtype=object)[codes]
-        return values
+    def _rewrite(self, col: pa.ChunkedArray, kind: pa.ChunkedArray) -> pa.Array:
+        """Arrow-native apply: probe only the distinct linkable subset.
+
+        The full column never converts to Python objects; rewrites go back
+        in via ``pc.replace_with_mask`` over an ``is_in`` selection of the
+        (small) set of IRIs that actually change.
+        """
+        col = col.combine_chunks()
+        linkable = pc.and_(
+            pc.equal(kind.combine_chunks(), KIND_IRI),
+            pc.or_(
+                pc.starts_with(col, LINKABLE_PREFIXES[0]),
+                pc.starts_with(col, LINKABLE_PREFIXES[1]),
+            ),
+        )
+        uniq = pc.unique(col.filter(linkable))
+        if len(uniq) == 0:
+            return col
+        useries = pd.Series(uniq.to_numpy(zero_copy_only=False), dtype=object)
+        ucanon = mention_keys(useries).map(self.key_map)
+        changed = ucanon.notna() & (ucanon != useries)
+        if not changed.any():
+            return col
+        old_new = dict(zip(useries[changed], ucanon[changed]))
+        sel = pc.and_(linkable, pc.is_in(col, value_set=pa.array(list(old_new), pa.string())))
+        old_vals = col.filter(sel).to_numpy(zero_copy_only=False)
+        repl = pa.array([old_new[v] for v in old_vals], pa.string())
+        return pc.replace_with_mask(col, sel, repl)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = batch["subject"].to_pandas()
-        obj = batch["object_value"].to_pandas()
-        subj = self._rewrite(subj, batch["subject_kind"].to_numpy(zero_copy_only=False))
-        obj = self._rewrite(obj, batch["object_kind"].to_numpy(zero_copy_only=False))
+        subj = self._rewrite(batch["subject"], batch["subject_kind"])
+        obj = self._rewrite(batch["object_value"], batch["object_kind"])
         return pa.table(
             {
-                "subject": pa.array(subj, pa.string()),
+                "subject": subj,
                 "subject_kind": batch["subject_kind"],
                 "predicate": batch["predicate"],
-                "object_value": pa.array(obj, pa.string()),
+                "object_value": obj,
                 "object_kind": batch["object_kind"],
                 "object_lang": batch["object_lang"],
                 "object_datatype": batch["object_datatype"],

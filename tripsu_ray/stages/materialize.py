@@ -104,29 +104,32 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
     import ray.data
 
     t_path = f"{work_dir}/transformed"
-    triples.map_batches(_dedup_batch, batch_format="pyarrow").write_parquet(t_path)
+
+    def dedup_and_hash(batch: pa.Table) -> pa.Table:
+        batch = _dedup_batch(batch)
+        h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
+        return batch.append_column("_h", pa.array(h.astype(np.uint64)))
+
+    triples.map_batches(dedup_and_hash, batch_format="pyarrow").write_parquet(t_path)
     T = ray.data.read_parquet(t_path)
 
-    def hashes(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
-        return pa.table({"h": h})
-
-    counts: dict = {}
-    parts = []
-    for b in T.map_batches(hashes, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        parts.append(b["h"].to_numpy(zero_copy_only=False))
+    # census reads ONLY the stored hash column (parquet column pruning)
+    parts = [
+        b["_h"].to_numpy(zero_copy_only=False)
+        for b in ray.data.read_parquet(t_path, columns=["_h"]).iter_batches(
+            batch_size=1 << 22, batch_format="pyarrow"
+        )
+    ]
     all_h = np.concatenate(parts) if parts else np.array([], dtype=np.uint64)
     uniq, cnt = np.unique(all_h, return_counts=True)
     hot = np.sort(uniq[cnt > 1])
-    import ray
+    import ray as _ray
 
-    hot_ref = ray.put(hot)
+    hot_ref = _ray.put(hot)
 
     def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
-        hot_arr = ray.get(hot_ref)
-        h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
+        hot_arr = _ray.get(hot_ref)
+        h = batch["_h"].to_numpy(zero_copy_only=False)
         if len(hot_arr) == 0:
             is_hot = np.zeros(len(h), dtype=bool)
         else:
@@ -134,11 +137,21 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
             idx[idx >= len(hot_arr)] = 0
             is_hot = hot_arr[idx] == h
         mask = is_hot if keep_hot else ~is_hot
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask)).drop_columns(["_h"])
 
     cold = T.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
     hot_ds = T.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
-    hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
+    if len(hot) < 100_000:
+        # tiny hot set (the common case): driver-side exact dedup beats
+        # spinning up a whole distributed sort for a few thousand rows
+        hot_tbl = pa.concat_tables(
+            list(hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        ) if hot.size else None
+        if hot_tbl is None or hot_tbl.num_rows == 0:
+            return cold
+        hot_dedup = ray.data.from_arrow(_dedup_batch(hot_tbl))
+    else:
+        hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
     return cold.union(hot_dedup)
 
 
