@@ -19,20 +19,51 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tripsu_ray.pipelines import queries as q
+    from tripsu_ray.pipelines import docops, queries as q
 
     return {
+        # knowledge-graph construction (the flagship, SURVEY.md §2/§7)
         "kg_source_files": q.q_source_files,
         "kg_extract": q.q_extract,
         "kg_type_index": q.q_type_index,
         "kg_pseudo": q.q_pseudo,
         "kg_link_map": q.q_link_map,
         "kg_pipeline": q.q_pipeline,
+        # text analysis
+        "text_stats": docops.q_text_stats,
+        "text_langid": docops.q_text_langid,
+        "text_fingerprint": docops.q_text_fingerprint,
+        "text_rolling_fp": docops.q_text_rolling_fp,
+        # deduplication
+        "dedup_exact": docops.q_dedup_exact,
+        "dedup_minhash": docops.q_dedup_minhash,
+        "dedup_simhash": docops.q_dedup_simhash,
+        "dedup_embedding": docops.q_dedup_embedding,
+        "jaccard_pairs": docops.q_jaccard_pairs,
+        # similarity search
+        "ann_topk": docops.q_ann_topk,
+        "ann_lsh": docops.q_ann_lsh,
+        "sim_threshold": docops.q_sim_threshold,
+        # multimodal
+        "multimodal_dims": docops.q_multimodal_dims,
+        "multimodal_features": docops.q_multimodal_features,
+        # relational engine showcase
+        "rel_lineitem_agg": docops.q_rel_lineitem_agg,
+        "rel_join_revenue": docops.q_rel_join_revenue,
+        "rel_events_window": docops.q_rel_events_window,
+        "rel_topk_parts": docops.q_rel_topk_parts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from tripsu_ray.pipelines import oracle
+    """SQL oracles for every SQL-expressible query above.
+
+    Intentionally omitted (→ rows-only check): text_rolling_fp,
+    dedup_minhash, dedup_simhash, dedup_embedding (probabilistic LSH /
+    iterative components), ann_lsh (approximate by construction),
+    multimodal_features (feature vector from binary payloads).
+    """
+    from tripsu_ray.pipelines import doc_oracle as d, oracle
 
     return {
         "kg_source_files": oracle.sql_source_files(),
@@ -41,4 +72,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_pseudo": oracle.sql_pseudo(),
         "kg_link_map": oracle.sql_link_map(),
         "kg_pipeline": oracle.sql_pipeline(),
+        "text_stats": d.sql_text_stats(),
+        "text_langid": d.sql_text_langid(),
+        "text_fingerprint": d.sql_text_fingerprint(),
+        "dedup_exact": d.sql_dedup_exact(),
+        "jaccard_pairs": d.sql_jaccard_pairs(),
+        "ann_topk": d.sql_ann_topk(),
+        "sim_threshold": d.sql_sim_threshold(),
+        "multimodal_dims": d.sql_multimodal_dims(),
+        "rel_lineitem_agg": d.sql_rel_lineitem_agg(),
+        "rel_join_revenue": d.sql_rel_join_revenue(),
+        "rel_events_window": d.sql_rel_events_window(),
+        "rel_topk_parts": d.sql_rel_topk_parts(),
     }

@@ -1,0 +1,133 @@
+"""Training-data ops: kernels (pure) + pipelines (Ray) over sf0.001."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tripsu_ray.stages import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pure kernels ----------------------------------------------------------
+
+
+def test_text_stats_kernel():
+    df = pd.DataFrame({"doc_id": [1], "text": ["The quick fox and the dog"]})
+    out = text.text_stats_batch(df)
+    assert out.n_tokens[0] == 6
+    assert out.n_uniq_tokens[0] == 5  # 'the' twice
+    assert out.stop_count[0] == 3  # the, and, the
+    assert out.alpha_chars[0] == len("thequickfoxandthedog")
+
+
+def test_fingerprint_normalizes_whitespace_and_case():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello  World", "hello world "]})
+    out = text.fingerprint_batch(df)
+    assert out.fingerprint[0] == out.fingerprint[1]
+
+
+def test_rolling_fp_deterministic_and_order_sensitive():
+    a = text.rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e f g h i j"]})
+    )
+    b = text.rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e f g h i j"]})
+    )
+    c = text.rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": [1], "text": ["j i h g f e d c b a"]})
+    )
+    assert a.rolling_fp[0] == b.rolling_fp[0]
+    assert a.rolling_fp[0] != c.rolling_fp[0]
+
+
+def test_jaccard_kernel():
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([3, 4, 5, 6], dtype=np.uint64)
+    assert dedup.jaccard(a, a) == 1.0
+    assert dedup.jaccard(a, b) == pytest.approx(2 / 6)
+
+
+def test_minhash_estimates_jaccard():
+    # near-identical docs get near-identical signatures
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = d1 + " lambda"
+    d3 = "completely different words entirely unrelated vocabulary here now"
+    sigs = dedup.minhash_signatures_batch(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [d1, d2, d3]}), num_perm=128
+    )
+    s = [np.frombuffer(x, dtype=np.uint64) for x in sigs["sig"]]
+    sim12 = (s[0] == s[1]).mean()
+    sim13 = (s[0] == s[2]).mean()
+    assert sim12 > 0.7 and sim13 < 0.2
+
+
+def test_simhash_close_for_near_dups():
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = d1 + " lambda"
+    sigs = dedup.simhash_signatures_batch(pd.DataFrame({"doc_id": [1, 2], "text": [d1, d2]}))
+    ham = bin(int(sigs.simhash[0]) ^ int(sigs.simhash[1])).count("1")
+    assert ham <= 8
+
+
+def test_union_find_components():
+    comp = dedup._components([(1, 2), (2, 3), (7, 8)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+
+
+def test_bucket_candidates():
+    df = pd.DataFrame(
+        {"band": [0, 0, 0, 1], "bucket": ["x", "x", "y", "x"], "doc_id": [1, 2, 3, 4]}
+    )
+    out = dedup._bucket_candidates(df, ["band", "bucket"])
+    assert out.values.tolist() == [[1, 2]]
+
+
+def test_fake_codec_roundtrip():
+    payload = multimodal.FakePayloadCodec.encode(5, "hello")
+    w, h, c, pixels = multimodal.FakePayloadCodec.decode(payload)
+    assert (w, h, c) == (16 + 5 % 48, 16 + 5 % 32, 3)
+    assert len(pixels) == w * h * 3
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.RealImageCodec.decode(b"x")
+
+
+# --- Ray pipelines ---------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocOpsRay:
+    def test_dedup_exact_no_dups_in_corpus(self):
+        out = dedup.dedup_exact_docs(SF).to_pandas()
+        assert len(out) == 500  # synthetic corpus has no exact dups
+
+    def test_minhash_clusters_cover_all_docs(self):
+        out = dedup.dedup_minhash(SF, tau=0.8).to_pandas()
+        assert len(out) == 500
+        assert (out.cluster_id <= out.doc_id).all()  # root = min id
+
+    def test_ann_lsh_recall_vs_exact(self):
+        exact = similarity.ann_topk(SF, k=10).to_pandas()
+        approx = similarity.ann_lsh(SF, k=10).to_pandas()
+        # recall@10 of the bucketed variant vs the exact baseline
+        e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+        assert len(e & a) / len(e) >= 0.3  # multi-probe 6-plane LSH, tiny corpus
+
+    def test_ann_topk_shape_and_rank(self):
+        out = similarity.ann_topk(SF, k=10).to_pandas()
+        assert set(out.query_id) == {0, 1, 2, 3, 4}
+        assert out.groupby("query_id")["rank"].max().eq(10).all()
+        assert (out.groupby("query_id")["simq"].diff().fillna(0) <= 0).all()
+
+    def test_multimodal_features_schema(self):
+        out = multimodal.image_features(SF)
+        df = out.to_pandas()
+        assert len(df) == 500
+        assert {"doc_id", "width", "height", "feature"} <= set(df.columns)
+        assert all(len(f) == 16 for f in df.feature)
+        assert all(abs(sum(f) - 1.0) < 1e-3 for f in df.feature)

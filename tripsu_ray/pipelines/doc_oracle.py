@@ -1,0 +1,153 @@
+"""DuckDB oracle SQL for the training-data + relational queries.
+
+Shares the literal definitions (token regex, stopword set, thresholds,
+quantization) with the stage code via imported constants.
+"""
+
+from __future__ import annotations
+
+from ..stages.text import LANGID_THRESHOLD, STOPWORDS, TOKEN_RE
+
+# DuckDB/RE2 rendering of the shared patterns
+_TOK = TOKEN_RE
+_STOP = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+
+def sql_text_stats() -> str:
+    return f"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS n_uniq_tokens,
+  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+  len(regexp_extract_all(lower(text), '{_STOP}')) AS stop_count,
+  CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+    / greatest(len(regexp_extract_all(lower(text), '{_TOK}')), 1) AS stop_ratio,
+  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+    / greatest(len(regexp_extract_all(lower(text), '{_TOK}')), 1) AS mean_token_len
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_text_langid() -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+            / greatest(len(regexp_extract_all(lower(text), '{_TOK}')), 1)
+            > {LANGID_THRESHOLD}
+       THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_text_fingerprint() -> str:
+    return r"""
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_dedup_exact() -> str:
+    return r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def sql_jaccard_pairs() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS t
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(floor(1000000.0 * len(list_intersect(a.t, b.t))
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))) AS BIGINT) AS jacq
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE 1000000.0 * len(list_intersect(a.t, b.t))
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 800000
+ORDER BY 1, 2
+""".strip()
+
+
+def sql_ann_topk(k: int = 10, num_queries: int = 5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {num_queries}
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, v.e) * 1000000) AS BIGINT) AS simq
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
+def sql_sim_threshold(tau_q: int = 400_000) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS simq
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.e, b.e) * 1000000) >= {tau_q}
+ORDER BY 1, 2
+""".strip()
+
+
+def sql_multimodal_dims() -> str:
+    # width/height are pure functions of doc_id (FakePayloadCodec.encode)
+    return """
+SELECT doc_id,
+       CAST(16 + (doc_id % 48) AS INTEGER) AS width,
+       CAST(16 + (doc_id % 32) AS INTEGER) AS height
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_rel_lineitem_agg() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+def sql_rel_join_revenue() -> str:
+    return """
+SELECT n.n_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def sql_rel_events_window() -> str:
+    return """
+SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
+def sql_rel_topk_parts() -> str:
+    return """
+SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
+""".strip()

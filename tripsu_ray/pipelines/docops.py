@@ -1,0 +1,245 @@
+"""Driver-facing queries for training-data ops + relational engine showcase.
+
+Float discipline for oracle-checkable results: aggregates over monetary
+columns are emitted as int64 cents (``round(x*100)`` per row, then sum —
+integer sums are associativity-independent, unlike double sums whose value
+hash would depend on reduction order); similarities are quantized to
+``floor(cos·10^6)`` int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages import dedup, multimodal, similarity, text
+
+
+# --- text analysis ---------------------------------------------------------
+
+q_text_stats = text.text_stats
+q_text_langid = text.text_langid
+q_text_fingerprint = text.text_fingerprint
+q_text_rolling_fp = text.text_rolling_fingerprint
+
+
+# --- dedup -----------------------------------------------------------------
+
+q_dedup_exact = dedup.dedup_exact_docs
+q_dedup_minhash = dedup.dedup_minhash
+q_dedup_simhash = dedup.dedup_simhash
+q_dedup_embedding = dedup.dedup_embedding
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs word-set Jaccard ≥ 0.8 (oracle-checkable variant).
+
+    Brute block × broadcast token sets — exact, fine to ~10^5 docs; the
+    LSH-candidate path (``dedup.ngram_jaccard_pairs``) is the scale
+    variant of the same semantics.
+    """
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    full = docs.to_pandas().sort_values("doc_id", ignore_index=True)
+    hashes = dedup._token_hashes(full["text"])
+    ids = full["doc_id"].to_numpy()
+    ref = ray.put((ids, hashes))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_h = ray.get(ref)
+        bh = dedup._token_hashes(batch["text"])
+        bids = batch["doc_id"].to_numpy()
+        rows = []
+        for i, a in enumerate(bids):
+            ha = bh[i]
+            for j, b in enumerate(all_ids):
+                if b <= a:
+                    continue
+                jac = dedup.jaccard(ha, all_h[j])
+                if jac >= 0.8:
+                    rows.append((a, b, int(jac * 1_000_000)))
+        return pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")
+
+    return docs.map_batches(pairs, batch_format="pandas")
+
+
+# --- similarity ------------------------------------------------------------
+
+q_ann_topk = similarity.ann_topk
+q_ann_lsh = similarity.ann_lsh
+q_sim_threshold = similarity.sim_threshold_join
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def q_multimodal_dims(sf_dir: str):
+    """Decoded payload dimensions (SQL-checkable projection of the stage)."""
+    return multimodal.image_features(sf_dir).select_columns(["doc_id", "width", "height"])
+
+
+def q_multimodal_features(sf_dir: str):
+    """Full featurize output incl. histogram vector (rows-only check)."""
+    import pyarrow as pa
+
+    ds = multimodal.image_features(sf_dir)
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        feats = batch["feature"].to_pylist()
+        qsum = [int(np.floor(np.sum(f) * 1_000_000)) for f in feats]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "feature_qsum": pa.array(qsum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(checksum, batch_format="pyarrow")
+
+
+# --- relational engine showcase (core Dataset operators) -------------------
+
+
+def q_rel_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: per-batch partial sums (int cents) → tiny
+    groupby. Demonstrates partial pre-aggregation before the shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty=batch["l_quantity"].round().astype("int64"),
+            price_cents=(batch["l_extendedprice"] * 100).round().astype("int64"),
+            n=1,
+        )
+        g = (
+            batch.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), sum_price_cents=("price_cents", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q_rel_join_revenue(sf_dir: str):
+    """Revenue per nation: broadcast hash join (small dims via ray.put) +
+    partial aggregation — the map-side-join pattern for star schemas."""
+    import ray
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_nation = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    ref = ray.put(cust_nation)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(ref)
+        n_name = batch["o_custkey"].map(cn)
+        cents = (batch["o_totalprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"n_name": n_name, "revenue_cents": cents, "n_orders": 1})
+            .groupby("n_name", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def q_rel_events_window(sf_dir: str):
+    """Tumbling 1-hour window per user: event count + value cents sum.
+
+    Windowing = key-partitioned grouped aggregate on (user, floor(ts)) —
+    partials per batch, tiny groupby after."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # epoch-seconds int64 window key: portable across engines (pandas
+        # ns vs DuckDB us timestamp units hash differently)
+        w = (batch["ts"].dt.floor("h").astype("datetime64[s]").astype("int64"))
+        cents = (batch["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": batch["user_id"], "window_start": w,
+                          "value_cents": cents, "n_events": 1})
+            .groupby(["user_id", "window_start"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+def q_rel_topk_parts(sf_dir: str):
+    """Top-10 parts by retail price (sort + limit), price as cents."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": batch["p_partkey"],
+                "p_name": batch["p_name"],
+                "price_cents": (batch["p_retailprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(cents, batch_format="pandas").sort(
+        ["price_cents", "p_partkey"], descending=[True, False]
+    )
+    return out.limit(10)
