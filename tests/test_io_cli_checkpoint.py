@@ -1,0 +1,100 @@
+"""N-Triples IO round-trip, checkpoint/resume, CLI smoke (Ray session)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from tripsu_ray.sources.ntriples import read_ntriples, write_ntriples
+
+FIXTURE_NT = os.path.join(os.path.dirname(__file__), "data", "graph.nt")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNTriplesIO:
+    def test_read_fixture(self):
+        ds = read_ntriples(FIXTURE_NT)
+        assert ds.count() == 15
+
+    def test_roundtrip_set_equal(self, tmp_path):
+        ds = read_ntriples(FIXTURE_NT)
+        out = str(tmp_path / "out_nt")
+        write_ntriples(ds, out)
+        back = read_ntriples(out)  # directory of .nt shards
+        orig = {tuple(r.values()) for r in ds.take_all()}
+        got = {tuple(r.values()) for r in back.take_all()}
+        assert got == orig
+
+    def test_written_bytes_are_valid_ntriples(self, tmp_path):
+        ds = read_ntriples(FIXTURE_NT)
+        out = str(tmp_path / "bytes_nt")
+        write_ntriples(ds, out)
+        lines = []
+        for f in os.listdir(out):
+            lines += open(os.path.join(out, f)).read().strip().splitlines()
+        fixture = set(open(FIXTURE_NT).read().strip().splitlines())
+        assert set(lines) == fixture  # byte-identical lines, any order
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointResume:
+    def test_pipeline_resumes_from_manifests(self, tmp_path):
+        from tripsu_ray.pipelines.kg import kg_pipeline
+
+        ck = str(tmp_path / "ckpt")
+        out1 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck).to_pandas()
+        assert os.path.exists(os.path.join(ck, "triples.manifest.json"))
+        assert os.path.exists(os.path.join(ck, "pseudo.manifest.json"))
+        assert os.path.exists(os.path.join(ck, "metrics.json"))
+        # resume: stages skipped, identical output
+        out2 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck).to_pandas()
+        m = json.load(open(os.path.join(ck, "metrics.json")))
+        assert m["stages"]["triples"].get("resumed") is True
+        key = ["subject", "predicate", "object_value"]
+        assert sorted(map(tuple, out1[key].values.tolist())) == sorted(
+            map(tuple, out2[key].values.tolist())
+        )
+
+    def test_changed_params_invalidate(self, tmp_path):
+        from tripsu_ray.state.checkpoint import CheckpointManager
+
+        ck = CheckpointManager(str(tmp_path / "c2"))
+        calls = []
+
+        def fn():
+            calls.append(1)
+            return 42
+
+        assert ck.value_stage("s", fn, {"p": 1}) == 42
+        assert ck.value_stage("s", fn, {"p": 1}) == 42  # cached
+        assert len(calls) == 1
+        ck2 = CheckpointManager(str(tmp_path / "c2"))
+        ck2.value_stage("s", fn, {"p": 2})  # different lineage → recompute
+        assert len(calls) == 2
+
+
+class TestCLI:
+    def test_cli_pseudo_on_fixture(self, tmp_path):
+        out = str(tmp_path / "out.nt")  # .nt suffix selects N-Triples sink
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+                "pseudo", "-i", FIXTURE_NT, "-o", out,
+                "-r", os.path.join(os.path.dirname(__file__), "data", "rules.yaml"),
+                "--salt", "cli-salt",
+            ],
+            capture_output=True, text=True, env=env, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        lines = []
+        for f in os.listdir(out):
+            lines += open(os.path.join(out, f)).read().strip().splitlines()
+        joined = "\n".join(lines)
+        assert len(lines) == 15
+        # fixture semantics: accessCodes + Person names hashed, URIs kept
+        assert '"secret-123"' not in joined
+        assert "<http://example.org/Alice>" in joined

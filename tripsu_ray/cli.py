@@ -1,0 +1,157 @@
+"""Command-line entry points (the distributed re-shape of tripsu's CLI).
+
+Reference commands (src/main.rs:84-103): ``tripsu index`` (pass 1) and
+``tripsu pseudo`` (pass 2) over N-Triples streams. Here:
+
+- ``index``   : N-Triples/Parquet triples → type-index Parquet
+- ``pseudo``  : triples + index + rules YAML + secret → pseudonymized
+                triples (N-Triples or Parquet out)
+- ``run``     : the full KG pipeline (synth/extract → index → pseudo →
+                link → materialize), resumable via --checkpoint-dir —
+                the ``ray job submit`` entry point
+- ``bench``   : delegate to bench.py
+
+stdin/stdout have no distributed analogue (a Dataset is read by many
+tasks), so paths replace tripsu's ``-`` defaults; directories of shards
+replace single files.
+
+This module OWNS its Ray session (guarded init + shutdown); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _read_triples(path: str, on_error: str):
+    import ray.data
+
+    if path.endswith(".nt") or path.endswith(".ntriples"):
+        from .sources.ntriples import read_ntriples
+
+        return read_ntriples(path, on_error=on_error)
+    return ray.data.read_parquet(path)
+
+
+def _write_triples(ds, path: str):
+    if path.endswith(".nt") or path.endswith(".ntriples"):
+        from .sources.ntriples import write_ntriples
+
+        write_ntriples(ds, path)
+    else:
+        ds.write_parquet(path)
+
+
+def cmd_index(args):
+    from .stages.index import build_type_index
+
+    triples = _read_triples(args.input, args.on_error)
+    build_type_index(triples).write_parquet(args.output)
+    print(json.dumps({"command": "index", "output": args.output}))
+
+
+def cmd_pseudo(args):
+    import ray
+    import ray.data
+
+    from .functions.rules import Rules
+    from .stages.index import collect_index_df, type_index_pairs
+    from .stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+
+    triples = _read_triples(args.input, args.on_error)
+    rules = Rules.from_yaml(args.rules) if args.rules else Rules.from_dict({})
+    if args.index:
+        pairs = ray.data.read_parquet(args.index).to_pandas()
+    else:
+        # no prebuilt index: run pass 1 inline (reference requires -x; we
+        # degrade gracefully by building it from the input stream)
+        pairs = collect_index_df(type_index_pairs(_read_triples(args.input, args.on_error)))
+    secret = None
+    if args.secret_file:
+        secret = open(args.secret_file, "rb").read()
+        if len(secret) < 32:
+            raise SystemExit("Secret must be at least 32 bytes long")
+    matcher_ref = broadcast_matcher(compile_matcher(rules, pairs))
+    out = pseudonymize_tasks(
+        triples, matcher_ref, algorithm=args.algorithm,
+        secret=secret if secret is not None else args.salt,
+    )
+    _write_triples(out, args.output)
+    print(json.dumps({"command": "pseudo", "output": args.output}))
+
+
+def cmd_run(args):
+    from .pipelines.kg import kg_pipeline
+
+    ds = kg_pipeline(
+        args.sf_dir,
+        output_path=args.output,
+        checkpoint_dir=args.checkpoint_dir,
+        salt=args.salt,
+        algorithm=args.algorithm,
+        rules_cfg=None if not args.rules else __import__("yaml").safe_load(open(args.rules)),
+    )
+    print(json.dumps({"command": "run", "output": args.output, "rows": ds.count()}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tripsu-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="pass 1: build the rdf:type index")
+    pi.add_argument("-i", "--input", required=True, help=".nt file or triples parquet dir")
+    pi.add_argument("-o", "--output", required=True, help="index parquet dir")
+    pi.add_argument("--on-error", default="raise", choices=["raise", "skip"])
+    pi.set_defaults(fn=cmd_index)
+
+    pp = sub.add_parser("pseudo", help="pass 2: pseudonymize the triple stream")
+    pp.add_argument("-i", "--input", required=True)
+    pp.add_argument("-o", "--output", required=True)
+    pp.add_argument("-x", "--index", default=None, help="index parquet dir (else built inline)")
+    pp.add_argument("-r", "--rules", default=None, help="rules YAML")
+    pp.add_argument("-s", "--secret-file", default=None, help="file with ≥32-byte secret")
+    pp.add_argument("--salt", default=None, help="salt string (sha256-salted mode)")
+    pp.add_argument("--algorithm", default="sha256-salted",
+                    choices=["sha256-salted", "blake2b-keyed"])
+    pp.add_argument("--on-error", default="raise", choices=["raise", "skip"])
+    pp.set_defaults(fn=cmd_pseudo)
+
+    pr = sub.add_parser("run", help="full KG pipeline (ray-job-submit entry)")
+    pr.add_argument("--sf-dir", required=True)
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("--checkpoint-dir", default=None)
+    pr.add_argument("-r", "--rules", default=None)
+    pr.add_argument("--salt", default="tripsu-ray-default-salt")
+    pr.add_argument("--algorithm", default="sha256-salted")
+    pr.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    _ray_session(args.num_cpus)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

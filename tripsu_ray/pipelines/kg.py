@@ -63,49 +63,49 @@ def kg_pipeline(
     link-map build, final pass) re-read those checkpoints instead of
     re-executing upstream stages.
     """
+    import ray
     import ray.data
 
+    from ..functions.engine import rewrites_any_prefix
+    from ..stages.folds import fold_pass, relevant_types_of
+    from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
+    from ..state.checkpoint import CheckpointManager
+
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    params = {"sf_dir": sf_dir, "rules": rules_cfg, "salt": salt, "algorithm": algorithm}
 
-    triples = extract_triples(read_source_files(sf_dir))
+    def raw_triples():
+        return extract_triples(read_source_files(sf_dir))
 
-    if checkpoint_dir:
-        tri_path = os.path.join(checkpoint_dir, "triples")
-        triples.write_parquet(tri_path)
-        triples = ray.data.read_parquet(tri_path)
+    if ckpt:
+        triples_ds = ckpt.dataset_stage("triples", raw_triples, params)
+        triples = lambda: triples_ds  # noqa: E731
+    else:
+        triples = raw_triples
 
     # pass 1 (ONE scan): rule-relevant type pairs + optimistic link map,
     # both associative partial aggregates folded on the driver — no shuffle.
-    from ..stages.folds import fold_pass, relevant_types_of
+    def fold():
+        return fold_pass(triples(), relevant_types_of(rules_cfg))
 
-    import ray
-
-    pairs_df, key_map, _n = fold_pass(triples, relevant_types_of(rules_cfg))
+    pairs_df, key_map, _n = ckpt.value_stage("folds", fold, params) if ckpt else fold()
     matcher = compile_matcher(rules_cfg, pairs_df)
     matcher_ref = broadcast_matcher(matcher)
 
-    # pass 2: rule engine (stateless tasks over the broadcast matcher)
+    # pass 2: rule engine (stateless tasks over the broadcast matcher —
+    # fuses with extract upstream and canonicalize downstream)
     def pseudo_stream():
         return pseudonymize_tasks(
-            triples,
-            matcher_ref,
-            algorithm=algorithm,
-            secret=salt,
-            batch_size=batch_size,
+            triples(), matcher_ref, algorithm=algorithm, secret=salt, batch_size=batch_size
         )
 
-    pseudo = pseudo_stream()
-    if checkpoint_dir:
-        ps_path = os.path.join(checkpoint_dir, "pseudo")
-        pseudo.write_parquet(ps_path)
-        pseudo = ray.data.read_parquet(ps_path)
-        pseudo_stream = lambda: pseudo  # noqa: E731
+    if ckpt:
+        pseudo_ds = ckpt.dataset_stage("pseudo", pseudo_stream, params)
+        pseudo_stream = lambda: pseudo_ds  # noqa: E731
 
-    out = pseudo
+    out = pseudo_stream()
     if link:
-        from ..functions.engine import rewrites_any_prefix
-        from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
-
         # the optimistic (raw-stream) link map is exact iff the rules never
         # rewrite linkable-namespace IRIs; otherwise recompute it from the
         # pseudonymized stream (one extra pass — the exact fallback)
@@ -115,4 +115,7 @@ def kg_pipeline(
         out = canonicalize_tasks(pseudo_stream(), key_map_ref, batch_size=batch_size)
 
     layout = "split" if output_path else "bucketed"
-    return materialize(out, output_path, sort=sort, layout=layout)
+    result = materialize(out, output_path, sort=sort, layout=layout)
+    if ckpt:
+        ckpt.finish(sf_dir=sf_dir, output=output_path)
+    return result
