@@ -99,3 +99,41 @@ class TestRayPipeline:
     def test_full_pipeline_rowcount_stable(self):
         df = kg_pipeline(SF).to_pandas()
         assert len(df) == 7581  # pinned: deterministic corpus → deterministic KG
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinFallback:
+    """pseudonymize_join (huge-index plan) ≡ broadcast plan, bit for bit."""
+
+    def _both(self, rules_cfg):
+        from tripsu_ray.stages.folds import fold_pass, relevant_types_of
+        from tripsu_ray.stages.index import type_index_pairs
+        from tripsu_ray.stages.pseudo import (
+            broadcast_matcher,
+            compile_matcher,
+            pseudonymize_join,
+            pseudonymize_tasks,
+        )
+
+        def triples():
+            return extract_triples(read_source_files(SF))
+
+        pairs_df, _, _ = fold_pass(triples(), relevant_types_of(rules_cfg))
+        ref = broadcast_matcher(compile_matcher(rules_cfg, pairs_df))
+        a = pseudonymize_tasks(triples(), ref, secret="s").to_pandas()
+        b = pseudonymize_join(
+            triples(), rules_cfg, type_index_pairs(triples()), secret="s", num_partitions=4
+        ).to_pandas()
+        key = ["subject", "subject_kind", "predicate", "object_value", "object_kind"]
+        return (
+            sorted(map(tuple, a[key].values.tolist())),
+            sorted(map(tuple, b[key].values.tolist())),
+        )
+
+    def test_default_rules(self):
+        a, b = self._both(DEFAULT_RULES)
+        assert a == b
+
+    def test_inverted_rules(self):
+        a, b = self._both({**DEFAULT_RULES, "invert": True})
+        assert a == b

@@ -78,6 +78,136 @@ def pseudonymize_tasks(
     return triples.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def pseudonymize_join(
+    triples,
+    rules_cfg,
+    index_pairs,
+    *,
+    algorithm: str = "sha256-salted",
+    secret,
+    num_partitions: int = 32,
+):
+    """Pass 2 via hash-partitioned joins — the huge-index physical plan.
+
+    When the type index no longer fits one object-store object (≳10^7–10^8
+    typed subjects), the broadcast matcher is replaced by the SAME rule
+    semantics as relational joins (SURVEY.md §2.4 A2):
+
+    - ``sens``: subjects whose indexed type ∈ of_type (rules side is tiny →
+      map-side filter of the index pairs; no shuffle),
+    - triples ⟕ sens on the subject term key → S flag,
+    - triples ⟕ sens on the object term key → O-as-node flag,
+    - triples ⟕ otp (subject⨝rule-pairs) on subject+predicate → O flag,
+    - ``on_predicate`` stays a broadcast set (always tiny),
+    - final map applies the mask exactly like the broadcast path
+      (kind-gating before invert — bit-identical semantics).
+
+    Three all-to-all exchanges of the stream vs zero for the broadcast
+    path — use only when the index forces it. Both plans live behind the
+    same module so callers switch on index size, not semantics.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.engine import rewrite_batch
+    from ..functions.rdf import format_predicate, format_subject
+    from ..schema import KIND_IRI
+
+    rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
+    of_type = pa.array(sorted(rules.node_of_type), pa.string())
+    otp_rules = pd.DataFrame(
+        [(t, p) for t, ps in rules.obj_on_type_predicate.items() for p in ps],
+        columns=["type", "pred"],
+    )
+
+    def to_sens(batch: pa.Table) -> pa.Table:
+        if len(of_type) == 0:
+            return pa.table({"sens_key": pa.array([], pa.string())})
+        m = pc.is_in(batch["type"], value_set=of_type)
+        subj = pc.unique(batch.filter(m)["subject"].combine_chunks())
+        return pa.table({"sens_key": subj})
+
+    def to_otp(batch: pa.Table) -> pa.Table:
+        if otp_rules.empty:
+            return pa.table({"otp_key": pa.array([], pa.string())})
+        df = batch.to_pandas().merge(otp_rules, on="type")
+        key = (df["subject"] + "\x1f" + df["pred"]).drop_duplicates()
+        return pa.table({"otp_key": pa.array(key, pa.string())})
+
+    # join sides must be GLOBALLY distinct — duplicate right-side keys would
+    # multiply left rows (local per-batch dedup alone is not enough)
+    sens = (
+        index_pairs.map_batches(to_sens, batch_format="pyarrow")
+        .groupby("sens_key")
+        .count()
+        .select_columns(["sens_key"])
+    )
+    otp = (
+        index_pairs.map_batches(to_otp, batch_format="pyarrow")
+        .groupby("otp_key")
+        .count()
+        .select_columns(["otp_key"])
+    )
+    sens_o = sens.map_batches(
+        lambda b: pa.table({"sens_okey": b["sens_key"], "_fo": pa.nulls(b.num_rows, pa.int8()).fill_null(1)}),
+        batch_format="pyarrow",
+    )
+    sens_s = sens.map_batches(
+        lambda b: pa.table({"sens_skey": b["sens_key"], "_fs": pa.nulls(b.num_rows, pa.int8()).fill_null(1)}),
+        batch_format="pyarrow",
+    )
+    otp_f = otp.map_batches(
+        lambda b: pa.table({"otp_k": b["otp_key"], "_ftp": pa.nulls(b.num_rows, pa.int8()).fill_null(1)}),
+        batch_format="pyarrow",
+    )
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        skey = format_subject(batch["subject"].combine_chunks(), batch["subject_kind"].combine_chunks())
+        pkey = format_predicate(batch["predicate"].combine_chunks())
+        okey = pc.if_else(
+            pc.equal(batch["object_kind"].combine_chunks(), KIND_IRI),
+            pc.binary_join_element_wise("<", batch["object_value"].combine_chunks(), ">", ""),
+            pa.scalar("", pa.string()),
+        )
+        combined = pc.binary_join_element_wise(skey, pkey, "\x1f")
+        return (
+            batch.append_column("_skey", skey)
+            .append_column("_okey", okey)
+            .append_column("_ck", combined)
+        )
+
+    keyed = triples.map_batches(add_keys, batch_format="pyarrow")
+    j = keyed.join(sens_s, "left_outer", num_partitions, on=("_skey",), right_on=("sens_skey",))
+    j = j.join(sens_o, "left_outer", num_partitions, on=("_okey",), right_on=("sens_okey",))
+    j = j.join(otp_f, "left_outer", num_partitions, on=("_ck",), right_on=("otp_k",))
+
+    on_pred = pa.array(sorted(rules.obj_on_predicate), pa.string())
+    invert = rules.invert
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        subj_is_iri = pc.equal(batch["subject_kind"], KIND_IRI).to_numpy(zero_copy_only=False)
+        obj_is_iri = pc.equal(batch["object_kind"], KIND_IRI).to_numpy(zero_copy_only=False)
+        f = lambda c: pc.fill_null(batch[c], 0).to_numpy(zero_copy_only=False).astype(bool)
+        mask_s = f("_fs") & subj_is_iri
+        mask_o = (f("_fo") & obj_is_iri) | f("_ftp")
+        if len(on_pred):
+            pkey = format_predicate(batch["predicate"].combine_chunks())
+            mask_o |= pc.is_in(pkey, value_set=on_pred).to_numpy(zero_copy_only=False)
+        if invert:
+            mask_s, mask_o = ~mask_s, ~mask_o
+        core = batch.select(
+            ["subject", "subject_kind", "predicate", "object_value",
+             "object_kind", "object_lang", "object_datatype"]
+        )
+        return rewrite_batch(core, mask_s, mask_o, new_pseudonymizer(algorithm, secret))
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 class PseudonymizeActor:
     def __init__(self, matcher_ref, algorithm: str, secret):
         import ray
