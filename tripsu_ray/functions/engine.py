@@ -11,9 +11,11 @@ kernels:
   ``nodes.of_type`` — probed by both the subject column (src/rules.rs:167-171)
   and the named-node object column (src/rules.rs:172-177).
 - ``on_predicate``: predicate term keys (src/rules.rs:192-194).
-- ``otp``: combined ``subject_key\\x1fpredicate_key`` strings for subjects
-  (named or blank) having a type T with predicate in
-  ``on_type_predicate[T]`` (src/rules.rs:196-210).
+- ``otp``: per rule type T, the pair (subjects-of-T value set, otp[T]
+  predicate value set); the O bit fires when subject ∈ set AND predicate ∈
+  set, OR-ed over the (few) rule types (src/rules.rs:196-210). This
+  factored form replaces a subject×predicate cross-product string table —
+  ~half the broadcast bytes and no per-row string concatenation per batch.
 
 Mask algebra (src/model.rs:13-31): two boolean columns (S, O); the
 PREDICATE bit exists in the reference but is never acted on — rewrites only
@@ -61,21 +63,20 @@ class CompiledMatcher:
         sensitive = index.loc[
             index["type"].isin(rules.node_of_type), "subject"
         ].unique()
-        otp_keys: "np.ndarray | list" = []
+        # factored otp probe: [(subjects-of-T set, preds set)] per rule type;
+        # types sorted so mask evaluation order (and thus results under any
+        # future short-circuiting) is deterministic
+        self._otp_groups: list[tuple[pa.Array, pa.Array]] = []
         if rules.obj_on_type_predicate and len(index):
-            rule_df = pd.DataFrame(
-                [
-                    (t, p)
-                    for t, ps in rules.obj_on_type_predicate.items()
-                    for p in ps
-                ],
-                columns=["type", "pred"],
-            )
-            merged = index.merge(rule_df, on="type")
-            otp_keys = (merged["subject"] + _SEP + merged["pred"]).unique()
+            for t in sorted(rules.obj_on_type_predicate):
+                preds = rules.obj_on_type_predicate[t]
+                subs = index.loc[index["type"] == t, "subject"].unique()
+                if len(subs) and preds:
+                    self._otp_groups.append(
+                        (pa.array(subs, pa.string()), pa.array(sorted(preds), pa.string()))
+                    )
         self._sensitive = pa.array(sensitive, type=pa.string())
         self._on_pred = pa.array(sorted(rules.obj_on_predicate), type=pa.string())
-        self._otp = pa.array(otp_keys, type=pa.string())
         self.invert = rules.invert
 
     def masks(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -107,9 +108,8 @@ class CompiledMatcher:
         )
         mask_o = probe(obj_key, self._sensitive) & obj_is_iri
         mask_o |= probe(pred_key, self._on_pred)
-        if len(self._otp):
-            combined = pc.binary_join_element_wise(subj_key, pred_key, _SEP)
-            mask_o |= probe(combined, self._otp)
+        for subjects, preds in self._otp_groups:
+            mask_o |= probe(subj_key, subjects) & probe(pred_key, preds)
 
         if self.invert:
             mask_s, mask_o = ~mask_s, ~mask_o
