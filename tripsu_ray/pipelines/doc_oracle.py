@@ -151,3 +151,7 @@ def sql_rel_topk_parts() -> str:
 SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
 FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
 """.strip()
+
+
+def sql_rel_distinct_segments() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1"

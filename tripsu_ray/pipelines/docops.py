@@ -243,3 +243,12 @@ def q_rel_topk_parts(sf_dir: str):
         ["price_cents", "p_partkey"], descending=[True, False]
     )
     return out.limit(10)
+
+
+def q_rel_distinct_segments(sf_dir: str):
+    """Distinct values of one column (the `unique` operator — a shuffle)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
