@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": docops.q_rel_events_window,
         "rel_topk_parts": docops.q_rel_topk_parts,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
+        "rel_sessions": docops.q_rel_sessions,
     }
 
 
@@ -86,4 +87,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_window": d.sql_rel_events_window(),
         "rel_topk_parts": d.sql_rel_topk_parts(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
+        "rel_sessions": d.sql_rel_sessions(),
     }

@@ -131,3 +131,39 @@ class TestDocOpsRay:
         assert {"doc_id", "width", "height", "feature"} <= set(df.columns)
         assert all(len(f) == 16 for f in df.feature)
         assert all(abs(sum(f) - 1.0) < 1e-3 for f in df.feature)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewAndSessions:
+    def test_salted_aggregate_equals_plain(self):
+        import ray.data
+        from ray.data.aggregate import Sum
+        from tripsu_ray.stages.skew import salted_aggregate
+
+        ds = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+        )
+        salted = (
+            salted_aggregate(ds, "l_returnflag", "l_orderkey", "sum", salt_factor=8)
+            .to_pandas()
+            .sort_values("l_returnflag", ignore_index=True)
+        )
+        ds2 = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+        )
+        plain = (
+            ds2.groupby("l_returnflag")
+            .aggregate(Sum("l_orderkey", alias_name="sum"))
+            .to_pandas()
+            .sort_values("l_returnflag", ignore_index=True)
+        )
+        assert salted.equals(plain)
+
+    def test_sessions_shape(self):
+        from tripsu_ray.pipelines.docops import q_rel_sessions
+
+        out = q_rel_sessions(SF).to_pandas()
+        assert (out.n_events >= 1).all()
+        # sessions per user are disjoint and ordered
+        g = out.sort_values(["user_id", "session_start"])
+        assert (g.groupby("user_id")["session_start"].diff().dropna() > 0).all()

@@ -155,3 +155,25 @@ FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
 
 def sql_rel_distinct_segments() -> str:
     return "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1"
+
+
+def sql_rel_sessions(gap_minutes: int = 30) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
+""".strip()

@@ -252,3 +252,38 @@ def q_rel_distinct_segments(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
+
+
+def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
+    """Session windows per user (gaps-and-islands): events within
+    ``gap_minutes`` of the previous event share a session.
+
+    The stream-shaped pattern: ``groupby(key).map_groups`` over the
+    ts-sorted group — per-key stateful windowing with pandas inside the
+    group (Ray Data has no event-time watermarks; the ordering assumption
+    is per-key sort within the group)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum()
+        out = (
+            g.assign(_sid=sid)
+            .groupby("_sid")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                n_events=("ts", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["session_start"] = (
+            out["session_start"].astype("datetime64[s]").astype("int64")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
