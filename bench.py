@@ -157,8 +157,62 @@ def run_scaling() -> dict:
     }
 
 
+def run_nt_bench() -> dict:
+    """The reference's own workload shape: N-Triples in → index → pseudo →
+    N-Triples out (cf. tools/bench/benchmark.sh: 1M-line DBLP sample through
+    `tripsu index` + `tripsu pseudo`, single-threaded Rust)."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_lines = int(os.environ.get("GRAFT_NT_LINES", "2000000"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from tripsu_ray.pipelines.kg import DEFAULT_RULES, DEFAULT_SALT
+    from tripsu_ray.sources.ntriples import read_ntriples, write_ntriples
+    from tripsu_ray.sources.synth import read_source_files
+    from tripsu_ray.stages.extract import extract_triples
+    from tripsu_ray.stages.folds import fold_pass, relevant_types_of
+    from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+
+    work = os.environ.get("GRAFT_WORK_DIR", "/dev/shm/tripsu_ray_bench") + "_nt"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    # prep (untimed): materialize an N-Triples corpus of ~n_lines
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    repeat = max(1, n_lines // (n_docs * 20))
+    write_ntriples(extract_triples(read_source_files(sf_dir, repeat=repeat)), f"{work}/in")
+
+    t0 = time.perf_counter()
+    triples = read_ntriples(f"{work}/in")
+    pairs_df, _, n_triples = fold_pass(triples, relevant_types_of(DEFAULT_RULES))
+    matcher_ref = broadcast_matcher(compile_matcher(DEFAULT_RULES, pairs_df))
+    out = pseudonymize_tasks(read_ntriples(f"{work}/in"), matcher_ref, secret=DEFAULT_SALT)
+    write_ntriples(out, f"{work}/out")
+    total = time.perf_counter() - t0
+    return {
+        "metric": "ntriples_index_pseudo",
+        "value": round(total, 3),
+        "unit": "sec",
+        "triples": n_triples,
+        "num_cpus": num_cpus,
+        "triples_per_sec": round(n_triples / total, 1),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--ntriples" in sys.argv:
+        print(json.dumps(run_nt_bench()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()

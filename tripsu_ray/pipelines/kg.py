@@ -52,7 +52,6 @@ def kg_pipeline(
     sort: bool = True,
     output_path: str | None = None,
     checkpoint_dir: str | None = None,
-    concurrency=4,
     batch_size=None,
 ):
     """Run extract → index → pseudo → link → materialize; returns the final Dataset.
