@@ -202,3 +202,54 @@ def test_blank_subject_on_type_predicate():
     rules2 = Rules.from_dict({"nodes": {"of_type": ["<urn:Person>"]}})
     mask_s2, _ = CompiledMatcher(rules2, index).masks(t)
     assert not mask_s2[0]
+
+
+# --- reference rule-unit matrices (src/rules.rs:284-351, rstest port) ------
+
+NODE = "urn:Alice"  # bare IRI; term key "<urn:Alice>"
+PRED = "urn:hasName"
+
+
+def _mask_for(line_rules: dict, index: dict, subject=NODE, predicate=PRED):
+    t = parse_ntriples_lines(
+        pa.table({"text": [f'<{subject}> <{predicate}> "v" .']})
+    )
+    return CompiledMatcher(Rules.from_dict(line_rules), index).masks(t)
+
+
+@pytest.mark.parametrize(
+    "index,rule_type,expected",
+    [
+        ({f"<{NODE}>": ("<urn:Person>",)}, "<urn:Person>", True),  # in rules & index
+        ({f"<{NODE}>": ("<urn:Person>",)}, "<urn:Bank>", False),  # index yes, rules no
+        ({"<urn:BankName>": ("<urn:Bank>",)}, "<urn:Bank>", False),  # not in index
+    ],
+)
+def test_type_rule_matrix(index, rule_type, expected):
+    ms, _ = _mask_for({"nodes": {"of_type": [rule_type]}}, index)
+    assert bool(ms[0]) == expected
+
+
+@pytest.mark.parametrize(
+    "rule_pred,expected",
+    [(f"<{PRED}>", True), ("<urn:hasAge>", False)],
+)
+def test_predicate_rule_matrix(rule_pred, expected):
+    _, mo = _mask_for({"objects": {"on_predicate": [rule_pred]}}, {})
+    assert bool(mo[0]) == expected
+
+
+@pytest.mark.parametrize(
+    "rule_type,rule_pred,index,expected",
+    [
+        ("<urn:Person>", f"<{PRED}>", {f"<{NODE}>": ("<urn:Person>",)}, True),
+        ("<urn:Person>", "<urn:hasAge>", {f"<{NODE}>": ("<urn:Person>",)}, False),
+        ("<urn:Bob>", "<urn:hasAge>", {f"<{NODE}>": ("<urn:Person>",)}, False),
+        ("<urn:Bob>", "<urn:hasAge>", {"<urn:Bob>": ("<urn:Person>",)}, False),
+    ],
+)
+def test_type_predicate_rule_matrix(rule_type, rule_pred, index, expected):
+    _, mo = _mask_for(
+        {"objects": {"on_type_predicate": {rule_type: [rule_pred]}}}, index
+    )
+    assert bool(mo[0]) == expected
