@@ -59,6 +59,21 @@ def _write_triples(ds, path: str):
         ds.write_parquet(path)
 
 
+def cmd_extract(args):
+    from .sources.synth import read_source_files
+    from .stages.extract import extract_triples
+
+    import ray.data
+
+    if args.source_files:
+        src = ray.data.read_parquet(args.source_files)
+        out = extract_triples(src)
+    else:
+        out = extract_triples(read_source_files(args.sf_dir, repeat=args.repeat))
+    _write_triples(out, args.output)
+    print(json.dumps({"command": "extract", "output": args.output}))
+
+
 def cmd_index(args):
     from .stages.index import build_type_index
 
@@ -115,6 +130,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tripsu-ray")
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="source files parquet → triples")
+    pe.add_argument("--source-files", default=None, help="parquet dir/file with (repo,path,commit,lang,content)")
+    pe.add_argument("--sf-dir", default=None, help="testdata dir (synthesize corpus from documents.doc_id)")
+    pe.add_argument("--repeat", type=int, default=1)
+    pe.add_argument("-o", "--output", required=True)
+    pe.set_defaults(fn=cmd_extract)
 
     pi = sub.add_parser("index", help="pass 1: build the rdf:type index")
     pi.add_argument("-i", "--input", required=True, help=".nt file or triples parquet dir")

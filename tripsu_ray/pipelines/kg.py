@@ -1,20 +1,25 @@
 """The flagship KG-construction pipeline (north-star, BASELINE.json).
 
-    source_files ─ extract ─▶ triples ─┬─▶ [pass 1] type index (groupby) ──┐
-                                       │                                   ▼ broadcast
-                                       └─▶ [pass 2] pseudonymize (actor pool)
-                                                        │
-                                            entity link + canonicalize
-                                             (key-partial-agg + broadcast apply)
-                                                        │
-                                            sort + dedup materialize → Parquet
+    source_files ── extract ─▶ triples
+        │ pass 1 (ONE scan): rule-relevant (subject,type) pairs
+        │                    + optimistic link map — driver folds, no shuffle
+        ▼
+    CompiledMatcher (rules × index) ── ray.put ──▶ broadcast
+        │ pass 2: pseudonymize as stateless tasks (fuses with extract
+        ▼          upstream and canonicalize downstream into one task chain)
+    canonicalize (broadcast {mention key → canonical})
+        │
+        ▼
+    materialize: split dedup (shuffle only duplicate candidates) → Parquet
 
 Two-pass structure mirrors the reference (index first so pass 2 is a pure
-stream — docs/tutorial.md:13-16); each arrow is a streaming Dataset
-transform. The only materialization barriers are the two *small* driver-side
-folds (type index, link map) — the triple stream itself is only pinned at
-the optional checkpoint boundaries (Parquet directories), which is also what
-makes a rerun resumable per stage.
+stream — docs/tutorial.md:13-16). The only materialization barriers are the
+small driver-side folds and the optional per-stage checkpoints
+(state/checkpoint.py manifests — what makes a rerun resume instead of
+recompute). Physical-plan alternatives behind the same semantics:
+``stages.pseudo.pseudonymize`` (actor pool), ``pseudonymize_join``
+(hash-partitioned joins for indexes too big to broadcast), and the
+``bucketed``/``sorted`` materialize layouts.
 
 Default rules exercise all three reference rule kinds over the code KG:
 repository URIs are sensitive nodes (``of_type``), author literals are
