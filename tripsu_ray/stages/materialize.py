@@ -17,7 +17,10 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-SORT_KEYS = ["subject", "predicate", "object_value", "object_kind"]
+SORT_KEYS = [
+    "subject", "predicate", "object_value", "object_kind",
+    "object_lang", "object_datatype",  # full identity: literal variants order deterministically
+]
 _SEP = "\x1f"
 
 
