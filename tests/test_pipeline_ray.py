@@ -137,3 +137,17 @@ class TestJoinFallback:
     def test_inverted_rules(self):
         a, b = self._both({**DEFAULT_RULES, "invert": True})
         assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_blake2b_algorithm():
+    """The pluggable-algorithm path (tripsu-shaped keyed hash) end to end."""
+    secret = "0123456789abcdef0123456789abcdef"  # ≥32 bytes
+    a = kg_pipeline(SF, algorithm="blake2b-keyed", salt=secret, link=False, sort=False).to_pandas()
+    b = kg_pipeline(SF, algorithm="sha256-salted", salt=secret, link=False, sort=False).to_pandas()
+    assert len(a) == len(b)  # same structure
+    # same rows masked, different digests
+    assert set(a.predicate) == set(b.predicate)
+    ia = set(a[a.predicate == NS + "author"].object_value)
+    ib = set(b[b.predicate == NS + "author"].object_value)
+    assert ia.isdisjoint(ib) and all(len(v) == 64 for v in ia | ib)
