@@ -167,3 +167,18 @@ class TestSkewAndSessions:
         # sessions per user are disjoint and ordered
         g = out.sort_values(["user_id", "session_start"])
         assert (g.groupby("user_id")["session_start"].diff().dropna() > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_lsh_pairs_subset_of_exact():
+    """The LSH-candidate variant returns only true ≥τ pairs (precision 1.0),
+    and a non-trivial share of the exact pair set (recall of banded LSH)."""
+    from tripsu_ray.pipelines.docops import q_jaccard_pairs
+
+    lsh = dedup.ngram_jaccard_pairs(SF, tau=0.8).to_pandas()
+    exact = q_jaccard_pairs(SF).to_pandas()
+    lset = set(map(tuple, lsh[["a", "b"]].values))
+    eset = set(map(tuple, exact[["a", "b"]].values))
+    assert lset <= eset  # no false positives (verified candidates)
+    if eset:
+        assert len(lset) / len(eset) >= 0.8  # banded-LSH recall at τ=0.8
