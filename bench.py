@@ -75,12 +75,17 @@ def run_bench() -> dict:
         return extract_triples(read_source_files(sf_dir, repeat=repeat))
 
     # stage 1 (ONE scan): rule-relevant type pairs + optimistic link map
-    from tripsu_ray.functions.engine import rewrites_any_prefix
-    from tripsu_ray.stages.folds import fold_pass, relevant_types_of
+    from tripsu_ray.functions.engine import node_rewrites_any_prefix
+    from tripsu_ray.stages.folds import fold_pass, relevant_types_of, risk_predicates_of
     from tripsu_ray.stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
 
     t0 = time.perf_counter()
-    pairs_df, key_map, n_triples = fold_pass(triples(), relevant_types_of(DEFAULT_RULES))
+    pairs_df, key_map, n_triples, n_risk = fold_pass(
+        triples(),
+        relevant_types_of(DEFAULT_RULES),
+        risk_predicates=risk_predicates_of(DEFAULT_RULES),
+        risk_prefixes=LINKABLE_PREFIXES,
+    )
     matcher = compile_matcher(DEFAULT_RULES, pairs_df)
     matcher_ref = broadcast_matcher(matcher)
     timings["fold_index_linkmap"] = time.perf_counter() - t0
@@ -90,7 +95,9 @@ def run_bench() -> dict:
     def pseudo_stream():
         return pseudonymize_tasks(triples(), matcher_ref, secret=DEFAULT_SALT)
 
-    if rewrites_any_prefix(matcher, LINKABLE_PREFIXES):
+    # exact fallback only when rules rewrite linkable IRIs — node rules are
+    # decided statically, object rules against the data (risk counter)
+    if node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES) or n_risk > 0:
         key_map = fold_link_map(pseudo_stream())  # exact fallback pass
     key_map_ref = ray.put(key_map)
     timings["linkmap_fallback"] = time.perf_counter() - t0
@@ -194,7 +201,7 @@ def run_nt_bench() -> dict:
 
     t0 = time.perf_counter()
     triples = read_ntriples(f"{work}/in")
-    pairs_df, _, n_triples = fold_pass(triples, relevant_types_of(DEFAULT_RULES))
+    pairs_df, _, n_triples, _ = fold_pass(triples, relevant_types_of(DEFAULT_RULES))
     matcher_ref = broadcast_matcher(compile_matcher(DEFAULT_RULES, pairs_df))
     out = pseudonymize_tasks(read_ntriples(f"{work}/in"), matcher_ref, secret=DEFAULT_SALT)
     write_ntriples(out, f"{work}/out")

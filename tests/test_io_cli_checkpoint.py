@@ -45,12 +45,12 @@ class TestCheckpointResume:
         from tripsu_ray.pipelines.kg import kg_pipeline
 
         ck = str(tmp_path / "ckpt")
-        out1 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck).to_pandas()
+        out1 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt="s" * 32).to_pandas()
         assert os.path.exists(os.path.join(ck, "triples.manifest.json"))
         assert os.path.exists(os.path.join(ck, "pseudo.manifest.json"))
         assert os.path.exists(os.path.join(ck, "metrics.json"))
         # resume: stages skipped, identical output
-        out2 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck).to_pandas()
+        out2 = kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt="s" * 32).to_pandas()
         m = json.load(open(os.path.join(ck, "metrics.json")))
         assert m["stages"]["triples"].get("resumed") is True
         key = ["subject", "predicate", "object_value"]

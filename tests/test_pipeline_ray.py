@@ -11,7 +11,7 @@ from tripsu_ray.stages.index import build_type_index, collect_index, collect_ind
 from tripsu_ray.stages.link import build_link_map, collect_link_map, link_entities
 from tripsu_ray.stages.materialize import dedup_exact, materialize
 from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize
-from tripsu_ray.pipelines.kg import DEFAULT_RULES, kg_pipeline
+from tripsu_ray.pipelines.kg import DEFAULT_RULES, DEFAULT_SALT, kg_pipeline
 
 SF = "/root/testdata/sf0.001"
 
@@ -92,12 +92,12 @@ class TestRayPipeline:
         total = triples.count()
         distinct = dedup_exact(extract_triples(read_source_files(SF))).count()
         assert distinct < total
-        out = kg_pipeline(SF, link=False, sort=True)
+        out = kg_pipeline(SF, link=False, sort=True, salt=DEFAULT_SALT)
         df = out.to_pandas()
         assert df.duplicated().sum() == 0
 
     def test_full_pipeline_rowcount_stable(self):
-        df = kg_pipeline(SF).to_pandas()
+        df = kg_pipeline(SF, salt=DEFAULT_SALT).to_pandas()
         assert len(df) == 7581  # pinned: deterministic corpus → deterministic KG
 
 
@@ -118,7 +118,7 @@ class TestJoinFallback:
         def triples():
             return extract_triples(read_source_files(SF))
 
-        pairs_df, _, _ = fold_pass(triples(), relevant_types_of(rules_cfg))
+        pairs_df, _, _, _ = fold_pass(triples(), relevant_types_of(rules_cfg))
         ref = broadcast_matcher(compile_matcher(rules_cfg, pairs_df))
         a = pseudonymize_tasks(triples(), ref, secret="s").to_pandas()
         b = pseudonymize_join(

@@ -98,32 +98,54 @@ def cmd_pseudo(args):
         # no prebuilt index: run pass 1 inline (reference requires -x; we
         # degrade gracefully by building it from the input stream)
         pairs = collect_index_df(type_index_pairs(_read_triples(args.input, args.on_error)))
-    secret = None
+    from .functions.crypto import resolve_secret
+
+    generated = False
     if args.secret_file:
         secret = open(args.secret_file, "rb").read()
         if len(secret) < 32:
             raise SystemExit("Secret must be at least 32 bytes long")
+    elif args.salt is not None:
+        secret = args.salt
+    else:
+        # no secret given: draw ONE random secret on the driver (the
+        # reference generates its random key once per process,
+        # src/crypto.rs:108-109) and surface it so the run is reproducible
+        secret = resolve_secret(None)
+        generated = True
     matcher_ref = broadcast_matcher(compile_matcher(rules, pairs))
     out = pseudonymize_tasks(
-        triples, matcher_ref, algorithm=args.algorithm,
-        secret=secret if secret is not None else args.salt,
+        triples, matcher_ref, algorithm=args.algorithm, secret=secret,
     )
     _write_triples(out, args.output)
-    print(json.dumps({"command": "pseudo", "output": args.output}))
+    info = {"command": "pseudo", "output": args.output}
+    if generated:
+        info["generated_secret"] = secret
+    print(json.dumps(info))
 
 
 def cmd_run(args):
+    from .functions.crypto import resolve_secret
     from .pipelines.kg import kg_pipeline
 
+    # default: a driver-generated random secret, surfaced for reproducibility.
+    # A well-known hardcoded salt would make sha256(salt || value) dictionary-
+    # reversible for low-entropy values; deterministic salts are opt-in
+    # (oracle/test fixtures pass them explicitly).
+    generated = args.salt is None
+    salt = resolve_secret(args.salt)
     ds = kg_pipeline(
         args.sf_dir,
         output_path=args.output,
         checkpoint_dir=args.checkpoint_dir,
-        salt=args.salt,
+        salt=salt,
         algorithm=args.algorithm,
         rules_cfg=None if not args.rules else __import__("yaml").safe_load(open(args.rules)),
     )
-    print(json.dumps({"command": "run", "output": args.output, "rows": ds.count()}))
+    info = {"command": "run", "output": args.output, "rows": ds.count()}
+    if generated:
+        info["generated_salt"] = salt
+    print(json.dumps(info))
 
 
 def main(argv=None):
@@ -161,7 +183,8 @@ def main(argv=None):
     pr.add_argument("-o", "--output", required=True)
     pr.add_argument("--checkpoint-dir", default=None)
     pr.add_argument("-r", "--rules", default=None)
-    pr.add_argument("--salt", default="tripsu-ray-default-salt")
+    pr.add_argument("--salt", default=None,
+                    help="deterministic salt (default: random, printed in the run summary)")
     pr.add_argument("--algorithm", default="sha256-salted")
     pr.set_defaults(fn=cmd_run)
 

@@ -98,15 +98,41 @@ class Blake2bKeyed(Pseudonymizer):
         return hashlib.blake2b(data, key=self.key, digest_size=32).hexdigest()
 
 
+def resolve_secret(secret: bytes | str | None) -> bytes | str:
+    """Materialize the job secret ONCE on the driver.
+
+    The reference derives its random key once in its single process
+    (src/crypto.rs:108-109). Distributed stages run ``new_pseudonymizer`` in
+    many worker processes; passing ``secret=None`` through would generate a
+    DIFFERENT random salt/key per worker, silently breaking referential
+    consistency of the output graph. Callers that accept an optional secret
+    must resolve it here before shipping it to workers (and surface the
+    generated value so the run is reproducible).
+    """
+    if secret is None:
+        return _secrets.token_bytes(32).hex()
+    return secret
+
+
 def new_pseudonymizer(algorithm: str = "sha256-salted", secret: bytes | str | None = None) -> Pseudonymizer:
-    """Factory (cf. reference new_pseudonymizer, src/crypto.rs:85-89)."""
+    """Factory (cf. reference new_pseudonymizer, src/crypto.rs:85-89).
+
+    ``secret=None`` draws a fresh random key — only valid in a SINGLE
+    process (tests, local scripts). Distributed stages require a concrete
+    secret (see :func:`resolve_secret`).
+    """
     if algorithm in ("sha256-salted", "sha256"):
         if secret is None:
-            secret = _secrets.token_bytes(32).hex()
+            secret = resolve_secret(None)
         return Sha256Salted(secret)
     if algorithm in ("blake2b-keyed", "blake2b"):
         sec = secret.encode("utf-8") if isinstance(secret, str) else secret
         return Blake2bKeyed(sec)
+    if algorithm in ("blake3-keyed", "blake3"):
+        from .blake3 import Blake3Keyed
+
+        sec = secret.encode("utf-8") if isinstance(secret, str) else secret
+        return Blake3Keyed(sec)
     raise ValueError(f"unknown pseudonymization algorithm: {algorithm}")
 
 

@@ -180,20 +180,54 @@ def rewrite_batch(
     )
 
 
-def rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:
-    """True if the compiled rules can rewrite an IRI under any given prefix.
-
-    Only *node* rewrites (the sensitive set, probed at subject and object
-    position) ever change IRIs — on_predicate / on_type_predicate rewrite
-    literals only (src/crypto.rs:60-68 path) — and under ``invert`` every
-    non-sensitive IRI is rewritten instead. Used to prove that a downstream
-    IRI-keyed stage (entity linking) may run against the pre-pseudonymization
-    stream, saving a full pass.
-    """
+def node_rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:
+    """True if *node* rules (the sensitive set / invert) can rewrite an IRI
+    under any given prefix. Object rules are NOT covered — see
+    :func:`rewrites_any_prefix` / :func:`obj_rule_predicates`."""
     if matcher.invert:
         return True
     brarr = matcher._sensitive.to_pylist()
     return any(s.startswith("<" + p) for s in brarr for p in prefixes)
+
+
+def obj_rule_predicates(matcher: CompiledMatcher) -> list[str]:
+    """Bracketed predicate keys whose object rules could rewrite an object.
+
+    ``on_predicate`` and ``on_type_predicate`` rewrite whatever OBJECT the
+    matched triple carries — an IRI object is rewritten too (pseudo_triple
+    dispatches on the object kind, src/crypto.rs:19-46; only blank nodes
+    pass through). Callers that need to prove "no IRI under prefix P is
+    rewritten" must therefore check, against the DATA, that no triple with
+    one of these predicates has an IRI object under P (see
+    stages.folds.fold_pass's risk counter).
+    """
+    preds = set(matcher._on_pred.to_pylist())
+    for _, p_arr in matcher._otp_groups:
+        preds.update(p_arr.to_pylist())
+    # rules may name otp predicates for types with no indexed subjects (the
+    # otp group is then dropped from the compiled probe) — still include
+    # them from the raw rules: the compile prunes against ONE index snapshot
+    preds.update(matcher.rules.obj_on_predicate)
+    for ps in matcher.rules.obj_on_type_predicate.values():
+        preds.update(ps)
+    return sorted(preds)
+
+
+def rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:
+    """Conservative: True if the rules COULD rewrite an IRI under any prefix.
+
+    Node rules rewrite sensitive IRIs everywhere they appear; under
+    ``invert`` every non-match is rewritten; and object rules
+    (on_predicate / on_type_predicate) rewrite IRI objects of matched
+    triples (src/crypto.rs:19-46) — statically we cannot know whether the
+    matched triples carry IRI objects under the prefixes, so any non-empty
+    object rule returns True. For the refined data-dependent check use
+    :func:`node_rewrites_any_prefix` + the fold_pass risk counter over
+    :func:`obj_rule_predicates`.
+    """
+    if node_rewrites_any_prefix(matcher, prefixes):
+        return True
+    return bool(obj_rule_predicates(matcher))
 
 
 def pseudonymize_batch(

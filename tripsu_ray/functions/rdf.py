@@ -35,12 +35,20 @@ def escape_literal(arr: pa.Array) -> pa.Array:
     return out
 
 
-_UNESCAPE_RE = re.compile(r"\\(.)")
-_UNESCAPE_MAP = {"n": "\n", "r": "\r", "t": "\t", '"': '"', "\\": "\\"}
+_UNESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)")
+_UNESCAPE_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
 
 
 def _unescape_one(s: str) -> str:
-    return _UNESCAPE_RE.sub(lambda m: _UNESCAPE_MAP.get(m.group(1), m.group(1)), s)
+    # ECHAR plus UCHAR (\uXXXX / \UXXXXXXXX) per the N-Triples grammar —
+    # rio's parser decodes these; dropping them would corrupt literals
+    def sub(m: "re.Match") -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _UNESCAPE_MAP.get(g, g)
+
+    return _UNESCAPE_RE.sub(sub, s)
 
 
 def unescape_literals(values: np.ndarray) -> np.ndarray:

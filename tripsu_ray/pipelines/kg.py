@@ -44,6 +44,11 @@ DEFAULT_RULES = {
     },
 }
 
+# Deterministic well-known salt for ORACLE/TEST FIXTURES ONLY (the DuckDB
+# correctness oracle renders sha256(salt || value) with this literal). Real
+# runs must not default to it: sha256 over a known salt is dictionary-
+# reversible for low-entropy values — kg_pipeline defaults to a
+# driver-generated random secret instead (salt=None).
 DEFAULT_SALT = "tripsu-ray-default-salt"
 
 
@@ -51,7 +56,7 @@ def kg_pipeline(
     sf_dir: str,
     *,
     rules_cfg: dict | None = None,
-    salt: str = DEFAULT_SALT,
+    salt: str | None = None,
     algorithm: str = "sha256-salted",
     link: bool = True,
     sort: bool = True,
@@ -70,12 +75,15 @@ def kg_pipeline(
     import ray
     import ray.data
 
-    from ..functions.engine import rewrites_any_prefix
-    from ..stages.folds import fold_pass, relevant_types_of
+    from ..functions.engine import node_rewrites_any_prefix
+    from ..stages.folds import fold_pass, relevant_types_of, risk_predicates_of
     from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
     from ..state.checkpoint import CheckpointManager
 
+    from ..functions.crypto import resolve_secret
+
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
+    salt = resolve_secret(salt)  # ONE secret for the whole distributed job
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     params = {"sf_dir": sf_dir, "rules": rules_cfg, "salt": salt, "algorithm": algorithm}
 
@@ -88,12 +96,20 @@ def kg_pipeline(
     else:
         triples = raw_triples
 
-    # pass 1 (ONE scan): rule-relevant type pairs + optimistic link map,
-    # both associative partial aggregates folded on the driver — no shuffle.
+    # pass 1 (ONE scan): rule-relevant type pairs + optimistic link map +
+    # the object-rule risk counter, all associative partial aggregates
+    # tree-reduced to the driver — no shuffle.
     def fold():
-        return fold_pass(triples(), relevant_types_of(rules_cfg))
+        return fold_pass(
+            triples(),
+            relevant_types_of(rules_cfg),
+            risk_predicates=risk_predicates_of(rules_cfg),
+            risk_prefixes=LINKABLE_PREFIXES,
+        )
 
-    pairs_df, key_map, _n = ckpt.value_stage("folds", fold, params) if ckpt else fold()
+    pairs_df, key_map, _n, n_risk = (
+        ckpt.value_stage("folds", fold, params) if ckpt else fold()
+    )
     matcher = compile_matcher(rules_cfg, pairs_df)
     matcher_ref = broadcast_matcher(matcher)
 
@@ -111,9 +127,17 @@ def kg_pipeline(
     out = pseudo_stream()
     if link:
         # the optimistic (raw-stream) link map is exact iff the rules never
-        # rewrite linkable-namespace IRIs; otherwise recompute it from the
-        # pseudonymized stream (one extra pass — the exact fallback)
-        if rewrites_any_prefix(matcher, LINKABLE_PREFIXES):
+        # rewrite a linkable-namespace IRI. Node rules / invert are decided
+        # statically; object rules are decided AGAINST THE DATA by the fold's
+        # risk counter (zero risk rows ⇒ no object rule ever met an IRI
+        # object in a linkable namespace — type-gating ignored, so this only
+        # over-triggers, never under-triggers). Otherwise recompute the map
+        # from the pseudonymized stream (exact fallback), pinning that stream
+        # first so extract+pseudo don't run twice.
+        if node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES) or n_risk > 0:
+            if not ckpt:
+                pseudo_ds = pseudo_stream().materialize()
+                pseudo_stream = lambda: pseudo_ds  # noqa: E731
             key_map = fold_link_map(pseudo_stream())
         key_map_ref = ray.put(key_map)
         out = canonicalize_tasks(pseudo_stream(), key_map_ref, batch_size=batch_size)

@@ -97,4 +97,4 @@ def q_link_map(sf_dir: str):
 
 
 def q_pipeline(sf_dir: str):
-    return _labeled_view(kg_pipeline(sf_dir, sort=False))
+    return _labeled_view(kg_pipeline(sf_dir, sort=False, salt=DEFAULT_SALT))

@@ -25,9 +25,38 @@ from .link import _batch_key_min
 TAG_PAIR = 0
 TAG_LINK = 1
 TAG_COUNT = 2
+TAG_RISK = 3
 
 
-def _fold_batch(batch: pa.Table, relevant_types: list[str] | None) -> pa.Table:
+def _risk_count(batch: pa.Table, risk_predicates, risk_prefixes) -> int:
+    """Rows whose OBJECT is an IRI under a protected prefix AND whose
+    predicate is named by an object rule — an over-approximation (type
+    gating ignored) of 'this object rule rewrites a linkable IRI'. Zero
+    PROVES the optimistic raw-stream link map exact for these rules."""
+    import pyarrow.compute as pc
+
+    from ..schema import KIND_IRI
+
+    if not risk_predicates or not risk_prefixes:
+        return 0
+    m = pc.equal(batch["object_kind"], KIND_IRI)
+    obj = batch["object_value"].combine_chunks()
+    pref = pc.starts_with(obj, risk_prefixes[0])
+    for p in risk_prefixes[1:]:
+        pref = pc.or_(pref, pc.starts_with(obj, p))
+    m = pc.and_(m, pref)
+    m = pc.and_(
+        m, pc.is_in(batch["predicate"], value_set=pa.array(risk_predicates, pa.string()))
+    )
+    return pc.sum(m).as_py() or 0
+
+
+def _fold_batch(
+    batch: pa.Table,
+    relevant_types: list[str] | None,
+    risk_predicates: list[str] | None = None,
+    risk_prefixes: tuple = (),
+) -> pa.Table:
     pairs = _typed_pairs(batch)
     if relevant_types is not None and pairs.num_rows:
         import pyarrow.compute as pc
@@ -35,49 +64,149 @@ def _fold_batch(batch: pa.Table, relevant_types: list[str] | None) -> pa.Table:
         mask = pc.is_in(pairs["type"], value_set=pa.array(relevant_types, pa.string()))
         pairs = pairs.filter(mask)
     links = _batch_key_min(batch)
+    n_risk = _risk_count(batch, risk_predicates, risk_prefixes)
     n_p, n_l = pairs.num_rows, links.num_rows
     return pa.table(
         {
             "tag": pa.array(
                 np.concatenate(
                     [np.full(n_p, TAG_PAIR, np.int8), np.full(n_l, TAG_LINK, np.int8),
-                     np.full(1, TAG_COUNT, np.int8)]
+                     np.full(2, 0, np.int8) + np.array([TAG_COUNT, TAG_RISK], np.int8)]
                 )
             ),
             "a": pa.concat_arrays(
                 [pairs["subject"].combine_chunks().cast(pa.string()),
                  links["key"].combine_chunks().cast(pa.string()),
-                 pa.array([str(batch.num_rows)], pa.string())]
+                 pa.array([str(batch.num_rows), str(n_risk)], pa.string())]
             ),
             "b": pa.concat_arrays(
                 [pairs["type"].combine_chunks().cast(pa.string()),
                  links["canonical"].combine_chunks().cast(pa.string()),
-                 pa.array([""], pa.string())]
+                 pa.array(["", ""], pa.string())]
             ),
         }
     )
 
 
-def fold_pass(triples, relevant_types: list[str] | None = None):
-    """One scan → (type_pairs_df, link_map dict, total_row_count)."""
+def fold_pass(
+    triples,
+    relevant_types: list[str] | None = None,
+    *,
+    risk_predicates: list[str] | None = None,
+    risk_prefixes: tuple = (),
+):
+    """One scan → (type_pairs_df, link_map dict, total_rows, risk_rows).
+
+    ``risk_rows`` counts triples whose IRI object lies under a
+    ``risk_prefixes`` namespace while the predicate is in
+    ``risk_predicates`` (the object-rule predicates): zero proves — against
+    the data, not just the rules — that object rules never rewrite a
+    linkable IRI, so the link map folded from this same (raw) scan is exact.
+
+    The per-block partials are combined by a TREE REDUCE (see
+    :func:`tree_fold_tables`): per-block combine already ran inside
+    ``_fold_batch`` (dedup/min), intermediate combiner tasks merge ~FANIN
+    blocks each, and the driver only folds the few pre-reduced roots — the
+    driver-side serial term is O(distinct keys / FANIN-compressed), no
+    longer the full concat of every block's partial.
+    """
     ds = triples.map_batches(
         _fold_batch,
-        fn_kwargs={"relevant_types": relevant_types},
+        fn_kwargs={
+            "relevant_types": relevant_types,
+            "risk_predicates": risk_predicates,
+            "risk_prefixes": tuple(risk_prefixes),
+        },
         batch_format="pyarrow",
     )
-    frames = [
-        b.to_pandas()
-        for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    if not frames:
-        return pd.DataFrame({"subject": [], "type": []}), {}, 0
-    df = pd.concat(frames, ignore_index=True)
+    df = tree_fold_tables(ds, _combine_fold_frames)
+    if df is None or not len(df):
+        return pd.DataFrame({"subject": [], "type": []}), {}, 0, 0
     pairs = df[df["tag"] == TAG_PAIR].rename(columns={"a": "subject", "b": "type"})
     pairs = pairs[["subject", "type"]].drop_duplicates(ignore_index=True)
     links = df[df["tag"] == TAG_LINK]
     link_map = links.groupby("a")["b"].min().to_dict()
     n_rows = int(df.loc[df["tag"] == TAG_COUNT, "a"].astype("int64").sum())
-    return pairs, link_map, n_rows
+    n_risk = int(df.loc[df["tag"] == TAG_RISK, "a"].astype("int64").sum())
+    return pairs, link_map, n_rows, n_risk
+
+
+def _combine_fold_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Associative combine for fold_pass partials (any subset of blocks).
+
+    Dedup the PAIR rows, MIN-reduce the LINK rows, SUM the COUNT/RISK rows —
+    each is associative+commutative, so combining in any tree shape is exact.
+    """
+    df = pd.concat(frames, ignore_index=True)
+    pairs = df[df["tag"] == TAG_PAIR].drop_duplicates(["a", "b"])
+    links = (
+        df[df["tag"] == TAG_LINK]
+        .groupby("a", sort=False, as_index=False)["b"]
+        .min()
+        .assign(tag=TAG_LINK)
+    )
+    sums = []
+    for tag in (TAG_COUNT, TAG_RISK):
+        total = df.loc[df["tag"] == tag, "a"].astype("int64").sum()
+        sums.append((tag, str(int(total)), ""))
+    sums_df = pd.DataFrame(sums, columns=["tag", "a", "b"])
+    out = pd.concat([pairs, links[["tag", "a", "b"]], sums_df], ignore_index=True)
+    out["tag"] = out["tag"].astype("int8")
+    return out
+
+
+def tree_reduce_refs(refs, map_block, merge_many, *, fanin: int = 16):
+    """Tree reduce over block ObjectRefs: leaf map + associative merges.
+
+    The Dataset API cannot express an N-ary reduction tree without a full
+    shuffle (a distributed groupby over millions of near-distinct keys was
+    measured 7× slower than folding), so this is one of the few sanctioned
+    raw-``ray.remote`` spots: per-block partials are merged FANIN-at-a-time
+    by intermediate tasks, and the driver only folds the ≤ FANIN roots.
+    Replaces the driver-side concat-everything fold, whose single-process
+    linear term was the measured scaling bottleneck (BASELINE.md round 1).
+
+    ``map_block(block) -> partial`` runs inside the first merge level (no
+    extra task hop); ``merge_many(list[partial]) -> partial`` must be
+    associative + commutative.
+    """
+    import ray
+
+    @ray.remote
+    def _merge(first_level: bool, *items):
+        if first_level and map_block is not None:
+            items = [map_block(t) for t in items]
+        return merge_many(list(items))
+
+    level = list(refs)
+    if not level:
+        return None
+    first = True
+    while len(level) > fanin:
+        level = [
+            _merge.remote(first, *level[i : i + fanin])
+            for i in range(0, len(level), fanin)
+        ]
+        first = False
+    resolved = ray.get(list(level))
+    if first and map_block is not None:
+        resolved = [map_block(t) for t in resolved]
+    return merge_many(resolved)
+
+
+def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
+    """Fold a (small-rows) Dataset to ONE pandas DataFrame via a tree reduce.
+
+    ``combine_frames(list[pd.DataFrame]) -> pd.DataFrame`` must be
+    associative. Returns None for an empty dataset.
+    """
+    refs = ds.to_arrow_refs()
+    return tree_reduce_refs(
+        refs,
+        lambda t: t.to_pandas(),
+        combine_frames,
+        fanin=fanin,
+    )
 
 
 def relevant_types_of(rules_cfg: dict) -> list[str]:
@@ -86,3 +215,21 @@ def relevant_types_of(rules_cfg: dict) -> list[str]:
 
     rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
     return sorted(set(rules.node_of_type) | set(rules.obj_on_type_predicate))
+
+
+def risk_predicates_of(rules_cfg) -> list[str]:
+    """BARE predicate IRIs named by object rules (for the risk counter).
+
+    on_predicate / on_type_predicate rewrite whatever object the matched
+    triple carries — IRI objects included (src/crypto.rs:19-46). The fold's
+    risk counter checks these predicates against IRI objects in protected
+    namespaces; the ``predicate`` column stores bare IRIs, so strip the
+    brackets the rules keep for term-key matching.
+    """
+    from ..functions.rules import Rules
+
+    rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
+    keys = set(rules.obj_on_predicate)
+    for ps in rules.obj_on_type_predicate.values():
+        keys |= set(ps)
+    return sorted(k[1:-1] if k.startswith("<") and k.endswith(">") else k for k in keys)

@@ -65,23 +65,31 @@ def type_index_pairs(triples) -> "ray.data.Dataset":
     return triples.map_batches(_typed_pairs, batch_format="pyarrow")
 
 
+def _combine_pair_frames(frames):
+    import pandas as pd
+
+    return pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
+
+
 def collect_index_df(pairs_ds) -> "pd.DataFrame":
     """Fold (subject, type) pairs into a distinct two-column DataFrame.
 
     Accepts either the shuffled (build_type_index) or the shuffle-free
-    (type_index_pairs) dataset — the vectorized pandas fold dedups. Memory
-    is bounded by #distinct typed subjects, not corpus size; streaming
-    iter_batches, never take_all. This relational form feeds the vectorized
-    CompiledMatcher build directly (no per-subject Python objects).
+    (type_index_pairs) dataset. Distinct-set union is associative, so the
+    per-block partials are TREE-reduced (intermediate dedup tasks →
+    driver folds only the roots — see stages.folds.tree_fold_tables); the
+    driver's serial term is bounded by #distinct typed subjects / fan-in,
+    not by #blocks × per-block rows. This relational form feeds the
+    vectorized CompiledMatcher build directly.
     """
     import pandas as pd
 
-    frames = []
-    for batch in pairs_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        frames.append(batch.to_pandas())
-    if not frames:
+    from .folds import tree_fold_tables
+
+    df = tree_fold_tables(pairs_ds, _combine_pair_frames)
+    if df is None or not len(df):
         return pd.DataFrame({"subject": [], "type": []})
-    return pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
+    return df.drop_duplicates(ignore_index=True)
 
 
 def collect_index(pairs_ds) -> dict[str, tuple[str, ...]]:

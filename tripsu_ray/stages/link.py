@@ -106,22 +106,28 @@ def collect_link_map(link_ds) -> dict[str, str]:
     return mapping
 
 
-def fold_link_map(triples) -> dict[str, str]:
-    """Shuffle-free link map: per-batch partial MIN → vectorized driver fold.
-
-    MIN is associative, so folding the per-batch partials on the driver is
-    exact and skips the groupby shuffle entirely — the partials are bounded
-    by (#batches × #distinct keys per batch), tiny next to the stream.
-    Use build_link_map when the map itself must be a distributed Dataset.
-    """
-    partial = triples.map_batches(_batch_key_min, batch_format="pyarrow")
-    frames = [
-        b.to_pandas()
-        for b in partial.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    if not frames:
-        return {}
+def _combine_link_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Associative MIN-combine of (key, canonical) partials."""
     df = pd.concat(frames, ignore_index=True)
+    return df.groupby("key", sort=False, as_index=False)["canonical"].min()
+
+
+def fold_link_map(triples) -> dict[str, str]:
+    """Shuffle-free link map: per-batch partial MIN → tree-reduced fold.
+
+    MIN is associative, so the per-batch partials combine exactly in any
+    tree shape: intermediate tasks merge ~16 block partials each
+    (stages.folds.tree_fold_tables) and the driver folds only the few
+    pre-reduced roots — no driver-side concat of every block (the round-1
+    serial scaling term). Use build_link_map when the map itself must be a
+    distributed Dataset.
+    """
+    from .folds import tree_fold_tables
+
+    partial = triples.map_batches(_batch_key_min, batch_format="pyarrow")
+    df = tree_fold_tables(partial, _combine_link_frames)
+    if df is None or not len(df):
+        return {}
     return df.groupby("key")["canonical"].min().to_dict()
 
 

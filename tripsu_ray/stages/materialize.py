@@ -117,20 +117,36 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
     T = ray.data.read_parquet(t_path)
 
     # census reads ONLY the stored hash column (parquet column pruning) and
-    # folds multiplicities on the driver: ~8B/row of u64s (np.unique of 35M
-    # hashes ≈ 2-3 s). A distributed groupby-count alternative was measured
-    # 7× SLOWER — millions of distinct keys through a sort shuffle cost far
-    # more than the fold saves; revisit only past ~10^9 rows, where the fold
-    # should become a tree-reduce over pre-sorted per-block partials.
-    parts = [
-        b["_h"].to_numpy(zero_copy_only=False)
-        for b in ray.data.read_parquet(t_path, columns=["_h"]).iter_batches(
-            batch_size=1 << 22, batch_format="pyarrow"
-        )
-    ]
-    all_h = np.concatenate(parts) if parts else np.array([], dtype=np.uint64)
-    uniq, cnt = np.unique(all_h, return_counts=True)
-    hot = np.sort(uniq[cnt > 1])
+    # TREE-reduces (hash, multiplicity) partials: per-block np.unique runs
+    # in the leaf tasks, intermediate tasks merge-sum ~16 sorted partials
+    # each, and the driver merges only the few roots (a distributed
+    # groupby-count was measured 7× slower than folding; the tree keeps the
+    # fold's win while removing its single-process linear term — the
+    # round-1 scaling bottleneck). Counts saturate at 2: the split only
+    # needs "seen once vs more", and saturation is preserved under merge.
+    from .folds import tree_reduce_refs
+
+    def census_block(t: pa.Table):
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return uniq, np.minimum(cnt, 2).astype(np.uint8)
+
+    def census_merge(parts):
+        hs = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        order = np.argsort(hs, kind="stable")
+        hs, cs = hs[order], cs[order]
+        uniq, idx = np.unique(hs, return_index=True)
+        cnt = np.minimum(np.add.reduceat(cs, idx), 2).astype(np.uint8) if len(hs) else cs
+        return uniq, cnt
+
+    refs = ray.data.read_parquet(t_path, columns=["_h"]).to_arrow_refs()
+    folded = tree_reduce_refs(refs, census_block, census_merge)
+    if folded is None:
+        uniq, cnt = np.array([], dtype=np.uint64), np.array([], dtype=np.uint8)
+    else:
+        uniq, cnt = folded
+    hot = uniq[cnt > 1]  # np.unique output is already sorted
     import ray as _ray
 
     hot_ref = _ray.put(hot)

@@ -37,6 +37,23 @@ def broadcast_matcher(matcher: CompiledMatcher):
 _STATE_CACHE: dict = {}
 
 
+def _require_secret(secret) -> None:
+    """Distributed stages need a driver-materialized secret.
+
+    ``secret=None`` would make each worker process (or each batch, in the
+    join plan) draw its OWN random salt/key — the same IRI would then hash
+    differently across batches, corrupting referential consistency. The
+    reference derives its random key once in its single process
+    (src/crypto.rs:108-109); the distributed analogue is
+    ``functions.crypto.resolve_secret`` on the driver.
+    """
+    if secret is None:
+        raise ValueError(
+            "secret must be resolved on the driver before a distributed "
+            "pseudonymization stage (use functions.crypto.resolve_secret)"
+        )
+
+
 def pseudonymize_tasks(
     triples,
     matcher_ref,
@@ -57,6 +74,8 @@ def pseudonymize_tasks(
     stages whose state is too big/expensive to cache per process.
     """
     import ray
+
+    _require_secret(secret)
 
     def fn(batch: pa.Table) -> pa.Table:
         key = ("matcher", matcher_ref.hex() if hasattr(matcher_ref, "hex") else id(matcher_ref))
@@ -114,6 +133,7 @@ def pseudonymize_join(
     from ..functions.rdf import format_predicate, format_subject
     from ..schema import KIND_IRI
 
+    _require_secret(secret)
     rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
     of_type = pa.array(sorted(rules.node_of_type), pa.string())
     otp_rules = pd.DataFrame(
@@ -188,6 +208,13 @@ def pseudonymize_join(
     def finish(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        # pseudonymizer hoisted to the per-process cache (was per batch)
+        pkey = ("pseudo", algorithm, secret if isinstance(secret, (str, bytes)) else id(secret))
+        pseudo = _STATE_CACHE.get(pkey)
+        if pseudo is None:
+            pseudo = new_pseudonymizer(algorithm, secret)
+            _STATE_CACHE[pkey] = pseudo
+
         n = batch.num_rows
         subj_is_iri = pc.equal(batch["subject_kind"], KIND_IRI).to_numpy(zero_copy_only=False)
         obj_is_iri = pc.equal(batch["object_kind"], KIND_IRI).to_numpy(zero_copy_only=False)
@@ -203,7 +230,7 @@ def pseudonymize_join(
             ["subject", "subject_kind", "predicate", "object_value",
              "object_kind", "object_lang", "object_datatype"]
         )
-        return rewrite_batch(core, mask_s, mask_o, new_pseudonymizer(algorithm, secret))
+        return rewrite_batch(core, mask_s, mask_o, pseudo)
 
     return j.map_batches(finish, batch_format="pyarrow")
 
@@ -212,6 +239,7 @@ class PseudonymizeActor:
     def __init__(self, matcher_ref, algorithm: str, secret):
         import ray
 
+        _require_secret(secret)
         self.matcher = (
             ray.get(matcher_ref)
             if not isinstance(matcher_ref, CompiledMatcher)

@@ -69,6 +69,13 @@ class CheckpointManager:
         if self.is_complete(stage, params):
             self.metrics["stages"].setdefault(stage, {})["resumed"] = True
             return ray.data.read_parquet(out_dir)
+        # incomplete (crashed attempt / stale params): clear leftover part
+        # files FIRST — Ray's write_parquet appends uniquely-named files, so
+        # writing into a dirty dir would silently return old+new rows on the
+        # exact path resume exists for
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = fn()
         ds.write_parquet(out_dir)
