@@ -40,10 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": docops.q_dedup_simhash,
         "dedup_embedding": docops.q_dedup_embedding,
         "jaccard_pairs": docops.q_jaccard_pairs,
+        "jaccard_pairs_lsh": docops.q_jaccard_pairs_lsh,
         # similarity search
         "ann_topk": docops.q_ann_topk,
         "ann_lsh": docops.q_ann_lsh,
         "sim_threshold": docops.q_sim_threshold,
+        "sim_threshold_lsh": docops.q_sim_threshold_lsh,
         # multimodal
         "multimodal_dims": docops.q_multimodal_dims,
         "multimodal_features": docops.q_multimodal_features,
@@ -62,8 +64,10 @@ def oracle_sql() -> dict[str, str]:
 
     Intentionally omitted (→ rows-only check): text_rolling_fp,
     dedup_minhash, dedup_simhash, dedup_embedding (probabilistic LSH /
-    iterative components), ann_lsh (approximate by construction),
-    multimodal_features (feature vector from binary payloads).
+    iterative components), ann_lsh, jaccard_pairs_lsh, sim_threshold_lsh
+    (approximate by construction — precision 1.0, recall asserted in tests
+    vs their exact anchors), multimodal_features (feature vector from
+    binary payloads).
     """
     from tripsu_ray.pipelines import doc_oracle as d, oracle
 

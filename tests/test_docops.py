@@ -182,3 +182,103 @@ def test_ngram_jaccard_lsh_pairs_subset_of_exact():
     assert lset <= eset  # no false positives (verified candidates)
     if eset:
         assert len(lset) / len(eset) >= 0.8  # banded-LSH recall at τ=0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedClustering:
+    """Round-2 distributed LSH clustering: no driver band table, no driver
+    union-find (VERDICT.md round 1, items 2)."""
+
+    def test_label_propagation_equals_union_find(self):
+        import ray.data
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 300, 400)
+        b = rng.randint(0, 300, 400)
+        m = a != b
+        pairs = pd.DataFrame(
+            {"a": np.minimum(a, b)[m].astype("int64"), "b": np.maximum(a, b)[m].astype("int64")}
+        )
+        lab = dedup.label_propagation(ray.data.from_pandas(pairs))
+        comp = dedup._components([(int(r.a), int(r.b)) for r in pairs.itertuples()])
+        nodes = set(pairs.a) | set(pairs.b)
+        assert all(lab.get(n, n) == comp.get(n, n) for n in nodes)
+
+    def test_minhash_regression_vs_round1(self):
+        """Pinned round-1 output: the distributed plan (band-key partition →
+        per-partition candidates → broadcast-round label propagation) must
+        reproduce the driver-fold plan's clusters exactly."""
+        import hashlib
+
+        df = dedup.dedup_minhash(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+        h = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+        assert h == "dc6b643751dbc379"
+
+    def test_simhash_regression_pinned(self):
+        """Pinned round-2 output. Round 1's hash (1cfe878942518ca9) was WRONG:
+        its block table round-tripped simhash values through a float64 pandas
+        column, corrupting low-order signature bits — e.g. docs 16 and 391
+        (true Hamming distance 11) verified as ≤ 3. The distributed plan
+        carries exact uint64 signatures; test_simhash_clusters_are_sound
+        asserts the semantic fix."""
+        import hashlib
+
+        df = dedup.dedup_simhash(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+        h = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+        assert h == "25d9aba9d80b75e0"
+
+    def test_simhash_clusters_are_sound(self):
+        """Every non-singleton simhash cluster member must have ≥1 true
+        Hamming-≤3 neighbor inside its cluster (the round-1 float64 bug
+        violated this)."""
+        import ray.data
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sigs = (
+            docs.map_batches(dedup.simhash_signatures_batch, batch_format="pandas")
+            .to_pandas()
+            .set_index("doc_id")["simhash"]
+        )
+        out = dedup.dedup_simhash(SF).to_pandas()
+        by_cluster = out.groupby("cluster_id")["doc_id"].apply(list)
+        for _, members in by_cluster.items():
+            if len(members) < 2:
+                continue
+            svals = np.array([np.uint64(sigs.loc[d]) for d in members], dtype=np.uint64)
+            for i in range(len(members)):
+                x = svals ^ svals[i]
+                ham = np.unpackbits(x.view(np.uint8).reshape(len(svals), 8), axis=1).sum(axis=1)
+                ham[i] = 64  # self
+                assert ham.min() <= 3, f"doc {members[i]} isolated in its cluster"
+
+    def test_candidate_pairs_distributed_matches_local(self):
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                "bkey": np.array([5, 5, 5, 9, 9, 11], dtype=np.uint64),
+                "doc_id": np.array([3, 1, 2, 7, 8, 9], dtype=np.int64),
+            }
+        )
+        out = (
+            dedup._candidate_pairs_ds(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        assert out.values.tolist() == [[1, 2], [1, 3], [2, 3], [7, 8]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sim_threshold_lsh_precision_and_recall():
+    """Banded multi-table LSH threshold join: every emitted pair is exact
+    (precision 1.0, in-bucket rerank) and recall vs the exact probe-chunk
+    anchor clears the OR-amplification design point."""
+    exact = similarity.sim_threshold_join(SF).to_pandas()
+    lsh = similarity.sim_threshold_lsh(SF).to_pandas()
+    es = set(map(tuple, exact[["a", "b"]].values))
+    ls = set(map(tuple, lsh[["a", "b"]].values))
+    assert ls <= es  # precision 1.0 — rerank emits only true ≥τ pairs
+    assert len(ls & es) / len(es) >= 0.8
+    # simq values agree with the exact join on the common pairs
+    em = {(r.a, r.b): r.simq for r in exact.itertuples()}
+    assert all(em[(r.a, r.b)] == r.simq for r in lsh.itertuples())

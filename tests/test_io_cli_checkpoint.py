@@ -98,3 +98,43 @@ class TestCLI:
         # fixture semantics: accessCodes + Person names hashed, URIs kept
         assert '"secret-123"' not in joined
         assert "<http://example.org/Alice>" in joined
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMalformedLineCounting:
+    def test_skip_policy_counts_and_roundtrips(self, tmp_path):
+        from tripsu_ray.sources.ntriples import read_ntriples, write_ntriples
+        from tripsu_ray.state.metrics import JobCounters
+
+        nt = tmp_path / "corrupt.nt"
+        good = [
+            "<http://e/s1> <http://e/p> <http://e/o> .",
+            '<http://e/s2> <http://e/p> "lit" .',
+            "# a comment line",
+            "",
+            '<http://e/s3> <http://e/p> "v"@en .',
+        ]
+        bad = ["this is not a triple", "<http://e/s4> <http://e/p> .", "<unclosed <p> <o> ."]
+        nt.write_text("\n".join(good[:2] + bad[:1] + good[2:] + bad[1:]) + "\n")
+
+        jc = JobCounters(name="test_malformed_counter")
+        jc.reset()
+        ds = read_ntriples(str(nt), on_error="skip", counter=jc.handle())
+        df = ds.to_pandas()
+        assert len(df) == 3  # the three real triples survived
+        assert set(df.subject) == {"http://e/s1", "http://e/s2", "http://e/s3"}
+        assert jc.counts() == {"malformed_lines": 3}
+
+        # clean rows round-trip byte-identically through the sink
+        out_dir = tmp_path / "out"
+        write_ntriples(ds, str(out_dir))
+        back = read_ntriples(str(out_dir)).to_pandas()
+        assert sorted(back.subject) == sorted(df.subject)
+
+    def test_raise_policy_unchanged(self, tmp_path):
+        from tripsu_ray.sources.ntriples import read_ntriples
+
+        nt = tmp_path / "c2.nt"
+        nt.write_text("garbage line\n")
+        with pytest.raises(Exception):
+            read_ntriples(str(nt), on_error="raise").to_pandas()

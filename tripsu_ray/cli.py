@@ -40,14 +40,25 @@ def _ray_session(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _read_triples(path: str, on_error: str):
+def _read_triples(path: str, on_error: str, counter=None):
     import ray.data
 
     if path.endswith(".nt") or path.endswith(".ntriples"):
         from .sources.ntriples import read_ntriples
 
-        return read_ntriples(path, on_error=on_error)
+        return read_ntriples(path, on_error=on_error, counter=counter)
     return ray.data.read_parquet(path)
+
+
+def _skip_counter(on_error: str):
+    """JobCounters handle when the skip policy needs malformed-line counts."""
+    if on_error != "skip":
+        return None, None
+    from .state.metrics import JobCounters
+
+    jc = JobCounters()
+    jc.reset()
+    return jc, jc.handle()
 
 
 def _write_triples(ds, path: str):
@@ -77,9 +88,22 @@ def cmd_extract(args):
 def cmd_index(args):
     from .stages.index import build_type_index
 
-    triples = _read_triples(args.input, args.on_error)
-    build_type_index(triples).write_parquet(args.output)
-    print(json.dumps({"command": "index", "output": args.output}))
+    jc, handle = _skip_counter(args.on_error)
+    triples = _read_triples(args.input, args.on_error, handle)
+    if args.output.endswith(".json"):
+        # reference-compatible {types, map} JSON (src/index.rs:111) — a
+        # tripsu user can hand this to the Rust binary and vice versa
+        from .functions.tripsu_index import TripsuIndex
+        from .stages.index import collect_index_df
+
+        pairs = collect_index_df(build_type_index(triples))
+        TripsuIndex.from_pairs(pairs).to_json(args.output)
+    else:
+        build_type_index(triples).write_parquet(args.output)
+    info = {"command": "index", "output": args.output}
+    if jc is not None:
+        info["counters"] = jc.counts()
+    print(json.dumps(info))
 
 
 def cmd_pseudo(args):
@@ -90,9 +114,17 @@ def cmd_pseudo(args):
     from .stages.index import collect_index_df, type_index_pairs
     from .stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
 
-    triples = _read_triples(args.input, args.on_error)
+    jc, handle = _skip_counter(args.on_error)
+    triples = _read_triples(args.input, args.on_error, handle)
     rules = Rules.from_yaml(args.rules) if args.rules else Rules.from_dict({})
-    if args.index:
+    matcher = None
+    if args.index and args.index.endswith(".json"):
+        # reference JSON index (hash-keyed): probe it directly — an index
+        # file written by the Rust tripsu binary works unchanged
+        from .functions.tripsu_index import HashIndexMatcher, TripsuIndex
+
+        matcher = HashIndexMatcher(rules, TripsuIndex.from_json(args.index))
+    elif args.index:
         pairs = ray.data.read_parquet(args.index).to_pandas()
     else:
         # no prebuilt index: run pass 1 inline (reference requires -x; we
@@ -113,7 +145,9 @@ def cmd_pseudo(args):
         # src/crypto.rs:108-109) and surface it so the run is reproducible
         secret = resolve_secret(None)
         generated = True
-    matcher_ref = broadcast_matcher(compile_matcher(rules, pairs))
+    if matcher is None:
+        matcher = compile_matcher(rules, pairs)
+    matcher_ref = broadcast_matcher(matcher)
     out = pseudonymize_tasks(
         triples, matcher_ref, algorithm=args.algorithm, secret=secret,
     )
@@ -121,6 +155,8 @@ def cmd_pseudo(args):
     info = {"command": "pseudo", "output": args.output}
     if generated:
         info["generated_secret"] = secret
+    if jc is not None:
+        info["counters"] = jc.counts()
     print(json.dumps(info))
 
 

@@ -138,12 +138,15 @@ _NT_LINE = (
 _NT_LINE_RE = re.compile(_NT_LINE)
 
 
-def parse_ntriples_lines(batch: pa.Table, *, on_error: str = "raise") -> pa.Table:
+def parse_ntriples_lines(batch: pa.Table, *, on_error: str = "raise", counter=None) -> pa.Table:
     """Parse a batch of N-Triples lines (column ``text`` or ``line``) → TRIPLES.
 
     Reference parses with rio's streaming NTriplesParser and panics on
     malformed lines (src/pseudo.rs:73-75); our explicit policy is
-    ``on_error="raise"`` (default) or ``"skip"`` — counted via null masks.
+    ``on_error="raise"`` (default) or ``"skip"``. Skipped lines are COUNTED:
+    pass a ``state.metrics.JobCounters`` actor handle as ``counter`` and the
+    per-batch malformed total increments ``"malformed_lines"`` (one
+    fire-and-forget actor call per batch with drops, never per row).
 
     Uses pandas ``str.extract`` (a single vectorized regex pass) rather than a
     Python loop; literal unescaping runs only on the literal subset.
@@ -160,6 +163,8 @@ def parse_ntriples_lines(batch: pa.Table, *, on_error: str = "raise") -> pa.Tabl
     if bad.any():
         if on_error == "raise":
             raise ValueError(f"malformed N-Triples line: {lines[bad].iloc[0]!r}")
+        if counter is not None:
+            counter.add.remote("malformed_lines", int(bad.sum()))
         ext = ext[~bad]
     subj_iri, subj_blank = ext[0], ext[1]
     subject = subj_iri.fillna(subj_blank)

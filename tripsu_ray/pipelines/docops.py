@@ -31,38 +31,56 @@ q_dedup_simhash = dedup.dedup_simhash
 q_dedup_embedding = dedup.dedup_embedding
 
 
-def q_jaccard_pairs(sf_dir: str):
-    """Exact all-pairs word-set Jaccard ≥ 0.8 (oracle-checkable variant).
+def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
+    """Exact all-pairs word-set Jaccard ≥ tau (oracle-checkable ANCHOR).
 
-    Brute block × broadcast token sets — exact, fine to ~10^5 docs; the
-    LSH-candidate path (``dedup.ngram_jaccard_pairs``) is the scale
-    variant of the same semantics.
+    Probe-chunk plan (exact threshold joins are inherently O(n²) compute;
+    what must NOT be O(n) is driver memory): per chunk of ``chunk_rows``
+    doc ids, the chunk's token sets are computed DISTRIBUTED
+    (``dedup._token_hash_map``) and broadcast; the corpus streams against
+    the chunk, each batch tokenizing itself in the map. A pair (a<b) is
+    emitted only in the pass whose chunk contains ``a`` → passes are
+    disjoint, their union exact. The LSH-candidate path
+    (``dedup.ngram_jaccard_pairs``, exposed as ``jaccard_pairs_lsh``) is
+    the linear-work scale plan for the same semantics.
     """
     import ray
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    full = docs.to_pandas().sort_values("doc_id", ignore_index=True)
-    hashes = dedup._token_hashes(full["text"])
-    ids = full["doc_id"].to_numpy()
-    ref = ray.put((ids, hashes))
+    n = docs.count()  # parquet metadata count
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_h = ray.get(ref)
-        bh = dedup._token_hashes(batch["text"])
-        bids = batch["doc_id"].to_numpy()
-        rows = []
-        for i, a in enumerate(bids):
-            ha = bh[i]
-            for j, b in enumerate(all_ids):
-                if b <= a:
-                    continue
-                jac = dedup.jaccard(ha, all_h[j])
-                if jac >= 0.8:
-                    rows.append((a, b, int(jac * 1_000_000)))
-        return pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")
+    out = None
+    for lo in range(0, n, chunk_rows):
+        chunk_map = dedup._token_hash_map(docs, range(lo, min(lo + chunk_rows, n)))
+        c_ids = np.sort(np.fromiter(chunk_map.keys(), dtype=np.int64))
+        ref = ray.put((c_ids, [chunk_map[int(i)] for i in c_ids]))
 
-    return docs.map_batches(pairs, batch_format="pandas")
+        def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+            cids, c_h = ray.get(ref)
+            bh = dedup._token_hashes(batch["text"])
+            bids = batch["doc_id"].to_numpy()
+            rows = []
+            for j, b in enumerate(bids):
+                hb = bh[j]
+                for i, a in enumerate(cids):
+                    if a >= b:
+                        break  # cids sorted: chunk side is always the smaller id
+                    jac = dedup.jaccard(c_h[i], hb)
+                    if jac >= tau:
+                        rows.append((a, b, int(jac * 1_000_000)))
+            return pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")
+
+        part = docs.map_batches(pairs, batch_format="pandas")
+        out = part if out is None else out.union(part)
+    return out
+
+
+def q_jaccard_pairs_lsh(sf_dir: str):
+    """LSH-candidate near-duplicate pairs — the scale plan for
+    ``jaccard_pairs`` (precision 1.0 by exact verification; recall ≥ 0.8
+    asserted in tests vs the exact anchor). Rows-only correctness check."""
+    return dedup.ngram_jaccard_pairs(sf_dir, tau=0.8)
 
 
 # --- similarity ------------------------------------------------------------
@@ -70,6 +88,7 @@ def q_jaccard_pairs(sf_dir: str):
 q_ann_topk = similarity.ann_topk
 q_ann_lsh = similarity.ann_lsh
 q_sim_threshold = similarity.sim_threshold_join
+q_sim_threshold_lsh = similarity.sim_threshold_lsh
 
 
 # --- multimodal ------------------------------------------------------------

@@ -18,13 +18,15 @@ import pyarrow as pa
 from ..functions.rdf import parse_ntriples_lines, serialize_ntriples
 
 
-def read_ntriples(paths, *, on_error: str = "raise"):
+def read_ntriples(paths, *, on_error: str = "raise", counter=None):
+    """``counter``: optional JobCounters handle — with ``on_error="skip"``,
+    dropped malformed lines increment its ``malformed_lines`` count."""
     import ray.data
 
     ds = ray.data.read_text(paths)
     return ds.map_batches(
         parse_ntriples_lines,
-        fn_kwargs={"on_error": on_error},
+        fn_kwargs={"on_error": on_error, "counter": counter},
         batch_format="pyarrow",
     )
 

@@ -111,17 +111,85 @@ def minhash_signatures_batch(
     )
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _band_rows(sig_df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
+    """Explode signatures into (bkey, doc_id) band rows — fully vectorized.
+
+    ``bkey`` is a 64-bit FNV-style mix of (band index, the band's r minhash
+    values): equal band-chunks ⇒ equal bkey, and a spurious 64-bit collision
+    only ADDS a candidate pair that exact-Jaccard verification then rejects
+    (LSH candidates are always verified), so correctness never depends on
+    bkey uniqueness. One key column (instead of band+bucket) keeps the
+    downstream partition/groupby single-key.
+    """
     r = num_perm // bands
-    rows = {"band": [], "bucket": [], "doc_id": []}
-    for _, row in sig_df.iterrows():
-        sig = np.frombuffer(row["sig"], dtype=np.uint64)
-        for bi in range(bands):
-            chunk = sig[bi * r : (bi + 1) * r].tobytes()
-            rows["band"].append(bi)
-            rows["bucket"].append(hashlib.sha256(chunk).hexdigest()[:16])
-            rows["doc_id"].append(row["doc_id"])
-    return pd.DataFrame(rows)
+    n = len(sig_df)
+    if n == 0:
+        return pd.DataFrame(
+            {"bkey": pd.Series([], dtype="uint64"), "doc_id": pd.Series([], dtype="int64")}
+        )
+    sigs = np.frombuffer(b"".join(sig_df["sig"].tolist()), dtype=np.uint64).reshape(
+        n, num_perm
+    )
+    bkeys = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        h = np.full(n, (_FNV_OFFSET ^ np.uint64(bi)) * _FNV_PRIME, dtype=np.uint64)
+        for j in range(r):
+            h = (h ^ sigs[:, bi * r + j]) * _FNV_PRIME
+        bkeys[:, bi] = h
+    return pd.DataFrame(
+        {
+            "bkey": bkeys.reshape(-1),  # row-major: doc 0's bands, doc 1's …
+            "doc_id": np.repeat(sig_df["doc_id"].to_numpy().astype(np.int64), bands),
+        }
+    )
+
+
+def _candidate_pairs_ds(bkey_ds, *, num_parts: int = 32, carry: tuple = ()):
+    """Band-row Dataset → candidate-pair Dataset, nothing on the driver.
+
+    The round-1 plan folded the whole docs×bands bucket table to the driver;
+    here the table stays distributed: a coarse hash partition on ``bkey``
+    (same key ⇒ same partition) co-locates every bucket, and each of the
+    ~num_parts partitions runs the vectorized duplicated-filter + self-merge
+    locally. Pairs may repeat ACROSS partitions (a pair sharing buckets in
+    several bands) — callers either dedup with a tiny groupby (pair output)
+    or don't care (label propagation is idempotent over duplicate edges).
+
+    ``carry`` columns ride along as ``<col>_a`` / ``<col>_b`` so verification
+    that only needs per-doc signatures can run directly on the pair stream.
+    """
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (df["bkey"] % np.uint64(num_parts)).astype("int64")
+        return df
+
+    def gen(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ["bkey", "doc_id", *carry]
+        dup = group[group.duplicated(["bkey"], keep=False)][cols]
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            **{f"{c}_a": pd.Series([], dtype=group[c].dtype) for c in carry},
+            **{f"{c}_b": pd.Series([], dtype=group[c].dtype) for c in carry},
+        }
+        if dup.empty:
+            return pd.DataFrame(empty)
+        m = dup.merge(dup, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
+        keep = ["a", "b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
+        return out[keep].drop_duplicates(["a", "b"], ignore_index=True)
+
+    return (
+        bkey_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(gen, batch_format="pandas")
+    )
 
 
 def _bucket_candidates(df: pd.DataFrame, keys: list[str], id_col: str = "doc_id") -> pd.DataFrame:
@@ -169,17 +237,245 @@ def _components(pairs: list[tuple]) -> dict:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: float = 0.5):
-    """MinHash-LSH near-dedup → Dataset (doc_id, cluster_id).
+def label_propagation(pairs_ds, *, impl: str = "broadcast", num_partitions: int = 8) -> dict:
+    """Edge Dataset (a, b) → {node: component-min label} via iterated
+    min-label propagation — the distributed replacement for driver-side
+    union-find over the pair set (same result: every node labels to the
+    MIN id of its connected component, which is exactly what the min-root
+    union-find produced). The EDGE set never materializes on the driver.
 
-    Plan: signatures (map) → band explode (map) → groupby(band, bucket) →
-    candidate pairs → exact Jaccard verify (second map over candidate doc
-    pairs with texts rebroadcast) → union-find on the verified pairs
-    (driver; the pair set is ≪ corpus — at larger scale replace with
-    iterated min-label propagation: cluster_id ← min(cluster_id of
-    neighbors) until fixpoint, each round a groupby).
+    ``impl="broadcast"`` (default): per round, the (node → label) map —
+    bounded by the number of DUPLICATED docs, the same size class as the
+    broadcast link map — is ``ray.put`` once; a map pass over the edge
+    stream emits per-batch (node, min candidate label) partials that
+    tree-reduce to the new map; the driver then path-compresses the map
+    (label ← label[label] to closure), which collapses label chains so
+    convergence takes O(log diameter) distributed rounds instead of
+    O(diameter). Labels are monotone non-increasing → fixpoint when the
+    map stops changing.
+
+    ``impl="join"``: the fully-relational plan for graphs whose label
+    table itself exceeds driver memory — each round is
+    join(edges, labels) + groupby-min, all Dataset ops (more rounds, a
+    shuffle per round; same result).
+    """
+    import pandas as pd
+
+    if impl == "join":
+        return _label_propagation_join(pairs_ds, num_partitions=num_partitions)
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    edges = pairs_ds.materialize()
+    if edges.count() == 0:
+        return {}
+
+    def compress(lab: dict) -> dict:
+        # driver path compression over the (small) label map: closure of
+        # label chains; O(#labels · chain), exact
+        out = {}
+        for x in lab:
+            r = lab[x]
+            while r in lab and lab[r] != r:
+                r = lab[r]
+            out[x] = r
+        return {k: v for k, v in out.items() if k != v}
+
+    def combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["label"].min()
+
+    labels: dict = {}
+    while True:
+        lab_ref = ray.put(labels)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            a = df["a"].astype("int64")
+            b = df["b"].astype("int64")
+            la = a.map(lab).fillna(a).astype("int64")
+            lb = b.map(lab).fillna(b).astype("int64")
+            cand = np.minimum(la, lb)
+            part = pd.DataFrame(
+                {
+                    "node": pd.concat([a, b], ignore_index=True),
+                    "label": pd.concat(
+                        [pd.Series(cand), pd.Series(cand)], ignore_index=True
+                    ),
+                }
+            )
+            return part.groupby("node", sort=False, as_index=False)["label"].min()
+
+        folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
+        new_labels = dict(
+            zip(folded["node"].astype(int), folded["label"].astype(int))
+        )
+        # keep strictly-improving entries only, then compress chains
+        merged = dict(labels)
+        changed = False
+        for n, l in new_labels.items():
+            cur = merged.get(n, n)
+            if l < cur:
+                merged[n] = l
+                changed = True
+        merged = compress(merged)
+        if not changed:
+            return labels
+        labels = merged
+
+
+def _label_propagation_join(pairs_ds, *, num_partitions: int = 8) -> dict:
+    """Join-per-round min-label propagation (see :func:`label_propagation`)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["a"], df["b"]], ignore_index=True).astype("int64"),
+                "dst": pd.concat([df["b"], df["a"]], ignore_index=True).astype("int64"),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return {}
+    # round 0: label(node) = min(node, min over neighbors) in one groupby
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
+
+    def init_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["src"], "label": np.minimum(df["src"], df["nmin"])}
+        )
+
+    labels = labels.map_batches(init_label, batch_format="pandas").materialize()
+    total = labels.sum("label")
+    while True:
+        joined = edges.join(
+            labels, "inner", num_partitions, on=("dst",), right_on=("node",)
+        )
+
+        def relabel(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["src"], "label": df["label"]})
+
+        cand = joined.map_batches(relabel, batch_format="pandas").union(labels)
+        labels = cand.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        new_total = labels.sum("label")
+        if new_total == total:
+            break
+        total = new_total
+    out: dict = {}
+    for b in labels.iter_batches(batch_size=1 << 16, batch_format="pandas"):
+        nz = b[b["node"] != b["label"]]  # identity labels need no broadcast
+        out.update(zip(nz["node"].astype(int), nz["label"].astype(int)))
+    return out
+
+
+def _collect_pair_ids(pairs_ds) -> set:
+    """Distinct doc ids appearing in a (small) candidate-pair Dataset."""
+    ids: set = set()
+    for b in pairs_ds.iter_batches(batch_size=1 << 16, batch_format="pandas"):
+        ids.update(b["a"].astype(int))
+        ids.update(b["b"].astype(int))
+    return ids
+
+
+def _token_hash_map(docs, wanted_ids) -> dict[int, np.ndarray]:
+    """{doc_id → sorted token-hash array} for a (small) wanted set.
+
+    Tokenizing runs DISTRIBUTED inside map_batches; only the wanted docs'
+    hash arrays return to the driver (bounded by the LSH candidate count,
+    ≪ corpus — the same bounded-broadcast pattern as dedup_embedding).
     """
     import ray
+
+    if not wanted_ids:
+        return {}
+    w_ref = ray.put(np.sort(np.fromiter(wanted_ids, dtype=np.int64)))
+
+    def fetch(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        sel = b[np.isin(b["doc_id"].to_numpy(), w)]
+        hs = _token_hashes(sel["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": sel["doc_id"].to_numpy().astype(np.int64),
+                "hashes": [h.tobytes() for h in hs],
+            }
+        )
+
+    out: dict[int, np.ndarray] = {}
+    for b in docs.map_batches(fetch, batch_format="pandas").iter_batches(
+        batch_size=1 << 16, batch_format="pandas"
+    ):
+        for d, hb in zip(b["doc_id"], b["hashes"]):
+            out[int(d)] = np.frombuffer(hb, dtype=np.uint64)
+    return out
+
+
+def _assign_clusters(docs, labels: dict, id_col: str = "doc_id"):
+    """docs → (id, cluster_id) Dataset via a broadcast label map (map-side
+    apply; the corpus never folds to the driver)."""
+    import ray
+
+    lab_ref = ray.put(labels)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        cluster = np.array([lab.get(int(d), int(d)) for d in ids], dtype=np.int64)
+        return pd.DataFrame({id_col: ids, "cluster_id": cluster})
+
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pandas")
+
+
+def _verified_jaccard_pairs(docs, cand_ds, *, tau: float):
+    """Candidate-pair Dataset → verified (a, b, jacq) Dataset.
+
+    Token sets of the candidate docs are computed distributed and broadcast
+    (bounded by candidate count); verification itself is a map over the
+    pair stream — the pair table never folds to the driver.
+    """
+    import ray
+
+    wanted = _collect_pair_ids(cand_ds)
+    tok_ref = ray.put(_token_hash_map(docs, wanted))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        toks = ray.get(tok_ref)
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "jacq")}
+            )
+        j = np.array(
+            [jaccard(toks[int(r.a)], toks[int(r.b)]) for r in b.itertuples()]
+        )
+        keep = j >= tau
+        return pd.DataFrame(
+            {
+                "a": b["a"].to_numpy()[keep],
+                "b": b["b"].to_numpy()[keep],
+                "jacq": (j[keep] * 1_000_000).astype("int64"),
+            }
+        ).astype("int64")
+
+    return cand_ds.map_batches(verify, batch_format="pandas")
+
+
+def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: float = 0.5):
+    """MinHash-LSH near-dedup → Dataset (doc_id, cluster_id) — fully
+    distributed physical plan:
+
+    signatures (map) → band explode (map, vectorized) → coarse hash
+    partition on the band key → per-partition candidate pairs
+    (:func:`_candidate_pairs_ds`: the docs×bands bucket table never reaches
+    the driver) → exact-Jaccard verify over the pair stream (token sets of
+    candidates only, broadcast) → iterated min-label propagation
+    (:func:`label_propagation`: groupby rounds to fixpoint — no driver
+    union-find) → map-side cluster assignment over a broadcast label map.
+    """
     import ray.data
 
     docs = ray.data.read_parquet(
@@ -191,28 +487,10 @@ def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: floa
     band_rows = sigs.map_batches(
         _band_rows, fn_kwargs={"num_perm": num_perm, "bands": bands}, batch_format="pandas"
     )
-
-    cand = _bucket_candidates(band_rows.to_pandas(), ["band", "bucket"])
-
-    # exact verify: fetch the candidate docs' token sets once (candidate
-    # doc count ≪ corpus), verify pairwise Jaccard
-    texts = {}
-    if len(cand):
-        wanted = set(cand["a"]) | set(cand["b"])
-        for b in docs.iter_batches(batch_size=65536, batch_format="pandas"):
-            sel = b[b["doc_id"].isin(wanted)]
-            hashes = _token_hashes(sel["text"])
-            for d, hs in zip(sel["doc_id"], hashes):
-                texts[d] = hs
-    verified = [
-        (r.a, r.b)
-        for r in cand.itertuples()
-        if jaccard(texts[r.a], texts[r.b]) >= tau
-    ]
-    comp = _components(verified)
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    cluster = all_ids.map(lambda d: comp.get(d, d)).astype("int64")
-    return ray.data.from_pandas(pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster}))
+    cand = _candidate_pairs_ds(band_rows)
+    verified = _verified_jaccard_pairs(docs, cand, tau=tau).materialize()
+    labels = label_propagation(verified)
+    return _assign_clusters(docs, labels)
 
 
 # --------------------------------------------------------------------------
@@ -235,12 +513,14 @@ def simhash_signatures_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedup_simhash(sf_dir: str, *, max_hamming: int = 3):
-    """SimHash near-dedup → Dataset (doc_id, cluster_id).
+    """SimHash near-dedup → Dataset (doc_id, cluster_id) — fully distributed.
 
     Candidates via 4-block banding (pigeonhole for Hamming ≤ 3: at least
-    one 16-bit block matches exactly), verified by true Hamming distance.
+    one 16-bit block matches exactly). The block rows CARRY the 64-bit
+    signature, so Hamming verification runs vectorized directly on the
+    candidate-pair stream — no driver signature map, no driver block table.
+    Clusters via iterated min-label propagation (groupby rounds).
     """
-    import ray
     import ray.data
 
     docs = ray.data.read_parquet(
@@ -249,30 +529,39 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3):
     sigs = docs.map_batches(simhash_signatures_batch, batch_format="pandas")
 
     def blocks(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"block": [], "key": [], "doc_id": [], "simhash": []}
-        for d, s in zip(batch["doc_id"], batch["simhash"]):
-            s = int(s)
-            for bi in range(4):
-                out["block"].append(bi)
-                out["key"].append((s >> (16 * bi)) & 0xFFFF)
-                out["doc_id"].append(d)
-                out["simhash"].append(s)
-        return pd.DataFrame(out)
+        """Explode to (bkey, doc_id, simhash): bkey = block_idx·2^16 | block
+        bits — exact (collision-free) band key."""
+        s = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(s)
+        bkeys = np.empty((n, 4), dtype=np.uint64)
+        for bi in range(4):
+            bkeys[:, bi] = (np.uint64(bi) << np.uint64(16)) | (
+                (s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            )
+        return pd.DataFrame(
+            {
+                "bkey": bkeys.reshape(-1),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy().astype(np.int64), 4),
+                "simhash": np.repeat(s, 4),
+            }
+        )
 
-    block_df = sigs.map_batches(blocks, batch_format="pandas").to_pandas()
-    cand = _bucket_candidates(block_df, ["block", "key"])
-    sig_map = dict(
-        zip(block_df["doc_id"].astype("int64"), block_df["simhash"].astype("uint64"))
-    )
-    verified = [
-        (r.a, r.b)
-        for r in cand.itertuples()
-        if bin(int(sig_map[r.a]) ^ int(sig_map[r.b])).count("1") <= max_hamming
-    ]
-    comp = _components(verified)
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    cluster = all_ids.map(lambda d: comp.get(d, d)).astype("int64")
-    return ray.data.from_pandas(pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster}))
+    block_rows = sigs.map_batches(blocks, batch_format="pandas")
+    cand = _candidate_pairs_ds(block_rows, carry=("simhash",))
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("a", "b")})
+        x = b["simhash_a"].to_numpy().astype(np.uint64) ^ b["simhash_b"].to_numpy().astype(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(b), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": b["a"].to_numpy()[keep], "b": b["b"].to_numpy()[keep]}
+        ).astype("int64")
+
+    verified = cand.map_batches(verify, batch_format="pandas").materialize()
+    labels = label_propagation(verified)
+    return _assign_clusters(docs, labels)
 
 
 # --------------------------------------------------------------------------
@@ -284,9 +573,12 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
     """Verified near-duplicate pairs (a, b, jacq) at word-set Jaccard ≥ tau.
 
     jacq = floor(jaccard * 10^6) as int64 (quantized → hashable/portable).
+    Same distributed plan as dedup_minhash up to verification; a pair can
+    surface from several bands (different partitions), so the final tiny
+    groupby dedups the verified pair set globally.
     """
-    import ray
     import ray.data
+    from ray.data.aggregate import Min
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -297,22 +589,14 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
     band_rows = sigs.map_batches(
         _band_rows, fn_kwargs={"num_perm": num_perm, "bands": bands}, batch_format="pandas"
     )
-
-    cand = _bucket_candidates(band_rows.to_pandas(), ["band", "bucket"])
-    texts = {}
-    if len(cand):
-        wanted = set(cand["a"]) | set(cand["b"])
-        for b in docs.iter_batches(batch_size=65536, batch_format="pandas"):
-            sel = b[b["doc_id"].isin(wanted)]
-            for d, hs in zip(sel["doc_id"], _token_hashes(sel["text"])):
-                texts[d] = hs
-    rows = []
-    for r in cand.itertuples():
-        j = jaccard(texts[r.a], texts[r.b])
-        if j >= tau:
-            rows.append((r.a, r.b, int(j * 1_000_000)))
-    df = pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")
-    return ray.data.from_pandas(df.sort_values(["a", "b"], ignore_index=True))
+    cand = _candidate_pairs_ds(band_rows)
+    verified = _verified_jaccard_pairs(docs, cand, tau=tau)
+    # jacq is a pure function of (a, b): Min is just "pick the one value"
+    return (
+        verified.groupby(["a", "b"])
+        .aggregate(Min("jacq", alias_name="jacq"))
+        .sort(["a", "b"])
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,16 +1,22 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
-- brute-force cosine top-k: the exact baseline. Query matrix is broadcast
-  once (``ray.put``); each batch computes a float64 matmul against it and
-  emits its LOCAL top-k per query; the global top-k reduces over the tiny
-  per-batch partials (k × queries × batches rows — never the full score
-  matrix).
-- threshold self-join: all pairs with cosine ≥ τ. Brute per-batch × the
-  broadcast normalized matrix here (fine to ~10^5 vectors); the scale path
-  is the hyperplane-LSH bucketing used by ``ann_lsh`` / dedup_embedding
-  (bucket groupby, exact rerank inside buckets).
+- brute-force cosine top-k: the exact baseline. The QUERY matrix (a pruned,
+  filter-pushdown read of just the query rows — never the full corpus) is
+  broadcast once (``ray.put``); each batch computes a float64 matmul
+  against it and emits its LOCAL top-k per query; the global top-k reduces
+  over the tiny per-batch partials (k × queries × batches rows — never the
+  full score matrix).
+- threshold self-join (exact anchor): all pairs with cosine ≥ τ, evaluated
+  in PROBE CHUNKS — one chunk of vectors is broadcast at a time while the
+  corpus streams against it, so driver/broadcast memory is bounded by one
+  chunk (not the corpus) and the inherent O(n²) compute is spread across
+  the cluster. Exact by construction → the DuckDB-oracle anchor.
+- sim_threshold_lsh: THE SCALE PLAN for threshold joins — hyperplane-bucket
+  groupby + exact in-bucket rerank (the dedup_embedding shape). Linear-ish
+  work, approximate (recall asserted in tests vs the exact anchor).
 - ann_lsh: approximate top-k restricted to hyperplane-bucket candidates
-  (multi-probe: exact Hamming-adjacent buckets), exact rerank.
+  (multi-probe: Hamming-adjacent buckets), exact rerank; buckets are
+  computed per batch inside the map — nothing corpus-sized on the driver.
 
 Similarities are emitted quantized (``simq = floor(cos · 10^6)`` as int64)
 so results are portable across float implementations (numpy vs DuckDB) and
@@ -26,24 +32,46 @@ import pyarrow as pa
 QUANT = 1_000_000
 
 
-def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side load of the (small) embedding matrix, float64-normalized.
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
-    At 10^9+ vectors the matrix no longer fits: the query side stays
-    broadcast and the corpus side streams (exactly what ann_topk's
-    per-batch plan below does — this helper only feeds query vectors and
-    the threshold join's broadcast side).
+
+def _query_matrix(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pruned read of ONLY the query rows (filter pushdown on vec_id).
+
+    Round 1 loaded the whole embedding table to the driver to pick a
+    handful of query vectors; the filter makes the read row-group-pruned
+    and the driver footprint O(num_queries · d).
     """
+    import pyarrow.compute as pc
     import ray.data
 
     df = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
         .to_pandas()
         .sort_values("vec_id", ignore_index=True)
     )
-    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    m = _normalize_rows(np.stack(df["embedding"].to_numpy()))
     return df["vec_id"].to_numpy(), m
+
+
+def _global_topk(partials: pd.DataFrame, k: int):
+    """Reduce per-batch local top-k partials to the global top-k + rank."""
+    import ray.data as rd
+
+    out = (
+        partials.sort_values(["query_id", "simq", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return rd.from_pandas(out.astype("int64"))
 
 
 def ann_topk(sf_dir: str, *, k: int = 10, num_queries: int = 5):
@@ -55,17 +83,14 @@ def ann_topk(sf_dir: str, *, k: int = 10, num_queries: int = 5):
     import ray
     import ray.data
 
-    ids, m = _normalized_matrix(sf_dir)
-    q_sel = ids < num_queries
-    q_ids, Q = ids[q_sel], m[q_sel]
+    q_ids, Q = _query_matrix(sf_dir, num_queries)
     q_ref = ray.put((q_ids, Q))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_ = ray.get(q_ref)
-        vm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
         sims = Q_ @ vm.T  # queries × batch
         vids = batch["vec_id"].to_numpy()
         rows = {"query_id": [], "vec_id": [], "simq": []}
@@ -82,74 +107,158 @@ def ann_topk(sf_dir: str, *, k: int = 10, num_queries: int = 5):
         return pd.DataFrame(rows).astype("int64")
 
     partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
-    out = (
-        partials.sort_values(["query_id", "simq", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    import ray.data as rd
-
-    return rd.from_pandas(out.astype("int64"))
+    return _global_topk(partials, k)
 
 
-def sim_threshold_join(sf_dir: str, *, tau_q: int = 400_000):
-    """All vector pairs (a < b) with quantized cosine ≥ tau_q."""
+def sim_threshold_join(sf_dir: str, *, tau_q: int = 400_000, chunk_rows: int = 65536):
+    """All vector pairs (a < b) with quantized cosine ≥ tau_q — EXACT.
+
+    Probe-chunk plan: the corpus is scanned once per chunk of ``chunk_rows``
+    probe vectors; each chunk is loaded via a pruned (vec_id-range
+    filter-pushdown) read, broadcast once, and every streamed batch matmuls
+    against it. A pair (a<b) is emitted only in the pass whose chunk
+    contains ``a``, so passes are disjoint and their union is the exact
+    answer. Driver + broadcast memory: one chunk, never the corpus.
+
+    Threshold self-joins are inherently O(n²) compute — this is the exact
+    ANCHOR (and the DuckDB-oracle query); the scale path with linear-ish
+    work is :func:`sim_threshold_lsh`.
+    """
+    import pyarrow.compute as pc
     import ray
     import ray.data
 
-    ids, m = _normalized_matrix(sf_dir)
-    ref = ray.put((ids, m))
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata count — no scan
+
+    out = None
+    for lo in range(0, n, chunk_rows):
+        hi = lo + chunk_rows
+        chunk = (
+            ray.data.read_parquet(
+                path,
+                columns=["vec_id", "embedding"],
+                filter=(pc.field("vec_id") >= lo) & (pc.field("vec_id") < hi),
+            )
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        c_ids = chunk["vec_id"].to_numpy()
+        C = _normalize_rows(np.stack(chunk["embedding"].to_numpy()))
+        ref = ray.put((c_ids, C))
+
+        def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+            cids, C_ = ray.get(ref)
+            vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
+            bids = batch["vec_id"].to_numpy()
+            simq = np.floor((C_ @ vm.T) * QUANT).astype(np.int64)
+            ai, bi = np.where(simq >= tau_q)
+            a, b = cids[ai], bids[bi]
+            keep = a < b  # chunk side is always the smaller id → no dups across passes
+            return pd.DataFrame(
+                {"a": a[keep], "b": b[keep], "simq": simq[ai[keep], bi[keep]]}
+            ).astype("int64")
+
+        part = ds.map_batches(pairs, batch_format="pandas")
+        out = part if out is None else out.union(part)
+    return out
+
+
+def sim_threshold_lsh(
+    sf_dir: str,
+    *,
+    tau_q: int = 400_000,
+    num_tables: int = 12,
+    planes_per_table: int = 4,
+    seed: int = 11,
+):
+    """Threshold join, banded multi-table LSH — the linear-work scale plan.
+
+    OR-amplification: ``num_tables`` independent hyperplane tables of
+    ``planes_per_table`` bits each (one table's all-bits-agree probability
+    for angle θ is (1-θ/π)^k — far too low alone at moderate τ; a pair is
+    a candidate if it collides in ANY table, lifting recall to
+    1-(1-(1-θ/π)^k)^L, ≈0.9+ at cos ≥ 0.4 with L=12, k=4). Exact cosine
+    reranks inside each bucket, so precision is 1.0; the final tiny
+    groupby dedups pairs found by several tables. Candidate volume stays
+    linear-ish (per-table buckets ≈ n/2^k).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, M = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
-        bids = batch["vec_id"].to_numpy()
-        sims = vm @ M.T
-        simq = np.floor(sims * QUANT).astype(np.int64)
-        ai, bi = np.where(simq >= tau_q)
-        a, b = bids[ai], all_ids[bi]
-        keep = a < b  # each unordered pair exactly once
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "simq": simq[ai[keep], bi[keep]]}).astype(
-            "int64"
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(m.shape[1], num_tables * planes_per_table)
+        bits = m @ planes > 0
+        n = len(batch)
+        keys = np.empty((n, num_tables), dtype=np.int64)
+        w = 1 << np.arange(planes_per_table)
+        for t in range(num_tables):
+            sig = bits[:, t * planes_per_table : (t + 1) * planes_per_table] @ w
+            keys[:, t] = (t << planes_per_table) | sig  # table id ⊕ sig: exact key
+        return pd.DataFrame(
+            {
+                "bucket": keys.reshape(-1),
+                "vec_id": np.repeat(batch["vec_id"].to_numpy().astype(np.int64), num_tables),
+                "vec": [v for v in np.repeat(
+                    np.array([row.tobytes() for row in m], dtype=object), num_tables
+                )],
+            }
         )
 
-    return ds.map_batches(pairs, batch_format="pandas")
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "simq")}
+            )
+        m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        simq = np.floor((m @ m.T) * QUANT).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = simq[ai, bi] >= tau_q
+        return pd.DataFrame(
+            {"a": ids[ai[keep]], "b": ids[bi[keep]], "simq": simq[ai[keep], bi[keep]]}
+        ).astype("int64")
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup pairs surfaced by several tables (simq identical per pair)
+    return pairs.groupby(["a", "b"]).aggregate(Min("simq", alias_name="simq"))
 
 
 def ann_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, num_planes: int = 4, seed: int = 11):
     """Approximate top-k: hyperplane-bucketed candidates, exact rerank.
 
-    Scale path of ann_topk: candidates are restricted to vectors whose
-    LSH bucket is within Hamming distance 1 of the query's bucket
-    (multi-probe), so per-query work is a small fraction of the corpus.
-    Approximate by construction → rows-only correctness check; recall vs
-    the exact baseline is asserted in tests.
+    Scale path of ann_topk: candidates are restricted to vectors whose LSH
+    bucket is within Hamming distance 1 of the query's bucket (multi-probe),
+    so per-query work is a small fraction of the corpus. Corpus buckets are
+    computed per batch INSIDE the map; the driver touches only the pruned
+    query rows. Approximate by construction → rows-only correctness check;
+    recall vs the exact baseline is asserted in tests.
     """
     import ray
     import ray.data
 
-    ids, m = _normalized_matrix(sf_dir)
+    q_ids, Q = _query_matrix(sf_dir, num_queries)
     rng = np.random.RandomState(seed)
-    planes = rng.randn(m.shape[1], num_planes)
-    buckets = ((m @ planes > 0) @ (1 << np.arange(num_planes))).astype(np.int64)
-    q_sel = ids < num_queries
-    q_ids, Q, q_buckets = ids[q_sel], m[q_sel], buckets[q_sel]
-    probe = {
-        int(qb) ^ (1 << p) for qb in q_buckets for p in range(num_planes)
-    } | {int(qb) for qb in q_buckets}
+    # plane count is d × num_planes — derive d from the query rows
+    planes = rng.randn(Q.shape[1], num_planes)
+    q_buckets = ((Q @ planes > 0) @ (1 << np.arange(num_planes))).astype(np.int64)
     ref = ray.put((q_ids, Q, q_buckets, planes))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_, qb_, planes_ = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
         vb = ((vm @ planes_ > 0) @ (1 << np.arange(planes_.shape[1]))).astype(np.int64)
         vids = batch["vec_id"].to_numpy()
         rows = {"query_id": [], "vec_id": [], "simq": []}
@@ -170,13 +279,4 @@ def ann_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, num_planes: int =
         return pd.DataFrame(rows).astype("int64")
 
     partials = ds.map_batches(local, batch_format="pandas").to_pandas()
-    out = (
-        partials.sort_values(["query_id", "simq", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    import ray.data as rd
-
-    return rd.from_pandas(out.astype("int64"))
+    return _global_topk(partials, k)
