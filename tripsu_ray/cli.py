@@ -210,7 +210,7 @@ def main(argv=None):
     pp.add_argument("-s", "--secret-file", default=None, help="file with ≥32-byte secret")
     pp.add_argument("--salt", default=None, help="salt string (sha256-salted mode)")
     pp.add_argument("--algorithm", default="sha256-salted",
-                    choices=["sha256-salted", "blake2b-keyed"])
+                    choices=["sha256-salted", "blake2b-keyed", "blake3-keyed"])
     pp.add_argument("--on-error", default="raise", choices=["raise", "skip"])
     pp.set_defaults(fn=cmd_pseudo)
 

@@ -98,6 +98,53 @@ class Blake2bKeyed(Pseudonymizer):
         return hashlib.blake2b(data, key=self.key, digest_size=32).hexdigest()
 
 
+class Blake3Keyed(Pseudonymizer):
+    """Reference-conformant: key = blake3(secret)[..32], digest =
+    blake3::keyed_hash(key, data) hex (src/crypto.rs:97-119) — byte-identical
+    to the Rust binary for the same secret. Pure-Python blake3
+    (functions/blake3.py, public spec); batch hashing runs the numpy
+    lane-parallel path (~100× the scalar loop)."""
+
+    name = "blake3-keyed"
+
+    def __init__(self, secret: bytes | None = None):
+        from .blake3 import blake3 as _b3
+
+        if secret is not None:
+            if len(secret) < 32:
+                raise SecretError("Secret must be at least 32 bytes long")
+            key = _b3(secret)[:32]
+        else:
+            key = _secrets.token_bytes(32)
+        self.key = key
+
+    def pseudo_bytes(self, data: bytes) -> str:
+        from .blake3 import blake3_keyed
+
+        return blake3_keyed(self.key, data).hex()
+
+    def pseudo_unique(self, values: np.ndarray) -> np.ndarray:
+        from .blake3 import blake3_keyed_many
+
+        uniq, inv = np.unique(values.astype(object), return_inverse=True)
+        hashed = np.array(
+            blake3_keyed_many(self.key, [str(v).encode("utf-8") for v in uniq]),
+            dtype=object,
+        )
+        return hashed[inv]
+
+    def pseudo_iris(self, iris: np.ndarray) -> np.ndarray:
+        from .blake3 import blake3_keyed_many
+
+        uniq, inv = np.unique(iris.astype(object), return_inverse=True)
+        cuts = [max(str(v).rfind("#"), str(v).rfind("/")) + 1 for v in uniq]
+        digests = blake3_keyed_many(self.key, [str(v).encode("utf-8") for v in uniq])
+        rewritten = np.array(
+            [str(v)[:c] + d for v, c, d in zip(uniq, cuts, digests)], dtype=object
+        )
+        return rewritten[inv]
+
+
 def resolve_secret(secret: bytes | str | None) -> bytes | str:
     """Materialize the job secret ONCE on the driver.
 
@@ -129,8 +176,6 @@ def new_pseudonymizer(algorithm: str = "sha256-salted", secret: bytes | str | No
         sec = secret.encode("utf-8") if isinstance(secret, str) else secret
         return Blake2bKeyed(sec)
     if algorithm in ("blake3-keyed", "blake3"):
-        from .blake3 import Blake3Keyed
-
         sec = secret.encode("utf-8") if isinstance(secret, str) else secret
         return Blake3Keyed(sec)
     raise ValueError(f"unknown pseudonymization algorithm: {algorithm}")

@@ -195,18 +195,47 @@ def tree_reduce_refs(refs, map_block, merge_many, *, fanin: int = 16):
 
 
 def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
-    """Fold a (small-rows) Dataset to ONE pandas DataFrame via a tree reduce.
+    """Fold a (small-rows) Dataset to ONE pandas DataFrame via a ROLLING
+    tree reduce: merge tasks launch as soon as ``fanin`` block refs
+    materialize, overlapping the reduction with upstream execution (the
+    same overlap the old streaming driver fold had, without its
+    single-process linear concat). The driver only folds the merge-task
+    outputs plus a sub-fanin tail.
 
     ``combine_frames(list[pd.DataFrame]) -> pd.DataFrame`` must be
-    associative. Returns None for an empty dataset.
+    associative + commutative. Returns None for an empty dataset.
     """
-    refs = ds.to_arrow_refs()
-    return tree_reduce_refs(
-        refs,
-        lambda t: t.to_pandas(),
-        combine_frames,
-        fanin=fanin,
+    import ray
+
+    @ray.remote
+    def _merge(*tables):
+        frames = [t.to_pandas() if isinstance(t, pa.Table) else t for t in tables]
+        return combine_frames(frames)
+
+    pending: list = []
+    merged: list = []
+    n_leaves = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            pending.append(block_ref)
+            n_leaves += 1
+            if len(pending) >= fanin:
+                merged.append(_merge.remote(*pending))
+                pending = []
+                if len(merged) >= fanin:  # second rolling level
+                    merged = [_merge.remote(*merged)]
+    if n_leaves == 0:
+        return None
+    tail = (
+        [t.to_pandas() if isinstance(t, pa.Table) else t for t in ray.get(pending)]
+        if pending
+        else []
     )
+    roots = ray.get(merged) if merged else []
+    frames = roots + tail
+    if not frames:
+        return None
+    return combine_frames(frames)
 
 
 def relevant_types_of(rules_cfg: dict) -> list[str]:

@@ -148,10 +148,17 @@ def pseudonymize_join(
         subj = pc.unique(batch.filter(m)["subject"].combine_chunks())
         return pa.table({"sens_key": subj})
 
+    otp_types = pa.array(sorted(otp_rules["type"].unique()) if not otp_rules.empty else [], pa.string())
+
     def to_otp(batch: pa.Table) -> pa.Table:
         if otp_rules.empty:
             return pa.table({"otp_key": pa.array([], pa.string())})
-        df = batch.to_pandas().merge(otp_rules, on="type")
+        # Arrow-side prefilter: the index is huge, the rule-relevant subset
+        # tiny — only rows whose type a rule names ever reach pandas
+        sel = batch.filter(pc.is_in(batch["type"], value_set=otp_types))
+        if sel.num_rows == 0:
+            return pa.table({"otp_key": pa.array([], pa.string())})
+        df = sel.to_pandas().merge(otp_rules, on="type")
         key = (df["subject"] + "\x1f" + df["pred"]).drop_duplicates()
         return pa.table({"otp_key": pa.array(key, pa.string())})
 
