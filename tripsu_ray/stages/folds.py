@@ -94,6 +94,7 @@ def fold_pass(
     *,
     risk_predicates: list[str] | None = None,
     risk_prefixes: tuple = (),
+    timings: dict | None = None,
 ):
     """One scan → (type_pairs_df, link_map dict, total_rows, risk_rows).
 
@@ -119,7 +120,7 @@ def fold_pass(
         },
         batch_format="pyarrow",
     )
-    df = tree_fold_tables(ds, _combine_fold_frames)
+    df = tree_fold_tables(ds, _combine_fold_frames, timings=timings)
     if df is None or not len(df):
         return pd.DataFrame({"subject": [], "type": []}), {}, 0, 0
     pairs = df[df["tag"] == TAG_PAIR].rename(columns={"a": "subject", "b": "type"})
@@ -155,46 +156,75 @@ def _combine_fold_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
     return out
 
 
-def tree_reduce_refs(refs, map_block, merge_many, *, fanin: int = 16):
-    """Tree reduce over block ObjectRefs: leaf map + associative merges.
+def partitioned_hot_hashes(items, *, column: str = "_h", num_partitions: int = 16):
+    """Hashes occurring ≥2 times across blocks, via a range-partitioned merge.
 
-    The Dataset API cannot express an N-ary reduction tree without a full
-    shuffle (a distributed groupby over millions of near-distinct keys was
-    measured 7× slower than folding), so this is one of the few sanctioned
-    raw-``ray.remote`` spots: per-block partials are merged FANIN-at-a-time
-    by intermediate tasks, and the driver only folds the ≤ FANIN roots.
-    Replaces the driver-side concat-everything fold, whose single-process
-    linear term was the measured scaling bottleneck (BASELINE.md round 1).
+    The tree-reduce census anti-scaled: every merge level re-sorts the FULL
+    (still ~distinct) hash set, so adding CPUs just adds contention around a
+    big serial root. Here the 64-bit hash space is cut into
+    ``num_partitions`` contiguous ranges: each leaf task np.uniques its
+    input (sorted output → partition boundaries are free ``searchsorted``
+    slices), each range merges across all leaves in ONE parallel task, and
+    the driver concatenates only the tiny hot arrays (already in global
+    order, ranges being contiguous). All-to-all traffic is 8 bytes/distinct
+    row; no stage touches more than 1/num_partitions of the key space.
 
-    ``map_block(block) -> partial`` runs inside the first merge level (no
-    extra task hop); ``merge_many(list[partial]) -> partial`` must be
-    associative + commutative.
+    ``items`` is a list of Arrow-table ObjectRefs OR parquet file paths
+    (paths skip the Dataset executor entirely: leaves read just ``column``
+    with parquet column pruning). ``num_partitions`` must be a power of two.
     """
     import ray
 
+    shift = np.uint64(64 - int(num_partitions).bit_length() + 1)
+    if (1 << (64 - int(shift))) != num_partitions:
+        raise ValueError("num_partitions must be a power of two")
+
+    @ray.remote(num_returns=num_partitions)
+    def _leaf(*ts):
+        arrs = []
+        for t in ts:
+            if isinstance(t, str):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(t, columns=[column])
+            arrs.append(t[column].to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        cnt = np.minimum(cnt, 2).astype(np.uint8)
+        bounds = np.searchsorted(
+            uniq, np.arange(1, num_partitions, dtype=np.uint64) << shift
+        )
+        parts = tuple(
+            (u, c) for u, c in zip(np.split(uniq, bounds), np.split(cnt, bounds))
+        )
+        return parts if num_partitions > 1 else parts[0]
+
     @ray.remote
-    def _merge(first_level: bool, *items):
-        if first_level and map_block is not None:
-            items = [map_block(t) for t in items]
-        return merge_many(list(items))
+    def _hot(*parts):
+        hs = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        order = np.argsort(hs, kind="stable")
+        hs, cs = hs[order], cs[order]
+        uniq, idx = np.unique(hs, return_index=True)
+        tot = np.add.reduceat(cs, idx) if len(hs) else cs
+        return uniq[tot > 1]
 
-    level = list(refs)
-    if not level:
-        return None
-    first = True
-    while len(level) > fanin:
-        level = [
-            _merge.remote(first, *level[i : i + fanin])
-            for i in range(0, len(level), fanin)
-        ]
-        first = False
-    resolved = ray.get(list(level))
-    if first and map_block is not None:
-        resolved = [map_block(t) for t in resolved]
-    return merge_many(resolved)
+    items = list(items)
+    if not items:
+        return np.array([], dtype=np.uint64)
+    # chunk blocks into ~2×CPU leaf tasks: hundreds of tiny leaves × P
+    # returns each made driver-side ref bookkeeping the census's fixed cost
+    n_leaves = min(len(items), 2 * int(ray.cluster_resources().get("CPU", 16)))
+    chunk = -(-len(items) // n_leaves)
+    leaf_outs = [
+        _leaf.remote(*items[i : i + chunk]) for i in range(0, len(items), chunk)
+    ]
+    hot_parts = ray.get(
+        [_hot.remote(*[lo[p] for lo in leaf_outs]) for p in range(num_partitions)]
+    )
+    return np.concatenate(hot_parts)  # ranges are contiguous → already sorted
 
 
-def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
+def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | None = None):
     """Fold a (small-rows) Dataset to ONE pandas DataFrame via a ROLLING
     tree reduce: merge tasks launch as soon as ``fanin`` block refs
     materialize, overlapping the reduction with upstream execution (the
@@ -205,6 +235,8 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
     ``combine_frames(list[pd.DataFrame]) -> pd.DataFrame`` must be
     associative + commutative. Returns None for an empty dataset.
     """
+    import time as _time
+
     import ray
 
     @ray.remote
@@ -212,6 +244,7 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
         frames = [t.to_pandas() if isinstance(t, pa.Table) else t for t in tables]
         return combine_frames(frames)
 
+    _t0 = _time.perf_counter()
     pending: list = []
     merged: list = []
     n_leaves = 0
@@ -224,6 +257,9 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
                 pending = []
                 if len(merged) >= fanin:  # second rolling level
                     merged = [_merge.remote(*merged)]
+    if timings is not None:
+        timings["fold_consume"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     if n_leaves == 0:
         return None
     tail = (
@@ -235,7 +271,10 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16):
     frames = roots + tail
     if not frames:
         return None
-    return combine_frames(frames)
+    out = combine_frames(frames)
+    if timings is not None:
+        timings["fold_tail"] = _time.perf_counter() - _t0
+    return out
 
 
 def relevant_types_of(rules_cfg: dict) -> list[str]:

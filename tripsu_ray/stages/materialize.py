@@ -82,7 +82,7 @@ def _global_dedup(local, num_buckets: int = 256):
     return out.drop_columns(["_bucket"])
 
 
-def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
+def dedup_split(triples, work_dir: str, *, num_buckets: int = 64, timings: dict | None = None):
     """Exact global dedup that shuffles only the duplicate candidates.
 
     The classic full-stream groupby moves EVERY row through an all-to-all to
@@ -113,40 +113,37 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64):
         h = pd.util.hash_array(_triple_key(batch).to_numpy(zero_copy_only=False))
         return batch.append_column("_h", pa.array(h.astype(np.uint64)))
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     triples.map_batches(dedup_and_hash, batch_format="pyarrow").write_parquet(t_path)
     T = ray.data.read_parquet(t_path)
+    if timings is not None:
+        timings["ckpt_write"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     # census reads ONLY the stored hash column (parquet column pruning) and
-    # TREE-reduces (hash, multiplicity) partials: per-block np.unique runs
-    # in the leaf tasks, intermediate tasks merge-sum ~16 sorted partials
-    # each, and the driver merges only the few roots (a distributed
-    # groupby-count was measured 7× slower than folding; the tree keeps the
-    # fold's win while removing its single-process linear term — the
-    # round-1 scaling bottleneck). Counts saturate at 2: the split only
-    # needs "seen once vs more", and saturation is preserved under merge.
-    from .folds import tree_reduce_refs
+    # finds duplicated hashes with a range-partitioned parallel merge
+    # (``partitioned_hot_hashes``): leaves np.unique their block and slice
+    # it into contiguous hash ranges for free, one task per range merges
+    # across leaves, the driver concatenates only the tiny hot arrays.
+    # (History: a distributed groupby-count was 7× slower than folding;
+    # the driver fold then the tree reduce were the round-1/2 serial
+    # bottlenecks — the tree's merge levels re-sorted the full key set and
+    # anti-scaled 4→16. Counts saturate at 2: the split only needs "seen
+    # once vs more", and saturation is preserved under merge.)
+    from .folds import partitioned_hot_hashes
 
-    def census_block(t: pa.Table):
-        h = t["_h"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(h, return_counts=True)
-        return uniq, np.minimum(cnt, 2).astype(np.uint8)
+    import glob as _glob
 
-    def census_merge(parts):
-        hs = np.concatenate([p[0] for p in parts])
-        cs = np.concatenate([p[1] for p in parts]).astype(np.int64)
-        order = np.argsort(hs, kind="stable")
-        hs, cs = hs[order], cs[order]
-        uniq, idx = np.unique(hs, return_index=True)
-        cnt = np.minimum(np.add.reduceat(cs, idx), 2).astype(np.uint8) if len(hs) else cs
-        return uniq, cnt
-
-    refs = ray.data.read_parquet(t_path, columns=["_h"]).to_arrow_refs()
-    folded = tree_reduce_refs(refs, census_block, census_merge)
-    if folded is None:
-        uniq, cnt = np.array([], dtype=np.uint64), np.array([], dtype=np.uint8)
-    else:
-        uniq, cnt = folded
-    hot = uniq[cnt > 1]  # np.unique output is already sorted
+    files = sorted(_glob.glob(f"{t_path}/*.parquet")) or sorted(
+        _glob.glob(f"{t_path}/**/*.parquet", recursive=True)
+    )
+    if not files:  # non-local checkpoint store: fall back to dataset block refs
+        files = ray.data.read_parquet(t_path, columns=["_h"]).to_arrow_refs()
+    hot = partitioned_hot_hashes(files, column="_h")
+    if timings is not None:
+        timings["census"] = _time.perf_counter() - _t0
     import ray as _ray
 
     hot_ref = _ray.put(hot)
@@ -186,6 +183,7 @@ def materialize(
     sort: bool = True,
     layout: str = "bucketed",
     num_buckets: int = 256,
+    timings: dict | None = None,
 ):
     """Deduplicated, deterministically-ordered graph materialize.
 
@@ -203,7 +201,9 @@ def materialize(
     if layout == "split":
         if output_path is None:
             raise ValueError("layout='split' needs output_path (for its work dir)")
-        out = dedup_split(triples, f"{output_path}_work", num_buckets=num_buckets)
+        out = dedup_split(
+            triples, f"{output_path}_work", num_buckets=num_buckets, timings=timings
+        )
     elif layout == "sorted":
         out = dedup_exact(triples)
         if sort:
@@ -230,7 +230,12 @@ def materialize(
         out = out.drop_columns(["_bucket"])
 
     if output_path is not None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         out.write_parquet(output_path)
+        if timings is not None:
+            timings["split_write"] = _time.perf_counter() - _t0
         import ray.data
 
         return ray.data.read_parquet(output_path)
