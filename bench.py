@@ -76,21 +76,16 @@ def run_bench() -> dict:
     def triples():
         return extract_triples(read_source_files(sf_dir, repeat=repeat))
 
-    # stage 1 (ONE scan): rule-relevant type pairs + optimistic link map
-    from tripsu_ray.functions.engine import node_rewrites_any_prefix
-    from tripsu_ray.stages.folds import fold_pass, relevant_types_of, risk_predicates_of
+    # stage 1 (ONE scan): rule-relevant type pairs + optimistic link map;
+    # the serial tail (combine + matcher compile + link map) runs in one
+    # remote finalize task whose return refs ARE the broadcast objects
+    from tripsu_ray.stages.folds import fold_pass_compiled
     from tripsu_ray.stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
 
     t0 = time.perf_counter()
-    pairs_df, key_map, n_triples, n_risk = fold_pass(
-        triples(),
-        relevant_types_of(DEFAULT_RULES),
-        risk_predicates=risk_predicates_of(DEFAULT_RULES),
-        risk_prefixes=LINKABLE_PREFIXES,
-        timings=profile,
+    matcher_ref, key_map_ref, n_triples, n_risk, node_risky = fold_pass_compiled(
+        triples(), DEFAULT_RULES, link_prefixes=LINKABLE_PREFIXES, timings=profile
     )
-    matcher = compile_matcher(DEFAULT_RULES, pairs_df)
-    matcher_ref = broadcast_matcher(matcher)
     timings["fold_index_linkmap"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -100,9 +95,8 @@ def run_bench() -> dict:
 
     # exact fallback only when rules rewrite linkable IRIs — node rules are
     # decided statically, object rules against the data (risk counter)
-    if node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES) or n_risk > 0:
-        key_map = fold_link_map(pseudo_stream())  # exact fallback pass
-    key_map_ref = ray.put(key_map)
+    if node_risky or n_risk > 0:
+        key_map_ref = ray.put(fold_link_map(pseudo_stream()))  # exact fallback pass
     timings["linkmap_fallback"] = time.perf_counter() - t0
 
     # final pass: extract → pseudo → canonicalize → split dedup → write

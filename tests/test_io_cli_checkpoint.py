@@ -138,3 +138,41 @@ class TestMalformedLineCounting:
         nt.write_text("garbage line\n")
         with pytest.raises(Exception):
             read_ntriples(str(nt), on_error="raise").to_pandas()
+
+
+class TestSplitNTriplesRead:
+    """Byte-range splitting of .nt files (read parallelism must not be
+    bounded by file count — VERDICT round-2 item 7)."""
+
+    def test_every_boundary_pure(self, tmp_path):
+        # exhaustive: for EVERY chunk size, the union of chunk reads is
+        # exactly the file's lines, each exactly once (pure Python, no Ray)
+        from tripsu_ray.sources.ntriples import _nt_chunk_specs, _read_nt_chunk
+
+        lines = [f"<http://e/s{i}> <http://e/p> \"v{i}\" ." for i in range(17)]
+        f = tmp_path / "g.nt"
+        f.write_text("\n".join(lines) + "\n")
+        size = os.path.getsize(f)
+        for target in range(1, size + 2):
+            specs = _nt_chunk_specs(str(f), target)
+            got = [ln for s in specs for ln in _read_nt_chunk(*s)]
+            assert got == lines, f"target_chunk_bytes={target}"
+
+    def test_no_trailing_newline(self, tmp_path):
+        from tripsu_ray.sources.ntriples import _nt_chunk_specs, _read_nt_chunk
+
+        lines = ['<http://e/a> <http://e/p> "x" .', '<http://e/b> <http://e/p> "y" .']
+        f = tmp_path / "g.nt"
+        f.write_text("\n".join(lines))  # no final newline
+        for target in (1, 7, 20, 1000):
+            specs = _nt_chunk_specs(str(f), target)
+            got = [ln for s in specs for ln in _read_nt_chunk(*s)]
+            assert got == lines
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_split_read_matches_whole_read(self):
+        whole = read_ntriples(FIXTURE_NT, target_chunk_bytes=1 << 30)
+        split = read_ntriples(FIXTURE_NT, target_chunk_bytes=64)  # many chunks
+        key = lambda r: tuple(sorted(r.items()))
+        assert sorted(map(key, split.take_all())) == sorted(map(key, whole.take_all()))
+        assert split.count() == 15

@@ -76,7 +76,12 @@ def kg_pipeline(
     import ray.data
 
     from ..functions.engine import node_rewrites_any_prefix
-    from ..stages.folds import fold_pass, relevant_types_of, risk_predicates_of
+    from ..stages.folds import (
+        fold_pass,
+        fold_pass_compiled,
+        relevant_types_of,
+        risk_predicates_of,
+    )
     from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
     from ..state.checkpoint import CheckpointManager
 
@@ -98,20 +103,29 @@ def kg_pipeline(
 
     # pass 1 (ONE scan): rule-relevant type pairs + optimistic link map +
     # the object-rule risk counter, all associative partial aggregates
-    # tree-reduced to the driver — no shuffle.
-    def fold():
-        return fold_pass(
-            triples(),
-            relevant_types_of(rules_cfg),
-            risk_predicates=risk_predicates_of(rules_cfg),
-            risk_prefixes=LINKABLE_PREFIXES,
-        )
+    # tree-reduced with a remote finalize — no shuffle. The checkpointed
+    # path keeps the driver-side fold (its artifacts must be picklable to
+    # the stage manifest); the streaming path hands the finalize task's
+    # return refs straight to pass 2.
+    if ckpt:
 
-    pairs_df, key_map, _n, n_risk = (
-        ckpt.value_stage("folds", fold, params) if ckpt else fold()
-    )
-    matcher = compile_matcher(rules_cfg, pairs_df)
-    matcher_ref = broadcast_matcher(matcher)
+        def fold():
+            return fold_pass(
+                triples(),
+                relevant_types_of(rules_cfg),
+                risk_predicates=risk_predicates_of(rules_cfg),
+                risk_prefixes=LINKABLE_PREFIXES,
+            )
+
+        pairs_df, key_map, _n, n_risk = ckpt.value_stage("folds", fold, params)
+        matcher = compile_matcher(rules_cfg, pairs_df)
+        matcher_ref = broadcast_matcher(matcher)
+        node_risky = node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES)
+        key_map_ref = ray.put(key_map)
+    else:
+        matcher_ref, key_map_ref, _n, n_risk, node_risky = fold_pass_compiled(
+            triples(), rules_cfg, link_prefixes=LINKABLE_PREFIXES
+        )
 
     # pass 2: rule engine (stateless tasks over the broadcast matcher —
     # fuses with extract upstream and canonicalize downstream)
@@ -134,12 +148,11 @@ def kg_pipeline(
         # over-triggers, never under-triggers). Otherwise recompute the map
         # from the pseudonymized stream (exact fallback), pinning that stream
         # first so extract+pseudo don't run twice.
-        if node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES) or n_risk > 0:
+        if node_risky or n_risk > 0:
             if not ckpt:
                 pseudo_ds = pseudo_stream().materialize()
                 pseudo_stream = lambda: pseudo_ds  # noqa: E731
-            key_map = fold_link_map(pseudo_stream())
-        key_map_ref = ray.put(key_map)
+            key_map_ref = ray.put(fold_link_map(pseudo_stream()))
         out = canonicalize_tasks(pseudo_stream(), key_map_ref, batch_size=batch_size)
 
     layout = "split" if output_path else "bucketed"

@@ -18,17 +18,118 @@ import pyarrow as pa
 from ..functions.rdf import parse_ntriples_lines, serialize_ntriples
 
 
-def read_ntriples(paths, *, on_error: str = "raise", counter=None):
-    """``counter``: optional JobCounters handle — with ``on_error="skip"``,
-    dropped malformed lines increment its ``malformed_lines`` count."""
+def _nt_chunk_specs(paths, target_chunk_bytes: int) -> list[tuple[str, int, int]]:
+    """(file, start, end) byte ranges covering every .nt file, ~target each."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".nt")
+            )
+        else:
+            files.append(p)
+    specs = []
+    for f in files:
+        size = os.path.getsize(f)
+        n = max(1, -(-size // target_chunk_bytes))
+        step = -(-size // n)
+        specs.extend((f, i * step, min(size, (i + 1) * step)) for i in range(n))
+    return specs
+
+
+def _read_nt_chunk(file: str, start: int, end: int) -> list[str]:
+    """Read [start, end) snapped to line boundaries.
+
+    Ownership protocol (the classic split-text contract): a line belongs to
+    the chunk containing its FIRST byte. A chunk starting mid-file drops
+    everything up to its first newline (the previous chunk finishes that
+    line); the last line is completed by reading past ``end``.
+    """
+    with open(file, "rb") as fh:
+        if start > 0:
+            fh.seek(start - 1)
+            prev = fh.read(1)
+        else:
+            fh.seek(start)
+            prev = b"\n"
+        data = fh.read(end - start)
+        if prev != b"\n":  # mid-line start: the previous chunk owns this line
+            nl = data.find(b"\n")
+            data = data[nl + 1 :] if nl >= 0 else b""
+        if data and not data.endswith(b"\n"):
+            while True:
+                more = fh.read(1 << 20)
+                if not more:
+                    break
+                nl = more.find(b"\n")
+                if nl >= 0:
+                    data += more[: nl + 1]
+                    break
+                data += more
+    return [ln for ln in data.decode("utf-8").split("\n") if ln]
+
+
+def read_ntriples(
+    paths,
+    *,
+    on_error: str = "raise",
+    counter=None,
+    target_chunk_bytes: int = 16 << 20,
+):
+    """N-Triples → TRIPLES Dataset, split WITHIN files by byte range.
+
+    ``read_text``'s parallelism is bounded by the file count — a handful of
+    big .nt files (the reference's own workload shape: one DBLP dump) caps
+    the whole pipeline regardless of cluster size. Here each file is cut
+    into ~``target_chunk_bytes`` ranges (the same offset-read trick parquet
+    readers use); each task seeks, snaps to line boundaries, and parses its
+    chunk in place — read parallelism = corpus bytes / chunk size,
+    independent of how the corpus is sharded into files. Works on any
+    POSIX-readable store (local disk, NFS, FUSE-mounted object store);
+    non-path inputs fall back to ``read_text``.
+
+    ``counter``: optional JobCounters handle — with ``on_error="skip"``,
+    dropped malformed lines increment its ``malformed_lines`` count.
+    """
     import ray.data
 
-    ds = ray.data.read_text(paths)
-    return ds.map_batches(
-        parse_ntriples_lines,
-        fn_kwargs={"on_error": on_error, "counter": counter},
-        batch_format="pyarrow",
-    )
+    kwargs = {"on_error": on_error, "counter": counter}
+    try:
+        specs = _nt_chunk_specs(paths, target_chunk_bytes)
+    except OSError:
+        specs = []
+    if not specs:  # remote URIs etc. — read_text still shards by file
+        return ray.data.read_text(paths).map_batches(
+            parse_ntriples_lines, fn_kwargs=kwargs, batch_format="pyarrow"
+        )
+
+    def parse_chunk(batch: pa.Table) -> pa.Table:
+        out = []
+        for file, start, end in zip(
+            batch["file"].to_pylist(), batch["start"].to_pylist(), batch["end"].to_pylist()
+        ):
+            lines = _read_nt_chunk(file, start, end)
+            out.append(
+                parse_ntriples_lines(
+                    pa.table({"text": pa.array(lines, pa.string())}), **kwargs
+                )
+            )
+        return pa.concat_tables(out)
+
+    specs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "file": pa.array([s[0] for s in specs], pa.string()),
+                "start": pa.array([s[1] for s in specs], pa.int64()),
+                "end": pa.array([s[2] for s in specs], pa.int64()),
+            }
+        )
+    ).repartition(len(specs))
+    return specs_ds.map_batches(parse_chunk, batch_size=1, batch_format="pyarrow")
 
 
 def write_ntriples(triples, path: str) -> None:

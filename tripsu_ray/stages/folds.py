@@ -132,6 +132,74 @@ def fold_pass(
     return pairs, link_map, n_rows, n_risk
 
 
+def fold_pass_compiled(
+    triples,
+    rules_cfg,
+    *,
+    link_prefixes: tuple = (),
+    timings: dict | None = None,
+):
+    """One scan → (matcher_ref, link_map_ref, n_triples, n_risk, node_risky).
+
+    Same scan as :func:`fold_pass`, but the serial tail — final combine,
+    ``CompiledMatcher`` compile, link-map build, and the node-rule static
+    analysis — runs in ONE remote finalize task whose return refs are
+    handed straight to pass 2 as the broadcast objects. The index never
+    materializes on the driver (fold_pass's combine → re-dedup → compile →
+    ``ray.put`` chain was three redundant serial passes over the pair set,
+    the last serial term in the 4→16 scaling profile); the driver fetches
+    only a stats tuple.
+
+    ``node_risky`` is :func:`~tripsu_ray.functions.engine.node_rewrites_any_prefix`
+    over ``link_prefixes`` — computed in the finalize task because it scans
+    the sensitive set.
+    """
+    import ray
+
+    from ..functions.engine import CompiledMatcher, node_rewrites_any_prefix
+    from ..functions.rules import Rules
+
+    rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
+    relevant = sorted(set(rules.node_of_type) | set(rules.obj_on_type_predicate))
+    risk_preds = risk_predicates_of(rules)
+    ds = triples.map_batches(
+        _fold_batch,
+        fn_kwargs={
+            "relevant_types": relevant,
+            "risk_predicates": risk_preds,
+            "risk_prefixes": tuple(link_prefixes),
+        },
+        batch_format="pyarrow",
+    )
+
+    @ray.remote(num_returns=3)
+    def _finalize(*tables):
+        frames = [t.to_pandas() if isinstance(t, pa.Table) else t for t in tables]
+        df = _combine_fold_frames(frames)
+        # _combine_fold_frames output is already deduped/min-combined
+        pairs = df[df["tag"] == TAG_PAIR].rename(columns={"a": "subject", "b": "type"})
+        links = df[df["tag"] == TAG_LINK]
+        link_map = dict(zip(links["a"], links["b"]))
+        n_rows = int(df.loc[df["tag"] == TAG_COUNT, "a"].astype("int64").sum())
+        n_risk = int(df.loc[df["tag"] == TAG_RISK, "a"].astype("int64").sum())
+        matcher = CompiledMatcher(rules, pairs[["subject", "type"]])
+        node_risky = node_rewrites_any_prefix(matcher, tuple(link_prefixes))
+        return matcher, link_map, (n_rows, n_risk, node_risky)
+
+    import time as _time
+
+    refs = _rolling_tree_refs(ds, _combine_fold_frames, timings=timings)
+    _t0 = _time.perf_counter()
+    if not refs:
+        matcher = CompiledMatcher(rules, pd.DataFrame({"subject": [], "type": []}))
+        return ray.put(matcher), ray.put({}), 0, 0, False
+    matcher_ref, link_map_ref, stats_ref = _finalize.remote(*refs)
+    n_rows, n_risk, node_risky = ray.get(stats_ref)
+    if timings is not None:
+        timings["fold_tail"] = _time.perf_counter() - _t0
+    return matcher_ref, link_map_ref, n_rows, n_risk, node_risky
+
+
 def _combine_fold_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
     """Associative combine for fold_pass partials (any subset of blocks).
 
@@ -224,16 +292,15 @@ def partitioned_hot_hashes(items, *, column: str = "_h", num_partitions: int = 1
     return np.concatenate(hot_parts)  # ranges are contiguous → already sorted
 
 
-def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | None = None):
-    """Fold a (small-rows) Dataset to ONE pandas DataFrame via a ROLLING
-    tree reduce: merge tasks launch as soon as ``fanin`` block refs
-    materialize, overlapping the reduction with upstream execution (the
-    same overlap the old streaming driver fold had, without its
-    single-process linear concat). The driver only folds the merge-task
-    outputs plus a sub-fanin tail.
+def _rolling_tree_refs(ds, combine_frames, *, fanin: int = 16, timings: dict | None = None):
+    """Rolling tree reduce over a Dataset's blocks; returns ObjectRefs.
 
-    ``combine_frames(list[pd.DataFrame]) -> pd.DataFrame`` must be
-    associative + commutative. Returns None for an empty dataset.
+    Merge tasks launch as soon as ``fanin`` block refs materialize,
+    overlapping the reduction with upstream execution (the same overlap a
+    streaming driver fold has, without its single-process linear concat).
+    Returns the ≤ 2×fanin refs still outstanding — merge-task results plus
+    a sub-fanin tail of raw block refs (Arrow or pandas) — for the caller
+    to finalize; empty list for an empty dataset.
     """
     import time as _time
 
@@ -247,11 +314,9 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | Non
     _t0 = _time.perf_counter()
     pending: list = []
     merged: list = []
-    n_leaves = 0
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
             pending.append(block_ref)
-            n_leaves += 1
             if len(pending) >= fanin:
                 merged.append(_merge.remote(*pending))
                 pending = []
@@ -259,18 +324,27 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | Non
                     merged = [_merge.remote(*merged)]
     if timings is not None:
         timings["fold_consume"] = _time.perf_counter() - _t0
+    return merged + pending
+
+
+def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | None = None):
+    """Fold a (small-rows) Dataset to ONE driver-side pandas DataFrame via
+    :func:`_rolling_tree_refs`. Returns None for an empty dataset.
+
+    ``combine_frames(list[pd.DataFrame]) -> pd.DataFrame`` must be
+    associative + commutative.
+    """
+    import time as _time
+
+    import ray
+
+    refs = _rolling_tree_refs(ds, combine_frames, fanin=fanin, timings=timings)
     _t0 = _time.perf_counter()
-    if n_leaves == 0:
+    if not refs:
         return None
-    tail = (
-        [t.to_pandas() if isinstance(t, pa.Table) else t for t in ray.get(pending)]
-        if pending
-        else []
-    )
-    roots = ray.get(merged) if merged else []
-    frames = roots + tail
-    if not frames:
-        return None
+    frames = [
+        t.to_pandas() if isinstance(t, pa.Table) else t for t in ray.get(refs)
+    ]
     out = combine_frames(frames)
     if timings is not None:
         timings["fold_tail"] = _time.perf_counter() - _t0
