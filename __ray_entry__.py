@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": docops.q_ann_topk,
         "ann_lsh": docops.q_ann_lsh,
+        "ann_ivf": docops.q_ann_ivf,
         "sim_threshold": docops.q_sim_threshold,
         "sim_threshold_lsh": docops.q_sim_threshold_lsh,
         # multimodal
@@ -64,7 +65,7 @@ def oracle_sql() -> dict[str, str]:
 
     Intentionally omitted (→ rows-only check): text_rolling_fp,
     dedup_minhash, dedup_simhash, dedup_embedding (probabilistic LSH /
-    iterative components), ann_lsh, jaccard_pairs_lsh, sim_threshold_lsh
+    iterative components), ann_lsh, ann_ivf, jaccard_pairs_lsh, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
     vs their exact anchors), multimodal_features (feature vector from
     binary payloads).

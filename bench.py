@@ -215,8 +215,66 @@ def run_nt_bench() -> dict:
     }
 
 
+def run_join_bench() -> dict:
+    """Broadcast pass-2 vs the huge-index join plan, same corpus, end to end.
+
+    Each side's timing includes its own pass 1 (broadcast: fold+compile;
+    join: the index-pairs scan consumed inside the three joins). The join
+    plan pays three all-to-all exchanges of the stream by design — the
+    criterion is staying within ~2× of broadcast at equal data.
+    """
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("GRAFT_REPEAT", "60"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from tripsu_ray.pipelines.kg import DEFAULT_RULES, DEFAULT_SALT
+    from tripsu_ray.sources.synth import read_source_files
+    from tripsu_ray.stages.extract import extract_triples
+    from tripsu_ray.stages.folds import fold_pass_compiled
+    from tripsu_ray.stages.index import type_index_pairs
+    from tripsu_ray.stages.pseudo import pseudonymize_join, pseudonymize_tasks
+
+    def triples():
+        return extract_triples(read_source_files(sf_dir, repeat=repeat))
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    t0 = time.perf_counter()
+    matcher_ref, _, n_triples, _, _ = fold_pass_compiled(triples(), DEFAULT_RULES)
+    n_b = pseudonymize_tasks(triples(), matcher_ref, secret=DEFAULT_SALT).count()
+    broadcast_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_j = pseudonymize_join(
+        triples(), DEFAULT_RULES, type_index_pairs(triples()), secret=DEFAULT_SALT
+    ).count()
+    join_sec = time.perf_counter() - t0
+    assert n_b == n_j, (n_b, n_j)
+    return {
+        "metric": "pass2_broadcast_vs_join",
+        "unit": "sec",
+        "broadcast_sec": round(broadcast_sec, 3),
+        "join_sec": round(join_sec, 3),
+        "join_over_broadcast": round(join_sec / broadcast_sec, 3),
+        "triples": n_triples,
+        "num_cpus": num_cpus,
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
-    if "--ntriples" in sys.argv:
+    if "--joinplan" in sys.argv:
+        print(json.dumps(run_join_bench()))
+    elif "--ntriples" in sys.argv:
         print(json.dumps(run_nt_bench()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -41,6 +41,34 @@ def test_rolling_fp_deterministic_and_order_sensitive():
     assert a.rolling_fp[0] != c.rolling_fp[0]
 
 
+def test_rolling_fp_vectorized_matches_scalar_reference():
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = ["", "one", "a b", "x " * 7, "y " * 8]  # empty, short, ==window, long
+    docs += [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(40)
+    ]
+    out = text.rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    for i, d in enumerate(docs):
+        assert out.rolling_fp[i] == text._rolling_fp_scalar(d), (i, d)
+
+
+def test_rolling_fp_batch_invariant():
+    # fingerprints must not depend on which docs share a batch
+    docs = ["alpha beta gamma delta " * 3, "beta beta beta", "alpha"]
+    together = text.rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": docs})
+    )
+    for i, d in enumerate(docs):
+        solo = text.rolling_fingerprint_batch(pd.DataFrame({"doc_id": [0], "text": [d]}))
+        assert solo.rolling_fp[0] == together.rolling_fp[i]
+
+
 def test_jaccard_kernel():
     a = np.array([1, 2, 3, 4], dtype=np.uint64)
     b = np.array([3, 4, 5, 6], dtype=np.uint64)
@@ -116,7 +144,22 @@ class TestDocOpsRay:
         # recall@10 of the bucketed variant vs the exact baseline
         e = set(map(tuple, exact[["query_id", "vec_id"]].values))
         a = set(map(tuple, approx[["query_id", "vec_id"]].values))
-        assert len(e & a) / len(e) >= 0.3  # multi-probe 6-plane LSH, tiny corpus
+        # 8 tables × 4 planes, ≤1-bit multiprobe: measured 1.0 on this corpus
+        # (round-1 single-table variant was ~0.3)
+        assert len(e & a) / len(e) >= 0.8
+
+    def test_ann_ivf_recall_vs_exact(self):
+        exact = similarity.ann_topk(SF, k=10).to_pandas()
+        approx = similarity.ann_ivf(SF, k=10).to_pandas()
+        e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+        # nprobe 8 of 64 cells probes ~12% of a near-orthogonal corpus;
+        # measured 0.48 here (deterministic seeds)
+        assert len(e & a) / len(e) >= 0.4
+        # precision is exact within probed cells: every returned pair's simq
+        # must equal the exact pair's simq when shared
+        m = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
+        assert (m.simq_e == m.simq_a).all()
 
     def test_ann_topk_shape_and_rank(self):
         out = similarity.ann_topk(SF, k=10).to_pandas()

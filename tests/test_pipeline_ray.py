@@ -105,7 +105,7 @@ class TestRayPipeline:
 class TestJoinFallback:
     """pseudonymize_join (huge-index plan) ≡ broadcast plan, bit for bit."""
 
-    def _both(self, rules_cfg):
+    def _both(self, rules_cfg, num_partitions: int = 4):
         from tripsu_ray.stages.folds import fold_pass, relevant_types_of
         from tripsu_ray.stages.index import type_index_pairs
         from tripsu_ray.stages.pseudo import (
@@ -122,7 +122,8 @@ class TestJoinFallback:
         ref = broadcast_matcher(compile_matcher(rules_cfg, pairs_df))
         a = pseudonymize_tasks(triples(), ref, secret="s").to_pandas()
         b = pseudonymize_join(
-            triples(), rules_cfg, type_index_pairs(triples()), secret="s", num_partitions=4
+            triples(), rules_cfg, type_index_pairs(triples()), secret="s",
+            num_partitions=num_partitions,
         ).to_pandas()
         key = ["subject", "subject_kind", "predicate", "object_value", "object_kind"]
         return (
@@ -136,6 +137,13 @@ class TestJoinFallback:
 
     def test_inverted_rules(self):
         a, b = self._both({**DEFAULT_RULES, "invert": True})
+        assert a == b
+
+    def test_many_partitions(self):
+        # num_partitions ≫ distinct right keys leaves empty shards — the
+        # regime where Ray 2.49's Dataset.join backend broke (and why the
+        # plan now uses grouped is_in probes)
+        a, b = self._both(DEFAULT_RULES, num_partitions=32)
         assert a == b
 
 

@@ -87,6 +87,7 @@ def q_jaccard_pairs_lsh(sf_dir: str):
 
 q_ann_topk = similarity.ann_topk
 q_ann_lsh = similarity.ann_lsh
+q_ann_ivf = similarity.ann_ivf
 q_sim_threshold = similarity.sim_threshold_join
 q_sim_threshold_lsh = similarity.sim_threshold_lsh
 

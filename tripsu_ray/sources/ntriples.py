@@ -78,7 +78,7 @@ def read_ntriples(
     *,
     on_error: str = "raise",
     counter=None,
-    target_chunk_bytes: int = 16 << 20,
+    target_chunk_bytes: int | None = None,
 ):
     """N-Triples → TRIPLES Dataset, split WITHIN files by byte range.
 
@@ -94,11 +94,19 @@ def read_ntriples(
 
     ``counter``: optional JobCounters handle — with ``on_error="skip"``,
     dropped malformed lines increment its ``malformed_lines`` count.
+    ``target_chunk_bytes`` defaults adaptively: corpus bytes / (4 × cluster
+    CPUs), clamped to [4 MB, 64 MB], so small corpora still fan out and
+    huge ones don't flood the scheduler with tiny tasks.
     """
+    import ray
     import ray.data
 
     kwargs = {"on_error": on_error, "counter": counter}
     try:
+        if target_chunk_bytes is None:
+            total = sum(s[2] - s[1] for s in _nt_chunk_specs(paths, 1 << 62))
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            target_chunk_bytes = min(64 << 20, max(4 << 20, total // (4 * cpus)))
         specs = _nt_chunk_specs(paths, target_chunk_bytes)
     except OSError:
         specs = []

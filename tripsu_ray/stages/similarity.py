@@ -234,38 +234,145 @@ def sim_threshold_lsh(
     return pairs.groupby(["a", "b"]).aggregate(Min("simq", alias_name="simq"))
 
 
-def ann_lsh(sf_dir: str, *, k: int = 10, num_queries: int = 5, num_planes: int = 4, seed: int = 11):
-    """Approximate top-k: hyperplane-bucketed candidates, exact rerank.
+def _train_centroids(
+    sf_dir: str, num_centroids: int, sample: int, iters: int, seed: int
+) -> np.ndarray:
+    """Coarse k-means on a PRUNED sample read (vec_id filter pushdown).
 
-    Scale path of ann_topk: candidates are restricted to vectors whose LSH
-    bucket is within Hamming distance 1 of the query's bucket (multi-probe),
-    so per-query work is a small fraction of the corpus. Corpus buckets are
-    computed per batch INSIDE the map; the driver touches only the pruned
-    query rows. Approximate by construction → rows-only correctness check;
-    recall vs the exact baseline is asserted in tests.
+    The sample (≤ ``sample`` rows × d) is the only thing the driver holds;
+    Lloyd iterations on it are trivial. Deterministic: fixed seed, fixed
+    sample, fixed iteration count — every worker/query sees one centroid
+    set via broadcast.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    df = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < sample,
+    ).to_pandas()
+    X = _normalize_rows(np.stack(df["embedding"].to_numpy()))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine, rows normalized
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize_rows(C)
+    return C
+
+
+def ann_ivf(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    num_queries: int = 5,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 11,
+):
+    """IVF top-k: data-adaptive partitions instead of random hyperplanes.
+
+    Coarse centroids (k-means on a pruned sample) partition the corpus;
+    each query probes only its ``nprobe`` nearest partitions and reranks
+    those candidates exactly. One corpus pass, no shuffle: assignment
+    happens per batch map-side against the broadcast centroid matrix
+    (num_centroids × d — O(KB)); per-batch work is a slim double matmul.
+    On clustered corpora IVF recall beats hyperplane LSH at equal probe
+    cost because cell boundaries follow the data. Approximate → rows-only
+    correctness; recall vs ann_topk asserted in tests.
+    """
+    import ray
+    import ray.data
+
+    q_ids, Q = _query_matrix(sf_dir, num_queries)
+    C = _train_centroids(sf_dir, num_centroids, sample, iters, seed)
+    # per-query probe set: nprobe nearest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, Q, C, probe))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, Q_, C_, probe_ = ray.get(ref)
+        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
+        assign = np.argmax(vm @ C_.T, axis=1)
+        vids = batch["vec_id"].to_numpy()
+        rows = {"query_id": [], "vec_id": [], "simq": []}
+        for qi, qid in enumerate(q_ids_):
+            cand = np.isin(assign, probe_[qi]) & (vids != qid)
+            if not cand.any():
+                continue
+            simq = np.floor((Q_[qi] @ vm[cand].T) * QUANT).astype(np.int64)
+            cids = vids[cand]
+            order = np.lexsort((cids, -simq))[:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["vec_id"].extend(cids[order])
+            rows["simq"].extend(simq[order])
+        return pd.DataFrame(rows).astype("int64")
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _global_topk(partials, k)
+
+
+def ann_lsh(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    num_queries: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 11,
+):
+    """Approximate top-k: multi-table hyperplane candidates, exact rerank.
+
+    Scale path of ann_topk. OR-amplification across ``num_tables``
+    independent tables of ``num_planes`` bits each, plus ≤1-bit-Hamming
+    multiprobe per table (``x & (x-1) == 0`` over the signature XOR covers
+    exact + Hamming-1 in one vectorized test): a vector is a candidate if
+    ANY table probes it, lifting recall the same way sim_threshold_lsh's
+    banding does (round-1 single-table recall was ~0.3; banded ≈0.9).
+    Corpus buckets are computed per batch INSIDE the map; the driver
+    touches only the pruned query rows. Approximate by construction →
+    rows-only correctness check; recall vs the exact baseline is asserted
+    in tests.
     """
     import ray
     import ray.data
 
     q_ids, Q = _query_matrix(sf_dir, num_queries)
     rng = np.random.RandomState(seed)
-    # plane count is d × num_planes — derive d from the query rows
-    planes = rng.randn(Q.shape[1], num_planes)
-    q_buckets = ((Q @ planes > 0) @ (1 << np.arange(num_planes))).astype(np.int64)
-    ref = ray.put((q_ids, Q, q_buckets, planes))
+    # plane count is d × (tables · planes) — derive d from the query rows
+    planes = rng.randn(Q.shape[1], num_tables * num_planes)
+    w = 1 << np.arange(num_planes)
+
+    def signatures(m: np.ndarray) -> np.ndarray:
+        """n × num_tables int signatures from the stacked plane bits."""
+        bits = m @ planes > 0
+        return np.stack(
+            [bits[:, t * num_planes : (t + 1) * num_planes] @ w for t in range(num_tables)],
+            axis=1,
+        ).astype(np.int64)
+
+    q_sigs = signatures(Q)
+    ref = ray.put((q_ids, Q, q_sigs))
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        q_ids_, Q_, qb_, planes_ = ray.get(ref)
+        q_ids_, Q_, qs_ = ray.get(ref)
         vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        vb = ((vm @ planes_ > 0) @ (1 << np.arange(planes_.shape[1]))).astype(np.int64)
+        vs = signatures(vm)  # n × tables
         vids = batch["vec_id"].to_numpy()
         rows = {"query_id": [], "vec_id": [], "simq": []}
         for qi, qid in enumerate(q_ids_):
-            cand = (vb == qb_[qi])
-            for p in range(planes_.shape[1]):
-                cand |= vb == (int(qb_[qi]) ^ (1 << p))
+            x = vs ^ qs_[qi]  # n × tables
+            cand = ((x & (x - 1)) == 0).any(axis=1)  # ≤1 bit differs in ANY table
             cand &= vids != qid
             if not cand.any():
                 continue
