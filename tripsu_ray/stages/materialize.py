@@ -82,7 +82,14 @@ def _global_dedup(local, num_buckets: int = 256):
     return out.drop_columns(["_bucket"])
 
 
-def dedup_split(triples, work_dir: str, *, num_buckets: int = 64, timings: dict | None = None):
+def dedup_split(
+    triples,
+    work_dir: str,
+    *,
+    num_buckets: int = 64,
+    timings: dict | None = None,
+    output_path: str | None = None,
+):
     """Exact global dedup that shuffles only the duplicate candidates.
 
     The classic full-stream groupby moves EVERY row through an all-to-all to
@@ -90,8 +97,9 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64, timings: dict 
 
     1. checkpoint the locally-deduped stream to Parquet (doubles as the
        resumable stage checkpoint),
-    2. census: one map pass emits a 64-bit hash per row; the driver folds a
-       multiplicity count (~8B/row — bounded and tiny next to the stream),
+    2. census: one map pass emits a 64-bit hash per row; a range-partitioned
+       parallel merge finds the duplicated hashes (~8B/row — bounded and
+       tiny next to the stream),
     3. split: rows whose hash count == 1 are PROVABLY globally unique and
        bypass the shuffle entirely; only hash-count ≥ 2 rows (true
        duplicates + rare hash collisions) go through the exact grouped
@@ -101,6 +109,12 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64, timings: dict 
     both to the hot side, where dedup groups by the FULL key — correctness
     never depends on hash uniqueness. Skew-safety: a pathological corpus
     that is mostly duplicates degrades to the full shuffle, never worse.
+
+    With ``output_path`` the split pass reads the checkpoint ONCE: cold
+    rows stream straight into the output Parquet while each task spills
+    its (few) hot rows to side files, which are then exactly deduped and
+    appended to the same output directory — one full read instead of two.
+    Returns the re-read output Dataset in that mode, else the lazy union.
     """
     import numpy as np
     import pandas as pd
@@ -148,17 +162,55 @@ def dedup_split(triples, work_dir: str, *, num_buckets: int = 64, timings: dict 
 
     hot_ref = _ray.put(hot)
 
-    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+    def _is_hot(batch: pa.Table) -> "np.ndarray":
         hot_arr = _ray.get(hot_ref)
         h = batch["_h"].to_numpy(zero_copy_only=False)
         if len(hot_arr) == 0:
-            is_hot = np.zeros(len(h), dtype=bool)
-        else:
-            idx = np.searchsorted(hot_arr, h)
-            idx[idx >= len(hot_arr)] = 0
-            is_hot = hot_arr[idx] == h
-        mask = is_hot if keep_hot else ~is_hot
+            return np.zeros(len(h), dtype=bool)
+        idx = np.searchsorted(hot_arr, h)
+        idx[idx >= len(hot_arr)] = 0
+        return hot_arr[idx] == h
+
+    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+        mask = _is_hot(batch)
+        if not keep_hot:
+            mask = ~mask
         return batch.filter(pa.array(mask)).drop_columns(["_h"])
+
+    if output_path is not None:
+        # single-read split: cold rows → output Parquet directly; hot rows
+        # spill to side files from inside the same tasks (content is
+        # deterministic; file names need not be), then dedup + append
+        import os as _os
+        import uuid as _uuid
+
+        hot_dir = f"{work_dir}/hot"
+        _os.makedirs(hot_dir, exist_ok=True)
+
+        def split_route(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            mask = _is_hot(batch)
+            if mask.any():
+                hot_part = batch.filter(pa.array(mask)).drop_columns(["_h"])
+                _pq.write_table(hot_part, f"{hot_dir}/{_uuid.uuid4().hex}.parquet")
+            return batch.filter(pa.array(~mask)).drop_columns(["_h"])
+
+        T.map_batches(split_route, batch_format="pyarrow").write_parquet(output_path)
+        import glob as _g
+
+        hot_files = sorted(_g.glob(f"{hot_dir}/*.parquet"))
+        if hot_files:
+            hot_ds = ray.data.read_parquet(hot_files)
+            if len(hot) < 100_000:
+                hot_tbl = pa.concat_tables(
+                    list(hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+                )
+                hot_dedup = ray.data.from_arrow(_dedup_batch(hot_tbl))
+            else:
+                hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
+            hot_dedup.write_parquet(output_path)  # appends unique file names
+        return ray.data.read_parquet(output_path)
 
     cold = T.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
     hot_ds = T.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
@@ -201,9 +253,21 @@ def materialize(
     if layout == "split":
         if output_path is None:
             raise ValueError("layout='split' needs output_path (for its work dir)")
+        import time as _time
+
+        _t0 = _time.perf_counter()
         out = dedup_split(
-            triples, f"{output_path}_work", num_buckets=num_buckets, timings=timings
+            triples,
+            f"{output_path}_work",
+            num_buckets=num_buckets,
+            timings=timings,
+            output_path=output_path,
         )
+        if timings is not None:
+            timings["split_write"] = _time.perf_counter() - _t0 - sum(
+                timings.get(k, 0.0) for k in ("ckpt_write", "census")
+            )
+        return out
     elif layout == "sorted":
         out = dedup_exact(triples)
         if sort:
