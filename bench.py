@@ -49,7 +49,7 @@ def run_bench() -> dict:
 
     from tripsu_ray.pipelines.kg import DEFAULT_RULES, DEFAULT_SALT
     from tripsu_ray.stages.materialize import materialize
-    from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+    from tripsu_ray.stages.pseudo import pseudonymize_tasks
     from tripsu_ray.stages.extract import extract_triples
     from tripsu_ray.sources.synth import read_source_files
 

@@ -102,6 +102,48 @@ class TestRayPipeline:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFoldPassCompiled:
+    """fold_pass_compiled (remote finalize) ≡ fold_pass + driver compile."""
+
+    def test_equivalent_artifacts(self):
+        import ray
+
+        from tripsu_ray.pipelines.kg import DEFAULT_RULES
+        from tripsu_ray.stages.folds import (
+            fold_pass,
+            fold_pass_compiled,
+            relevant_types_of,
+            risk_predicates_of,
+        )
+        from tripsu_ray.stages.link import LINKABLE_PREFIXES
+        from tripsu_ray.stages.pseudo import compile_matcher
+        from tripsu_ray.functions.engine import node_rewrites_any_prefix
+
+        def triples():
+            return extract_triples(read_source_files(SF))
+
+        pairs_df, key_map, n, n_risk = fold_pass(
+            triples(),
+            relevant_types_of(DEFAULT_RULES),
+            risk_predicates=risk_predicates_of(DEFAULT_RULES),
+            risk_prefixes=LINKABLE_PREFIXES,
+        )
+        m_ref, km_ref, n2, n_risk2, node_risky2 = fold_pass_compiled(
+            triples(), DEFAULT_RULES, link_prefixes=LINKABLE_PREFIXES
+        )
+        assert (n, n_risk) == (n2, n_risk2)
+        assert ray.get(km_ref) == key_map
+        a = compile_matcher(DEFAULT_RULES, pairs_df)
+        b = ray.get(m_ref)
+        assert a._sensitive.sort() == b._sensitive.sort()
+        assert a._on_pred == b._on_pred
+        assert len(a._otp_groups) == len(b._otp_groups)
+        for (sa, pa_), (sb, pb) in zip(a._otp_groups, b._otp_groups):
+            assert sa.sort() == sb.sort() and pa_ == pb
+        assert node_rewrites_any_prefix(a, LINKABLE_PREFIXES) == node_risky2
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestJoinFallback:
     """pseudonymize_join (huge-index plan) ≡ broadcast plan, bit for bit."""
 
