@@ -53,20 +53,72 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
     out = None
     for lo in range(0, n, chunk_rows):
         chunk_map = dedup._token_hash_map(docs, range(lo, min(lo + chunk_rows, n)))
-        c_ids = np.sort(np.fromiter(chunk_map.keys(), dtype=np.int64))
-        ref = ray.put((c_ids, [chunk_map[int(i)] for i in c_ids]))
+        c_ids = np.sort(np.fromiter(chunk_map.keys(), dtype=np.int64, count=len(chunk_map)))
+        c_lens = np.fromiter(
+            (len(chunk_map[int(i)]) for i in c_ids), dtype=np.int64, count=len(c_ids)
+        )
+        c_offs = np.concatenate(([0], np.cumsum(c_lens)))
+        c_flat = (
+            np.concatenate([chunk_map[int(i)] for i in c_ids])
+            if len(c_ids)
+            else np.empty(0, np.uint64)
+        )
+        # NB: bind the chunk's ref as a DEFAULT ARG — Ray Data plans execute
+        # lazily, so a plain closure over the loop variable would serialize
+        # every pass with the LAST chunk's broadcast.
+        ref = ray.put((c_ids, c_offs, c_flat))
 
-        def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-            cids, c_h = ray.get(ref)
+        def pairs(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            cids, coffs, cflat = ray.get(_ref)
+            empty = pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "jacq")}
+            )
             bh = dedup._token_hashes(batch["text"])
-            bids = batch["doc_id"].to_numpy()
+            bids = batch["doc_id"].to_numpy().astype(np.int64)
+            if not len(cids) or not len(bids):
+                return empty
+            b_lens = np.fromiter(map(len, bh), dtype=np.int64, count=len(bh))
+            b_flat = np.concatenate(bh) if len(bh) else np.empty(0, np.uint64)
+            vocab = np.unique(np.concatenate([cflat, b_flat]))
+            if len(vocab) <= dedup._BITSET_MAX_BITS:
+                # bitset cross product: intersection = AND + popcount per word
+                b_offs = np.concatenate(([0], np.cumsum(b_lens)))
+                cm = dedup._bitset_matrix(coffs, cflat, vocab)
+                bm = dedup._bitset_matrix(b_offs, b_flat, vocab)
+                outs = []
+                step = max(1, (1 << 21) // len(bids))  # bound the slice matrix
+                for s in range(0, len(cids), step):
+                    e = min(s + step, len(cids))
+                    inter = np.zeros((e - s, len(bids)), dtype=np.int64)
+                    for w in range(cm.shape[1]):
+                        inter += dedup._popcount_u64(
+                            cm[s:e, w][:, None] & bm[:, w][None, :]
+                        ).astype(np.int64)
+                    union = c_lens[s:e][:, None] + b_lens[None, :] - inter
+                    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                    valid = (cids[s:e][:, None] < bids[None, :]) & (jac >= tau)
+                    ii, jj = np.nonzero(valid)
+                    if len(ii):
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "a": cids[s:e][ii],
+                                    "b": bids[jj],
+                                    "jacq": (jac[ii, jj] * 1_000_000).astype("int64"),
+                                }
+                            )
+                        )
+                return (
+                    pd.concat(outs, ignore_index=True).astype("int64") if outs else empty
+                )
+            # generic-vocab fallback: per-pair sorted-merge
             rows = []
             for j, b in enumerate(bids):
                 hb = bh[j]
                 for i, a in enumerate(cids):
                     if a >= b:
                         break  # cids sorted: chunk side is always the smaller id
-                    jac = dedup.jaccard(c_h[i], hb)
+                    jac = dedup.jaccard(cflat[coffs[i] : coffs[i + 1]], hb)
                     if jac >= tau:
                         rows.append((a, b, int(jac * 1_000_000)))
             return pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")

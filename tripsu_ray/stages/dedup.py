@@ -129,7 +129,12 @@ def _band_rows(sig_df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
     n = len(sig_df)
     if n == 0:
         return pd.DataFrame(
-            {"bkey": pd.Series([], dtype="uint64"), "doc_id": pd.Series([], dtype="int64")}
+            {
+                "bkey": pd.Series([], dtype="uint64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "bi": pd.Series([], dtype="int64"),
+                "allk": pd.Series([], dtype=object),
+            }
         )
     sigs = np.frombuffer(b"".join(sig_df["sig"].tolist()), dtype=np.uint64).reshape(
         n, num_perm
@@ -140,24 +145,41 @@ def _band_rows(sig_df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
         for j in range(r):
             h = (h ^ sigs[:, bi * r + j]) * _FNV_PRIME
         bkeys[:, bi] = h
+    # ``bi`` + ``allk`` (every band key of the doc, as one fixed-width blob)
+    # let the pair generator emit each candidate pair EXACTLY ONCE across
+    # bands: the first band in which two docs collide owns the pair. On a
+    # near-duplicate clique (docs colliding in every band) this cuts pair
+    # generation + verification by a factor of ``bands``.
+    blobs = np.array([bkeys[i].tobytes() for i in range(n)], dtype=object)
     return pd.DataFrame(
         {
             "bkey": bkeys.reshape(-1),  # row-major: doc 0's bands, doc 1's …
             "doc_id": np.repeat(sig_df["doc_id"].to_numpy().astype(np.int64), bands),
+            "bi": np.tile(np.arange(bands, dtype=np.int64), n),
+            "allk": np.repeat(blobs, bands),
         }
     )
 
 
-def _candidate_pairs_ds(bkey_ds, *, num_parts: int = 32, carry: tuple = ()):
+def _candidate_pairs_ds(
+    bkey_ds, *, num_parts: int = 32, carry: tuple = (), pair_chunk: int = 1 << 22
+):
     """Band-row Dataset → candidate-pair Dataset, nothing on the driver.
 
     The round-1 plan folded the whole docs×bands bucket table to the driver;
     here the table stays distributed: a coarse hash partition on ``bkey``
     (same key ⇒ same partition) co-locates every bucket, and each of the
-    ~num_parts partitions runs the vectorized duplicated-filter + self-merge
-    locally. Pairs may repeat ACROSS partitions (a pair sharing buckets in
-    several bands) — callers either dedup with a tiny groupby (pair output)
-    or don't care (label propagation is idempotent over duplicate edges).
+    ~num_parts partitions enumerates its buckets' pairs with a vectorized
+    numpy generator (chunked to ``pair_chunk`` pairs so a giant bucket never
+    materializes k² rows at once — the round-2 pandas self-merge did, and a
+    2700-doc near-dup clique cost Σk² ≈ 99M merge rows).
+
+    Exactly-once across bands: when the input carries ``bi`` (band index)
+    and ``allk`` (all band keys of the doc as a fixed-width uint64 blob),
+    band i emits a pair only if no band j < i also bucketed it — the first
+    colliding band owns the pair. Without those columns (plain bucket
+    tables) pairs may still repeat across partitions; callers dedup with a
+    tiny groupby or rely on label-propagation idempotency.
 
     ``carry`` columns ride along as ``<col>_a`` / ``<col>_b`` so verification
     that only needs per-doc signatures can run directly on the pair stream.
@@ -169,21 +191,67 @@ def _candidate_pairs_ds(bkey_ds, *, num_parts: int = 32, carry: tuple = ()):
         return df
 
     def gen(group: pd.DataFrame) -> pd.DataFrame:
-        cols = ["bkey", "doc_id", *carry]
-        dup = group[group.duplicated(["bkey"], keep=False)][cols]
-        empty = {
-            "a": pd.Series([], dtype="int64"),
-            "b": pd.Series([], dtype="int64"),
-            **{f"{c}_a": pd.Series([], dtype=group[c].dtype) for c in carry},
-            **{f"{c}_b": pd.Series([], dtype=group[c].dtype) for c in carry},
-        }
-        if dup.empty:
-            return pd.DataFrame(empty)
-        m = dup.merge(dup, on="bkey", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        out = m.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
-        keep = ["a", "b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
-        return out[keep].drop_duplicates(["a", "b"], ignore_index=True)
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                **{f"{c}_a": pd.Series([], dtype=group[c].dtype) for c in carry},
+                **{f"{c}_b": pd.Series([], dtype=group[c].dtype) for c in carry},
+            }
+        )
+        n = len(group)
+        if n < 2:
+            return empty
+        g = group.sort_values(["bkey", "doc_id"], kind="mergesort", ignore_index=True)
+        bkeys = g["bkey"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, bkeys[1:] != bkeys[:-1]])
+        ends = np.r_[starts[1:], n]
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        own = "bi" in g.columns and "allk" in g.columns
+        if own:
+            bis = g["bi"].to_numpy()
+            nb = len(g["allk"].iloc[0]) // 8
+            K = np.frombuffer(b"".join(g["allk"].tolist()), dtype=np.uint64).reshape(n, nb)
+        carr = {c: g[c].to_numpy() for c in carry}
+        out_a, out_b = [], []
+        out_c: dict = {c: ([], []) for c in carry}
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            band = int(bis[s]) if own else 0
+            # enumerate (i < j) pairs in row blocks of ≤ pair_chunk pairs
+            blk = max(1, pair_chunk // k)
+            for i0 in range(0, k - 1, blk):
+                i1 = min(i0 + blk, k - 1)
+                rows = np.arange(i0, i1)
+                counts = (k - 1) - rows
+                ai = np.repeat(rows, counts)
+                offs = np.concatenate(([0], np.cumsum(counts)))
+                bj = np.arange(offs[-1]) - np.repeat(offs[:-1], counts) + np.repeat(
+                    rows + 1, counts
+                )
+                ai += s
+                bj += s
+                keep = ids[ai] < ids[bj]
+                if band > 0:
+                    for j in range(band):
+                        keep &= K[ai, j] != K[bj, j]
+                ai, bj = ai[keep], bj[keep]
+                if not len(ai):
+                    continue
+                out_a.append(ids[ai])
+                out_b.append(ids[bj])
+                for c in carry:
+                    out_c[c][0].append(carr[c][ai])
+                    out_c[c][1].append(carr[c][bj])
+        if not out_a:
+            return empty
+        data = {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        for c in carry:
+            data[f"{c}_a"] = np.concatenate(out_c[c][0])
+            data[f"{c}_b"] = np.concatenate(out_c[c][1])
+        return pd.DataFrame(data).drop_duplicates(["a", "b"], ignore_index=True)
 
     return (
         bkey_ds.map_batches(add_part, batch_format="pandas")
@@ -373,13 +441,17 @@ def _label_propagation_join(pairs_ds, *, num_partitions: int = 8) -> dict:
     return out
 
 
-def _collect_pair_ids(pairs_ds) -> set:
-    """Distinct doc ids appearing in a (small) candidate-pair Dataset."""
-    ids: set = set()
-    for b in pairs_ds.iter_batches(batch_size=1 << 16, batch_format="pandas"):
-        ids.update(b["a"].astype(int))
-        ids.update(b["b"].astype(int))
-    return ids
+def _collect_pair_ids(pairs_ds) -> np.ndarray:
+    """Distinct doc ids appearing in a candidate-pair Dataset (sorted
+    int64 array — numpy unions, no Python set on the hot path)."""
+    parts = []
+    for b in pairs_ds.iter_batches(batch_size=1 << 18, batch_format="pandas"):
+        parts.append(
+            np.unique(np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]))
+        )
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(parts)).astype(np.int64)
 
 
 def _token_hash_map(docs, wanted_ids) -> dict[int, np.ndarray]:
@@ -391,9 +463,10 @@ def _token_hash_map(docs, wanted_ids) -> dict[int, np.ndarray]:
     """
     import ray
 
-    if not wanted_ids:
+    w = np.unique(np.asarray(list(wanted_ids), dtype=np.int64))
+    if len(w) == 0:
         return {}
-    w_ref = ray.put(np.sort(np.fromiter(wanted_ids, dtype=np.int64)))
+    w_ref = ray.put(w)
 
     def fetch(b: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(w_ref)
@@ -436,22 +509,22 @@ def _verified_jaccard_pairs(docs, cand_ds, *, tau: float):
 
     Token sets of the candidate docs are computed distributed and broadcast
     (bounded by candidate count); verification itself is a map over the
-    pair stream — the pair table never folds to the driver.
+    pair stream — the pair table never folds to the driver. The broadcast
+    is a flat ragged table (ids, offsets, token array) so the per-batch
+    kernel is zero-Python-loop numpy.
     """
     import ray
 
     wanted = _collect_pair_ids(cand_ds)
-    tok_ref = ray.put(_token_hash_map(docs, wanted))
+    tok_ref = ray.put(_token_hash_table(docs, wanted))
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        toks = ray.get(tok_ref)
+        tab = ray.get(tok_ref)
         if not len(b):
             return pd.DataFrame(
                 {c: pd.Series([], dtype="int64") for c in ("a", "b", "jacq")}
             )
-        j = np.array(
-            [jaccard(toks[int(r.a)], toks[int(r.b)]) for r in b.itertuples()]
-        )
+        j = _jaccard_many(tab, b["a"].to_numpy(), b["b"].to_numpy())
         keep = j >= tau
         return pd.DataFrame(
             {
@@ -461,7 +534,104 @@ def _verified_jaccard_pairs(docs, cand_ds, *, tau: float):
             }
         ).astype("int64")
 
-    return cand_ds.map_batches(verify, batch_format="pandas")
+    return cand_ds.map_batches(verify, batch_format="pandas", batch_size=1 << 18)
+
+
+_BITSET_MAX_BITS = 4096
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy 1.x has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _bitset_matrix(offs: np.ndarray, flat: np.ndarray, vocab: np.ndarray) -> np.ndarray:
+    """Ragged token table → (rows × words) uint64 bitset matrix over
+    ``vocab`` (sorted unique token hashes). Set intersection then costs one
+    AND + popcount per word instead of a sort-merge."""
+    nrows = len(offs) - 1
+    w = (len(vocab) + 63) // 64
+    m = np.zeros((nrows, w), dtype=np.uint64)
+    if len(flat):
+        pos = np.searchsorted(vocab, flat).astype(np.uint64)
+        row = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offs))
+        np.bitwise_or.at(
+            m, (row, (pos >> np.uint64(6)).astype(np.int64)),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return m
+
+
+def _token_hash_table(docs, wanted_ids):
+    """Ragged token-hash table (ids_sorted, offsets, flat hashes, bitsets) —
+    the broadcast-friendly form of :func:`_token_hash_map` (numpy arrays ⇒
+    zero-copy out of the object store, vectorized gather). ``bits`` is a
+    per-doc bitset matrix over the (small) global vocab when it fits in
+    ``_BITSET_MAX_BITS`` bits, else None (generic sort-merge kernel)."""
+    m = _token_hash_map(docs, wanted_ids)
+    ids = np.sort(np.fromiter(m.keys(), dtype=np.int64, count=len(m)))
+    lens = np.fromiter((len(m[int(i)]) for i in ids), dtype=np.int64, count=len(ids))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = (
+        np.concatenate([m[int(i)] for i in ids]) if len(ids) else np.empty(0, np.uint64)
+    )
+    vocab = np.unique(flat)
+    bits = _bitset_matrix(offs, flat, vocab) if len(vocab) <= _BITSET_MAX_BITS else None
+    return ids, offs, flat, bits
+
+
+def _ragged_gather(offs: np.ndarray, flat: np.ndarray, idx: np.ndarray):
+    """Rows ``idx`` of a ragged array → (values, row-of-each-value)."""
+    ln = offs[idx + 1] - offs[idx]
+    total = int(ln.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype), np.empty(0, np.int64), ln
+    row = np.repeat(np.arange(len(idx), dtype=np.int64), ln)
+    cum = np.concatenate(([0], np.cumsum(ln)))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], ln)
+    return flat[np.repeat(offs[idx], ln) + pos], row, ln
+
+
+def _jaccard_many(tab, a_ids: np.ndarray, b_ids: np.ndarray) -> np.ndarray:
+    """Vectorized exact Jaccard for a batch of (a, b) id pairs.
+
+    Small-vocab fast path: per-doc bitsets → intersection is AND+popcount
+    (a few ns/pair). Generic path: one ``intersect1d`` for the whole batch —
+    tokens compact to <2^32 ids via the batch's unique-token table, so
+    (pair_index << 32 | token_id) packs each side into a sorted unique
+    uint64 array whose intersection, bucket-counted by pair index, is the
+    per-pair intersection size.
+    """
+    ids, offs, flat, bits = tab
+    npair = len(a_ids)
+    ia = np.searchsorted(ids, np.asarray(a_ids, dtype=np.int64))
+    ib = np.searchsorted(ids, np.asarray(b_ids, dtype=np.int64))
+    la = offs[ia + 1] - offs[ia]
+    lb = offs[ib + 1] - offs[ib]
+    if bits is not None:
+        inter = _popcount_u64(bits[ia] & bits[ib]).sum(axis=1).astype(np.int64)
+    else:
+        ta, pa, _ = _ragged_gather(offs, flat, ia)
+        tb, pb, _ = _ragged_gather(offs, flat, ib)
+        uniq = np.unique(np.concatenate([ta, tb]))
+        ka = (pa.astype(np.uint64) << np.uint64(32)) | np.searchsorted(uniq, ta).astype(
+            np.uint64
+        )
+        kb = (pb.astype(np.uint64) << np.uint64(32)) | np.searchsorted(uniq, tb).astype(
+            np.uint64
+        )
+        common = np.intersect1d(ka, kb, assume_unique=True)
+        inter = np.bincount(
+            (common >> np.uint64(32)).astype(np.int64), minlength=npair
+        )
+    union = la + lb - inter
+    # both-empty pairs: Jaccard 1.0 by convention (matches ``jaccard``)
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: float = 0.5):
@@ -487,7 +657,9 @@ def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: floa
     band_rows = sigs.map_batches(
         _band_rows, fn_kwargs={"num_perm": num_perm, "bands": bands}, batch_format="pandas"
     )
-    cand = _candidate_pairs_ds(band_rows)
+    # materialize: the candidate stream is consumed twice (id collection +
+    # verification) — without this the whole LSH plan re-executes
+    cand = _candidate_pairs_ds(band_rows).materialize()
     verified = _verified_jaccard_pairs(docs, cand, tau=tau).materialize()
     labels = label_propagation(verified)
     return _assign_clusters(docs, labels)
@@ -538,11 +710,14 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3):
             bkeys[:, bi] = (np.uint64(bi) << np.uint64(16)) | (
                 (s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
             )
+        blobs = np.array([bkeys[i].tobytes() for i in range(n)], dtype=object)
         return pd.DataFrame(
             {
                 "bkey": bkeys.reshape(-1),
                 "doc_id": np.repeat(batch["doc_id"].to_numpy().astype(np.int64), 4),
                 "simhash": np.repeat(s, 4),
+                "bi": np.tile(np.arange(4, dtype=np.int64), n),
+                "allk": np.repeat(blobs, 4),
             }
         )
 
@@ -573,12 +748,13 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
     """Verified near-duplicate pairs (a, b, jacq) at word-set Jaccard ≥ tau.
 
     jacq = floor(jaccard * 10^6) as int64 (quantized → hashable/portable).
-    Same distributed plan as dedup_minhash up to verification; a pair can
-    surface from several bands (different partitions), so the final tiny
-    groupby dedups the verified pair set globally.
+    Same distributed plan as dedup_minhash up to verification. No global
+    pair dedup is needed: first-collision band ownership in
+    :func:`_candidate_pairs_ds` emits each candidate pair exactly once
+    (and a multi-key groupby over millions of near-singleton (a, b)
+    groups wedges Ray 2.49's aggregate — see BASELINE.md).
     """
     import ray.data
-    from ray.data.aggregate import Min
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -589,14 +765,9 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
     band_rows = sigs.map_batches(
         _band_rows, fn_kwargs={"num_perm": num_perm, "bands": bands}, batch_format="pandas"
     )
-    cand = _candidate_pairs_ds(band_rows)
+    cand = _candidate_pairs_ds(band_rows).materialize()
     verified = _verified_jaccard_pairs(docs, cand, tau=tau)
-    # jacq is a pure function of (a, b): Min is just "pick the one value"
-    return (
-        verified.groupby(["a", "b"])
-        .aggregate(Min("jacq", alias_name="jacq"))
-        .sort(["a", "b"])
-    )
+    return verified.sort(["a", "b"])
 
 
 # --------------------------------------------------------------------------

@@ -44,19 +44,38 @@ def _typed_pairs(batch: pa.Table) -> pa.Table:
     return pairs.group_by(["subject", "type"]).aggregate([])
 
 
-def build_type_index(triples) -> "ray.data.Dataset":
+def build_type_index(triples, *, num_parts: int = 32) -> "ray.data.Dataset":
     """triples Dataset → globally-distinct (subject, type) Dataset.
 
     Use this when the index itself is the output (write_parquet / the
     kg_type_index query). For the broadcast path use :func:`collect_index`
     on :func:`type_index_pairs` — the driver fold dedups anyway, so the
     groupby shuffle would be pure overhead.
+
+    Global distinct = coarse hash partition on the pair + vectorized
+    per-partition dedup. A direct multi-key ``groupby().count()`` over
+    millions of near-singleton (subject, type) groups wedges Ray 2.49's
+    sort-based aggregate (measured: hangs at ~3M groups), so the wide step
+    is a single-int-key groupby over ``num_parts`` coarse partitions.
     """
+    import pandas as pd
+
+    def add_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        h = pd.util.hash_array(
+            (df["subject"] + "\x00" + df["type"]).to_numpy(dtype=object)
+        )
+        df["_part"] = (h % num_parts).astype("int64")
+        return df
+
+    def dedup_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g[["subject", "type"]].drop_duplicates(ignore_index=True)
+
     return (
         type_index_pairs(triples)
-        .groupby(["subject", "type"])
-        .count()
-        .select_columns(["subject", "type"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pandas")
     )
 
 

@@ -185,7 +185,6 @@ def sim_threshold_lsh(
     linear-ish (per-table buckets ≈ n/2^k).
     """
     import ray.data
-    from ray.data.aggregate import Min
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -230,8 +229,27 @@ def sim_threshold_lsh(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # dedup pairs surfaced by several tables (simq identical per pair)
-    return pairs.groupby(["a", "b"]).aggregate(Min("simq", alias_name="simq"))
+
+    # dedup pairs surfaced by several tables (simq identical per pair).
+    # Coarse single-int-key partition + vectorized local drop_duplicates:
+    # a multi-key groupby over near-singleton (a, b) groups wedges Ray
+    # 2.49's sort-based aggregate (see BASELINE.md).
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["a"].to_numpy()) ^ pd.util.hash_array(
+            df["b"].to_numpy()
+        )
+        df["_part"] = (h % np.uint64(32)).astype("int64")
+        return df
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b", "simq"]].drop_duplicates(["a", "b"], ignore_index=True)
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
 
 
 def _train_centroids(
