@@ -282,15 +282,29 @@ def q_rel_events_window(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    # wide step: coarse hash partition on user_id (all of a user's windows
+    # co-locate) + vectorized per-partition groupby-sum — Ray 2.49's
+    # multi-key groupby.aggregate degrades badly at ~100k groups and hangs
+    # in the millions (BASELINE.md), so the shuffle key is a single int.
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_array(df["user_id"].to_numpy()) % 32).astype(
+            "int64"
+        )
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["user_id", "window_start"], sort=False, as_index=False)[
+                ["value_cents", "n_events"]
+            ].sum()
+        )
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("value_cents", alias_name="value_cents"),
-            Sum("n_events", alias_name="n_events"),
-        )
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
     )
 
 
