@@ -804,14 +804,13 @@ def dedup_embedding(sf_dir: str, *, tau: float = 0.45, num_planes: int = 8, seed
         keep = sims[ai, bi] >= tau
         return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]]})
 
+    # distributed components + map-side assignment — same plan as
+    # dedup_minhash (duplicate edges from multi-bucket pairs are fine:
+    # label propagation is idempotent over them)
     pairs = (
         ds.map_batches(normalize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(ignore_index=True)
     )
-    comp = _components([(r.a, r.b) for r in pairs.itertuples()])
-    all_ids = ds.select_columns(["vec_id"]).to_pandas()["vec_id"]
-    cluster = all_ids.map(lambda d: comp.get(d, d)).astype("int64")
-    return ray.data.from_pandas(pd.DataFrame({"vec_id": all_ids, "cluster_id": cluster}))
+    labels = label_propagation(pairs)
+    return _assign_clusters(ds, labels, id_col="vec_id")
