@@ -104,12 +104,76 @@ def test_union_find_components():
     assert comp[7] == comp[8] == 7
 
 
-def test_bucket_candidates():
-    df = pd.DataFrame(
-        {"band": [0, 0, 0, 1], "bucket": ["x", "x", "y", "x"], "doc_id": [1, 2, 3, 4]}
+def test_popcount_u64():
+    rng = np.random.RandomState(0)
+    xs = rng.randint(0, 2**63, size=1000, dtype=np.uint64)
+    xs = np.concatenate([xs, [np.uint64(0), np.uint64(2**64 - 1)]])
+    got = dedup._popcount_u64(xs.copy())
+    want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def _random_token_table(rng, ndocs, vocab):
+    """Build a _token_hash_table-shaped tuple from random token sets."""
+    sets = [
+        np.unique(rng.choice(vocab, size=rng.randint(0, 40)).astype(np.uint64))
+        for _ in range(ndocs)
+    ]
+    ids = np.arange(ndocs, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum([len(s) for s in sets])))
+    flat = np.concatenate(sets) if ndocs else np.empty(0, np.uint64)
+    return sets, ids, offs, flat
+
+
+def test_jaccard_many_bitset_and_generic_match_scalar():
+    """Both _jaccard_many paths must equal the per-pair scalar kernel."""
+    rng = np.random.RandomState(1)
+    # small vocab → bitset path; huge vocab → generic intersect1d path
+    for vocab in (rng.randint(0, 2**63, 50, dtype=np.uint64),
+                  rng.randint(0, 2**63, 10_000, dtype=np.uint64)):
+        sets, ids, offs, flat = _random_token_table(rng, 60, vocab)
+        uniq = np.unique(flat)
+        bits = (
+            dedup._bitset_matrix(offs, flat, uniq)
+            if len(uniq) <= dedup._BITSET_MAX_BITS
+            else None
+        )
+        tab = (ids, offs, flat, bits)
+        a = rng.randint(0, 60, 300).astype(np.int64)
+        b = rng.randint(0, 60, 300).astype(np.int64)
+        got = dedup._jaccard_many(tab, a, b)
+        want = np.array([dedup.jaccard(sets[x], sets[y]) for x, y in zip(a, b)])
+        assert np.allclose(got, want), ("bitset" if bits is not None else "generic")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_candidate_pairs_exactly_once_across_bands():
+    """First-collision band ownership: a pair colliding in MANY bands is
+    emitted exactly once globally (no per-band duplicates, no cross-
+    partition duplicates) — the invariant that lets ngram_jaccard_pairs
+    skip global pair dedup."""
+    import ray.data
+
+    texts = ["alpha beta gamma delta"] * 6 + ["zeta eta theta iota"] * 3 + [
+        "completely different words here now"
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    sigs = dedup.minhash_signatures_batch(df, num_perm=64)
+    rows = dedup._band_rows(sigs, num_perm=64, bands=16)
+    out = (
+        dedup._candidate_pairs_ds(ray.data.from_pandas(rows))
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
     )
-    out = dedup._bucket_candidates(df, ["band", "bucket"])
-    assert out.values.tolist() == [[1, 2]]
+    # identical docs collide in all 16 bands yet each pair appears once
+    assert not out.duplicated(["a", "b"]).any()
+    pairs = set(map(tuple, out[["a", "b"]].values))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert (i, j) in pairs
+    for i in range(6, 9):
+        for j in range(i + 1, 9):
+            assert (i, j) in pairs
 
 
 def test_fake_codec_roundtrip():

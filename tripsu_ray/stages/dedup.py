@@ -5,10 +5,11 @@ Five strategies, each expressed Ray-Data-first:
 - exact: fingerprint (sha256 of normalized text) → keep min(doc_id) per
   group. Hash-partitioned groupby; SQL-oracle-checkable.
 - MinHash + LSH: per-doc signatures vectorized in one map pass, band →
-  bucket groupby, candidate pairs verified with exact Jaccard, clusters =
-  connected components (union-find over the verified pair set, which is
-  ≪ corpus; at 10^12 scale the component step becomes iterated min-label
-  propagation — a few groupby rounds — documented below).
+  bucket groupby, each candidate pair emitted EXACTLY ONCE (first-collision
+  band ownership), verified with exact Jaccard (bitset kernel when the
+  vocab is small), clusters = iterated min-label propagation over the
+  verified edge stream (identical result to min-root union-find, no
+  driver fold).
 - SimHash: 64-bit signatures; Hamming-≤k candidates via 4-block banding
   (pigeonhole: any pair within distance 3 shares an exact 16-bit block).
 - n-gram Jaccard: exact verify kernel used by both MinHash and SimHash
@@ -258,24 +259,6 @@ def _candidate_pairs_ds(
         .groupby("_part")
         .map_groups(gen, batch_format="pandas")
     )
-
-
-def _bucket_candidates(df: pd.DataFrame, keys: list[str], id_col: str = "doc_id") -> pd.DataFrame:
-    """(bucket-row table) → distinct candidate pairs (a < b), vectorized.
-
-    A ``map_groups`` over thousands of mostly-singleton buckets pays Python
-    per group; a duplicated-filter + self-merge is one vectorized pass. The
-    bucket table is #rows × #bands ≪ corpus, so folding it is bounded; at
-    10^12 scale the duplicated-filter becomes a groupby count>1 + semi-join
-    (same semantics) before the fold.
-    """
-    dup = df[df.duplicated(keys, keep=False)]
-    if dup.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-    m = dup.merge(dup, on=keys, suffixes=("_a", "_b"))
-    m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-    out = m.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})[["a", "b"]]
-    return out.drop_duplicates(ignore_index=True).astype("int64")
 
 
 class _UnionFind:
