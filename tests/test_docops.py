@@ -147,6 +147,34 @@ def test_jaccard_many_bitset_and_generic_match_scalar():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_probe_chunk_loops_are_chunk_safe():
+    """Multi-chunk probe loops must equal the single-chunk answer — guards
+    the lazy-closure bug where every pass serialized with the LAST chunk's
+    broadcast (fixed by default-arg binding of the chunk ref)."""
+    from tripsu_ray.pipelines.docops import q_jaccard_pairs
+
+    one = q_jaccard_pairs(SF).to_pandas().sort_values(["a", "b"], ignore_index=True)
+    many = (
+        q_jaccard_pairs(SF, chunk_rows=150)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+    sim_one = (
+        similarity.sim_threshold_join(SF)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    sim_many = (
+        similarity.sim_threshold_join(SF, chunk_rows=150)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(sim_one, sim_many)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_candidate_pairs_exactly_once_across_bands():
     """First-collision band ownership: a pair colliding in MANY bands is
     emitted exactly once globally (no per-band duplicates, no cross-

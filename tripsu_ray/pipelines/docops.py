@@ -94,7 +94,11 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
                         inter += dedup._popcount_u64(
                             cm[s:e, w][:, None] & bm[:, w][None, :]
                         ).astype(np.int64)
-                    union = c_lens[s:e][:, None] + b_lens[None, :] - inter
+                    # lens derived from the broadcast offsets — NOT the loop
+                    # variable (closure would ship the last chunk's lens)
+                    union = (coffs[s + 1 : e + 1] - coffs[s:e])[:, None] + b_lens[
+                        None, :
+                    ] - inter
                     jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
                     valid = (cids[s:e][:, None] < bids[None, :]) & (jac >= tau)
                     ii, jj = np.nonzero(valid)

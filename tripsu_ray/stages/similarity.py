@@ -146,10 +146,12 @@ def sim_threshold_join(sf_dir: str, *, tau_q: int = 400_000, chunk_rows: int = 6
         )
         c_ids = chunk["vec_id"].to_numpy()
         C = _normalize_rows(np.stack(chunk["embedding"].to_numpy()))
+        # bind as a DEFAULT ARG: plans execute lazily, so a plain closure
+        # over the loop variable would ship every pass the LAST chunk
         ref = ray.put((c_ids, C))
 
-        def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-            cids, C_ = ray.get(ref)
+        def pairs(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            cids, C_ = ray.get(_ref)
             vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
             bids = batch["vec_id"].to_numpy()
             simq = np.floor((C_ @ vm.T) * QUANT).astype(np.int64)
