@@ -175,6 +175,35 @@ def test_probe_chunk_loops_are_chunk_safe():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_candidate_pairs_collision_robust():
+    """Hand-forged 64-bit band-key collisions must not create duplicate or
+    spurious emissions: a pair is emitted only in its first-SHARED-band
+    bucket, by rows at that band."""
+    import ray.data
+
+    def rows(doc, allk):
+        blob = np.array(allk, dtype=np.uint64).tobytes()
+        return [
+            {"bkey": np.uint64(k), "doc_id": doc, "bi": i, "allk": blob}
+            for i, k in enumerate(allk)
+        ]
+
+    # docs 1/2: no truly shared band, but 1's band-0 key == 2's band-1 key
+    # (cross-band numeric collision) → same bucket, must emit NOTHING
+    # docs 3/4: truly share band 1 AND sit together in a mixed run via 4's
+    # band-0 key == their shared band-1 key → exactly one (3, 4) emission
+    df = pd.DataFrame(
+        rows(1, [5, 9]) + rows(2, [7, 5]) + rows(3, [3, 8]) + rows(4, [8, 8])
+    )
+    out = (
+        dedup._candidate_pairs_ds(ray.data.from_pandas(df), num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert out.values.tolist() == [[3, 4]]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_candidate_pairs_exactly_once_across_bands():
     """First-collision band ownership: a pair colliding in MANY bands is
     emitted exactly once globally (no per-band duplicates, no cross-

@@ -142,7 +142,8 @@ def _band_rows(sig_df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
     )
     bkeys = np.empty((n, bands), dtype=np.uint64)
     for bi in range(bands):
-        h = np.full(n, (_FNV_OFFSET ^ np.uint64(bi)) * _FNV_PRIME, dtype=np.uint64)
+        seed = ((int(_FNV_OFFSET) ^ bi) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+        h = np.full(n, seed, dtype=np.uint64)
         for j in range(r):
             h = (h ^ sigs[:, bi * r + j]) * _FNV_PRIME
         bkeys[:, bi] = h
@@ -177,10 +178,12 @@ def _candidate_pairs_ds(
 
     Exactly-once across bands: when the input carries ``bi`` (band index)
     and ``allk`` (all band keys of the doc as a fixed-width uint64 blob),
-    band i emits a pair only if no band j < i also bucketed it — the first
-    colliding band owns the pair. Without those columns (plain bucket
-    tables) pairs may still repeat across partitions; callers dedup with a
-    tiny groupby or rely on label-propagation idempotency.
+    a pair is emitted only in the bucket of its FIRST shared band f, and
+    only by the rows whose band index is f — exact even under 64-bit band-
+    key collisions across bands (the colliding run drops the pair; its
+    true f-run emits it). Without those columns (plain bucket tables)
+    pairs may still repeat across partitions; callers dedup with a tiny
+    groupby or rely on label-propagation idempotency.
 
     ``carry`` columns ride along as ``<col>_a`` / ``<col>_b`` so verification
     that only needs per-doc signatures can run directly on the pair stream.
@@ -220,7 +223,6 @@ def _candidate_pairs_ds(
             k = e - s
             if k < 2:
                 continue
-            band = int(bis[s]) if own else 0
             # enumerate (i < j) pairs in row blocks of ≤ pair_chunk pairs
             blk = max(1, pair_chunk // k)
             for i0 in range(0, k - 1, blk):
@@ -235,9 +237,18 @@ def _candidate_pairs_ds(
                 ai += s
                 bj += s
                 keep = ids[ai] < ids[bj]
-                if band > 0:
-                    for j in range(band):
-                        keep &= K[ai, j] != K[bj, j]
+                if own:
+                    # emit a pair only in the run of its FIRST shared band,
+                    # and only when both rows sit at that band — exact even
+                    # under 64-bit bkey collisions across bands (a mixed-
+                    # band run then drops the pair; its true f-run emits it)
+                    f = np.full(len(ai), -1, dtype=np.int64)
+                    for j in range(nb):
+                        unset = f < 0
+                        if not unset.any():
+                            break
+                        f[unset & (K[ai, j] == K[bj, j])] = j
+                    keep &= (f == bis[ai]) & (bis[ai] == bis[bj])
                 ai, bj = ai[keep], bj[keep]
                 if not len(ai):
                     continue
