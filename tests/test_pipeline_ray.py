@@ -144,6 +144,59 @@ class TestFoldPassCompiled:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestTreeFoldEmptyBlocks:
+    """Ray emits 0-row blocks with an EMPTY schema (no columns) out of
+    map_batches when the input block was empty; the tree fold must drop
+    them instead of feeding them to column-based combines (crashed
+    dedup_embedding's label propagation at sf0.1)."""
+
+    def test_empty_schema_blocks_filtered(self):
+        import pandas as pd
+        import ray.data
+
+        from tripsu_ray.stages.folds import tree_fold_tables
+
+        ds = ray.data.from_pandas(
+            [
+                pd.DataFrame({"a": [5, 1], "b": [2, 2]}),
+                pd.DataFrame(
+                    {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+                ),
+                pd.DataFrame({"a": [3], "b": [2]}),
+            ]
+        )
+
+        def step(df):
+            return pd.DataFrame({"k": df["b"], "v": df["a"]})
+
+        def combine(frames):
+            df = pd.concat(frames, ignore_index=True)
+            return df.groupby("k", sort=False, as_index=False)["v"].min()
+
+        out = tree_fold_tables(ds.map_batches(step, batch_format="pandas"), combine)
+        assert out.values.tolist() == [[2, 1]]
+
+    def test_all_empty_returns_none(self):
+        import pandas as pd
+        import ray.data
+
+        from tripsu_ray.stages.folds import tree_fold_tables
+
+        ds = ray.data.from_pandas(
+            [pd.DataFrame({"a": pd.Series([], dtype="int64")})]
+        )
+
+        def step(df):
+            return pd.DataFrame({"k": df["a"]})
+
+        out = tree_fold_tables(
+            ds.map_batches(step, batch_format="pandas"),
+            lambda fs: pd.concat(fs, ignore_index=True),
+        )
+        assert out is None or len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestJoinFallback:
     """pseudonymize_join (huge-index plan) ≡ broadcast plan, bit for bit."""
 

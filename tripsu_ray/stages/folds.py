@@ -175,6 +175,9 @@ def fold_pass_compiled(
     @ray.remote(num_returns=3)
     def _finalize(*tables):
         frames = [t.to_pandas() if isinstance(t, pa.Table) else t for t in tables]
+        frames = [f for f in frames if len(f.columns)]  # see _merge
+        if not frames:
+            frames = [pd.DataFrame({"tag": [], "a": [], "b": []})]
         df = _combine_fold_frames(frames)
         # _combine_fold_frames output is already deduped/min-combined
         pairs = df[df["tag"] == TAG_PAIR].rename(columns={"a": "subject", "b": "type"})
@@ -309,7 +312,11 @@ def _rolling_tree_refs(ds, combine_frames, *, fanin: int = 16, timings: dict | N
     @ray.remote
     def _merge(*tables):
         frames = [t.to_pandas() if isinstance(t, pa.Table) else t for t in tables]
-        return combine_frames(frames)
+        # Ray emits 0-row blocks with an EMPTY schema (no columns) for
+        # map_batches stages whose input block was empty — they would break
+        # column-based combines, so drop them before folding
+        frames = [f for f in frames if len(f.columns)]
+        return combine_frames(frames) if frames else pd.DataFrame()
 
     _t0 = _time.perf_counter()
     pending: list = []
@@ -345,6 +352,9 @@ def tree_fold_tables(ds, combine_frames, *, fanin: int = 16, timings: dict | Non
     frames = [
         t.to_pandas() if isinstance(t, pa.Table) else t for t in ray.get(refs)
     ]
+    frames = [f for f in frames if len(f.columns)]  # see _merge
+    if not frames:
+        return None
     out = combine_frames(frames)
     if timings is not None:
         timings["fold_tail"] = _time.perf_counter() - _t0
