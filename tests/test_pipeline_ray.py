@@ -254,3 +254,30 @@ def test_pipeline_blake2b_algorithm():
     ia = set(a[a.predicate == NS + "author"].object_value)
     ib = set(b[b.predicate == NS + "author"].object_value)
     assert ia.isdisjoint(ib) and all(len(v) == 64 for v in ia | ib)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stage_log_records_barriers(tmp_path):
+    """Structured per-stage logging (src/log.rs parity): one record per
+    pipeline barrier with wall time + counts, JSON-lines when enabled."""
+    import io
+    import json
+
+    from tripsu_ray.state.metrics import StageLog
+
+    stream = io.StringIO()
+    log = StageLog(enabled=True, stream=stream)
+    out = str(tmp_path / "kg_out")
+    kg_pipeline(SF, salt=DEFAULT_SALT, output_path=out, stage_log=log)
+
+    by_name = {r["stage"]: r for r in log.records}
+    fold = by_name["fold_index_linkmap"]
+    # "messages processed" parity (src/log.rs): every raw triple seen in
+    # pass 1, BEFORE dedup (sf0.001 emits 10000 raw / 7632 distinct)
+    assert fold["triples"] == 10000 and fold["wall_s"] > 0
+    assert "risk_rows" in fold and not fold["checkpointed"]
+    mat = by_name["materialize"]
+    assert mat["layout"] == "split" and mat["blocking"] and mat["wall_s"] > 0
+    # live emission: one parseable JSON line per record, same content
+    lines = [json.loads(l) for l in stream.getvalue().splitlines()]
+    assert lines == log.records

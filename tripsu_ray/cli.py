@@ -168,8 +168,11 @@ def cmd_run(args):
     # A well-known hardcoded salt would make sha256(salt || value) dictionary-
     # reversible for low-entropy values; deterministic salts are opt-in
     # (oracle/test fixtures pass them explicitly).
+    from .state.metrics import StageLog
+
     generated = args.salt is None
     salt = resolve_secret(args.salt)
+    log = StageLog()
     ds = kg_pipeline(
         args.sf_dir,
         output_path=args.output,
@@ -177,8 +180,10 @@ def cmd_run(args):
         salt=salt,
         algorithm=args.algorithm,
         rules_cfg=None if not args.rules else __import__("yaml").safe_load(open(args.rules)),
+        stage_log=log,
     )
-    info = {"command": "run", "output": args.output, "rows": ds.count()}
+    info = {"command": "run", "output": args.output, "rows": ds.count(),
+            "stages": log.records}
     if generated:
         info["generated_salt"] = salt
     print(json.dumps(info))

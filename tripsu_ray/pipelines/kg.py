@@ -63,6 +63,7 @@ def kg_pipeline(
     output_path: str | None = None,
     checkpoint_dir: str | None = None,
     batch_size=None,
+    stage_log=None,
 ):
     """Run extract → index → pseudo → link → materialize; returns the final Dataset.
 
@@ -84,9 +85,11 @@ def kg_pipeline(
     )
     from ..stages.link import LINKABLE_PREFIXES, canonicalize_tasks, fold_link_map
     from ..state.checkpoint import CheckpointManager
+    from ..state.metrics import StageLog
 
     from ..functions.crypto import resolve_secret
 
+    log = stage_log if stage_log is not None else StageLog()
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
     salt = resolve_secret(salt)  # ONE secret for the whole distributed job
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
@@ -107,25 +110,28 @@ def kg_pipeline(
     # path keeps the driver-side fold (its artifacts must be picklable to
     # the stage manifest); the streaming path hands the finalize task's
     # return refs straight to pass 2.
-    if ckpt:
+    with log.stage("fold_index_linkmap", checkpointed=bool(ckpt)) as rec:
+        if ckpt:
 
-        def fold():
-            return fold_pass(
-                triples(),
-                relevant_types_of(rules_cfg),
-                risk_predicates=risk_predicates_of(rules_cfg),
-                risk_prefixes=LINKABLE_PREFIXES,
+            def fold():
+                return fold_pass(
+                    triples(),
+                    relevant_types_of(rules_cfg),
+                    risk_predicates=risk_predicates_of(rules_cfg),
+                    risk_prefixes=LINKABLE_PREFIXES,
+                )
+
+            pairs_df, key_map, _n, n_risk = ckpt.value_stage("folds", fold, params)
+            matcher = compile_matcher(rules_cfg, pairs_df)
+            matcher_ref = broadcast_matcher(matcher)
+            node_risky = node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES)
+            key_map_ref = ray.put(key_map)
+        else:
+            matcher_ref, key_map_ref, _n, n_risk, node_risky = fold_pass_compiled(
+                triples(), rules_cfg, link_prefixes=LINKABLE_PREFIXES
             )
-
-        pairs_df, key_map, _n, n_risk = ckpt.value_stage("folds", fold, params)
-        matcher = compile_matcher(rules_cfg, pairs_df)
-        matcher_ref = broadcast_matcher(matcher)
-        node_risky = node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES)
-        key_map_ref = ray.put(key_map)
-    else:
-        matcher_ref, key_map_ref, _n, n_risk, node_risky = fold_pass_compiled(
-            triples(), rules_cfg, link_prefixes=LINKABLE_PREFIXES
-        )
+        rec["triples"] = int(_n)
+        rec["risk_rows"] = int(n_risk)
 
     # pass 2: rule engine (stateless tasks over the broadcast matcher —
     # fuses with extract upstream and canonicalize downstream)
@@ -149,14 +155,19 @@ def kg_pipeline(
         # from the pseudonymized stream (exact fallback), pinning that stream
         # first so extract+pseudo don't run twice.
         if node_risky or n_risk > 0:
-            if not ckpt:
-                pseudo_ds = pseudo_stream().materialize()
-                pseudo_stream = lambda: pseudo_ds  # noqa: E731
-            key_map_ref = ray.put(fold_link_map(pseudo_stream()))
+            with log.stage("linkmap_fallback"):
+                if not ckpt:
+                    pseudo_ds = pseudo_stream().materialize()
+                    pseudo_stream = lambda: pseudo_ds  # noqa: E731
+                key_map_ref = ray.put(fold_link_map(pseudo_stream()))
         out = canonicalize_tasks(pseudo_stream(), key_map_ref, batch_size=batch_size)
 
+    # the materialize barrier only blocks (and so only has a meaningful
+    # wall time) when it writes; the bucketed layout stays a lazy Dataset
+    # for the caller to consume, so its record carries layout only.
     layout = "split" if output_path else "bucketed"
-    result = materialize(out, output_path, sort=sort, layout=layout)
+    with log.stage("materialize", layout=layout, blocking=bool(output_path)):
+        result = materialize(out, output_path, sort=sort, layout=layout)
     if ckpt:
         ckpt.finish(sf_dir=sf_dir, output=output_path)
     return result

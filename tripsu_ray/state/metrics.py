@@ -55,3 +55,52 @@ class JobCounters:
         import ray
 
         ray.get(self.actor.reset.remote())
+
+
+class StageLog:
+    """Structured per-stage job log (reference parity: ``src/log.rs``).
+
+    The reference wraps its single-process loop in a progress bar and
+    reports processed-message counts. Under streaming Ray execution,
+    per-stage wall time and row counts are only well-defined at the
+    pipeline's BARRIERS (fold consume, link-map fallback, materialize
+    write) — so the distributed analogue is a driver-side log with one
+    structured record per barrier, plus the :class:`JobCounters` actor
+    for worker-side counts (e.g. ``malformed_lines``).
+
+    Records are always collected in ``self.records`` (zero overhead
+    beyond a perf_counter pair); live JSON-line emission to stderr is
+    gated by ``enabled`` (default: the ``TRIPSU_RAY_LOG`` env var).
+    """
+
+    def __init__(self, enabled: bool | None = None, stream=None):
+        import os
+        import sys
+
+        if enabled is None:
+            enabled = os.environ.get("TRIPSU_RAY_LOG", "") not in ("", "0")
+        self.enabled = enabled
+        self.stream = stream if stream is not None else sys.stderr
+        self.records: list[dict] = []
+
+    def stage(self, name: str, **static):
+        """Context manager timing one barrier; yields the record dict so the
+        body can attach counts (``rec["rows"] = n``)."""
+        import time
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            t0 = time.perf_counter()
+            rec = {"stage": name, **static}
+            try:
+                yield rec
+            finally:
+                rec["wall_s"] = round(time.perf_counter() - t0, 3)
+                self.records.append(rec)
+                if self.enabled:
+                    import json
+
+                    print(json.dumps(rec), file=self.stream, flush=True)
+
+        return _cm()
