@@ -23,6 +23,7 @@ import shutil
 import subprocess
 import sys
 import time
+from tripsu_ray.sources import read_parquet_clean as _read_parquet_clean
 
 
 def run_bench() -> dict:
@@ -65,7 +66,7 @@ def run_bench() -> dict:
     profile = {} if os.environ.get("GRAFT_PROFILE") else None
 
     # warm-up (untimed): page cache for the input + Ray Data executor spin-up
-    ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
 
     t_all = time.perf_counter()
 
@@ -246,7 +247,7 @@ def run_join_bench() -> dict:
     def triples():
         return extract_triples(read_source_files(sf_dir, repeat=repeat))
 
-    ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
 
     t0 = time.perf_counter()
     matcher_ref, _, n_triples, _, _ = fold_pass_compiled(triples(), DEFAULT_RULES)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from .sources import read_parquet_clean as _read_parquet_clean
 
 
 def _ray_session(num_cpus: int | None):
@@ -47,7 +48,7 @@ def _read_triples(path: str, on_error: str, counter=None):
         from .sources.ntriples import read_ntriples
 
         return read_ntriples(path, on_error=on_error, counter=counter)
-    return ray.data.read_parquet(path)
+    return _read_parquet_clean(path)
 
 
 def _skip_counter(on_error: str):
@@ -77,7 +78,7 @@ def cmd_extract(args):
     import ray.data
 
     if args.source_files:
-        src = ray.data.read_parquet(args.source_files)
+        src = _read_parquet_clean(args.source_files)
         out = extract_triples(src)
     else:
         out = extract_triples(read_source_files(args.sf_dir, repeat=args.repeat))
@@ -125,7 +126,7 @@ def cmd_pseudo(args):
 
         matcher = HashIndexMatcher(rules, TripsuIndex.from_json(args.index))
     elif args.index:
-        pairs = ray.data.read_parquet(args.index).to_pandas()
+        pairs = _read_parquet_clean(args.index).to_pandas()
     else:
         # no prebuilt index: run pass 1 inline (reference requires -x; we
         # degrade gracefully by building it from the input stream)

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 
 from ..stages import dedup, multimodal, similarity, text
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 
 # --- text analysis ---------------------------------------------------------
@@ -47,7 +48,7 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
     import ray
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n = docs.count()  # parquet metadata count
 
     out = None
@@ -185,7 +186,7 @@ def q_rel_lineitem_agg(sf_dir: str):
     groupby. Demonstrates partial pre-aggregation before the shuffle."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -222,10 +223,10 @@ def q_rel_join_revenue(sf_dir: str):
     import ray
     import ray.data
 
-    cust = ray.data.read_parquet(
+    cust = _read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nation = ray.data.read_parquet(
+    nation = _read_parquet_clean(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     cust_nation = cust.merge(
@@ -233,7 +234,7 @@ def q_rel_join_revenue(sf_dir: str):
     ).set_index("c_custkey")["n_name"]
     ref = ray.put(cust_nation)
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -268,7 +269,7 @@ def q_rel_events_window(sf_dir: str):
     partials per batch, tiny groupby after."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
 
@@ -316,7 +317,7 @@ def q_rel_topk_parts(sf_dir: str):
     """Top-10 parts by retail price (sort + limit), price as cents."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
     )
 
@@ -339,7 +340,7 @@ def q_rel_distinct_segments(sf_dir: str):
     """Distinct values of one column (the `unique` operator — a shuffle)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    ds = _read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
 
@@ -354,7 +355,7 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     is per-key sort within the group)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def sessionize(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts")

@@ -65,3 +65,20 @@ TYPE_INDEX = pa.schema(
 
 def empty_triples_table() -> pa.Table:
     return TRIPLES.empty_table()
+
+
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Zero-copy removal of schema/field metadata from an Arrow batch.
+
+    Parquet files written by pandas carry a ``b"pandas"`` schema-metadata
+    blob; a ``pa.Schema`` with ANY metadata is unhashable ("unhashable
+    type: 'dict'"), which defeats Ray Data's block-schema deduplication in
+    every reduce task (transform_pyarrow.py falls back to a full
+    ``unify_schemas`` pass per reduce and logs a warning). Stripping costs
+    one schema object — the column buffers are untouched.
+    """
+    if batch.schema.metadata:
+        batch = batch.replace_schema_metadata(None)
+    if any(f.metadata for f in batch.schema):
+        batch = batch.cast(pa.schema([f.remove_metadata() for f in batch.schema]))
+    return batch

@@ -42,6 +42,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import SOURCE_FILES
+from . import read_parquet_clean as _read_parquet_clean
 
 LICENSES = ("MIT", "Apache-2.0", "GPL-3.0")
 
@@ -156,7 +157,7 @@ def read_source_files(sf_dir: str, *, repeat: int = 1, batch_size: int = 2048):
     # a single-row-group parquet reads as ONE block no matter what
     # override_num_blocks asks for — repartition the (tiny) id column so the
     # per-block downstream chain actually fans out
-    ds = ray.data.read_parquet(path, columns=["doc_id"]).repartition(num_blocks)
+    ds = _read_parquet_clean(path, columns=["doc_id"]).repartition(num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .text import TOKEN_RE, _token_pat, fingerprint_batch
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 MERSENNE = (1 << 61) - 1
 
@@ -45,7 +46,7 @@ def dedup_exact_docs(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Min
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     fps = docs.map_batches(fingerprint_batch, batch_format="pandas")
@@ -642,7 +643,7 @@ def dedup_minhash(sf_dir: str, *, num_perm: int = 64, bands: int = 16, tau: floa
     """
     import ray.data
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     sigs = docs.map_batches(
@@ -689,7 +690,7 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3):
     """
     import ray.data
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     sigs = docs.map_batches(simhash_signatures_batch, batch_format="pandas")
@@ -750,7 +751,7 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
     """
     import ray.data
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     sigs = docs.map_batches(
@@ -774,7 +775,7 @@ def dedup_embedding(sf_dir: str, *, tau: float = 0.45, num_planes: int = 8, seed
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def normalize(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)

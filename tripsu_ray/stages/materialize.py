@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 SORT_KEYS = [
     "subject", "predicate", "object_value", "object_kind",
@@ -131,7 +132,7 @@ def dedup_split(
 
     _t0 = _time.perf_counter()
     triples.map_batches(dedup_and_hash, batch_format="pyarrow").write_parquet(t_path)
-    T = ray.data.read_parquet(t_path)
+    T = _read_parquet_clean(t_path)
     if timings is not None:
         timings["ckpt_write"] = _time.perf_counter() - _t0
     _t0 = _time.perf_counter()
@@ -154,7 +155,7 @@ def dedup_split(
         _glob.glob(f"{t_path}/**/*.parquet", recursive=True)
     )
     if not files:  # non-local checkpoint store: fall back to dataset block refs
-        files = ray.data.read_parquet(t_path, columns=["_h"]).to_arrow_refs()
+        files = _read_parquet_clean(t_path, columns=["_h"]).to_arrow_refs()
     hot = partitioned_hot_hashes(files, column="_h")
     if timings is not None:
         timings["census"] = _time.perf_counter() - _t0
@@ -201,7 +202,7 @@ def dedup_split(
 
         hot_files = sorted(_g.glob(f"{hot_dir}/*.parquet"))
         if hot_files:
-            hot_ds = ray.data.read_parquet(hot_files)
+            hot_ds = _read_parquet_clean(hot_files)
             if len(hot) < 100_000:
                 hot_tbl = pa.concat_tables(
                     list(hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
@@ -210,7 +211,7 @@ def dedup_split(
             else:
                 hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
             hot_dedup.write_parquet(output_path)  # appends unique file names
-        return ray.data.read_parquet(output_path)
+        return _read_parquet_clean(output_path)
 
     cold = T.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
     hot_ds = T.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
@@ -302,5 +303,5 @@ def materialize(
             timings["split_write"] = _time.perf_counter() - _t0
         import ray.data
 
-        return ray.data.read_parquet(output_path)
+        return _read_parquet_clean(output_path)
     return out

@@ -23,6 +23,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 FORMAT_FAKE = 1
 
@@ -64,7 +65,7 @@ def attach_fake_payloads(sf_dir: str):
     """documents → (doc_id, payload: binary) — the synthetic media corpus."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def encode(batch: pa.Table) -> pa.Table:
         payloads = [

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 QUANT = 1_000_000
 
@@ -48,7 +49,7 @@ def _query_matrix(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray
     import ray.data
 
     df = (
-        ray.data.read_parquet(
+        _read_parquet_clean(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],
             filter=pc.field("vec_id") < num_queries,
@@ -86,7 +87,7 @@ def ann_topk(sf_dir: str, *, k: int = 10, num_queries: int = 5):
     q_ids, Q = _query_matrix(sf_dir, num_queries)
     q_ref = ray.put((q_ids, Q))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_ = ray.get(q_ref)
@@ -129,14 +130,14 @@ def sim_threshold_join(sf_dir: str, *, tau_q: int = 400_000, chunk_rows: int = 6
     import ray.data
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(path, columns=["vec_id", "embedding"])
     n = ds.count()  # parquet metadata count — no scan
 
     out = None
     for lo in range(0, n, chunk_rows):
         hi = lo + chunk_rows
         chunk = (
-            ray.data.read_parquet(
+            _read_parquet_clean(
                 path,
                 columns=["vec_id", "embedding"],
                 filter=(pc.field("vec_id") >= lo) & (pc.field("vec_id") < hi),
@@ -188,7 +189,7 @@ def sim_threshold_lsh(
     """
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
@@ -267,7 +268,7 @@ def _train_centroids(
     import pyarrow.compute as pc
     import ray.data
 
-    df = ray.data.read_parquet(
+    df = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < sample,
@@ -316,7 +317,7 @@ def ann_ivf(
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, Q, C, probe))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_, C_, probe_ = ray.get(ref)
@@ -382,7 +383,7 @@ def ann_lsh(
     q_sigs = signatures(Q)
     ref = ray.put((q_ids, Q, q_sigs))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_, qs_ = ray.get(ref)

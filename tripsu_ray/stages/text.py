@@ -29,6 +29,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 TOKEN_RE = r"[a-z0-9]+"
 STOPWORDS = ("the", "a", "of", "to", "and")
@@ -214,7 +215,7 @@ def _rolling_fp_scalar(text: str, window: int = 8) -> int:
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def text_stats(sf_dir: str):

@@ -21,6 +21,7 @@ import hashlib
 import json
 import os
 import time
+from ..sources import read_parquet_clean as _read_parquet_clean
 
 
 class CheckpointManager:
@@ -68,7 +69,7 @@ class CheckpointManager:
         out_dir = os.path.join(self.root, stage)
         if self.is_complete(stage, params):
             self.metrics["stages"].setdefault(stage, {})["resumed"] = True
-            return ray.data.read_parquet(out_dir)
+            return _read_parquet_clean(out_dir)
         # incomplete (crashed attempt / stale params): clear leftover part
         # files FIRST — Ray's write_parquet appends uniquely-named files, so
         # writing into a dirty dir would silently return old+new rows on the
@@ -79,7 +80,7 @@ class CheckpointManager:
         t0 = time.perf_counter()
         ds = fn()
         ds.write_parquet(out_dir)
-        result = ray.data.read_parquet(out_dir)
+        result = _read_parquet_clean(out_dir)
         n = result.count()
         secs = time.perf_counter() - t0
         self._write_manifest(
