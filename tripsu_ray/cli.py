@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 from .sources import read_parquet_clean as _read_parquet_clean
 
 

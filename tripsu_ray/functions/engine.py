@@ -30,9 +30,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schema import KIND_BLANK, KIND_IRI, KIND_LITERAL, TRIPLES
+from ..schema import KIND_IRI, KIND_LITERAL, TRIPLES
 from .crypto import Pseudonymizer
-from .rdf import format_object, format_predicate, format_subject
+from .rdf import format_predicate, format_subject
 from .rules import Rules
 
 _SEP = "\x1f"

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .text import TOKEN_RE, _token_pat, fingerprint_batch
+from .text import _token_pat, fingerprint_batch
 from ..sources import read_parquet_clean as _read_parquet_clean
 
 MERSENNE = (1 << 61) - 1

@@ -64,7 +64,6 @@ class CheckpointManager:
         execute, write Parquet, then write the manifest (data before
         marker, so a crash mid-write never fakes completion).
         """
-        import ray.data
 
         out_dir = os.path.join(self.root, stage)
         if self.is_complete(stage, params):
