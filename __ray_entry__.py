@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": docops.q_text_langid,
         "text_fingerprint": docops.q_text_fingerprint,
         "text_rolling_fp": docops.q_text_rolling_fp,
+        "text_tokens": docops.q_text_tokens,
+        "text_quality": docops.q_text_quality,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -82,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),
+        "text_tokens": d.sql_text_tokens(),
+        "text_quality": d.sql_text_quality(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

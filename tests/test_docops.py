@@ -21,6 +21,53 @@ def test_text_stats_kernel():
     assert out.alpha_chars[0] == len("thequickfoxandthedog")
 
 
+def test_bpe_tokens_kernel():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["it's 3.14 no-way", ""]})
+    out = text.bpe_tokens_batch(df)
+    # it | 's | ' 3' | '.' | '14' | ' no' | '-' | 'way'
+    assert out.n_bpe_tokens[0] == 8
+    assert out.n_bpe_uniq[0] == 8
+    assert out.n_ws_tokens[0] == 3
+    assert out.n_bpe_tokens[1] == 0 and out.n_ws_tokens[1] == 0
+
+
+def test_bpe_tokens_matches_duckdb_semantics():
+    """Python re and DuckDB RE2 must tokenize identically (leftmost-first)."""
+    import duckdb
+
+    docs = [
+        "it's 3.14 no-way",
+        "They'll we've I'm can't o'clock",
+        "  leading spaces\tand\nnewlines  ",
+        "MixedCASE 0042 !!??.. a1b2",
+        "'' ' lone quotes '",
+        "",
+    ]
+    from tripsu_ray.pipelines.doc_oracle import _BPE
+
+    con = duckdb.connect()
+    for d in docs:
+        sql_toks = con.execute(
+            f"SELECT regexp_extract_all(?, '{_BPE}')", [d]
+        ).fetchone()[0]
+        py_toks = text._bpe_pat.findall(d)
+        assert sql_toks == py_toks, d
+
+
+def test_quality_kernel_gates():
+    good = "The report of a long and careful study, written to explain the results."
+    short = "tiny doc"
+    junk = "!!! ??? *** !!! ??? *** %%% $$$"
+    repeat = "the the the the the the the the the the the the"
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [good, short, junk, repeat]})
+    out = text.quality_batch(df)
+    assert out.quality_keep.tolist() == [1, 0, 0, 0]
+    assert out.quality_score[0] == 5
+    assert out.quality_score[2] < 3  # junk fails punct + stopword + min-tokens
+    # repetition gate: 12 tokens, 1 unique -> 1*5 > 12 is False
+    assert out.quality_score[3] < 5
+
+
 def test_fingerprint_normalizes_whitespace_and_case():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello  World", "hello world "]})
     out = text.fingerprint_batch(df)

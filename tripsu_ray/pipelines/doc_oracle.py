@@ -6,11 +6,21 @@ quantization) with the stage code via imported constants.
 
 from __future__ import annotations
 
-from ..stages.text import LANGID_THRESHOLD, STOPWORDS, TOKEN_RE
+from ..stages.text import (
+    BPE_RE,
+    LANGID_THRESHOLD,
+    PUNCT_RE,
+    QUALITY_MIN_TOKENS,
+    STOPWORDS,
+    TOKEN_RE,
+    WS_TOKEN_RE,
+)
 
 # DuckDB/RE2 rendering of the shared patterns
 _TOK = TOKEN_RE
 _STOP = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+# SQL string literal escaping (BPE_RE contains a single quote)
+_BPE = BPE_RE.replace("'", "''")
 
 
 def sql_text_stats() -> str:
@@ -37,6 +47,43 @@ SELECT doc_id,
             > {LANGID_THRESHOLD}
        THEN 'en' ELSE 'unknown' END AS lang_pred
 FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_text_tokens() -> str:
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(text, '{_BPE}'))) AS n_bpe_uniq
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def sql_text_quality() -> str:
+    # Integer-only gate arithmetic — identical to stages/text.py:quality_batch.
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS n_uniq,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    len(regexp_extract_all(lower(text), '{_STOP}')) AS stop_count,
+    len(regexp_extract_all(text, '{PUNCT_RE}')) AS punct_chars
+  FROM documents
+), gates AS (
+  SELECT doc_id, n_chars, punct_chars,
+    CAST(n_tokens >= {QUALITY_MIN_TOKENS} AS BIGINT)
+    + CAST(alpha_chars >= 2*n_tokens AND alpha_chars <= 12*n_tokens AS BIGINT)
+    + CAST(stop_count*100 > n_tokens AS BIGINT)
+    + CAST(punct_chars*5 < greatest(n_chars, 1) AS BIGINT)
+    + CAST(n_uniq*5 > n_tokens AS BIGINT) AS quality_score
+  FROM sig
+)
+SELECT doc_id, n_chars, punct_chars, quality_score,
+       CAST(quality_score = 5 AS BIGINT) AS quality_keep
+FROM gates ORDER BY doc_id
 """.strip()
 
 

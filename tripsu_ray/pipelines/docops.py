@@ -22,6 +22,8 @@ q_text_stats = text.text_stats
 q_text_langid = text.text_langid
 q_text_fingerprint = text.text_fingerprint
 q_text_rolling_fp = text.text_rolling_fingerprint
+q_text_tokens = text.text_tokens
+q_text_quality = text.text_quality
 
 
 # --- dedup -----------------------------------------------------------------

@@ -40,6 +40,26 @@ LANGID_THRESHOLD = 0.02
 _token_pat = re.compile(TOKEN_RE)
 _stop_pat = re.compile(STOP_RE)
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to the common subset of
+# Python re and DuckDB RE2: no \p classes, no lookahead — both engines use
+# leftmost-first alternation so the token stream is identical): contraction
+# suffixes, optional-space letter runs, optional-space digit runs,
+# optional-space punctuation runs. Applied to RAW text (case preserved).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+WS_TOKEN_RE = r"\S+"
+
+_bpe_pat = re.compile(BPE_RE)
+
+# Gopher-style quality gates, expressed in INTEGER arithmetic only so the
+# DuckDB oracle is bit-identical (no float thresholds in the hot path):
+#   c1: n_tokens >= QUALITY_MIN_TOKENS
+#   c2: mean token length in [2, 12]    -> 2*n_tokens <= alpha_chars <= 12*n_tokens
+#   c3: stopword ratio > 0.01           -> stop_count*100 > n_tokens
+#   c4: punctuation ratio < 0.2         -> punct_chars*5 < max(n_chars, 1)
+#   c5: distinct-token ratio > 0.2      -> n_uniq_tokens*5 > n_tokens
+QUALITY_MIN_TOKENS = 5
+
 
 def text_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     low = batch["text"].str.lower()
@@ -68,6 +88,62 @@ def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
     ratio = stop_count / n_tokens
     pred = np.where(ratio > LANGID_THRESHOLD, "en", "unknown")
     return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
+
+
+def bpe_tokens_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens.
+
+    Counterpart of a tokenizer-budget pass over a training corpus (the
+    reference has no tokenizer; this is one of the LLM-data extensions).
+    Fully vectorized pandas string kernels; the BPE token stream is
+    reproduced exactly by the DuckDB oracle (``sql_text_tokens``).
+    """
+    txt = batch["text"]
+    n_ws = txt.str.count(WS_TOKEN_RE).astype("int64")
+    n_bpe = txt.str.count(BPE_RE).astype("int64")
+    toks = txt.str.findall(_bpe_pat)
+    n_bpe_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": n_bpe,
+            "n_bpe_uniq": n_bpe_uniq,
+        }
+    )
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style document quality scoring (see gate table above).
+
+    Emits the raw integer signals, the 0-5 ``quality_score`` (number of
+    gates passed) and ``quality_keep`` (1 iff all gates pass). All
+    comparisons are integer-exact so the oracle hash-matches.
+    """
+    txt = batch["text"]
+    low = txt.str.lower()
+    n_chars = txt.str.len().astype("int64")
+    n_tokens = low.str.count(TOKEN_RE).astype("int64")
+    toks = low.str.findall(_token_pat)
+    n_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
+    alpha_chars = low.str.replace(r"[^a-z0-9]", "", regex=True).str.len().astype("int64")
+    stop_count = low.str.count(STOP_RE).astype("int64")
+    punct_chars = txt.str.count(PUNCT_RE).astype("int64")
+    c1 = n_tokens >= QUALITY_MIN_TOKENS
+    c2 = (alpha_chars >= 2 * n_tokens) & (alpha_chars <= 12 * n_tokens)
+    c3 = stop_count * 100 > n_tokens
+    c4 = punct_chars * 5 < n_chars.clip(lower=1)
+    c5 = n_uniq * 5 > n_tokens
+    score = sum(c.astype("int64") for c in (c1, c2, c3, c4, c5))
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "punct_chars": punct_chars,
+            "quality_score": score,
+            "quality_keep": (score == 5).astype("int64"),
+        }
+    )
 
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -232,3 +308,11 @@ def text_fingerprint(sf_dir: str):
 
 def text_rolling_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(rolling_fingerprint_batch, batch_format="pandas")
+
+
+def text_tokens(sf_dir: str):
+    return _docs(sf_dir).map_batches(bpe_tokens_batch, batch_format="pandas")
+
+
+def text_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
