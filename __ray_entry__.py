@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "multimodal_dims": docops.q_multimodal_dims,
         "multimodal_features": docops.q_multimodal_features,
+        "multimodal_resize": docops.q_multimodal_resize,
+        "multimodal_frames": docops.q_multimodal_frames,
         # relational engine showcase
         "rel_lineitem_agg": docops.q_rel_lineitem_agg,
         "rel_join_revenue": docops.q_rel_join_revenue,
@@ -91,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": d.sql_ann_topk(),
         "sim_threshold": d.sql_sim_threshold(),
         "multimodal_dims": d.sql_multimodal_dims(),
+        "multimodal_resize": d.sql_multimodal_resize(),
+        "multimodal_frames": d.sql_multimodal_frames(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),
         "rel_join_revenue": d.sql_rel_join_revenue(),
         "rel_events_window": d.sql_rel_events_window(),

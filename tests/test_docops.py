@@ -292,6 +292,62 @@ def test_real_codec_is_stubbed():
         multimodal.RealImageCodec.decode(b"x")
 
 
+def test_fake_video_codec_roundtrip():
+    payload = multimodal.FakePayloadCodec.encode_video(9, "hello")
+    w, h, c, n, frames = multimodal.FakePayloadCodec.decode_video(payload)
+    assert (w, h, c) == (8 + 9 % 24, 8 + 9 % 16, 3)
+    assert n == 1 + 9 % multimodal.VIDEO_MAX_FRAMES
+    assert frames.shape == (n, h, w, c)
+
+
+def test_resize_nearest_kernel():
+    # 4x2 image downscaled to max side 2 -> 2x1; gather picks pixels
+    # (0,0) and (2,0) of each channel row
+    img = np.arange(4 * 2 * 3, dtype=np.uint8)
+    ow, oh, out = multimodal.resize_nearest(img, 4, 2, 3, 2)
+    assert (ow, oh) == (2, 1)
+    ref = img.reshape(2, 4, 3)[[0]][:, [0, 2]].reshape(-1)
+    assert (out == ref).all()
+    # no-op when already within bounds (same buffer back)
+    ow, oh, out = multimodal.resize_nearest(img, 4, 2, 3, 4)
+    assert (ow, oh) == (4, 2) and out is img
+
+
+def test_resizer_payload_decodes():
+    import pyarrow as pa
+
+    payload = multimodal.FakePayloadCodec.encode(40, "x" * 50)  # 56x24
+    batch = pa.table({"doc_id": pa.array([40], pa.int64()),
+                      "payload": pa.array([payload], pa.binary())})
+    out = multimodal.ImageResizer()(batch)
+    w, h, c, pixels = multimodal.FakePayloadCodec.decode(
+        out["payload"][0].as_py()
+    )
+    assert (w, h) == (out["out_width"][0].as_py(), out["out_height"][0].as_py())
+    assert max(w, h) <= multimodal.RESIZE_MAX_SIDE
+    assert len(pixels) == w * h * c
+    assert out["payload_bytes"][0].as_py() == 8 + w * h * c
+
+
+def test_frame_sampler_fanout():
+    import pyarrow as pa
+
+    doc_id = 6  # 1 + 6%7 = 7 frames -> sampled 0,2,4,6 at stride 2
+    payload = multimodal.FakePayloadCodec.encode_video(doc_id, "vid")
+    batch = pa.table({"doc_id": pa.array([doc_id], pa.int64()),
+                      "payload": pa.array([payload], pa.binary())})
+    out = multimodal.VideoFrameSampler()(batch)
+    assert out["frame_idx"].to_pylist() == [0, 2, 4, 6]
+    assert set(out["n_frames"].to_pylist()) == {7}
+    # each sampled frame decodes as a still with the video's frame dims
+    w, h, c, pixels = multimodal.FakePayloadCodec.decode(
+        out["payload"][0].as_py()
+    )
+    assert (w, h, c) == (8 + doc_id % 24, 8 + doc_id % 16, 3)
+    _, _, _, _, frames = multimodal.FakePayloadCodec.decode_video(payload)
+    assert (pixels == frames[0].reshape(-1)).all()
+
+
 # --- Ray pipelines ---------------------------------------------------------
 
 

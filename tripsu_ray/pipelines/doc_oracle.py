@@ -162,6 +162,44 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+def sql_multimodal_resize() -> str:
+    # Mirror of FakePayloadCodec.encode dims + resize_nearest integer math
+    from ..stages.multimodal import RESIZE_MAX_SIDE as S
+
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 16 + (doc_id % 48) AS w, 16 + (doc_id % 32) AS h
+  FROM documents
+), scaled AS (
+  SELECT doc_id, w, h,
+    CASE WHEN greatest(w, h) <= {S} THEN w
+         ELSE greatest(1, (w * {S}) // greatest(w, h)) END AS ow,
+    CASE WHEN greatest(w, h) <= {S} THEN h
+         ELSE greatest(1, (h * {S}) // greatest(w, h)) END AS oh
+  FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS in_width, CAST(h AS INTEGER) AS in_height,
+       CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+       8 + ow * oh * 3 AS payload_bytes
+FROM scaled ORDER BY doc_id
+""".strip()
+
+
+def sql_multimodal_frames() -> str:
+    # Mirror of FakePayloadCodec.encode_video + VideoFrameSampler stride
+    from ..stages.multimodal import FRAME_STRIDE, VIDEO_MAX_FRAMES
+
+    return f"""
+SELECT doc_id,
+  CAST(unnest(generate_series(0, (1 + doc_id % {VIDEO_MAX_FRAMES}) - 1,
+                              {FRAME_STRIDE})) AS INTEGER) AS frame_idx,
+  CAST(1 + doc_id % {VIDEO_MAX_FRAMES} AS INTEGER) AS n_frames,
+  8 + (8 + doc_id % 24) * (8 + doc_id % 16) * 3 AS frame_bytes
+FROM documents ORDER BY doc_id, frame_idx
+""".strip()
+
+
 def sql_rel_lineitem_agg() -> str:
     return """
 SELECT l_returnflag, l_linestatus,

@@ -159,6 +159,18 @@ def q_multimodal_dims(sf_dir: str):
     return multimodal.image_features(sf_dir).select_columns(["doc_id", "width", "height"])
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Nearest-neighbor resize stage; dims + payload length are SQL-checkable
+    (the binary payload itself is dropped from the driver-facing result)."""
+    return multimodal.image_resize(sf_dir).drop_columns(["payload"])
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling fanout; (doc_id, frame_idx, n_frames, frame_bytes)
+    are SQL-checkable via generate_series over the fake-codec formulas."""
+    return multimodal.video_frame_sample(sf_dir).drop_columns(["payload"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Full featurize output incl. histogram vector (rows-only check)."""
     import pyarrow as pa

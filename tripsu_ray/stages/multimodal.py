@@ -26,6 +26,11 @@ import pyarrow as pa
 from ..sources import read_parquet_clean as _read_parquet_clean
 
 FORMAT_FAKE = 1
+FORMAT_FAKE_VIDEO = 2
+
+# fake-video shape formulas (mirrored by the SQL oracle): frame dims are
+# smaller than stills so the multi-frame payload stays narrow
+VIDEO_MAX_FRAMES = 7
 
 
 class FakePayloadCodec:
@@ -47,6 +52,43 @@ class FakePayloadCodec:
             raise ValueError(f"unknown payload format tag {fmt}")
         pixels = np.frombuffer(payload[8 : 8 + w * h * c], dtype=np.uint8)
         return w, h, c, pixels
+
+    @staticmethod
+    def encode_video(doc_id: int, text: str) -> bytes:
+        """Multi-frame payload: 10-byte header + n_frames × (w·h·c) bytes."""
+        w = 8 + (doc_id % 24)
+        h = 8 + (doc_id % 16)
+        n_frames = 1 + (doc_id % VIDEO_MAX_FRAMES)
+        header = struct.pack("<HHHHH", w, h, 3, FORMAT_FAKE_VIDEO, n_frames)
+        body = hashlib.sha256(text.encode("utf-8")).digest()
+        frame_len = w * h * 3
+        reps = (frame_len * n_frames) // len(body) + 1
+        return header + (body * reps)[: frame_len * n_frames]
+
+    @staticmethod
+    def decode_video(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+        w, h, c, fmt, n_frames = struct.unpack("<HHHHH", payload[:10])
+        if fmt != FORMAT_FAKE_VIDEO:
+            raise ValueError(f"unknown payload format tag {fmt}")
+        frames = np.frombuffer(
+            payload[10 : 10 + n_frames * w * h * c], dtype=np.uint8
+        ).reshape(n_frames, h, w, c)
+        return w, h, c, n_frames, frames
+
+
+def resize_nearest(
+    pixels: np.ndarray, w: int, h: int, c: int, max_side: int
+) -> tuple[int, int, np.ndarray]:
+    """Nearest-neighbor downscale so max(w,h) <= max_side (numpy gather —
+    a REAL kernel, not a stub: the fake part is only the byte format)."""
+    if max(w, h) <= max_side:
+        return w, h, pixels
+    ow = max(1, (w * max_side) // max(w, h))
+    oh = max(1, (h * max_side) // max(w, h))
+    img = pixels.reshape(h, w, c)
+    yi = (np.arange(oh) * h) // oh
+    xi = (np.arange(ow) * w) // ow
+    return ow, oh, img[yi][:, xi].reshape(-1)
 
 
 class RealImageCodec:
@@ -115,6 +157,124 @@ def image_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
     """
     return attach_fake_payloads(sf_dir).map_batches(
         ImageFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+RESIZE_MAX_SIDE = 32
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor downscale → re-encode.
+
+    Output dims are pure integer arithmetic on the input dims, so
+    ``multimodal_resize`` is DuckDB-oracle hash-matched end to end; the
+    resized payload itself is carried (and its length checked) so the
+    binary plumbing is exercised, with ``payload_bytes`` in the oracle.
+    """
+
+    def __init__(self, codec=None, max_side: int = RESIZE_MAX_SIDE):
+        self.codec = codec or FakePayloadCodec
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        in_w, in_h, out_w, out_h, payloads = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            w, h, c, pixels = self.codec.decode(payload)
+            ow, oh, out = resize_nearest(pixels, w, h, c, self.max_side)
+            header = struct.pack("<HHHH", ow, oh, c, FORMAT_FAKE)
+            in_w.append(w)
+            in_h.append(h)
+            out_w.append(ow)
+            out_h.append(oh)
+            payloads.append(header + out.tobytes())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "in_width": pa.array(in_w, pa.int32()),
+                "in_height": pa.array(in_h, pa.int32()),
+                "out_width": pa.array(out_w, pa.int32()),
+                "out_height": pa.array(out_h, pa.int32()),
+                "payload_bytes": pa.array(
+                    [len(p) for p in payloads], pa.int64()
+                ),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def image_resize(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    return attach_fake_payloads(sf_dir).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def attach_fake_videos(sf_dir: str):
+    """documents → (doc_id, payload: binary multi-frame fake video)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = [
+            FakePayloadCodec.encode_video(int(d), t)
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+FRAME_STRIDE = 2
+
+
+class VideoFrameSampler:
+    """Actor-pool fanout stage: video payload → one row per sampled frame.
+
+    Samples every ``stride``-th frame (0, stride, 2·stride, …) and re-encodes
+    each as a single still payload — the canonical video→training-image
+    pre-processing shape. Row fanout happens INSIDE the batch (Arrow table
+    out with more rows than in), so the streaming executor sees it as a
+    normal map_batches and block sizes stay bounded.
+    """
+
+    def __init__(self, codec=None, stride: int = FRAME_STRIDE):
+        self.codec = codec or FakePayloadCodec
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idxs, n_frames_col, frame_payloads = [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, c, n_frames, frames = self.codec.decode_video(payload)
+            header = struct.pack("<HHHH", w, h, c, FORMAT_FAKE)
+            for idx in range(0, n_frames, self.stride):
+                doc_ids.append(doc_id)
+                frame_idxs.append(idx)
+                n_frames_col.append(n_frames)
+                frame_payloads.append(header + frames[idx].tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idxs, pa.int32()),
+                "n_frames": pa.array(n_frames_col, pa.int32()),
+                "frame_bytes": pa.array(
+                    [len(p) for p in frame_payloads], pa.int64()
+                ),
+                "payload": pa.array(frame_payloads, pa.binary()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    return attach_fake_videos(sf_dir).map_batches(
+        VideoFrameSampler,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
