@@ -197,6 +197,39 @@ class TestTreeFoldEmptyBlocks:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPartitionedHotHashes:
+    """Range-partitioned census must handle every power-of-two partition
+    count — num_partitions=1 makes leaf remotes return a bare ObjectRef
+    (num_returns=1), a previously-crashing path."""
+
+    @pytest.mark.parametrize("num_partitions", [1, 2, 16])
+    def test_matches_numpy_reference(self, num_partitions):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from tripsu_ray.stages.folds import partitioned_hot_hashes
+
+        rng = np.random.default_rng(11)
+        blocks = [
+            rng.integers(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+            for _ in range(5)
+        ]
+        blocks[1][:100] = blocks[0][:100]  # guaranteed cross-block dups
+        refs = [ray.put(pa.table({"_h": b})) for b in blocks]
+        hot = partitioned_hot_hashes(refs, num_partitions=num_partitions)
+        allv = np.concatenate(blocks)
+        uniq, cnt = np.unique(allv, return_counts=True)
+        expect = uniq[cnt > 1]
+        assert (np.sort(hot) == expect).all()
+
+    def test_rejects_non_power_of_two(self):
+        with pytest.raises(ValueError):
+            from tripsu_ray.stages.folds import partitioned_hot_hashes
+
+            partitioned_hot_hashes([], num_partitions=3)
+
+
 class TestJoinFallback:
     """pseudonymize_join (huge-index plan) ≡ broadcast plan, bit for bit."""
 

@@ -492,8 +492,8 @@ def _assign_clusters(docs, labels: dict, id_col: str = "doc_id"):
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         lab = ray.get(lab_ref)
-        ids = b[id_col].to_numpy().astype(np.int64)
-        cluster = np.array([lab.get(int(d), int(d)) for d in ids], dtype=np.int64)
+        ids = b[id_col].astype("int64")
+        cluster = ids.map(lab).fillna(ids).astype("int64")
         return pd.DataFrame({id_col: ids, "cluster_id": cluster})
 
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pandas")

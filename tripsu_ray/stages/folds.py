@@ -71,7 +71,7 @@ def _fold_batch(
             "tag": pa.array(
                 np.concatenate(
                     [np.full(n_p, TAG_PAIR, np.int8), np.full(n_l, TAG_LINK, np.int8),
-                     np.full(2, 0, np.int8) + np.array([TAG_COUNT, TAG_RISK], np.int8)]
+                     np.array([TAG_COUNT, TAG_RISK], np.int8)]
                 )
             ),
             "a": pa.concat_arrays(
@@ -160,7 +160,7 @@ def fold_pass_compiled(
     from ..functions.rules import Rules
 
     rules = Rules.from_dict(rules_cfg) if isinstance(rules_cfg, dict) else rules_cfg
-    relevant = sorted(set(rules.node_of_type) | set(rules.obj_on_type_predicate))
+    relevant = relevant_types_of(rules)
     risk_preds = risk_predicates_of(rules)
     ds = triples.map_batches(
         _fold_batch,
@@ -289,9 +289,13 @@ def partitioned_hot_hashes(items, *, column: str = "_h", num_partitions: int = 1
     leaf_outs = [
         _leaf.remote(*items[i : i + chunk]) for i in range(0, len(items), chunk)
     ]
-    hot_parts = ray.get(
-        [_hot.remote(*[lo[p] for lo in leaf_outs]) for p in range(num_partitions)]
-    )
+    if num_partitions == 1:
+        # num_returns=1 remotes yield a bare ObjectRef (not indexable)
+        hot_parts = ray.get([_hot.remote(*leaf_outs)])
+    else:
+        hot_parts = ray.get(
+            [_hot.remote(*[lo[p] for lo in leaf_outs]) for p in range(num_partitions)]
+        )
     return np.concatenate(hot_parts)  # ranges are contiguous → already sorted
 
 

@@ -11,8 +11,13 @@ Definitions (mirrored in pipelines/doc_oracle.py):
 - token: a maximal run of ``[a-z0-9]+`` in ``lower(text)``
 - n_tokens / n_uniq_tokens: total / distinct token count
 - alpha_chars: total token characters (= len after stripping non-[a-z0-9])
-- stop_count: occurrences of the stopword set {the, a, of, to, and} as
-  whole tokens
+- stop_count: ``\b``-delimited occurrences of the stopword set
+  {the, a, of, to, and}. NOTE: ``\b`` treats ``_`` and non-ASCII word
+  characters as word-internal, so "the_end" counts NO stopword even
+  though the token definition above would split it — the regex is kept
+  ``\b``-based because both engines (Python re, DuckDB RE2) implement it
+  identically and RE2 has no lookarounds to express the token-exact
+  alternative
 - stop_ratio, mean_token_len: double divisions of the above
 - langid: stopword-profile heuristic — 'en' if stop_ratio > 0.02 else
   'unknown' (the synthetic corpus is English-shaped; the stage demonstrates
