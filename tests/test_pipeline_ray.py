@@ -100,6 +100,18 @@ class TestRayPipeline:
         df = kg_pipeline(SF, salt=DEFAULT_SALT).to_pandas()
         assert len(df) == 7581  # pinned: deterministic corpus → deterministic KG
 
+    @pytest.mark.parametrize("layout", ["bucketed", "split"])
+    def test_materialize_rerun_same_output_dir(self, layout, tmp_path):
+        # write_parquet appends unique file names — a rerun into the same
+        # output dir must start clean, not merge with the previous run's
+        # part-files (previously doubled every row on the rerun)
+        out_dir = str(tmp_path / "out")
+        runs = []
+        for _ in range(2):
+            triples = extract_triples(read_source_files(SF))
+            runs.append(materialize(triples, out_dir, layout=layout).count())
+        assert runs[0] == runs[1]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestFoldPassCompiled:
@@ -273,6 +285,29 @@ class TestJoinFallback:
         # plan now uses grouped is_in probes)
         a, b = self._both(DEFAULT_RULES, num_partitions=32)
         assert a == b
+
+    def test_single_partition(self):
+        # num_returns=1 remotes return a bare ObjectRef — previously
+        # crashed _shard_keys' per-partition indexing
+        a, b = self._both(DEFAULT_RULES, num_partitions=1)
+        assert a == b
+
+    def test_flag_pass_single_partition_no_bloom(self):
+        import pyarrow as pa
+        import ray
+        import ray.data
+
+        from tripsu_ray.stages.pseudo import _flag_pass
+
+        stream = ray.data.from_arrow(
+            pa.table({"k": pa.array(["a", "b", "a", "c"], pa.string())})
+        )
+        shard = ray.put(pa.array(["a", "c"], pa.string()))
+        out = _flag_pass(
+            stream, "k", [("k", "_f", [shard])], 1, blooms=None
+        ).to_pandas()
+        got = dict(zip(out.k, out._f))
+        assert got == {"a": True, "b": False, "c": True}
 
 
 @pytest.mark.usefixtures("ray_session")

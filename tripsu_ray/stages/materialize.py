@@ -57,7 +57,7 @@ def dedup_exact(triples) -> "ray.data.Dataset":
     return _global_dedup(local)
 
 
-def _global_dedup(local, num_buckets: int = 256):
+def _global_dedup(local, num_buckets: int = 256, group_fn=None):
     """Group by a hash bucket of the key; dedup each bucket vectorized.
 
     A per-triple ``map_groups`` would pay Python per group; bucketing by
@@ -65,7 +65,8 @@ def _global_dedup(local, num_buckets: int = 256):
     vectorized np.unique each — same single shuffle, no per-row Python.
     The hash is pandas' deterministic SipHash (stable across worker
     processes — the Python builtin ``hash`` is NOT and must never be used
-    for partitioning).
+    for partitioning). ``group_fn`` overrides the per-bucket transform
+    (default: exact dedup) — the 'bucketed' layout passes a dedup+sort.
     """
     import numpy as np
     import pandas as pd
@@ -75,11 +76,10 @@ def _global_dedup(local, num_buckets: int = 256):
         h = pd.util.hash_array(key.to_numpy(zero_copy_only=False)) % num_buckets
         return batch.append_column("_bucket", pa.array(h.astype(np.int64)))
 
-    def dedup_bucket(group: pa.Table) -> pa.Table:
-        return _dedup_batch(group)
-
     bucketed = local.map_batches(add_bucket, batch_format="pyarrow")
-    out = bucketed.groupby("_bucket").map_groups(dedup_bucket, batch_format="pyarrow")
+    out = bucketed.groupby("_bucket").map_groups(
+        group_fn or _dedup_batch, batch_format="pyarrow"
+    )
     return out.drop_columns(["_bucket"])
 
 
@@ -122,6 +122,18 @@ def dedup_split(
     import ray.data
 
     t_path = f"{work_dir}/transformed"
+
+    # write_parquet APPENDS uniquely-named files: stale part-files from a
+    # crashed/previous run in any of our directories would silently merge
+    # into the "exact dedup" result — start from clean directories (the
+    # resumable path's skip-if-complete lives in state/checkpoint.py, which
+    # only re-enters here when the stage must actually re-execute)
+    import os as _os
+    import shutil as _shutil
+
+    for _d in (t_path, f"{work_dir}/hot", output_path):
+        if _d and _os.path.isdir(_d):
+            _shutil.rmtree(_d)
 
     def dedup_and_hash(batch: pa.Table) -> pa.Table:
         batch = _dedup_batch(batch)
@@ -248,9 +260,6 @@ def materialize(
     co-partitioned. ``layout="sorted"`` adds a global range sort (second
     all-to-all) for totally-ordered output.
     """
-    import numpy as np
-    import pandas as pd
-
     if layout == "split":
         if output_path is None:
             raise ValueError("layout='split' needs output_path (for its work dir)")
@@ -276,11 +285,6 @@ def materialize(
     else:
         local = triples.map_batches(_dedup_batch, batch_format="pyarrow")
 
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            key = _triple_key(batch)
-            h = pd.util.hash_array(key.to_numpy(zero_copy_only=False)) % num_buckets
-            return batch.append_column("_bucket", pa.array(h.astype(np.int64)))
-
         def dedup_sort_bucket(group: pa.Table) -> pa.Table:
             group = _dedup_batch(group)
             order = pc.sort_indices(
@@ -288,15 +292,17 @@ def materialize(
             )
             return group.take(order)
 
-        bucketed = local.map_batches(add_bucket, batch_format="pyarrow")
-        out = bucketed.groupby("_bucket").map_groups(
-            dedup_sort_bucket, batch_format="pyarrow"
-        )
-        out = out.drop_columns(["_bucket"])
+        out = _global_dedup(local, num_buckets=num_buckets, group_fn=dedup_sort_bucket)
 
     if output_path is not None:
+        import os as _os
+        import shutil as _shutil
         import time as _time
 
+        # write_parquet appends unique file names — never merge into stale
+        # part-files from a previous run
+        if _os.path.isdir(output_path):
+            _shutil.rmtree(output_path)
         _t0 = _time.perf_counter()
         out.write_parquet(output_path)
         if timings is not None:

@@ -37,6 +37,30 @@ def broadcast_matcher(matcher: CompiledMatcher):
 _STATE_CACHE: dict = {}
 
 
+def _cache_latest(kind: str, key, build):
+    """Per-process cache holding at most ONE entry per kind.
+
+    Long-lived workers see a fresh broadcast ref (new key) per job; keeping
+    every old value (a compiled matcher can be GBs) would grow worker RSS
+    monotonically across jobs — so inserting a new key evicts the kind's
+    previous entry.
+    """
+    full = (kind, key)
+    val = _STATE_CACHE.get(full)
+    if val is None:
+        val = build()
+        for k in [k for k in _STATE_CACHE if k[0] == kind and k != full]:
+            del _STATE_CACHE[k]
+        _STATE_CACHE[full] = val
+    return val
+
+
+def _cached_pseudonymizer(algorithm, secret):
+    """Shared per-process pseudonymizer cache (task plan + join finish)."""
+    key = (algorithm, secret if isinstance(secret, (str, bytes)) else id(secret))
+    return _cache_latest("pseudo", key, lambda: new_pseudonymizer(algorithm, secret))
+
+
 def _require_secret(secret) -> None:
     """Distributed stages need a driver-materialized secret.
 
@@ -78,20 +102,17 @@ def pseudonymize_tasks(
     _require_secret(secret)
 
     def fn(batch: pa.Table) -> pa.Table:
-        key = ("matcher", matcher_ref.hex() if hasattr(matcher_ref, "hex") else id(matcher_ref))
-        matcher = _STATE_CACHE.get(key)
-        if matcher is None:
-            matcher = (
+        key = matcher_ref.hex() if hasattr(matcher_ref, "hex") else id(matcher_ref)
+        matcher = _cache_latest(
+            "matcher",
+            key,
+            lambda: (
                 ray.get(matcher_ref)
                 if not isinstance(matcher_ref, CompiledMatcher)
                 else matcher_ref
-            )
-            _STATE_CACHE[key] = matcher
-        pkey = ("pseudo", algorithm, secret if isinstance(secret, (str, bytes)) else id(secret))
-        pseudo = _STATE_CACHE.get(pkey)
-        if pseudo is None:
-            pseudo = new_pseudonymizer(algorithm, secret)
-            _STATE_CACHE[pkey] = pseudo
+            ),
+        )
+        pseudo = _cached_pseudonymizer(algorithm, secret)
         return pseudonymize_batch(batch, matcher, pseudo)
 
     return triples.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
@@ -141,6 +162,9 @@ def _shard_keys(key_ds, column: str, num_partitions: int, part_of=None) -> list:
     n_leaves = max(1, min(len(refs), 2 * int(ray.cluster_resources().get("CPU", 16))))
     chunk = -(-len(refs) // n_leaves)
     leaf = [_split.remote(*refs[i : i + chunk]) for i in range(0, len(refs), chunk)]
+    if P == 1:
+        # num_returns=1 remotes yield a bare ObjectRef (not indexable)
+        return [_merge.remote(*leaf)]
     return [_merge.remote(*[lo[p] for lo in leaf]) for p in range(P)]
 
 
@@ -297,10 +321,13 @@ def _flag_pass(stream, part_col: str, probes: list, num_partitions: int, drop_af
             split_outs.append(_split.remote(*bloom_refs, block_ref))
     if not split_outs:
         return stream  # empty stream: no flags needed downstream anyway
+    # P=1 without blooms: num_returns=1 → each split out is a bare,
+    # non-indexable ObjectRef holding partition 0 itself
+    bare = P == 1 and not with_bloom
     gathered = [
         _gather_probe.remote(
             *[shard_refs[p] for _, _, shard_refs in probes],
-            *[s[p] for s in split_outs],
+            *[(s if bare else s[p]) for s in split_outs],
         )
         for p in range(P)
     ]
@@ -442,11 +469,7 @@ def pseudonymize_join(
         import numpy as np
 
         # pseudonymizer hoisted to the per-process cache (was per batch)
-        pkey = ("pseudo", algorithm, secret if isinstance(secret, (str, bytes)) else id(secret))
-        pseudo = _STATE_CACHE.get(pkey)
-        if pseudo is None:
-            pseudo = new_pseudonymizer(algorithm, secret)
-            _STATE_CACHE[pkey] = pseudo
+        pseudo = _cached_pseudonymizer(algorithm, secret)
 
         n = batch.num_rows
         subj_is_iri = pc.equal(batch["subject_kind"], KIND_IRI).to_numpy(zero_copy_only=False)

@@ -34,13 +34,22 @@ def _counter_cls():
 
 
 class JobCounters:
-    """Named, idempotently-created counter actor + driver-side helpers."""
+    """Named, idempotently-created counter actor + driver-side helpers.
 
-    def __init__(self, name: str = "tripsu_ray_counters"):
+    The default name is JOB-scoped (two jobs on one cluster must not share
+    or reset each other's counters) and the actor is owned by the creating
+    driver — it dies with the job instead of leaking as a detached actor
+    on a long-lived cluster. Workers receive the HANDLE via fn_kwargs, so
+    the name only serves idempotent re-creation within one driver.
+    """
+
+    def __init__(self, name: str | None = None):
+        import ray
+
+        if name is None:
+            name = f"tripsu_ray_counters_{ray.get_runtime_context().get_job_id()}"
         self.name = name
-        self.actor = _counter_cls().options(
-            name=name, get_if_exists=True, lifetime="detached"
-        ).remote()
+        self.actor = _counter_cls().options(name=name, get_if_exists=True).remote()
 
     def handle(self):
         """The actor handle — picklable, pass it into map fns via fn_kwargs."""
