@@ -58,6 +58,46 @@ class TestCheckpointResume:
             map(tuple, out2[key].values.tolist())
         )
 
+    def test_random_salt_resumes_salt_independent_stages(self, tmp_path):
+        """salt=None draws a fresh secret per run; the extract/fold stages
+        must still resume (their lineage excludes the salt), and no
+        manifest may persist the raw secret."""
+        from tripsu_ray.pipelines.kg import kg_pipeline
+
+        ck = str(tmp_path / "ck_rand")
+        kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt=None)
+        kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt=None)
+        m = json.load(open(os.path.join(ck, "metrics.json")))
+        assert m["stages"]["triples"].get("resumed") is True
+        assert m["stages"]["folds"].get("resumed") is True
+        # pseudo depends on the (new random) salt -> must NOT resume
+        assert m["stages"]["pseudo"].get("resumed") is not True
+
+    def test_manifests_never_contain_the_secret(self, tmp_path):
+        from tripsu_ray.pipelines.kg import kg_pipeline
+
+        secret = "super-secret-salt-value-0123456789ab"
+        ck = str(tmp_path / "ck_sec")
+        kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt=secret)
+        for name in os.listdir(ck):
+            if name.endswith(".json"):
+                assert secret not in open(os.path.join(ck, name)).read(), name
+
+    def test_deleted_stage_dir_recomputes(self, tmp_path):
+        import shutil
+
+        from tripsu_ray.pipelines.kg import kg_pipeline
+
+        ck = str(tmp_path / "ck_del")
+        kg_pipeline("/root/testdata/sf0.001", checkpoint_dir=ck, salt="s" * 32)
+        shutil.rmtree(os.path.join(ck, "triples"))  # manifest left behind
+        out = kg_pipeline(
+            "/root/testdata/sf0.001", checkpoint_dir=ck, salt="s" * 32
+        ).to_pandas()
+        assert len(out) == 7581  # recomputed, not a lazy read failure
+        m = json.load(open(os.path.join(ck, "metrics.json")))
+        assert m["stages"]["triples"].get("resumed") is not True
+
     def test_changed_params_invalidate(self, tmp_path):
         from tripsu_ray.state.checkpoint import CheckpointManager
 

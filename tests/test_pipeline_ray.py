@@ -87,6 +87,22 @@ class TestRayPipeline:
         assert "mod_10" in km
         assert km["mod_10"].startswith("http://kg.example/")
 
+    def test_mention_keys_case_insensitive_extension(self):
+        import pandas as pd
+
+        from tripsu_ray.stages.link import LINKABLE_PREFIXES, mention_keys
+
+        iris = pd.Series(
+            [
+                LINKABLE_PREFIXES[0] + "Core.JS",
+                LINKABLE_PREFIXES[0] + "core",
+                "http://other.example/Core.JS",  # not linkable -> None
+            ]
+        )
+        keys = mention_keys(iris)
+        assert keys[0] == keys[1] == "core"  # lowercase BEFORE ext strip
+        assert pd.isna(keys[2])
+
     def test_dedup_and_materialize(self):
         triples = extract_triples(read_source_files(SF))
         total = triples.count()

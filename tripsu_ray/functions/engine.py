@@ -186,8 +186,13 @@ def node_rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:
     :func:`rewrites_any_prefix` / :func:`obj_rule_predicates`."""
     if matcher.invert:
         return True
-    brarr = matcher._sensitive.to_pylist()
-    return any(s.startswith("<" + p) for s in brarr for p in prefixes)
+    import pyarrow.compute as pc
+
+    # stays in Arrow: the sensitive set can be millions of keys
+    return any(
+        bool(pc.any(pc.starts_with(matcher._sensitive, "<" + p)).as_py())
+        for p in prefixes
+    )
 
 
 def obj_rule_predicates(matcher: CompiledMatcher) -> list[str]:

@@ -93,13 +93,24 @@ def kg_pipeline(
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
     salt = resolve_secret(salt)  # ONE secret for the whole distributed job
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
-    params = {"sf_dir": sf_dir, "rules": rules_cfg, "salt": salt, "algorithm": algorithm}
+    # Stage lineage params. NEVER the raw secret: manifests persist params
+    # in cleartext on shared disk, and a per-run random secret would change
+    # the lineage hash of even salt-independent stages, defeating resume.
+    # A salt FINGERPRINT keys the salt-dependent stages instead; the
+    # extract and fold stages carry only what they actually depend on.
+    import hashlib as _hashlib
+
+    _salt_bytes = salt.encode("utf-8") if isinstance(salt, str) else bytes(salt)
+    salt_fp = _hashlib.sha256(_salt_bytes).hexdigest()[:16]
+    extract_params = {"sf_dir": sf_dir}
+    fold_params = {"sf_dir": sf_dir, "rules": rules_cfg}
+    params = {"sf_dir": sf_dir, "rules": rules_cfg, "salt_fp": salt_fp, "algorithm": algorithm}
 
     def raw_triples():
         return extract_triples(read_source_files(sf_dir))
 
     if ckpt:
-        triples_ds = ckpt.dataset_stage("triples", raw_triples, params)
+        triples_ds = ckpt.dataset_stage("triples", raw_triples, extract_params)
         triples = lambda: triples_ds  # noqa: E731
     else:
         triples = raw_triples
@@ -121,7 +132,7 @@ def kg_pipeline(
                     risk_prefixes=LINKABLE_PREFIXES,
                 )
 
-            pairs_df, key_map, _n, n_risk = ckpt.value_stage("folds", fold, params)
+            pairs_df, key_map, _n, n_risk = ckpt.value_stage("folds", fold, fold_params)
             matcher = compile_matcher(rules_cfg, pairs_df)
             matcher_ref = broadcast_matcher(matcher)
             node_risky = node_rewrites_any_prefix(matcher, LINKABLE_PREFIXES)

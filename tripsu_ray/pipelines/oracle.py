@@ -156,7 +156,7 @@ pseudo AS (
 LINK_CTES = f"""
 link_keys AS (
   SELECT iri,
-         lower(regexp_replace(regexp_extract(iri, '([^/#]+)$', 1), '\\.(js|py|rs)$', '')) AS key
+         regexp_replace(lower(regexp_extract(iri, '([^/#]+)$', 1)), '\\.(js|py|rs)$', '') AS key
   FROM (SELECT DISTINCT iri FROM (
           SELECT s AS iri FROM pseudo
           UNION SELECT o FROM pseudo WHERE k = 'iri'))

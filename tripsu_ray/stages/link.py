@@ -50,7 +50,9 @@ def mention_keys(iris: pd.Series) -> pd.Series:
     sub = iris[linkable]
     if len(sub):
         seg = sub.str.extract(r"([^/#]+)$", expand=False)
-        key.loc[linkable] = seg.str.replace(_EXT_RE, "", regex=True).str.lower()
+        # lowercase BEFORE stripping so Core.JS and core unify (the
+        # extension alternation is lowercase; mirrored in oracle.py SQL)
+        key.loc[linkable] = seg.str.lower().str.replace(_EXT_RE, "", regex=True)
     return key
 
 
@@ -131,20 +133,18 @@ def fold_link_map(triples) -> dict[str, str]:
     return df.groupby("key")["canonical"].min().to_dict()
 
 
-_KM_CACHE: dict = {}
-
-
 def canonicalize_tasks(triples, key_map_ref, *, batch_size=None):
     """Task-pool variant of :func:`canonicalize` (fuses with adjacent task
-    stages — see stages/pseudo.py ``pseudonymize_tasks`` for why)."""
-    import ray
+    stages — see stages/pseudo.py ``pseudonymize_tasks`` for why).
+
+    Per-process state goes through pseudo's ``_cache_latest`` (one entry
+    per kind) so successive jobs on a long-lived worker don't pin every
+    past key map in memory."""
+    from .pseudo import _cache_latest
 
     def fn(batch: pa.Table) -> pa.Table:
         key = key_map_ref.hex() if hasattr(key_map_ref, "hex") else id(key_map_ref)
-        actor = _KM_CACHE.get(key)
-        if actor is None:
-            actor = CanonicalizeActor(key_map_ref)
-            _KM_CACHE[key] = actor
+        actor = _cache_latest("keymap", key, lambda: CanonicalizeActor(key_map_ref))
         return actor(batch)
 
     return triples.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -25,9 +25,14 @@ _AGGS = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 def salted_aggregate(ds, key: str, value: str, agg: str, *, salt_factor: int = 8):
     """groupby(key).agg over a salted two-stage plan; exact for sum/min/max/count.
 
-    Salt is a deterministic hash of the VALUE column (stable across retries)
-    — never ``random`` (a retried task must land rows in the same salt
-    bucket) and never Python ``hash`` (per-process randomized).
+    Salt is the row position within the batch modulo ``salt_factor`` —
+    deterministic per block (a retried block task replays the same rows in
+    the same order) and, unlike a value hash, it spreads a hub key even
+    when all its rows carry the SAME value (the common count/flag case,
+    where a value hash would put the whole hub in one salt bucket). Never
+    ``random`` (retries must reproduce the assignment) and never Python
+    ``hash`` (per-process randomized). The aggregate result is
+    salt-assignment-independent for these associative aggs regardless.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -35,7 +40,7 @@ def salted_aggregate(ds, key: str, value: str, agg: str, *, salt_factor: int = 8
         raise ValueError(f"unsupported agg {agg!r}; one of {sorted(_AGGS)}")
 
     def add_salt_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        salt = pd.util.hash_array(batch[value].to_numpy()) % salt_factor
+        salt = np.arange(len(batch), dtype="int64") % salt_factor
         col = batch[value] if agg != "count" else pd.Series(np.ones(len(batch), dtype="int64"))
         df = pd.DataFrame({key: batch[key], "_salt": salt.astype("int64"), "_v": col})
         return (

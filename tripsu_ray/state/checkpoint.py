@@ -66,7 +66,9 @@ class CheckpointManager:
         """
 
         out_dir = os.path.join(self.root, stage)
-        if self.is_complete(stage, params):
+        # the data-dir guard mirrors value_stage: a manifest whose Parquet
+        # was deleted must recompute, not lazily fail far downstream
+        if self.is_complete(stage, params) and os.path.isdir(out_dir):
             self.metrics["stages"].setdefault(stage, {})["resumed"] = True
             return _read_parquet_clean(out_dir)
         # incomplete (crashed attempt / stale params): clear leftover part
