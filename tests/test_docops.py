@@ -194,6 +194,27 @@ def test_jaccard_many_bitset_and_generic_match_scalar():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_jaccard_pairs_sparse_doc_ids(tmp_path):
+    """Chunks derive from the ACTUAL doc-id set — 1-based/sparse ids must
+    not drop pairs (previously chunking assumed ids were 0..n-1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tripsu_ray.pipelines.docops import q_jaccard_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1000, 5000, 9000], pa.int64()),
+            "text": pa.array(["a b c d", "a b c d", "x y z w"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    # chunk_rows=2 puts 9000 alone in the 2nd chunk — the dropped regime
+    out = q_jaccard_pairs(str(tmp_path), chunk_rows=2).to_pandas()
+    assert sorted(map(tuple, out[["a", "b"]].values.tolist())) == [(1000, 5000)]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_probe_chunk_loops_are_chunk_safe():
     """Multi-chunk probe loops must equal the single-chunk answer — guards
     the lazy-closure bug where every pass serialized with the LAST chunk's

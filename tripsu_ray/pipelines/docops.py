@@ -38,24 +38,69 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
     """Exact all-pairs word-set Jaccard ≥ tau (oracle-checkable ANCHOR).
 
     Probe-chunk plan (exact threshold joins are inherently O(n²) compute;
-    what must NOT be O(n) is driver memory): per chunk of ``chunk_rows``
-    doc ids, the chunk's token sets are computed DISTRIBUTED
-    (``dedup._token_hash_map``) and broadcast; the corpus streams against
-    the chunk, each batch tokenizing itself in the map. A pair (a<b) is
-    emitted only in the pass whose chunk contains ``a`` → passes are
-    disjoint, their union exact. The LSH-candidate path
-    (``dedup.ngram_jaccard_pairs``, exposed as ``jaccard_pairs_lsh``) is
-    the linear-work scale plan for the same semantics.
+    driver memory stays O(chunk) + 8 bytes per doc id): the corpus is
+    tokenized ONCE into a materialized (doc_id, token-hash blob) dataset;
+    per chunk of ``chunk_rows`` ACTUAL doc ids (no contiguity assumed) the
+    chunk's hash arrays are fetched and broadcast, and the tokenized
+    corpus streams against them. A pair (a<b) is emitted only in the pass
+    whose chunk contains ``a`` → passes are disjoint, their union exact.
+    The LSH-candidate path (``dedup.ngram_jaccard_pairs``, exposed as
+    ``jaccard_pairs_lsh``) is the linear-work scale plan for the same
+    semantics.
     """
     import ray
     import ray.data
 
     docs = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n = docs.count()  # parquet metadata count
+
+    def tokenize(b: pd.DataFrame) -> pd.DataFrame:
+        hs = dedup._token_hashes(b["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "hashes": [h.tobytes() for h in hs],
+            }
+        )
+
+    # tokenize once (object store), not once per chunk pass; repartition so
+    # the O(n²) probe stage parallelizes even when the source parquet is a
+    # single row group (1 block = 1 task otherwise)
+    n_docs = docs.count()  # parquet metadata, no scan
+    n_blocks = int(np.clip(n_docs // 64, 1, 256))
+    tok = (
+        docs.map_batches(tokenize, batch_format="pandas")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def _hashes_for(wanted: np.ndarray) -> dict[int, np.ndarray]:
+        w_ref = ray.put(np.asarray(wanted, dtype=np.int64))
+
+        def fetch(b: pd.DataFrame, _w=w_ref) -> pd.DataFrame:
+            w = ray.get(_w)
+            return b[np.isin(b["doc_id"].to_numpy(), w)]
+
+        out: dict[int, np.ndarray] = {}
+        # iter_batches, NOT take_all (row-wise take of binary columns is
+        # pathologically slow in Ray 2.49 — ~4.5 s for 5k tiny rows)
+        for b in tok.map_batches(fetch, batch_format="pandas").iter_batches(
+            batch_size=1 << 16, batch_format="pandas"
+        ):
+            for d, hb in zip(b["doc_id"], b["hashes"]):
+                out[int(d)] = np.frombuffer(hb, dtype=np.uint64)
+        return out
+
+    id_batches = [
+        b["doc_id"]
+        for b in tok.select_columns(["doc_id"]).iter_batches(
+            batch_format="numpy", batch_size=1 << 20
+        )
+    ]
+    ids = np.sort(np.concatenate(id_batches)) if id_batches else np.empty(0, np.int64)
 
     out = None
-    for lo in range(0, n, chunk_rows):
-        chunk_map = dedup._token_hash_map(docs, range(lo, min(lo + chunk_rows, n)))
+    for lo in range(0, len(ids), chunk_rows):
+        chunk_map = _hashes_for(ids[lo : lo + chunk_rows])
         c_ids = np.sort(np.fromiter(chunk_map.keys(), dtype=np.int64, count=len(chunk_map)))
         c_lens = np.fromiter(
             (len(chunk_map[int(i)]) for i in c_ids), dtype=np.int64, count=len(c_ids)
@@ -76,7 +121,7 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
             empty = pd.DataFrame(
                 {c: pd.Series([], dtype="int64") for c in ("a", "b", "jacq")}
             )
-            bh = dedup._token_hashes(batch["text"])
+            bh = [np.frombuffer(x, np.uint64) for x in batch["hashes"]]
             bids = batch["doc_id"].to_numpy().astype(np.int64)
             if not len(cids) or not len(bids):
                 return empty
@@ -130,7 +175,7 @@ def q_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, chunk_rows: int = 16384):
                         rows.append((a, b, int(jac * 1_000_000)))
             return pd.DataFrame(rows, columns=["a", "b", "jacq"]).astype("int64")
 
-        part = docs.map_batches(pairs, batch_format="pandas")
+        part = tok.map_batches(pairs, batch_format="pandas")
         out = part if out is None else out.union(part)
     return out
 

@@ -7,11 +7,10 @@ columns match the corresponding oracle SQL in ``pipelines.oracle`` exactly
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..functions.crypto import content_sha256
 from ..sources.synth import read_source_files
 from ..stages.extract import extract_triples
 from ..stages.index import build_type_index, collect_index_df, type_index_pairs
@@ -50,10 +49,7 @@ def _strip_brackets(batch: pa.Table) -> pa.Table:
 def q_source_files(sf_dir: str):
     def project(batch: pa.Table) -> pa.Table:
         sha = pa.array(
-            [
-                hashlib.sha256(c.encode("utf-8")).hexdigest()
-                for c in batch["content"].to_pylist()
-            ],
+            content_sha256(np.array(batch["content"].to_pylist(), dtype=object)),
             pa.string(),
         )
         return pa.table(

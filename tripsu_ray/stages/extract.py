@@ -18,13 +18,13 @@ triples (SURVEY.md §7.4 — wide-content risk).
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.crypto import content_sha256
 from ..schema import KIND_IRI, KIND_LITERAL, RDF_TYPE, TRIPLES
 
 NS = "http://kg.example/ns#"
@@ -99,9 +99,7 @@ class TripleExtractor:
 
         file_iri = (FILE_NS + repo + "/" + path).to_numpy(dtype=object)
         repo_iri = (REPO_NS + repo).to_numpy(dtype=object)
-        sha = np.array(
-            [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in content], dtype=object
-        )
+        sha = content_sha256(content.to_numpy(dtype=object))
 
         parts: list[dict] = [
             _triples_from_cols(file_iri, np.full(len(repo), NS + "File", dtype=object), RDF_TYPE, KIND_IRI),
@@ -213,7 +211,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return _EXTRACTOR(batch)
 
 
-def extract_triples(source_files, *, batch_size=None, concurrency=None):
+def extract_triples(source_files, *, batch_size=None):
     """source_files Dataset → triples Dataset (stateless tasks; content dropped)."""
     return source_files.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=batch_size
