@@ -11,8 +11,8 @@ and reports both throughputs + scaling efficiency (the sandbox stand-in for
 the N vs 4N cluster-size criterion — see BASELINE.md).
 
 Env knobs: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), GRAFT_REPEAT (corpus amplification, default 20 → ~100k files
-/ ~1.6M raw triples at sf0.1).
+(default 32), GRAFT_REPEAT (corpus amplification, default 60 → ~300k files
+/ ~6M raw triples at sf0.1; --scaling children default to 240 → ~24M).
 """
 
 from __future__ import annotations
@@ -131,14 +131,22 @@ def run_scaling() -> dict:
         # the regime the N-vs-4N criterion is about
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("GRAFT_REPEAT", "240")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+        except subprocess.CalledProcessError as e:
+            # surface the child's diagnostics instead of a bare exit status
+            sys.stderr.write(e.stderr or "")
+            raise
+        lines = out.strip().splitlines()
+        if not lines:
+            raise RuntimeError(f"bench child (ncpu={ncpu}) produced no output")
+        return json.loads(lines[-1])
 
     lo = int(os.environ.get("GRAFT_CPUS_LO", "8"))
     hi = int(os.environ.get("GRAFT_CPUS_HI", "32"))

@@ -59,6 +59,12 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo must not silently skip everything and "pass"
+        print(f"unknown queries: {sorted(unknown)}")
+        print(json.dumps({"failures": len(unknown)}))
+        return 1
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
@@ -84,12 +90,15 @@ def main() -> int:
             continue
         rows = len(df) == len(odf)
         schema = sorted(df.columns) == sorted(odf.columns)
-        hash_ok = schema and rows and value_hash(df) == value_hash(odf)
-        status = "OK" if (rows and schema and hash_ok) else "FAIL"
+        # only compare hashes once rows+schema agree — else report skipped,
+        # not False (a row-count problem is not a value divergence)
+        hash_ok = value_hash(df) == value_hash(odf) if (schema and rows) else None
+        status = "OK" if hash_ok else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
-            f"{name}: {status} rows={len(df)}/{len(odf)} schema={schema} hash={hash_ok}"
+            f"{name}: {status} rows={len(df)}/{len(odf)} schema={schema} "
+            f"hash={'skipped' if hash_ok is None else hash_ok}"
         )
     ray.shutdown()
     print(json.dumps({"failures": failures}))

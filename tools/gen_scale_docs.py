@@ -1,6 +1,9 @@
 """Deterministic 100k-doc corpus: 40k-word vocab (generic kernel path),
-30% of docs are near-duplicates of a base doc (token dropout), clusters of
-~5; rest unique."""
+~24% of docs are near-duplicates of a base doc (token dropout; 0.06
+cluster-entry odds × 5-doc clusters → 0.3/(0.3+0.94) ≈ 0.242), rest
+unique."""
+import os
+
 import numpy as np, pyarrow as pa, pyarrow.parquet as pq
 
 rng = np.random.RandomState(42)
@@ -25,5 +28,6 @@ t = pa.table({
     "source": pa.array([f"src{j%8}" for j in range(N)]),
     "n_chars": pa.array([len(x) for x in texts], pa.int64()),
 })
+os.makedirs("/dev/shm/graft_scale", exist_ok=True)
 pq.write_table(t, "/dev/shm/graft_scale/documents.parquet", row_group_size=8192)
 print("wrote", t.num_rows)
