@@ -31,6 +31,48 @@ def test_bpe_tokens_kernel():
     assert out.n_bpe_tokens[1] == 0 and out.n_ws_tokens[1] == 0
 
 
+def test_text_patterns_cross_engine_hypothesis():
+    """Python re (with re.ASCII) and DuckDB RE2 must extract IDENTICAL
+    token lists for every analysis pattern, on arbitrary text including
+    non-ASCII letters, NBSP and unicode whitespace — the divergences
+    re.ASCII exists to close (\\b/\\s are unicode-aware in bare Python re
+    but ASCII in RE2)."""
+    import duckdb
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripsu_ray.stages.text import (
+        _RE_FLAGS,
+        BPE_RE,
+        PUNCT_RE,
+        STOP_RE,
+        TOKEN_RE,
+        WS_TOKEN_RE,
+    )
+
+    con = duckdb.connect()
+    alphabet = st.sampled_from(
+        list("the a of to and xyzXYZ019.,!?'\"-_()") + ["é", "ñ", "中", " ", "\t", "\n", " "]
+    )
+    texts = st.text(alphabet=alphabet, max_size=60)
+
+    pats = [TOKEN_RE, STOP_RE, BPE_RE, PUNCT_RE, WS_TOKEN_RE]
+    compiled = [_re.compile(p, _RE_FLAGS) for p in pats]
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(t):
+        for pat, cpat in zip(pats, compiled):
+            sql_toks = con.execute(
+                "SELECT regexp_extract_all(?, ?)", [t, pat]
+            ).fetchone()[0]
+            assert sql_toks == cpat.findall(t), (pat, t)
+
+    check()
+
+
 def test_bpe_tokens_matches_duckdb_semantics():
     """Python re and DuckDB RE2 must tokenize identically (leftmost-first)."""
     import duckdb

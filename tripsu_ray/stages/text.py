@@ -12,12 +12,13 @@ Definitions (mirrored in pipelines/doc_oracle.py):
 - n_tokens / n_uniq_tokens: total / distinct token count
 - alpha_chars: total token characters (= len after stripping non-[a-z0-9])
 - stop_count: ``\b``-delimited occurrences of the stopword set
-  {the, a, of, to, and}. NOTE: ``\b`` treats ``_`` and non-ASCII word
-  characters as word-internal, so "the_end" counts NO stopword even
-  though the token definition above would split it — the regex is kept
-  ``\b``-based because both engines (Python re, DuckDB RE2) implement it
-  identically and RE2 has no lookarounds to express the token-exact
-  alternative
+  {the, a, of, to, and}. NOTE: ``\b`` treats ``_`` as word-internal, so
+  "the_end" counts NO stopword even though the token definition above
+  would split it — the regex is kept ``\b``-based because both engines
+  (Python re with re.ASCII, DuckDB RE2) implement it identically and RE2
+  has no lookarounds to express the token-exact alternative. Every
+  ``\b``/``\s`` pattern here compiles with ``re.ASCII`` so the two
+  engines agree on non-ASCII text too (see the ``_RE_FLAGS`` comment)
 - stop_ratio, mean_token_len: double divisions of the above
 - langid: stopword-profile heuristic — 'en' if stop_ratio > 0.02 else
   'unknown' (the synthetic corpus is English-shaped; the stage demonstrates
@@ -42,8 +43,14 @@ STOP_RE = r"\b(?:the|a|of|to|and)\b"
 NORM_WS_RE = r"\s+"
 LANGID_THRESHOLD = 0.02
 
-_token_pat = re.compile(TOKEN_RE)
-_stop_pat = re.compile(STOP_RE)
+# ALL patterns compile with re.ASCII: Python's unicode-aware \b and \s
+# diverge from DuckDB RE2's ASCII semantics on non-ASCII text (é is \w to
+# Python but not to RE2; NBSP is \s to Python but not to RE2). re.ASCII
+# makes the pandas kernels and the SQL oracles agree on EVERY input, not
+# just ASCII corpora (cross-engine hypothesis test in test_docops.py).
+_RE_FLAGS = re.ASCII
+_token_pat = re.compile(TOKEN_RE, _RE_FLAGS)
+_stop_pat = re.compile(STOP_RE, _RE_FLAGS)
 
 # BPE-ish pre-tokenizer (GPT-2-style, simplified to the common subset of
 # Python re and DuckDB RE2: no \p classes, no lookahead — both engines use
@@ -54,7 +61,7 @@ BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
 PUNCT_RE = r"[^a-zA-Z0-9\s]"
 WS_TOKEN_RE = r"\S+"
 
-_bpe_pat = re.compile(BPE_RE)
+_bpe_pat = re.compile(BPE_RE, _RE_FLAGS)
 
 # Gopher-style quality gates, expressed in INTEGER arithmetic only so the
 # DuckDB oracle is bit-identical (no float thresholds in the hot path):
@@ -72,7 +79,7 @@ def text_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     toks = low.str.findall(_token_pat)
     n_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
     alpha_chars = low.str.replace(r"[^a-z0-9]", "", regex=True).str.len().astype("int64")
-    stop_count = low.str.count(STOP_RE).astype("int64")
+    stop_count = low.str.count(STOP_RE, flags=_RE_FLAGS).astype("int64")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -89,7 +96,7 @@ def text_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
     low = batch["text"].str.lower()
     n_tokens = low.str.count(TOKEN_RE).astype("int64").clip(lower=1)
-    stop_count = low.str.count(STOP_RE).astype("int64")
+    stop_count = low.str.count(STOP_RE, flags=_RE_FLAGS).astype("int64")
     ratio = stop_count / n_tokens
     pred = np.where(ratio > LANGID_THRESHOLD, "en", "unknown")
     return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
@@ -104,8 +111,8 @@ def bpe_tokens_batch(batch: pd.DataFrame) -> pd.DataFrame:
     reproduced exactly by the DuckDB oracle (``sql_text_tokens``).
     """
     txt = batch["text"]
-    n_ws = txt.str.count(WS_TOKEN_RE).astype("int64")
-    n_bpe = txt.str.count(BPE_RE).astype("int64")
+    n_ws = txt.str.count(WS_TOKEN_RE, flags=_RE_FLAGS).astype("int64")
+    n_bpe = txt.str.count(BPE_RE, flags=_RE_FLAGS).astype("int64")
     toks = txt.str.findall(_bpe_pat)
     n_bpe_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
     return pd.DataFrame(
@@ -132,8 +139,8 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     toks = low.str.findall(_token_pat)
     n_uniq = toks.map(lambda ts: len(set(ts))).astype("int64")
     alpha_chars = low.str.replace(r"[^a-z0-9]", "", regex=True).str.len().astype("int64")
-    stop_count = low.str.count(STOP_RE).astype("int64")
-    punct_chars = txt.str.count(PUNCT_RE).astype("int64")
+    stop_count = low.str.count(STOP_RE, flags=_RE_FLAGS).astype("int64")
+    punct_chars = txt.str.count(PUNCT_RE, flags=_RE_FLAGS).astype("int64")
     c1 = n_tokens >= QUALITY_MIN_TOKENS
     c2 = (alpha_chars >= 2 * n_tokens) & (alpha_chars <= 12 * n_tokens)
     c3 = stop_count * 100 > n_tokens
@@ -153,7 +160,9 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     norm = (
-        batch["text"].str.lower().str.replace(NORM_WS_RE, " ", regex=True).str.strip()
+        # strip(" ") not strip(): DuckDB trim() removes spaces only, while
+        # Python's default strip removes unicode whitespace too
+        batch["text"].str.lower().str.replace(NORM_WS_RE, " ", regex=True, flags=_RE_FLAGS).str.strip(" ")
     )
     fp = np.array(
         [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in norm], dtype=object
