@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_rolling_fp": docops.q_text_rolling_fp,
         "text_tokens": docops.q_text_tokens,
         "text_quality": docops.q_text_quality,
+        "text_dup_spans": docops.q_text_dup_spans,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": d.sql_text_fingerprint(),
         "text_tokens": d.sql_text_tokens(),
         "text_quality": d.sql_text_quality(),
+        "text_dup_spans": d.sql_text_dup_spans(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

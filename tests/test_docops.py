@@ -110,6 +110,39 @@ def test_quality_kernel_gates():
     assert out.quality_score[3] < 5
 
 
+def test_dup_span_kernel_semantics():
+    """Window dup-ness is cross-document: a doc's self-repeated window is
+    NOT dup; the same window in two docs is (every occurrence counts)."""
+    from tripsu_ray.stages.text import _dup_span_part, dup_span_shingle_batch
+
+    shared = "one two three four five six seven eight"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " tail1",          # 2 windows; 1st shared with doc 2
+                shared,                      # 1 window, shared
+                "self self " + "a b c d e f g h " * 2,  # repeats internally only
+                "short doc",                 # 0 windows -> sentinel only
+            ],
+        }
+    )
+    rows = dup_span_shingle_batch(df, num_parts=1)
+    out = (
+        _dup_span_part(rows)
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = {
+        int(r.doc_id): (int(r.n_windows), int(r.n_dup_windows))
+        for r in out.itertuples()
+    }
+    assert got[1] == (2, 1)
+    assert got[2] == (1, 1)
+    assert got[4] == (0, 0)
+    n3, d3 = got[3]
+    assert n3 > 0 and d3 == 0  # intra-doc repetition is not cross-doc dup
+
+
 def test_fingerprint_normalizes_whitespace_and_case():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello  World", "hello world "]})
     out = text.fingerprint_batch(df)

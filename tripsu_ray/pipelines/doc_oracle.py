@@ -87,6 +87,34 @@ FROM gates ORDER BY doc_id
 """.strip()
 
 
+def sql_text_dup_spans() -> str:
+    # Mirror of stages/text.py dup-span census: sha256 over space-joined
+    # token windows; a window is "dup" when its content occurs in >= 2
+    # distinct docs. DuckDB list slicing ts[i:i+W-1] is 1-based inclusive.
+    from ..stages.text import DUP_SPAN_WINDOW as W
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), wins AS (
+  SELECT doc_id, sha256(array_to_string(ts[i:i+{W - 1}], ' ')) AS k
+  FROM toks, unnest(generate_series(1, len(ts) - {W - 1})) AS t(i)
+), dup AS (
+  SELECT k FROM (SELECT DISTINCT k, doc_id FROM wins)
+  GROUP BY k HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_windows,
+         count(*) FILTER (WHERE k IN (SELECT k FROM dup)) AS n_dup_windows
+  FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_fingerprint() -> str:
     return r"""
 SELECT doc_id,

@@ -24,6 +24,7 @@ q_text_fingerprint = text.text_fingerprint
 q_text_rolling_fp = text.text_rolling_fingerprint
 q_text_tokens = text.text_tokens
 q_text_quality = text.text_quality
+q_text_dup_spans = text.text_dup_spans
 
 
 # --- dedup -----------------------------------------------------------------

@@ -302,6 +302,107 @@ def _rolling_fp_scalar(text: str, window: int = 8) -> int:
     return min(vals)
 
 
+# --- substring-level dedup: duplicated n-gram spans across documents -----
+# (the Lee et al. "Deduplicating Training Data" shape: doc-level dedup
+# misses repeated SPANS — boilerplate, licenses, quoted blocks — so count,
+# per document, the token windows whose content also occurs in ≥1 OTHER
+# document.)
+
+DUP_SPAN_WINDOW = 8
+_DUP_SPAN_PARTS = 32
+
+
+def dup_span_shingle_batch(
+    batch: pd.DataFrame, *, window: int = DUP_SPAN_WINDOW, num_parts: int = _DUP_SPAN_PARTS
+) -> pd.DataFrame:
+    """documents batch → one row per token window: (doc_id, k, part, w).
+
+    ``k`` is the sha256 digest of the space-joined window (exactly what the
+    SQL oracle hashes); sha256 runs once per DISTINCT window in the batch
+    (near-dup corpora repeat windows massively). Every doc also emits one
+    sentinel row (w=0, per-doc-unique key) so zero-window docs survive the
+    aggregation with counts of 0. ``part`` = first 8 digest bytes mod
+    ``num_parts`` — the coarse single-int exchange key (multi-key groupbys
+    hang at scale on Ray 2.49; see BASELINE.md).
+    """
+    docs_out: list = []
+    wins: list[str] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = _token_pat.findall(text.lower())
+        for i in range(len(toks) - window + 1):
+            docs_out.append(doc_id)
+            wins.append(" ".join(toks[i : i + window]))
+    uniq, inv = (
+        np.unique(np.array(wins, dtype=object), return_inverse=True)
+        if wins
+        else (np.empty(0, object), np.empty(0, np.int64))
+    )
+    udig = np.array([hashlib.sha256(u.encode("utf-8")).digest() for u in uniq], dtype=object)
+    k = udig[inv] if len(wins) else np.empty(0, object)
+    doc_ids = np.asarray(docs_out, dtype=np.int64)
+    # sentinel rows: per-doc-unique keys (never duplicated across docs)
+    sent_ids = batch["doc_id"].to_numpy().astype(np.int64)
+    sent_k = np.array([b"\x00" + int(d).to_bytes(8, "little") for d in sent_ids], dtype=object)
+    all_ids = np.concatenate([doc_ids, sent_ids])
+    all_k = np.concatenate([k, sent_k])
+    all_w = np.concatenate(
+        [np.ones(len(doc_ids), np.int64), np.zeros(len(sent_ids), np.int64)]
+    )
+    part = np.array(
+        [int.from_bytes(b[:8], "little") % num_parts for b in all_k], dtype=np.int64
+    )
+    return pd.DataFrame({"doc_id": all_ids, "k": all_k, "part": part, "w": all_w})
+
+
+def _dup_span_part(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash-range of windows → per-doc partial (n_windows, n_dup)."""
+    dd = df.drop_duplicates(["k", "doc_id"])
+    per_key_docs = dd.groupby("k", sort=False).size()
+    dup_keys = per_key_docs[per_key_docs >= 2].index
+    isdup = df["k"].isin(dup_keys)
+    out = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_windows": df["w"],
+            "n_dup_windows": (df["w"].to_numpy() * isdup.to_numpy()).astype("int64"),
+        }
+    )
+    return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+
+def text_dup_spans(sf_dir: str, *, window: int = DUP_SPAN_WINDOW):
+    """Per document: total token windows + windows whose content occurs in
+    ≥1 other document. One shuffle on the coarse digest-range key (the
+    census shape), then a per-doc partial sum — no driver materialization.
+    """
+
+    shingles = _docs(sf_dir).map_batches(
+        dup_span_shingle_batch,
+        batch_format="pandas",
+        fn_kwargs={"window": window},
+    )
+    partials = shingles.groupby("part").map_groups(
+        _dup_span_part, batch_format="pandas"
+    )
+
+    def agg_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_p2"] = b["doc_id"].to_numpy() % 32
+        return b
+
+    out = (
+        partials.map_batches(agg_part, batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(
+            lambda g: g.groupby("doc_id", sort=False, as_index=False)[
+                ["n_windows", "n_dup_windows"]
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
+    return out
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
