@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": docops.q_text_tokens,
         "text_quality": docops.q_text_quality,
         "text_dup_spans": docops.q_text_dup_spans,
+        "text_pii": docops.q_text_pii,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": d.sql_text_tokens(),
         "text_quality": d.sql_text_quality(),
         "text_dup_spans": d.sql_text_dup_spans(),
+        "text_pii": d.sql_text_pii(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

@@ -110,6 +110,38 @@ def test_quality_kernel_gates():
     assert out.quality_score[3] < 5
 
 
+def test_pii_mask_kernel():
+    import duckdb
+    import hashlib
+
+    from tripsu_ray.stages.text import pii_mask_batch, pii_redact_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail a.b+c@ex-ample.org or see https://x.io/p?q=1#f and c@d.org",
+                "clean",
+            ],
+        }
+    )
+    out = pii_mask_batch(df)
+    assert out.n_emails.tolist() == [2, 0]
+    assert out.n_urls.tolist() == [1, 0]
+    red = pii_redact_batch(df)
+    assert red.text[0] == "mail <EMAIL> or see <URL> and <EMAIL>"
+    assert out.redacted_sha[0] == hashlib.sha256(red.text[0].encode()).hexdigest()
+    # masked text byte-equal to the SQL oracle's rendering
+    from tripsu_ray.stages.text import EMAIL_RE, URL_RE
+
+    con = duckdb.connect()
+    sqlm = con.execute(
+        "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, '<URL>', 'g')",
+        [df.text[0], EMAIL_RE, URL_RE],
+    ).fetchone()[0]
+    assert sqlm == red.text[0]
+
+
 def test_dup_span_kernel_semantics():
     """Window dup-ness is cross-document: a doc's self-repeated window is
     NOT dup; the same window in two docs is (every occurrence counts)."""

@@ -87,6 +87,20 @@ FROM gates ORDER BY doc_id
 """.strip()
 
 
+def sql_text_pii() -> str:
+    from ..stages.text import EMAIL_RE, EMAIL_TOKEN, URL_RE, URL_TOKEN
+
+    em, ur = EMAIL_RE.replace("'", "''"), URL_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{em}')) AS n_emails,
+  len(regexp_extract_all(text, '{ur}')) AS n_urls,
+  sha256(regexp_replace(regexp_replace(text, '{em}', '{EMAIL_TOKEN}', 'g'),
+                        '{ur}', '{URL_TOKEN}', 'g')) AS redacted_sha
+FROM documents ORDER BY doc_id
+""".strip()
+
+
 def sql_text_dup_spans() -> str:
     # Mirror of stages/text.py dup-span census: sha256 over space-joined
     # token windows; a window is "dup" when its content occurs in >= 2

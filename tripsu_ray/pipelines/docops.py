@@ -25,6 +25,7 @@ q_text_rolling_fp = text.text_rolling_fingerprint
 q_text_tokens = text.text_tokens
 q_text_quality = text.text_quality
 q_text_dup_spans = text.text_dup_spans
+q_text_pii = text.text_pii
 
 
 # --- dedup -----------------------------------------------------------------

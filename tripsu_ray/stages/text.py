@@ -302,6 +302,59 @@ def _rolling_fp_scalar(text: str, window: int = 8) -> int:
     return min(vals)
 
 
+# --- PII masking: corpus-scale email/URL redaction ------------------------
+# (the training-data counterpart of the reference's pseudonymization
+# purpose: sensitive surface forms leave the corpus before training).
+# Patterns are ASCII-only and verified Python-re ≡ DuckDB-RE2; replacement
+# is a fixed token so the SQL oracle reproduces the masked text exactly.
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s\"'<>]+"
+EMAIL_TOKEN = "<EMAIL>"
+URL_TOKEN = "<URL>"
+
+_email_pat = re.compile(EMAIL_RE, _RE_FLAGS)
+_url_pat = re.compile(URL_RE, _RE_FLAGS)
+
+
+def pii_mask_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Count + redact emails/URLs; emit the masked text's sha256.
+
+    Email masking runs BEFORE URL masking (mirrored in the oracle —
+    replacement order matters when a URL contains an @). The masked text
+    itself stays available via ``pii_redact_batch`` for pipeline use; this
+    driver-facing shape returns counts + digest so the result is compact
+    and hash-checkable.
+    """
+    redacted = pii_redact_batch(batch)
+    fp = np.array(
+        [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in redacted["text"]],
+        dtype=object,
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_emails": batch["text"].str.count(EMAIL_RE, flags=_RE_FLAGS).astype("int64"),
+            "n_urls": batch["text"].str.count(URL_RE, flags=_RE_FLAGS).astype("int64"),
+            "redacted_sha": fp,
+        }
+    )
+
+
+def pii_redact_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) → (doc_id, text) with emails/URLs masked."""
+    masked = (
+        batch["text"]
+        .str.replace(_email_pat, EMAIL_TOKEN, regex=True)
+        .str.replace(_url_pat, URL_TOKEN, regex=True)
+    )
+    return pd.DataFrame({"doc_id": batch["doc_id"], "text": masked})
+
+
+def text_pii(sf_dir: str):
+    return _docs(sf_dir).map_batches(pii_mask_batch, batch_format="pandas")
+
+
 # --- substring-level dedup: duplicated n-gram spans across documents -----
 # (the Lee et al. "Deduplicating Training Data" shape: doc-level dedup
 # misses repeated SPANS — boilerplate, licenses, quoted blocks — so count,
