@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_join_revenue": docops.q_rel_join_revenue,
         "rel_events_window": docops.q_rel_events_window,
         "rel_topk_parts": docops.q_rel_topk_parts,
+        "rel_quantiles": docops.q_rel_quantiles,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
     }
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_join_revenue": d.sql_rel_join_revenue(),
         "rel_events_window": d.sql_rel_events_window(),
         "rel_topk_parts": d.sql_rel_topk_parts(),
+        "rel_quantiles": d.sql_rel_quantiles(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
     }

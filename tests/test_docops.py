@@ -301,6 +301,42 @@ def test_jaccard_many_bitset_and_generic_match_scalar():
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestExactQuantiles:
+    """Histogram-selection order statistics ≡ DuckDB quantile_disc
+    (k = ceil(q·n) − 1 in sorted order), including the recursion path."""
+
+    def _check(self, vals, qs, **kw):
+        import math
+
+        import ray.data
+
+        from tripsu_ray.stages.skew import exact_quantiles
+
+        ds = ray.data.from_pandas(pd.DataFrame({"c": np.asarray(vals, np.int64)}))
+        got = exact_quantiles(ds, "c", tuple(qs), **kw)
+        s = np.sort(np.asarray(vals, np.int64))
+        for q in qs:
+            k = max(0, math.ceil(q * len(s)) - 1)
+            assert got[q] == int(s[k]), (q, got[q], int(s[k]))
+
+    def test_random_values(self):
+        rng = np.random.default_rng(5)
+        self._check(rng.integers(-10**6, 10**6, size=20000), (0.01, 0.25, 0.5, 0.9, 0.99))
+
+    def test_duplicates_and_tiny(self):
+        self._check([7] * 100, (0.5, 0.99))
+        self._check([3], (0.5,))
+        self._check([1, 1, 2, 100], (0.5, 0.95, 0.99))
+
+    def test_recursion_path(self):
+        # huge value range + tiny buckets/max_collect forces the
+        # finer-histogram recursion with rank passthrough
+        rng = np.random.default_rng(6)
+        vals = rng.integers(0, 2**40, size=5000)
+        self._check(vals, (0.5, 0.95), num_buckets=8, max_collect=100)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_jaccard_pairs_sparse_doc_ids(tmp_path):
     """Chunks derive from the ACTUAL doc-id set — 1-based/sparse ids must
     not drop pairs (previously chunking assumed ids were 0..n-1)."""

@@ -242,6 +242,15 @@ FROM documents ORDER BY doc_id, frame_idx
 """.strip()
 
 
+def sql_rel_quantiles() -> str:
+    return """
+SELECT quantile_disc(c, 0.5) AS p50,
+       quantile_disc(c, 0.95) AS p95,
+       quantile_disc(c, 0.99) AS p99
+FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem)
+""".strip()
+
+
 def sql_rel_lineitem_agg() -> str:
     return """
 SELECT l_returnflag, l_linestatus,

@@ -374,6 +374,25 @@ def q_rel_events_window(sf_dir: str):
     )
 
 
+def q_rel_quantiles(sf_dir: str):
+    """Exact p50/p95/p99 of lineitem price cents WITHOUT a global sort:
+    histogram selection (``skew.exact_quantiles``) — 3 streaming passes,
+    no shuffle, matching DuckDB ``quantile_disc`` exactly."""
+    from ..stages.skew import exact_quantiles
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c": (b["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    qv = exact_quantiles(li.map_batches(cents, batch_format="pandas"), "c", (0.5, 0.95, 0.99))
+    return pd.DataFrame({"p50": [qv[0.5]], "p95": [qv[0.95]], "p99": [qv[0.99]]})
+
+
 def q_rel_topk_parts(sf_dir: str):
     """Top-10 parts by retail price (sort + limit), price as cents."""
     import ray.data

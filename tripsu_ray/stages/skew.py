@@ -66,3 +66,111 @@ def salted_aggregate(ds, key: str, value: str, agg: str, *, salt_factor: int = 8
         }[agg]
     )
     return merged
+
+
+# --- exact order statistics without a global sort --------------------------
+
+
+def exact_quantiles(
+    ds,
+    column: str,
+    qs: tuple,
+    *,
+    num_buckets: int = 1 << 16,
+    max_collect: int = 2_000_000,
+    _depth: int = 0,
+    _ranks: dict | None = None,
+):
+    """Exact quantiles of an int64 column via histogram selection — the
+    scale-idiomatic alternative to ``ds.sort`` (which is an all-to-all
+    range exchange of EVERY row for a handful of order statistics).
+
+    Convention matches DuckDB ``quantile_disc``: the q-quantile of n
+    values is the element at 0-based index ``ceil(q*n) - 1`` in sorted
+    order (fuzz-verified against DuckDB over random inputs).
+
+    Three streaming passes, none of which shuffles:
+      1. (min, max, count) partial fold,
+      2. fixed-width bucket histogram (per-batch ``np.bincount`` partials
+         → tree fold; ≤ ``num_buckets`` rows ever reach the driver),
+      3. a pruned re-read that keeps ONLY rows in the buckets containing
+         the wanted ranks (bounded by the bucket populations).
+    A bucket whose population exceeds ``max_collect`` recurses with a
+    finer histogram restricted to that bucket's value range.
+    """
+    import math
+
+    from .folds import tree_fold_tables
+
+    def mmc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[column].to_numpy()
+        if not len(v):
+            return pd.DataFrame({"mn": [], "mx": [], "n": []}, dtype="int64")
+        return pd.DataFrame(
+            {"mn": [int(v.min())], "mx": [int(v.max())], "n": [len(v)]}
+        )
+
+    def mmc_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {"mn": [df.mn.min()], "mx": [df.mx.max()], "n": [df.n.sum()]}
+        )
+
+    mmc = tree_fold_tables(ds.map_batches(mmc_partial, batch_format="pandas"), mmc_combine)
+    if mmc is None or not int(mmc.n.iloc[0]):
+        return {q: None for q in qs}
+    lo, hi, n = int(mmc.mn.iloc[0]), int(mmc.mx.iloc[0]), int(mmc.n.iloc[0])
+    # recursion passes integer ranks directly — re-deriving them from a
+    # float sub-quantile would risk an off-by-one at the ceil boundary
+    ks = _ranks if _ranks is not None else {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    if lo == hi:
+        return {q: lo for q in ks}
+
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[column].to_numpy()
+        if not len(v):
+            return pd.DataFrame({"bucket": [], "cnt": []}, dtype="int64")
+        idx = (v - lo) // width
+        cnt = np.bincount(idx, minlength=0)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bucket": nz.astype("int64"), "cnt": cnt[nz].astype("int64")})
+
+    def hist_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("bucket", sort=True, as_index=False)["cnt"].sum()
+
+    hist = tree_fold_tables(ds.map_batches(hist_partial, batch_format="pandas"), hist_combine)
+    hist = hist.sort_values("bucket", ignore_index=True)
+    cum = hist.cnt.cumsum().to_numpy()
+    buckets = hist.bucket.to_numpy()
+
+    out: dict = {}
+    need: dict = {}  # bucket idx -> list of (q, local_rank)
+    for q, k in ks.items():
+        i = int(np.searchsorted(cum, k + 1))
+        before = int(cum[i - 1]) if i else 0
+        need.setdefault(int(buckets[i]), []).append((q, k - before))
+
+    for b, wants in need.items():
+        b_lo, b_hi = lo + b * width, lo + (b + 1) * width - 1
+        cnt_b = int(hist.cnt[hist.bucket == b].iloc[0])
+        sub = ds.filter(expr=f"{column} >= {b_lo} and {column} <= {b_hi}")
+        if cnt_b > max_collect and width > 1 and _depth < 3:
+            sub_q = exact_quantiles(
+                sub, column, tuple(q for q, _ in wants),
+                num_buckets=num_buckets, max_collect=max_collect,
+                _depth=_depth + 1, _ranks={q: r for q, r in wants},
+            )
+            out.update(sub_q)
+            continue
+        vals = np.sort(
+            np.concatenate(
+                [c[column] for c in sub.iter_batches(batch_format="numpy", batch_size=1 << 20)]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        for q, r in wants:
+            out[q] = int(vals[r])
+    return out
