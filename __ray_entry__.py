@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_window": docops.q_rel_events_window,
         "rel_topk_parts": docops.q_rel_topk_parts,
         "rel_quantiles": docops.q_rel_quantiles,
+        "rel_approx_distinct": docops.q_rel_approx_distinct,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
     }
@@ -75,7 +76,8 @@ def oracle_sql() -> dict[str, str]:
     iterative components), ann_lsh, ann_ivf, jaccard_pairs_lsh, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
     vs their exact anchors), multimodal_features (feature vector from
-    binary payloads).
+    binary payloads), rel_approx_distinct (HLL sketch — deterministic but
+    not SQL-reproducible; error <2% vs exact asserted in tests).
     """
     from tripsu_ray.pipelines import doc_oracle as d, oracle
 

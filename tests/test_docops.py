@@ -336,6 +336,46 @@ class TestExactQuantiles:
         self._check(vals, (0.5, 0.95), num_buckets=8, max_collect=100)
 
 
+def test_hll_rho_kernel_exact():
+    """Vectorized leading-zero kernel ≡ scalar bit_length reference,
+    including every power-of-two boundary (float log2 rounding zone)."""
+    from tripsu_ray.stages.skew import HLL_P, hll_partial
+
+    p = HLL_P
+    vals = []
+    for b in range(0, 63):
+        for d in (-1, 0, 1):
+            v = (1 << b) + d
+            if 0 < v < 2**63:
+                vals.append(v)
+    h = pd.util.hash_array(np.array(vals, dtype=np.int64))
+    rest = h << np.uint64(p)
+    regs = hll_partial(np.array(vals, dtype=np.int64), p)
+    # rebuild expected registers scalar-side
+    expect = np.zeros(1 << p, dtype=np.uint8)
+    for hv, rv in zip(h, rest):
+        j = int(hv >> np.uint64(64 - p))
+        rho = (64 - int(rv).bit_length() + 1) if rv else (64 - p + 1)
+        expect[j] = max(expect[j], rho)
+    assert (regs == expect).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_error_bound():
+    import ray.data
+
+    from tripsu_ray.stages.skew import approx_distinct
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50_000, size=200_000)  # ~49k distinct
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"v": c}) for c in np.array_split(vals, 8)]
+    )
+    exact = len(np.unique(vals))
+    est = approx_distinct(ds, "v")
+    assert abs(est / exact - 1) < 0.02, (est, exact)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_jaccard_pairs_sparse_doc_ids(tmp_path):
     """Chunks derive from the ACTUAL doc-id set — 1-based/sparse ids must

@@ -393,6 +393,17 @@ def q_rel_quantiles(sf_dir: str):
     return pd.DataFrame({"p50": [qv[0.5]], "p95": [qv[0.95]], "p99": [qv[0.99]]})
 
 
+def q_rel_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-order estimate (rows-only: the sketch is
+    deterministic but not SQL-reproducible; tests bound its error vs the
+    exact count at <2%)."""
+    from ..stages.skew import approx_distinct
+
+    li = _read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    est = approx_distinct(li, "l_orderkey")
+    return pd.DataFrame({"approx_distinct_orders": [int(round(est))]})
+
+
 def q_rel_topk_parts(sf_dir: str):
     """Top-10 parts by retail price (sort + limit), price as cents."""
     import ray.data

@@ -174,3 +174,75 @@ def exact_quantiles(
         for q, r in wants:
             out[q] = int(vals[r])
     return out
+
+
+# --- HyperLogLog: mergeable distinct-count sketch --------------------------
+
+HLL_P = 14  # 2^14 registers = 16 KiB/sketch, ~0.8% standard error
+
+
+def hll_partial(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint8 register array for one batch of values.
+
+    Hash = pd.util.hash_array (SipHash, fixed key — deterministic across
+    worker processes, unlike builtin hash). Register j = top p bits;
+    rho = 1 + leading zeros of the remaining (64-p) bits.
+    """
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(values):
+        return regs
+    h = pd.util.hash_array(np.asarray(values))
+    j = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining bits, left-aligned
+    # leading zeros of a left-aligned uint64 via float64 exponent trick is
+    # lossy; use a vectorized bit-scan: 64-p bits max
+    rho = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    r = rest[nz]
+    # leading zeros via float64 log2 with exact off-by-one correction
+    # (float rounding near powers of two can over/under-shoot by 1)
+    msb_nz = np.int64(63) - (np.log2(r.astype(np.float64)).astype(np.int64))
+    msb_nz = np.clip(msb_nz, 0, 63)
+    cand = np.uint64(1) << np.uint64(63 - msb_nz)
+    msb_nz = msb_nz + (cand > r).astype(np.int64)
+    rho[nz] = (msb_nz + 1).astype(np.uint8)
+    np.maximum.at(regs, j, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with linear-counting small-range correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds, column: str, *, p: int = HLL_P) -> float:
+    """Distributed distinct-count estimate: per-batch registers → tree
+    fold with elementwise max (associative+commutative) → one estimator
+    call. 16 KiB crosses the wire per block regardless of cardinality."""
+    from .folds import tree_fold_tables
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"regs": [hll_partial(b[column].to_numpy(), p).tobytes()]})
+
+    def combine(frames):
+        arrs = [
+            np.frombuffer(r, dtype=np.uint8)
+            for f in frames
+            for r in f["regs"]
+        ]
+        return pd.DataFrame({"regs": [np.maximum.reduce(arrs).tobytes()]})
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None:
+        return 0.0
+    regs = np.maximum.reduce(
+        [np.frombuffer(r, dtype=np.uint8) for r in folded["regs"]]
+    )
+    return hll_estimate(regs)
