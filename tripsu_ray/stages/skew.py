@@ -156,6 +156,12 @@ def exact_quantiles(
     for b, wants in need.items():
         b_lo, b_hi = lo + b * width, lo + (b + 1) * width - 1
         cnt_b = int(hist.cnt[hist.bucket == b].iloc[0])
+        if b_lo == b_hi:
+            # single-value bucket: the answer needs no collection at all
+            # (a pathological hub value would otherwise pull cnt_b rows)
+            for q, _ in wants:
+                out[q] = b_lo
+            continue
         sub = ds.filter(expr=f"{column} >= {b_lo} and {column} <= {b_hi}")
         if cnt_b > max_collect and width > 1 and _depth < 3:
             sub_q = exact_quantiles(
