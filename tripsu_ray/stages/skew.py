@@ -153,6 +153,7 @@ def exact_quantiles(
         before = int(cum[i - 1]) if i else 0
         need.setdefault(int(buckets[i]), []).append((q, k - before))
 
+    collect: dict = {}  # buckets whose rows we pull, resolved in ONE pass
     for b, wants in need.items():
         b_lo, b_hi = lo + b * width, lo + (b + 1) * width - 1
         cnt_b = int(hist.cnt[hist.bucket == b].iloc[0])
@@ -162,23 +163,35 @@ def exact_quantiles(
             for q, _ in wants:
                 out[q] = b_lo
             continue
-        sub = ds.filter(expr=f"{column} >= {b_lo} and {column} <= {b_hi}")
         if cnt_b > max_collect and width > 1 and _depth < 3:
-            sub_q = exact_quantiles(
-                sub, column, tuple(q for q, _ in wants),
-                num_buckets=num_buckets, max_collect=max_collect,
-                _depth=_depth + 1, _ranks={q: r for q, r in wants},
+            sub = ds.filter(expr=f"{column} >= {b_lo} and {column} <= {b_hi}")
+            out.update(
+                exact_quantiles(
+                    sub, column, tuple(q for q, _ in wants),
+                    num_buckets=num_buckets, max_collect=max_collect,
+                    _depth=_depth + 1, _ranks={q: r for q, r in wants},
+                )
             )
-            out.update(sub_q)
             continue
+        collect[b] = (b_lo, b_hi, wants)
+    if collect:
+        # one pruned pass for ALL collected buckets (each filter would
+        # otherwise re-execute the upstream pipeline per bucket)
+        expr = " or ".join(
+            f"({column} >= {blo} and {column} <= {bhi})"
+            for blo, bhi, _ in collect.values()
+        )
+        sub = ds.filter(expr=expr)
         vals = np.sort(
             np.concatenate(
                 [c[column] for c in sub.iter_batches(batch_format="numpy", batch_size=1 << 20)]
                 or [np.empty(0, np.int64)]
             )
         )
-        for q, r in wants:
-            out[q] = int(vals[r])
+        for b, (b_lo, b_hi, wants) in collect.items():
+            in_b = vals[(vals >= b_lo) & (vals <= b_hi)]
+            for q, r in wants:
+                out[q] = int(in_b[r])
     return out
 
 
