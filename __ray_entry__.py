@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_parts": docops.q_rel_topk_parts,
         "rel_quantiles": docops.q_rel_quantiles,
         "rel_approx_distinct": docops.q_rel_approx_distinct,
+        "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
     }
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_window": d.sql_rel_events_window(),
         "rel_topk_parts": d.sql_rel_topk_parts(),
         "rel_quantiles": d.sql_rel_quantiles(),
+        "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
     }

@@ -377,6 +377,25 @@ def test_approx_distinct_error_bound():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_deterministic_ties(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tripsu_ray.pipelines.docops import q_rel_heavy_hitters
+
+    # keys 1..20 all appear exactly twice; key 0 three times ->
+    # top-10 = [0] + ascending tie-broken [1..9]
+    keys = [0] * 3 + [k for k in range(1, 21) for _ in range(2)]
+    pq.write_table(
+        pa.table({"l_partkey": pa.array(keys, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q_rel_heavy_hitters(str(tmp_path))
+    assert out.l_partkey.tolist() == [0] + list(range(1, 10))
+    assert out.n_orders.tolist() == [3] + [2] * 9
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_jaccard_pairs_sparse_doc_ids(tmp_path):
     """Chunks derive from the ACTUAL doc-id set — 1-based/sparse ids must
     not drop pairs (previously chunking assumed ids were 0..n-1)."""

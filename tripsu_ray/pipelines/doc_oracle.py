@@ -282,6 +282,14 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
 
 
+def sql_rel_heavy_hitters() -> str:
+    return """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_partkey
+ORDER BY n_orders DESC, l_partkey LIMIT 10
+""".strip()
+
+
 def sql_rel_topk_parts() -> str:
     return """
 SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents

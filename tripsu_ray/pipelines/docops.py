@@ -427,6 +427,38 @@ def q_rel_topk_parts(sf_dir: str):
     return out.limit(10)
 
 
+def q_rel_heavy_hitters(sf_dir: str, *, k: int = 10):
+    """Top-k most-ORDERED parts (frequency heavy hitters), exact.
+
+    Partial value_counts inside map_batches bound each key's shuffle
+    volume at #batches rows no matter how hot the key is (the
+    partial-combine discipline); the tree fold then sums ≤ #batches
+    small frames and the driver keeps only the top k. Ties break on the
+    smaller partkey (mirrored in the oracle) so output is deterministic.
+    """
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["l_partkey"].value_counts()
+        return pd.DataFrame(
+            {"l_partkey": vc.index.astype("int64"), "n_orders": vc.to_numpy().astype("int64")}
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("l_partkey", sort=False, as_index=False)["n_orders"].sum()
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None:
+        return pd.DataFrame({"l_partkey": [], "n_orders": []}, dtype="int64")
+    out = folded.sort_values(
+        ["n_orders", "l_partkey"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return out.astype({"l_partkey": "int64", "n_orders": "int64"})
+
+
 def q_rel_distinct_segments(sf_dir: str):
     """Distinct values of one column (the `unique` operator — a shuffle)."""
     import ray.data
