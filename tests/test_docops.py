@@ -328,6 +328,12 @@ class TestExactQuantiles:
         self._check([3], (0.5,))
         self._check([1, 1, 2, 100], (0.5, 0.95, 0.99))
 
+    def test_full_int64_range(self):
+        # range spans >= 2^63: int64 (v - lo) would wrap negative and
+        # crash bincount — the kernel subtracts in uint64
+        vals = [-(2**62), -17, 0, 3, 2**62, 2**62 + 5]
+        self._check(vals, (0.01, 0.5, 0.99))
+
     def test_recursion_path(self):
         # huge value range + tiny buckets/max_collect forces the
         # finer-histogram recursion with rank passthrough
@@ -625,6 +631,26 @@ class TestDocOpsRay:
 
 @pytest.mark.usefixtures("ray_session")
 class TestSkewAndSessions:
+    def test_salted_aggregate_null_keys_and_count_semantics(self):
+        import ray.data
+
+        from tripsu_ray.stages.skew import salted_aggregate
+
+        df = pd.DataFrame(
+            {
+                "k": ["a", "a", None, None, "b"],
+                "v": [1.0, np.nan, 5.0, 2.0, np.nan],
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        out = salted_aggregate(ds, "k", "v", "count").to_pandas()
+        got = {(None if pd.isna(k) else k): int(c) for k, c in zip(out.k, out["count"])}
+        # count(v) skips nulls; the null KEY group is kept (SQL GROUP BY)
+        assert got == {"a": 1, None: 2, "b": 0}
+        s = salted_aggregate(ray.data.from_pandas(df), "k", "v", "sum").to_pandas()
+        sums = {(None if pd.isna(k) else k): v for k, v in zip(s.k, s["sum"])}
+        assert sums["a"] == 1.0 and sums[None] == 7.0
+
     def test_salted_aggregate_equals_plain(self):
         import ray.data
         from ray.data.aggregate import Sum

@@ -31,41 +31,56 @@ def salted_aggregate(ds, key: str, value: str, agg: str, *, salt_factor: int = 8
     when all its rows carry the SAME value (the common count/flag case,
     where a value hash would put the whole hub in one salt bucket). Never
     ``random`` (retries must reproduce the assignment) and never Python
-    ``hash`` (per-process randomized). The aggregate result is
-    salt-assignment-independent for these associative aggs regardless.
-    """
-    from ray.data.aggregate import Max, Min, Sum
+    ``hash`` (per-process randomized).
 
+    NOTE: for these four associative aggs the in-batch partial combine
+    already bounds per-key shuffle volume, so the salt stage demonstrates
+    the PATTERN (for heavy per-group work that must itself distribute)
+    rather than buying throughput here. Both merge stages run inside ONE
+    coarse single-int-key exchange — Ray 2.49's multi-key
+    ``groupby([k, salt]).aggregate`` hangs outright at millions of
+    near-singleton groups (see BASELINE.md), so it must never be used for
+    the (key, salt) merge. Null keys are kept as their own group
+    (``dropna=False``), matching SQL GROUP BY; ``count`` counts NON-NULL
+    values of ``value`` (SQL ``count(col)``), not rows.
+    """
     if agg not in _AGGS:
         raise ValueError(f"unsupported agg {agg!r}; one of {sorted(_AGGS)}")
+    fn = _AGGS[agg]
+    num_parts = 32
 
     def add_salt_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
         salt = np.arange(len(batch), dtype="int64") % salt_factor
-        col = batch[value] if agg != "count" else pd.Series(np.ones(len(batch), dtype="int64"))
-        df = pd.DataFrame({key: batch[key], "_salt": salt.astype("int64"), "_v": col})
-        return (
-            df.groupby([key, "_salt"], sort=False)["_v"]
-            .agg(_AGGS[agg] if agg != "count" else "sum")
+        col = (
+            batch[value].to_numpy()
+            if agg != "count"
+            else batch[value].notna().to_numpy().astype("int64")
+        )
+        df = pd.DataFrame({key: batch[key].to_numpy(), "_salt": salt, "_v": col})
+        out = (
+            df.groupby([key, "_salt"], sort=False, dropna=False)["_v"]
+            .agg(fn)
             .reset_index()
         )
+        out["_part"] = (pd.util.hash_array(out[key].to_numpy()) % num_parts).astype(
+            "int64"
+        )
+        return out
 
-    partial = ds.map_batches(add_salt_and_partial, batch_format="pandas")
-    stage1 = {
-        "sum": Sum("_v", alias_name="_v"),
-        "count": Sum("_v", alias_name="_v"),
-        "min": Min("_v", alias_name="_v"),
-        "max": Max("_v", alias_name="_v"),
-    }[agg]
-    salted = partial.groupby([key, "_salt"]).aggregate(stage1)
-    merged = salted.groupby(key).aggregate(
-        {
-            "sum": Sum("_v", alias_name=agg),
-            "count": Sum("_v", alias_name=agg),
-            "min": Min("_v", alias_name=agg),
-            "max": Max("_v", alias_name=agg),
-        }[agg]
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # stage 1 ((key, salt) merge) and stage 2 (key merge) are both
+        # vectorized pandas groupbys inside one co-located partition
+        s1 = g.groupby([key, "_salt"], sort=False, dropna=False, as_index=False)[
+            "_v"
+        ].agg(fn)
+        s2 = s1.groupby(key, sort=False, dropna=False, as_index=False)["_v"].agg(fn)
+        return s2.rename(columns={"_v": agg})
+
+    return (
+        ds.map_batches(add_salt_and_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pandas")
     )
-    return merged
 
 
 # --- exact order statistics without a global sort --------------------------
@@ -128,11 +143,18 @@ def exact_quantiles(
 
     width = max(1, -(-(hi - lo + 1) // num_buckets))
 
+    # lo as a wrapped uint64: (uint64)v - (uint64)lo mod 2^64 equals the
+    # true non-negative difference for any int64 pair with v >= lo — plain
+    # int64 subtraction would overflow when the column spans >= 2^63
+    # (e.g. signed views of 64-bit hashes)
+    lo_u = np.uint64(lo % (1 << 64))
+    width_u = np.uint64(width)
+
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b[column].to_numpy()
         if not len(v):
             return pd.DataFrame({"bucket": [], "cnt": []}, dtype="int64")
-        idx = (v - lo) // width
+        idx = ((v.astype(np.int64).view(np.uint64) - lo_u) // width_u).astype(np.int64)
         cnt = np.bincount(idx, minlength=0)
         nz = np.nonzero(cnt)[0]
         return pd.DataFrame({"bucket": nz.astype("int64"), "cnt": cnt[nz].astype("int64")})
@@ -155,7 +177,9 @@ def exact_quantiles(
 
     collect: dict = {}  # buckets whose rows we pull, resolved in ONE pass
     for b, wants in need.items():
-        b_lo, b_hi = lo + b * width, lo + (b + 1) * width - 1
+        # clamp to hi so the filter literal stays inside int64 when the
+        # value range nearly spans the full int64 domain
+        b_lo, b_hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
         cnt_b = int(hist.cnt[hist.bucket == b].iloc[0])
         if b_lo == b_hi:
             # single-value bucket: the answer needs no collection at all
@@ -203,8 +227,12 @@ HLL_P = 14  # 2^14 registers = 16 KiB/sketch, ~0.8% standard error
 def hll_partial(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
     """uint8 register array for one batch of values.
 
-    Hash = pd.util.hash_array (SipHash, fixed key — deterministic across
-    worker processes, unlike builtin hash). Register j = top p bits;
+    Hash = pd.util.hash_array — deterministic across worker processes
+    (unlike builtin hash). NOTE: only OBJECT (string) arrays go through
+    its keyed SipHash; numeric arrays use pandas' unkeyed integer
+    bit-mixer, so ``hash_key`` has no effect on the int64 path — do not
+    build an "independent second hash" from it here (the bloom exchange
+    does that trick on STRING keys only). Register j = top p bits;
     rho = 1 + leading zeros of the remaining (64-p) bits.
     """
     m = 1 << p
