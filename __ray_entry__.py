@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pseudo": q.q_pseudo,
         "kg_link_map": q.q_link_map,
         "kg_pipeline": q.q_pipeline,
+        "kg_degrees": q.q_degrees,
+        "kg_pred_census": q.q_pred_census,
+        "kg_components": q.q_components,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -38,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": docops.q_text_quality,
         "text_dup_spans": docops.q_text_dup_spans,
         "text_pii": docops.q_text_pii,
+        "text_vocab": docops.q_text_vocab,
+        "text_decontaminate": docops.q_text_decontaminate,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -66,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
+        "rel_sample": docops.q_rel_sample,
     }
 
 
@@ -89,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pseudo": oracle.sql_pseudo(),
         "kg_link_map": oracle.sql_link_map(),
         "kg_pipeline": oracle.sql_pipeline(),
+        "kg_degrees": oracle.sql_degrees(),
+        "kg_pred_census": oracle.sql_pred_census(),
+        "kg_components": oracle.sql_components(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),
@@ -96,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": d.sql_text_quality(),
         "text_dup_spans": d.sql_text_dup_spans(),
         "text_pii": d.sql_text_pii(),
+        "text_vocab": d.sql_text_vocab(),
+        "text_decontaminate": d.sql_text_decontaminate(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),
@@ -111,4 +122,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
+        "rel_sample": d.sql_rel_sample(),
     }

@@ -1,0 +1,205 @@
+"""Graph analytics stages (stages/graph.py) + the new text/rel ops.
+
+Components are verified against an in-process union-find over the same
+edges (the sequential oracle); censuses against pandas references computed
+from the same synthetic triple frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tripsu_ray.schema import KIND_IRI, KIND_LITERAL, RDF_TYPE
+from tripsu_ray.stages import graph
+from tripsu_ray.stages.dedup import _components
+
+
+def _triples_df(rng: np.random.Generator, n: int = 400) -> pd.DataFrame:
+    subs = [f"http://x/s{i}" for i in rng.integers(0, 40, n)]
+    preds = [f"http://x/p{i}" for i in rng.integers(0, 6, n)]
+    kinds = rng.integers(0, 2, n)  # iri | literal objects
+    objs = [
+        f"http://x/o{i}" if k == 0 else f"lit{i}"
+        for i, k in zip(rng.integers(0, 50, n), kinds)
+    ]
+    df = pd.DataFrame(
+        {
+            "subject": subs,
+            "subject_kind": np.zeros(n, np.int8),
+            "predicate": preds,
+            "object_value": objs,
+            "object_kind": np.where(kinds == 0, KIND_IRI, KIND_LITERAL).astype(np.int8),
+            "object_lang": pd.Series([None] * n, dtype="string"),
+            "object_datatype": pd.Series([None] * n, dtype="string"),
+        }
+    )
+    # inject duplicates across future batches to exercise the global dedup
+    return pd.concat([df, df.iloc[: n // 3]], ignore_index=True)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 5):
+    import pyarrow as pa
+    import ray.data
+
+    from tripsu_ray.schema import TRIPLES
+
+    if set(df.columns) == set(TRIPLES.names):
+        # explicit Arrow schema: an all-null pandas column otherwise
+        # converts to Arrow null type and breaks string kernels
+        tbl = pa.Table.from_pandas(df, schema=TRIPLES, preserve_index=False)
+        return ray.data.from_arrow(tbl).repartition(blocks)
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraphStages:
+    def test_degree_census_matches_pandas(self):
+        df = _triples_df(np.random.default_rng(3))
+        got = graph.degree_census(_ds(df)).to_pandas()
+        dt = df.drop_duplicates(
+            ["subject", "predicate", "object_value", "object_kind"]
+        )
+        want = (
+            dt.groupby("subject")
+            .agg(out_degree=("predicate", "size"), n_predicates=("predicate", "nunique"))
+            .reset_index()
+        )
+        got = got.sort_values("subject", ignore_index=True)
+        want = want.sort_values("subject", ignore_index=True).astype(
+            {"out_degree": "int64", "n_predicates": "int64"}
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_predicate_census_matches_pandas(self):
+        df = _triples_df(np.random.default_rng(4))
+        got = graph.predicate_census(_ds(df)).to_pandas()
+        dt = df.drop_duplicates(
+            ["subject", "predicate", "object_value", "object_kind"]
+        )
+        want = (
+            dt.groupby("predicate")
+            .agg(n_triples=("subject", "size"), n_subjects=("subject", "nunique"))
+            .reset_index()
+            .astype({"n_triples": "int64", "n_subjects": "int64"})
+        )
+        got = got.sort_values("predicate", ignore_index=True)
+        want = want.sort_values("predicate", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_entity_edges_excludes_type_literals_selfloops(self):
+        df = pd.DataFrame(
+            {
+                "subject": ["http://x/a", "http://x/a", "http://x/b", "http://x/c"],
+                "subject_kind": np.zeros(4, np.int8),
+                "predicate": ["http://x/p", RDF_TYPE, "http://x/p", "http://x/p"],
+                "object_value": ["http://x/b", "http://x/T", "lit", "http://x/c"],
+                "object_kind": np.array(
+                    [KIND_IRI, KIND_IRI, KIND_LITERAL, KIND_IRI], np.int8
+                ),
+                "object_lang": pd.Series([None] * 4, dtype="string"),
+                "object_datatype": pd.Series([None] * 4, dtype="string"),
+            }
+        )
+        got = graph.entity_edges(_ds(df, blocks=2)).to_pandas()
+        assert got.to_records(index=False).tolist() == [("http://x/a", "http://x/b")]
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_components_equal_union_find(self, seed):
+        rng = np.random.default_rng(seed)
+        n_edges = 300
+        a = [f"n{i:03d}" for i in rng.integers(0, 120, n_edges)]
+        b = [f"n{i:03d}" for i in rng.integers(0, 120, n_edges)]
+        pairs = [(x, y) for x, y in zip(a, b) if x != y]
+        df = pd.DataFrame(pairs, columns=["a", "b"])
+        got = graph.connected_components_str(_ds(df, blocks=4))
+        uf = _components(pairs)
+        # union-find returns min-root labels for every touched node
+        assert got == uf
+
+    def test_components_table_empty(self):
+        df = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        out = graph.components_table(_ds(df, blocks=1))
+        assert len(out) == 0 and list(out.columns) == ["node", "component"]
+
+    def test_chain_collapses_to_one_component(self):
+        # long chain exercises the log-round compression (diameter ≫ rounds)
+        nodes = [f"c{i:04d}" for i in range(200)]
+        df = pd.DataFrame({"a": nodes[:-1], "b": nodes[1:]})
+        got = graph.connected_components_str(_ds(df, blocks=6))
+        assert set(got.values()) == {"c0000"}
+        assert len(got) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNewTextRelOps:
+    def test_vocab_matches_pandas(self, tmp_path):
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "the cat and the hat",
+                    "a cat, a hat!",
+                    "Dogs and CATS",
+                    "",
+                    "cat cat cat",
+                    "42 cats 42",
+                ],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from tripsu_ray.stages.text import _token_pat, text_vocab
+
+        got = text_vocab(str(tmp_path))
+        flat = docs["text"].str.lower().str.findall(_token_pat).explode().dropna()
+        want = (
+            flat.value_counts()
+            .rename_axis("token")
+            .reset_index(name="n")
+            .sort_values(["n", "token"], ascending=[False, True], ignore_index=True)
+            .astype({"n": "int64"})
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    def test_decontaminate_self_and_cross_hits(self, tmp_path):
+        from tripsu_ray.stages import text as T
+
+        snippet_src = "x" * T.BENCH_OFF + "NEEDLE" * 11  # 66 chars ≥ BENCH_LEN
+        snippet = snippet_src[T.BENCH_OFF : T.BENCH_OFF + T.BENCH_LEN]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                "text": [snippet_src, "clean document", "prefix " + snippet + " suffix"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = (
+            T.text_decontaminate(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["n_bench_hits"].tolist() == [1, 0, 1]
+        assert out["contaminated"].tolist() == [1, 0, 1]
+
+    def test_rel_sample_formula(self, tmp_path):
+        from tripsu_ray.pipelines.docops import (
+            SAMPLE_MOD,
+            SAMPLE_MULT,
+            SAMPLE_RATE_NUM,
+            q_rel_sample,
+        )
+
+        keys = np.arange(1, 4001, dtype=np.int64)
+        orders = pd.DataFrame(
+            {"o_orderkey": keys, "o_totalprice": keys * 1.5}
+        )
+        orders.to_parquet(tmp_path / "orders.parquet")
+        got = q_rel_sample(str(tmp_path)).to_pandas().sort_values(
+            "o_orderkey", ignore_index=True
+        )
+        want_keys = [int(k) for k in keys if (k * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_RATE_NUM]
+        assert got["o_orderkey"].tolist() == want_keys
+        # ~10% of 4000, not degenerate
+        assert 250 < len(got) < 550
+        assert (got["sample_hash"] < SAMPLE_RATE_NUM).all()

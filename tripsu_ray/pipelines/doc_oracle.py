@@ -129,6 +129,34 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_text_vocab() -> str:
+    from ..stages.text import VOCAB_TOP_K
+
+    return f"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{_TOK}')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+""".strip()
+
+
+def sql_text_decontaminate() -> str:
+    from ..stages.text import BENCH_EVERY, BENCH_LEN, BENCH_MIN_CHARS, BENCH_OFF
+
+    return f"""
+WITH bench AS (
+  SELECT substring(text, {BENCH_OFF + 1}, {BENCH_LEN}) AS snippet
+  FROM documents
+  WHERE doc_id % {BENCH_EVERY} = 0 AND length(text) >= {BENCH_MIN_CHARS}
+)
+SELECT d.doc_id,
+  CAST((SELECT count(*) FROM bench b WHERE contains(d.text, b.snippet)) AS BIGINT)
+    AS n_bench_hits,
+  CAST((SELECT count(*) FROM bench b WHERE contains(d.text, b.snippet)) > 0 AS BIGINT)
+    AS contaminated
+FROM documents d ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_fingerprint() -> str:
     return r"""
 SELECT doc_id,
@@ -299,6 +327,19 @@ FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
 
 def sql_rel_distinct_segments() -> str:
     return "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1"
+
+
+def sql_rel_sample() -> str:
+    from .docops import SAMPLE_MOD, SAMPLE_MULT, SAMPLE_RATE_NUM
+
+    return f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       (o_orderkey * {SAMPLE_MULT}) % {SAMPLE_MOD} AS sample_hash
+FROM orders
+WHERE (o_orderkey * {SAMPLE_MULT}) % {SAMPLE_MOD} < {SAMPLE_RATE_NUM}
+ORDER BY o_orderkey
+""".strip()
 
 
 def sql_rel_sessions(gap_minutes: int = 30) -> str:

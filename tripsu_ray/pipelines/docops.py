@@ -26,6 +26,8 @@ q_text_tokens = text.text_tokens
 q_text_quality = text.text_quality
 q_text_dup_spans = text.text_dup_spans
 q_text_pii = text.text_pii
+q_text_vocab = text.text_vocab
+q_text_decontaminate = text.text_decontaminate
 
 
 # --- dedup -----------------------------------------------------------------
@@ -466,6 +468,44 @@ def q_rel_distinct_segments(sf_dir: str):
     ds = _read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
+
+
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+SAMPLE_MOD = 1 << 32
+SAMPLE_RATE_NUM = SAMPLE_MOD // 10  # 10% Bernoulli
+
+
+def q_rel_sample(sf_dir: str):
+    """Deterministic 10% Bernoulli sample of orders via a multiplicative
+    integer hash — the reproducible-sampling primitive a training-data
+    pipeline needs (eval holdouts, ablation subsets): the same row is
+    in/out of the sample on every run, every engine, any partitioning.
+
+    ``keep ⇔ (key * 2654435761) mod 2^32 < rate·2^32`` — pure int64
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit (no RNG,
+    no float). Stateless map_batches filter → shards trivially. (Keys
+    here are < 2^31 so the signed-SQL and uint64-numpy products agree;
+    a 64-bit-key corpus would use the same formula mod 2^61-1.)
+    """
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        m = h < np.uint64(SAMPLE_RATE_NUM)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy()[m].astype("int64"),
+                "price_cents": (b["o_totalprice"].to_numpy()[m] * 100)
+                .round()
+                .astype("int64"),
+                "sample_hash": h[m].astype("int64"),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pandas")
 
 
 def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):

@@ -224,6 +224,51 @@ def sql_link_map() -> str:
     )
 
 
+def sql_degrees() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + ",\ndt AS (SELECT DISTINCT s, p, o, k FROM raw_triples)"
+        + "\nSELECT s AS subject, CAST(count(*) AS BIGINT) AS out_degree,"
+        + "\n       CAST(count(DISTINCT p) AS BIGINT) AS n_predicates"
+        + "\nFROM dt GROUP BY s ORDER BY s"
+    )
+
+
+def sql_pred_census() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + ",\ndt AS (SELECT DISTINCT s, p, o, k FROM raw_triples)"
+        + "\nSELECT p AS predicate, CAST(count(*) AS BIGINT) AS n_triples,"
+        + "\n       CAST(count(DISTINCT s) AS BIGINT) AS n_subjects"
+        + "\nFROM dt GROUP BY p ORDER BY p"
+    )
+
+
+def sql_components() -> str:
+    # Reachability-closure connected components (UNION-dedup recursive CTE):
+    # exact but O(sum comp_size^2) rows — the sf0.01 oracle anchor for the
+    # distributed min-label propagation in stages/graph.py.
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a AS n, b AS m FROM sym
+  UNION
+  SELECT r.n, s.b AS m FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT n AS node, least(n, min(m)) AS component
+FROM reach GROUP BY n ORDER BY n"""
+    )
+
+
 def sql_pipeline() -> str:
     return (
         _with(

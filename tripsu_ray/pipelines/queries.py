@@ -94,3 +94,29 @@ def q_link_map(sf_dir: str):
 
 def q_pipeline(sf_dir: str):
     return _labeled_view(kg_pipeline(sf_dir, sort=False, salt=DEFAULT_SALT))
+
+
+def q_degrees(sf_dir: str):
+    """Per-subject out-degree / distinct-predicate census over the distinct
+    extracted triples (one subject-hash shuffle — stages/graph.py)."""
+    from ..stages.graph import degree_census
+
+    return degree_census(_extracted(sf_dir))
+
+
+def q_pred_census(sf_dir: str):
+    """Per-predicate triple + distinct-subject counts (subject-partitioned
+    partials compose exactly; see stages/graph.py)."""
+    from ..stages.graph import predicate_census
+
+    return predicate_census(_extracted(sf_dir))
+
+
+def q_components(sf_dir: str):
+    """Connected components of the IRI→IRI entity graph (rdf:type edges
+    excluded) via distributed string min-label propagation — the edge set
+    never materializes on the driver. Oracle: recursive-CTE reachability
+    closure (exact at sf≤0.01 scale; the Ray plan is the scale path)."""
+    from ..stages.graph import components_table, entity_edges
+
+    return components_table(entity_edges(_extracted(sf_dir)))

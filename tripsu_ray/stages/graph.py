@@ -1,0 +1,212 @@
+"""Graph analytics over the extracted KG: degree census, predicate census,
+connected components.
+
+The reference pipeline ends at pseudonymized triples (tripsu has no graph
+operators — SURVEY.md §2.4); these stages add the profiling / topology ops
+a KG-construction pipeline needs before deciding partitioning and skew
+strategy at scale (hub detection, component sizing for the entity-linking
+shuffle).
+
+Scale discipline shared by all three:
+
+- the triple stream is first deduped LOCALLY per batch (partial combine),
+  then hash-partitioned on the SUBJECT so each partition holds every
+  remaining copy of a subject's triples — per-subject statistics become
+  exact with ONE shuffle and a vectorized per-partition pandas pass
+  (no global sort, no per-row Python).
+- connected components never materialize the edge set on the driver: the
+  same iterated min-label propagation as the near-dup clustering
+  (``stages/dedup.py::label_propagation``) runs with STRING labels
+  (lexicographic min instead of numeric min), so node IRIs need no
+  collision-prone int mapping. Per round the label map is ``ray.put``
+  once, a map pass over the edge stream emits (node, candidate-label)
+  partials, and a tree fold reduces them; the driver holds only the label
+  map (bounded by #nodes in non-singleton components).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import KIND_IRI, RDF_TYPE
+from .materialize import _dedup_batch, _triple_key
+
+_HASH_PARTS = 64
+
+
+def _subject_partitioned_distinct(triples, finish, *, num_partitions: int = _HASH_PARTS):
+    """Locally-deduped triples → subject-hash partitions → ``finish`` per
+    partition AFTER an exact within-partition dedup.
+
+    Subject-hash partitioning makes the within-partition dedup globally
+    exact for any per-subject statistic: all copies of a subject's triples
+    land in the same partition. ``finish(df)`` receives the deduped
+    pandas frame (TRIPLES columns, no helper columns).
+    """
+    local = triples.map_batches(_dedup_batch, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch["subject"].to_numpy(zero_copy_only=False)
+        ) % num_partitions
+        return batch.append_column("_part", pa.array(h.astype(np.int64)))
+
+    def per_part(batch: pa.Table) -> pd.DataFrame:
+        key = _triple_key(batch).to_numpy(zero_copy_only=False)
+        _, idx = np.unique(key, return_index=True)
+        df = batch.take(pa.array(np.sort(idx))).to_pandas()
+        return finish(df.drop(columns=["_part"]))
+
+    return (
+        local.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def degree_census(triples):
+    """Per-subject out-degree + distinct-predicate count over DISTINCT
+    triples → Dataset (subject, out_degree, n_predicates)."""
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("subject", sort=False).agg(
+            out_degree=("predicate", "size"), n_predicates=("predicate", "nunique")
+        )
+        return g.reset_index().astype({"out_degree": "int64", "n_predicates": "int64"})
+
+    return _subject_partitioned_distinct(triples, finish)
+
+
+def predicate_census(triples):
+    """Per-predicate triple + distinct-subject counts over DISTINCT triples
+    → Dataset (predicate, n_triples, n_subjects).
+
+    Partition partials compose exactly: triples are globally distinct
+    after the within-partition dedup, and each subject lives in exactly
+    one partition, so per-partition ``nunique(subject)`` sums to the
+    global distinct-subject count. The final groupby moves ≤ #partitions
+    rows per predicate.
+    """
+    from ray.data.aggregate import Sum
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("predicate", sort=False).agg(
+            n_triples=("subject", "size"), n_subjects=("subject", "nunique")
+        )
+        return g.reset_index().astype({"n_triples": "int64", "n_subjects": "int64"})
+
+    parts = _subject_partitioned_distinct(triples, finish)
+    return parts.groupby("predicate").aggregate(
+        Sum("n_triples", alias_name="n_triples"),
+        Sum("n_subjects", alias_name="n_subjects"),
+    )
+
+
+def entity_edges(triples):
+    """DISTINCT entity-graph edges: (subject, object) pairs of IRI→IRI
+    triples, rdf:type excluded (type edges would fuse every instance of a
+    class into one component), self-loops dropped.
+
+    Dedup rides the subject-partitioned pass: an (s, o) pair duplicated
+    across partitions is impossible (same s → same partition).
+    """
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["object_kind"] == KIND_IRI)
+            & (df["predicate"] != RDF_TYPE)
+            & (df["subject"] != df["object_value"])
+        )
+        out = df.loc[m, ["subject", "object_value"]].rename(
+            columns={"subject": "a", "object_value": "b"}
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    return _subject_partitioned_distinct(triples, finish)
+
+
+def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
+    """Edge Dataset (a, b) of STRING node ids → {node: component label}
+    where the label is the lexicographically smallest node id in the
+    component — the string twin of ``dedup.label_propagation`` (same
+    broadcast-map + tree-fold rounds, ``min`` = lexicographic).
+
+    Every node incident to ≥1 edge gets an entry (singletons have no
+    edges and are their own trivial components by definition).
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return {}
+
+    def compress(lab: dict) -> dict:
+        out = {}
+        for x in lab:
+            r = lab[x]
+            while r in lab and lab[r] != r:
+                r = lab[r]
+            out[x] = r
+        return {k: v for k, v in out.items() if k != v}
+
+    def combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["label"].min()
+
+    labels: dict = {}
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            a = df["a"].astype(object)
+            b = df["b"].astype(object)
+            la = a.map(lab).fillna(a)
+            lb = b.map(lab).fillna(b)
+            cand = np.where(la.to_numpy() < lb.to_numpy(), la, lb)
+            part = pd.DataFrame(
+                {
+                    "node": pd.concat([a, b], ignore_index=True),
+                    "label": np.concatenate([cand, cand]),
+                }
+            )
+            return part.groupby("node", sort=False, as_index=False)["label"].min()
+
+        folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
+        merged = dict(labels)
+        changed = False
+        for n, l in zip(folded["node"], folded["label"]):
+            cur = merged.get(n, n)
+            if l < cur:
+                merged[n] = l
+                changed = True
+        merged = compress(merged)
+        if not changed:
+            # fixpoint: every node maps to its component minimum
+            break
+        labels = merged
+    # materialize identity entries for component minima so every edge-
+    # incident node appears in the result
+    seen = set(labels)
+    for n, l in list(labels.items()):
+        if l not in seen:
+            seen.add(l)
+            labels[l] = l
+    return {**{n: labels.get(n, n) for n in labels}}
+
+
+def components_table(edges_ds) -> pd.DataFrame:
+    """(node, component) DataFrame for every node incident to an edge,
+    sorted — the driver-facing rendering of the label map."""
+    labels = connected_components_str(edges_ds)
+    if not labels:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "component": pd.Series([], dtype=object)})
+    nodes = sorted(labels)
+    return pd.DataFrame(
+        {"node": nodes, "component": [labels[n] for n in nodes]}
+    )

@@ -484,3 +484,99 @@ def text_tokens(sf_dir: str):
 
 def text_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
+
+
+# --- vocabulary census (the canonical distributed word count) ---------------
+
+VOCAB_TOP_K = 100
+
+
+def vocab_partial_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch token frequency partial: each batch contributes at most
+    its DISTINCT tokens no matter how hot a token is (partial-combine
+    discipline — the shuffle/fold volume is #batches × batch-vocab, never
+    corpus token count)."""
+    toks = batch["text"].str.lower().str.findall(_token_pat)
+    flat = pd.Series(np.concatenate(toks.to_numpy()) if len(toks) else [], dtype=object)
+    vc = flat.value_counts()
+    return pd.DataFrame({"token": vc.index.astype(object), "n": vc.to_numpy().astype("int64")})
+
+
+def text_vocab(sf_dir: str, *, k: int = VOCAB_TOP_K):
+    """Top-k corpus vocabulary by frequency (count desc, token asc ties).
+
+    Tree-fold sum of per-batch partials → driver keeps only top-k. At
+    100 TB the fold's leaf volume is bounded by per-batch vocab; a global
+    vocabulary table (not just top-k) would instead hash-partition on the
+    token — same partials, shuffle instead of fold.
+    """
+    from .folds import tree_fold_tables
+
+    ds = _docs(sf_dir).map_batches(vocab_partial_batch, batch_format="pandas")
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(ds, combine)
+    if folded is None:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out = folded.sort_values(["n", "token"], ascending=[False, True],
+                             ignore_index=True).head(k)
+    return out.astype({"n": "int64"})
+
+
+# --- decontamination (benchmark-overlap check) -------------------------------
+
+BENCH_EVERY = 50     # every 50th doc contributes a benchmark snippet
+BENCH_OFF = 32       # snippet = text[BENCH_OFF : BENCH_OFF+BENCH_LEN] (chars)
+BENCH_LEN = 64
+BENCH_MIN_CHARS = BENCH_OFF + BENCH_LEN
+
+
+def bench_snippets(docs) -> list:
+    """Deterministic benchmark set: a fixed substring of every
+    ``BENCH_EVERY``-th document (stand-in for an eval-benchmark n-gram
+    list — no external data allowed in this sandbox). Tiny by
+    construction (#docs / BENCH_EVERY), collected to the driver and
+    broadcast."""
+    snips: list = []
+    for b in docs.iter_batches(batch_format="pandas", batch_size=1 << 14):
+        m = (b["doc_id"] % BENCH_EVERY == 0) & (b["text"].str.len() >= BENCH_MIN_CHARS)
+        sel = b.loc[m].sort_values("doc_id")
+        snips.extend(sel["text"].str.slice(BENCH_OFF, BENCH_OFF + BENCH_LEN).tolist())
+    return snips
+
+
+def text_decontaminate(sf_dir: str):
+    """Benchmark-contamination census: per document, how many benchmark
+    snippets it contains verbatim → (doc_id, n_bench_hits, contaminated).
+
+    The snippet list is broadcast once (``ray.put``) and probed with
+    vectorized non-regex ``str.contains`` per snippet — linear in corpus
+    size, #snippets bounded. (A production decontaminator with 10^5+
+    snippets would swap the probe loop for one Aho-Corasick automaton per
+    actor; the plumbing — broadcast once, stream the corpus — is the
+    same.) Snippet sources count as contaminated by their own snippet,
+    mirrored exactly by the SQL oracle.
+    """
+    import ray
+
+    docs = _docs(sf_dir)
+    ref = ray.put(bench_snippets(docs))
+
+    def probe(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        snips = ray.get(_ref)
+        hits = np.zeros(len(b), dtype=np.int64)
+        for s in snips:
+            hits += b["text"].str.contains(s, regex=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bench_hits": hits,
+                "contaminated": (hits > 0).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pandas")
