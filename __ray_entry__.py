@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": docops.q_text_pii,
         "text_vocab": docops.q_text_vocab,
         "text_decontaminate": docops.q_text_decontaminate,
+        "text_unigram_logprob": docops.q_text_unigram_logprob,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -72,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
         "rel_sample": docops.q_rel_sample,
+        "rel_group_quantiles": docops.q_rel_group_quantiles,
+        "rel_stratified_sample": docops.q_rel_stratified_sample,
     }
 
 
@@ -107,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": d.sql_text_pii(),
         "text_vocab": d.sql_text_vocab(),
         "text_decontaminate": d.sql_text_decontaminate(),
+        "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),
@@ -123,4 +127,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
         "rel_sample": d.sql_rel_sample(),
+        "rel_group_quantiles": d.sql_rel_group_quantiles(),
+        "rel_stratified_sample": d.sql_rel_stratified_sample(),
     }

@@ -203,3 +203,92 @@ class TestNewTextRelOps:
         # ~10% of 4000, not degenerate
         assert 250 < len(got) < 550
         assert (got["sample_hash"] < SAMPLE_RATE_NUM).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupQuantilesLMStratified:
+    def test_group_quantiles_match_numpy(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_group_quantiles
+
+        rng = np.random.default_rng(9)
+        n = 5000
+        events = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n).astype(np.int64),
+                "value": rng.uniform(0, 100, n).round(2),
+            }
+        )
+        events.to_parquet(tmp_path / "events.parquet")
+        got = (
+            q_rel_group_quantiles(str(tmp_path))
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        cents = (events["value"] * 100).round().astype("int64")
+        rows = []
+        for u, grp in cents.groupby(events["user_id"]):
+            v = np.sort(grp.to_numpy())
+            pick = lambda q: v[max(0, int(np.ceil(q * len(v))) - 1)]
+            rows.append((u, pick(0.5), pick(0.95)))
+        want = pd.DataFrame(rows, columns=["user_id", "p50_cents", "p95_cents"]).astype(
+            "int64"
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_unigram_logprob_matches_reference(self, tmp_path):
+        import math
+
+        from tripsu_ray.stages.text import _token_pat, text_unigram_logprob
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": ["the cat", "the the the", "", "rare token zyx"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            text_unigram_logprob(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        toks = docs["text"].str.lower().str.findall(_token_pat)
+        flat = toks.explode().dropna()
+        counts = flat.value_counts()
+        N = float(counts.sum())
+        lq = {t: math.floor(1e6 * (math.log(float(c)) - math.log(N))) for t, c in counts.items()}
+        want_lp = [sum(lq[t] for t in ts) for ts in toks]
+        assert got["logprob_q"].tolist() == want_lp
+        assert got["n_tokens"].tolist() == [len(t) for t in toks]
+        # higher-frequency docs score higher (the actual quality signal)
+        assert got.loc[1, "logprob_q"] > got.loc[3, "logprob_q"]
+
+    def test_stratified_sample_quota_and_determinism(self, tmp_path):
+        from tripsu_ray.pipelines.docops import (
+            SAMPLE_MOD,
+            SAMPLE_MULT,
+            STRAT_K,
+            q_rel_stratified_sample,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(1, n + 1, dtype=np.int64),
+                "c_mktsegment": rng.choice(["A", "B", "C"], n),
+            }
+        )
+        cust.to_parquet(tmp_path / "customer.parquet")
+        got = q_rel_stratified_sample(str(tmp_path))
+        assert (got.groupby("c_mktsegment").size() == STRAT_K).all()
+        # reference selection: global sort by (segment, hash, key), head K
+        h = (cust["c_custkey"].to_numpy().astype(np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        ref = (
+            cust.assign(sample_hash=h.astype("int64"))
+            .sort_values(["c_mktsegment", "sample_hash", "c_custkey"])
+            .groupby("c_mktsegment")
+            .head(STRAT_K)
+            .sort_values(["c_mktsegment", "c_custkey"], ignore_index=True)
+        )[["c_mktsegment", "c_custkey", "sample_hash"]]
+        pd.testing.assert_frame_equal(got, ref)

@@ -342,6 +342,54 @@ ORDER BY o_orderkey
 """.strip()
 
 
+def sql_rel_group_quantiles() -> str:
+    return """
+SELECT user_id,
+       quantile_disc(c, 0.5) AS p50_cents,
+       quantile_disc(c, 0.95) AS p95_cents
+FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+GROUP BY user_id ORDER BY user_id
+""".strip()
+
+
+def sql_rel_stratified_sample() -> str:
+    from .docops import SAMPLE_MOD, SAMPLE_MULT, STRAT_K
+
+    return f"""
+SELECT c_mktsegment, c_custkey,
+       (c_custkey * {SAMPLE_MULT}) % {SAMPLE_MOD} AS sample_hash
+FROM customer
+QUALIFY row_number() OVER (
+  PARTITION BY c_mktsegment
+  ORDER BY (c_custkey * {SAMPLE_MULT}) % {SAMPLE_MOD}, c_custkey
+) <= {STRAT_K}
+ORDER BY c_mktsegment, c_custkey
+""".strip()
+
+
+def sql_text_unigram_logprob() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS N FROM vocab
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CAST(floor(1000000 * (ln(CAST(v.n AS DOUBLE)) - ln((SELECT N FROM tot))))
+                  AS BIGINT)) AS lp
+  FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.lp, 0) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_rel_sessions(gap_minutes: int = 30) -> str:
     return f"""
 WITH marked AS (

@@ -28,6 +28,7 @@ q_text_dup_spans = text.text_dup_spans
 q_text_pii = text.text_pii
 q_text_vocab = text.text_vocab
 q_text_decontaminate = text.text_decontaminate
+q_text_unigram_logprob = text.text_unigram_logprob
 
 
 # --- dedup -----------------------------------------------------------------
@@ -468,6 +469,105 @@ def q_rel_distinct_segments(sf_dir: str):
     ds = _read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
+
+
+def q_rel_group_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
+    """Exact per-user p50/p95 of event value cents.
+
+    Grouped quantiles can't use partial combine (quantiles don't compose),
+    so the plan co-locates each user's rows with ONE single-int-key hash
+    exchange (the proven shuffle primitive here — multi-key groupby
+    hazard, BASELINE.md), then picks ranks vectorized per partition: one
+    sort of the partition + ``np.unique`` group offsets + ceil-rank
+    gather, no per-group Python. Convention = DuckDB ``quantile_disc``
+    (0-based index ``ceil(q·n)−1``), same as ``skew.exact_quantiles``.
+    """
+    import math
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "cents": (b["value"] * 100).round().astype("int64"),
+                "_part": (pd.util.hash_array(b["user_id"].to_numpy()) % 32).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "cents"], ignore_index=True)
+        users, offs = np.unique(df["user_id"].to_numpy(), return_index=True)
+        cnts = np.diff(np.append(offs, len(df)))
+        vals = df["cents"].to_numpy()
+        out = {"user_id": users.astype("int64")}
+        for q in qs:
+            idx = offs + np.maximum(np.ceil(q * cnts).astype(np.int64) - 1, 0)
+            out[f"p{int(q * 100)}_cents"] = vals[idx]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+STRAT_K = 10
+
+
+def q_rel_stratified_sample(sf_dir: str, *, k: int = STRAT_K):
+    """Deterministic stratified sample: the k customers with the smallest
+    multiplicative hash PER market segment (per-stratum quota sampling —
+    the balanced-subset primitive for eval sets).
+
+    Per-batch top-k partials (each batch contributes ≤ k rows per
+    segment) → tree-fold re-selection — shuffle-free, and the same rows
+    win under any partitioning because the (hash, key) order is total.
+    """
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["c_mktsegment", "sample_hash", "c_custkey"])
+            .groupby("c_mktsegment", sort=False)
+            .head(k)
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["c_custkey"].to_numpy().astype(np.uint64)
+        h = (key * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        return topk(
+            pd.DataFrame(
+                {
+                    "c_mktsegment": b["c_mktsegment"],
+                    "c_custkey": b["c_custkey"].astype("int64"),
+                    "sample_hash": h.astype("int64"),
+                }
+            )
+        )
+
+    def combine(frames):
+        return topk(pd.concat(frames, ignore_index=True))
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype=object),
+                "c_custkey": pd.Series([], dtype="int64"),
+                "sample_hash": pd.Series([], dtype="int64"),
+            }
+        )
+    return folded.sort_values(
+        ["c_mktsegment", "c_custkey"], ignore_index=True
+    )
 
 
 SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant

@@ -580,3 +580,67 @@ def text_decontaminate(sf_dir: str):
         )
 
     return docs.map_batches(probe, batch_format="pandas")
+
+
+# --- unigram LM scoring ------------------------------------------------------
+
+
+def text_unigram_logprob(sf_dir: str):
+    """Per-document log-probability under the corpus unigram LM — the
+    classic LM-based quality signal (CCNet-style, with the corpus itself
+    as the model since no external LM is allowed here).
+
+    Two passes: (1) full vocabulary census via the same per-batch
+    ``value_counts`` partials + tree fold as :func:`text_vocab` (the
+    vocab table is ≪ corpus and broadcasts like the type index); (2) a
+    stateless scoring pass probing the broadcast ``{token: quantized
+    log-prob}`` map. Per-token log-probs are quantized to
+    ``floor(10^6·(ln n_tok − ln N))`` int64 BEFORE summing, so the
+    per-doc sum is an integer sum — associativity-independent and
+    reproducible by the DuckDB oracle regardless of reduction order.
+    """
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+    parts = docs.map_batches(vocab_partial_batch, batch_format="pandas")
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)["n"].sum()
+
+    vocab = tree_fold_tables(parts, combine)
+    if vocab is None or not len(vocab):
+        logq: dict = {}
+    else:
+        total = float(vocab["n"].sum())
+        ln_total = math.log(total)
+        logq = {
+            t: int(math.floor(1_000_000 * (math.log(float(n)) - ln_total)))
+            for t, n in zip(vocab["token"], vocab["n"])
+        }
+    ref = ray.put(logq)
+
+    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        lq = ray.get(_ref)
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        n_tokens = toks.str.len().astype("int64")
+        flat = toks.explode().dropna()
+        if len(flat):
+            mapped = flat.map(lq)
+            lp = mapped.groupby(level=0).sum()
+        else:
+            lp = pd.Series(dtype="int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "logprob_q": lp.reindex(b.index).fillna(0).astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return docs.map_batches(score, batch_format="pandas")
