@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q.q_degrees,
         "kg_pred_census": q.q_pred_census,
         "kg_components": q.q_components,
+        "kg_pagerank": q.q_pagerank,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sample": docops.q_rel_sample,
         "rel_group_quantiles": docops.q_rel_group_quantiles,
         "rel_stratified_sample": docops.q_rel_stratified_sample,
+        "rel_shuffle_join": docops.q_rel_shuffle_join,
     }
 
 
@@ -87,7 +89,8 @@ def oracle_sql() -> dict[str, str]:
     (approximate by construction — precision 1.0, recall asserted in tests
     vs their exact anchors), multimodal_features (feature vector from
     binary payloads), rel_approx_distinct (HLL sketch — deterministic but
-    not SQL-reproducible; error <2% vs exact asserted in tests).
+    not SQL-reproducible; error <2% vs exact asserted in tests),
+    kg_pagerank (float power iteration — np.allclose-verified in tests).
     """
     from tripsu_ray.pipelines import doc_oracle as d, oracle
 
@@ -129,4 +132,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_sample": d.sql_rel_sample(),
         "rel_group_quantiles": d.sql_rel_group_quantiles(),
         "rel_stratified_sample": d.sql_rel_stratified_sample(),
+        "rel_shuffle_join": d.sql_rel_shuffle_join(),
     }

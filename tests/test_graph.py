@@ -292,3 +292,80 @@ class TestGroupQuantilesLMStratified:
             .sort_values(["c_mktsegment", "c_custkey"], ignore_index=True)
         )[["c_mktsegment", "c_custkey", "sample_hash"]]
         pd.testing.assert_frame_equal(got, ref)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerankShuffleJoin:
+    def _local_pagerank(self, pairs, d=0.85, n_iter=20):
+        nodes = sorted({x for p in pairs for x in p})
+        n = len(nodes)
+        deg = {x: 0 for x in nodes}
+        for a, _ in pairs:
+            deg[a] += 1
+        r = {x: 1.0 / n for x in nodes}
+        for _ in range(n_iter):
+            inflow = {x: 0.0 for x in nodes}
+            for a, b in pairs:
+                inflow[b] += r[a] / deg[a]
+            dangling = sum(r[x] for x in nodes if deg[x] == 0)
+            base = (1 - d) / n + d * dangling / n
+            r = {x: base + d * inflow[x] for x in nodes}
+        return r
+
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_pagerank_matches_local_power_iteration(self, seed):
+        rng = np.random.default_rng(seed)
+        pairs = list(
+            {
+                (f"v{a:02d}", f"v{b:02d}")
+                for a, b in zip(rng.integers(0, 60, 400), rng.integers(0, 60, 400))
+                if a != b
+            }
+        )
+        df = pd.DataFrame(pairs, columns=["a", "b"])
+        got = graph.pagerank(_ds(df, blocks=4))
+        ref = self._local_pagerank(pairs)
+        got_map = dict(zip(got["node"], got["rank"]))
+        assert set(got_map) == set(ref)
+        assert np.allclose(
+            [got_map[x] for x in sorted(ref)], [ref[x] for x in sorted(ref)],
+            rtol=1e-9, atol=1e-12,
+        )
+        # ranks sum to 1 (dangling mass conserved)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_shuffle_join_matches_pandas(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_shuffle_join
+
+        rng = np.random.default_rng(11)
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(1, 501, dtype=np.int64),
+                "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], 500),
+            }
+        )
+        li = pd.DataFrame(
+            {
+                # some orderkeys without lineitems and vice versa (inner-join
+                # semantics exercised)
+                "l_orderkey": rng.integers(1, 601, 3000).astype(np.int64),
+                "l_extendedprice": rng.uniform(1, 1000, 3000).round(2),
+            }
+        )
+        orders.to_parquet(tmp_path / "orders.parquet")
+        li.to_parquet(tmp_path / "lineitem.parquet")
+        got = (
+            q_rel_shuffle_join(str(tmp_path))
+            .to_pandas()
+            .sort_values("o_orderpriority", ignore_index=True)
+        )
+        j = li.assign(cents=(li["l_extendedprice"] * 100).round().astype("int64")).merge(
+            orders, left_on="l_orderkey", right_on="o_orderkey"
+        )
+        want = (
+            j.assign(n_lineitems=1)
+            .groupby("o_orderpriority", as_index=False)
+            .agg(revenue_cents=("cents", "sum"), n_lineitems=("n_lineitems", "sum"))
+            .astype({"revenue_cents": "int64", "n_lineitems": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)

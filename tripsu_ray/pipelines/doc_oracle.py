@@ -342,6 +342,17 @@ ORDER BY o_orderkey
 """.strip()
 
 
+def sql_rel_shuffle_join() -> str:
+    return """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def sql_rel_group_quantiles() -> str:
     return """
 SELECT user_id,

@@ -471,6 +471,84 @@ def q_rel_distinct_segments(sf_dir: str):
     return pd.DataFrame({"c_mktsegment": vals})
 
 
+def q_rel_shuffle_join(sf_dir: str, *, num_partitions: int = 32):
+    """Revenue per order priority via a BIG-both-sides hash join —
+    lineitem ⋈ orders on orderkey where neither side is broadcastable
+    (the complement of ``rel_join_revenue``'s map-side broadcast join).
+
+    Plan: tag both inputs to ONE shared schema (k, cents, pri, side),
+    union the streams, hash-partition on the single int ``_part`` key
+    (``Dataset.join`` is broken at ≥8 partitions on Ray 2.49 — BASELINE;
+    the union+groupby exchange uses only primitives proven here), then
+    per partition: vectorized pandas merge + PARTIAL aggregation by
+    priority — so the second shuffle moves ≤ #partitions × #priorities
+    rows. Co-partitioning is exact because both sides hash the same key.
+    """
+    from ray.data.aggregate import Sum
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(keys.astype(np.int64)) % num_partitions).astype(
+            "int64"
+        )
+
+    def tag_li(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "cents": (b["l_extendedprice"] * 100).round().astype("int64"),
+                "pri": pd.Series([None] * len(b), dtype="string"),
+                "_part": part_of(k),
+            }
+        )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "cents": np.full(len(b), -1, dtype=np.int64),  # sentinel: dim row
+                "pri": b["o_orderpriority"].astype("string"),
+                "_part": part_of(k),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["pri"].notna()][["k", "pri"]]
+        fact = g[g["pri"].isna()][["k", "cents"]]
+        j = fact.merge(dim, on="k")
+        out = (
+            j.assign(n_lineitems=1)
+            .groupby("pri", sort=False)
+            .agg(revenue_cents=("cents", "sum"), n_lineitems=("n_lineitems", "sum"))
+            .reset_index()
+            .rename(columns={"pri": "o_orderpriority"})
+        )
+        out["o_orderpriority"] = out["o_orderpriority"].astype(object)
+        return out.astype({"revenue_cents": "int64", "n_lineitems": "int64"})
+
+    return (
+        both.groupby("_part")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lineitems", alias_name="n_lineitems"),
+        )
+    )
+
+
 def q_rel_group_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
     """Exact per-user p50/p95 of event value cents.
 

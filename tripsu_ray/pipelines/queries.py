@@ -120,3 +120,19 @@ def q_components(sf_dir: str):
     from ..stages.graph import components_table, entity_edges
 
     return components_table(entity_edges(_extracted(sf_dir)))
+
+
+def q_pagerank(sf_dir: str, *, top_k: int = 50):
+    """Top-k PageRank entities of the KG (distributed power iteration —
+    stages/graph.py). Rows-only driver check (float ranks don't
+    hash-compare across engines); tests assert np.allclose vs a local
+    power iteration. Rank quantized to floor(rank·10^9) for display."""
+    import numpy as np
+
+    from ..stages.graph import entity_edges, pagerank
+
+    out = pagerank(entity_edges(_extracted(sf_dir))).head(top_k)
+    out = out.assign(rank_q=np.floor(out["rank"] * 1e9).astype("int64")).drop(
+        columns=["rank"]
+    )
+    return out.reset_index(drop=True)

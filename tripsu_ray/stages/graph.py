@@ -199,6 +199,79 @@ def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     return {**{n: labels.get(n, n) for n in labels}}
 
 
+def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20) -> pd.DataFrame:
+    """PageRank over a directed STRING-keyed edge Dataset (a → b) by
+    distributed power iteration.
+
+    Per iteration the rank vector — O(#nodes), the same size class as the
+    type index and broadcast the same way (``ray.put`` once, read in
+    every task) — is probed by a map pass over the EDGE stream, which
+    emits per-batch (dst, contribution-sum) partials; a tree fold sums
+    them into the next vector. Out-degrees fold once up front. Dangling
+    mass (sinks: in-edges only) redistributes uniformly, so total rank
+    stays 1. The edge set never materializes on the driver; for graphs
+    whose NODE table also outgrows the driver, the same rounds run as
+    join-per-iteration (cf. ``dedup._label_propagation_join``) — at that
+    scale each round is one co-partitioned shuffle instead of a
+    broadcast.
+
+    Returns (node, rank) sorted by rank desc, node asc. Ranks are floats;
+    sums fold in nondeterministic order, so exact bit-equality across
+    runs is NOT promised — consumers quantize or compare with tolerance
+    (the driver check is rows-only; tests use np.allclose vs a local
+    power iteration).
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=float)})
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["a"].value_counts()
+        out_deg = pd.DataFrame({"node": vc.index.astype(object), "deg": vc.to_numpy()})
+        nodes = pd.DataFrame(
+            {"node": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object)}
+        ).drop_duplicates()
+        return out_deg.merge(nodes, on="node", how="outer").fillna({"deg": 0})
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["deg"].sum()
+
+    degs = tree_fold_tables(edges.map_batches(deg_partial, batch_format="pandas"), deg_combine)
+    nodes = degs["node"].to_numpy()
+    deg_map = dict(zip(degs["node"], degs["deg"].astype(float)))
+    n = len(nodes)
+    ranks = {x: 1.0 / n for x in nodes}
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["c"].sum()
+
+    for _ in range(n_iter):
+        state = ray.put((ranks, deg_map))
+
+        def step(df: pd.DataFrame, _ref=state) -> pd.DataFrame:
+            r, d = ray.get(_ref)
+            src = df["a"].astype(object)
+            contrib = src.map(r).to_numpy() / src.map(d).to_numpy()
+            part = pd.DataFrame({"node": df["b"].astype(object), "c": contrib})
+            return part.groupby("node", sort=False, as_index=False)["c"].sum()
+
+        folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
+        inflow = dict(zip(folded["node"], folded["c"]))
+        dangling = sum(r for x, r in ranks.items() if deg_map.get(x, 0) == 0)
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = {x: base + damping * inflow.get(x, 0.0) for x in nodes}
+
+    out = pd.DataFrame({"node": nodes, "rank": [ranks[x] for x in nodes]})
+    return out.sort_values(["rank", "node"], ascending=[False, True], ignore_index=True)
+
+
 def components_table(edges_ds) -> pd.DataFrame:
     """(node, component) DataFrame for every node incident to an edge,
     sorted — the driver-facing rendering of the label map."""
