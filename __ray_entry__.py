@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab": docops.q_text_vocab,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
+        "text_shard_pack": docops.q_text_shard_pack,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab": d.sql_text_vocab(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
+        "text_shard_pack": d.sql_text_shard_pack(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

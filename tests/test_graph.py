@@ -369,3 +369,32 @@ class TestPagerankShuffleJoin:
             .astype({"revenue_cents": "int64", "n_lineitems": "int64"})
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardPack:
+    def test_prefix_sum_sparse_multibucket(self, tmp_path):
+        from tripsu_ray.stages.text import _PACK_BUCKET, text_shard_pack
+
+        rng = np.random.default_rng(13)
+        # sparse non-contiguous ids spanning several ordered buckets
+        ids = np.sort(
+            rng.choice(np.arange(0, _PACK_BUCKET * 5, dtype=np.int64), 800, replace=False)
+        )
+        texts = ["tok " * int(k) for k in rng.integers(0, 50, len(ids))]
+        docs = pd.DataFrame({"doc_id": ids, "text": texts})
+        docs.to_parquet(tmp_path / "documents.parquet")
+        budget = 100
+        got = (
+            text_shard_pack(str(tmp_path), budget=budget)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        n_tok = docs["text"].str.count(r"[a-z0-9]+").astype("int64")
+        excl = n_tok.cumsum() - n_tok
+        want = pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n_tok, "shard_id": (excl // budget).astype("int64")}
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # shards fill in doc order: shard_id nondecreasing
+        assert got["shard_id"].is_monotonic_increasing

@@ -401,6 +401,21 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_text_shard_pack() -> str:
+    from ..stages.text import SHARD_TOKEN_BUDGET
+
+    return f"""
+WITH counted AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+FROM counted ORDER BY doc_id
+""".strip()
+
+
 def sql_rel_sessions(gap_minutes: int = 30) -> str:
     return f"""
 WITH marked AS (

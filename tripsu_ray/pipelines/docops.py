@@ -29,6 +29,7 @@ q_text_pii = text.text_pii
 q_text_vocab = text.text_vocab
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
+q_text_shard_pack = text.text_shard_pack
 
 
 # --- dedup -----------------------------------------------------------------

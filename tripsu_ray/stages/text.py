@@ -644,3 +644,82 @@ def text_unigram_logprob(sf_dir: str):
         return out.reset_index(drop=True)
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+# --- token-budget shard packing (distributed prefix sum) ---------------------
+
+SHARD_TOKEN_BUDGET = 4096
+_PACK_BUCKET = 4096  # doc_ids per ordered bucket
+
+
+def text_shard_pack(sf_dir: str, *, budget: int = SHARD_TOKEN_BUDGET):
+    """Pack the corpus into training shards of ~``budget`` tokens each:
+    ``shard_id = exclusive-prefix-sum(n_tokens, by doc_id order) // budget``
+    — the deterministic sharding a tokenize-and-pack pipeline needs, and
+    the repo's distributed SCAN primitive (Ray Data has no prefix-sum
+    operator).
+
+    Two passes. Pass 1 folds per-ORDERED-BUCKET token sums
+    (``bucket = doc_id // 4096``; integer division keeps buckets in doc_id
+    order, unlike a hash) to the driver — #buckets ≈ #docs/4096, the
+    small-fold size class — and exclusive-scans them. Pass 2 groups by
+    the single-int bucket key, sorts each bucket by doc_id, and adds the
+    bucket's scan offset to the in-bucket cumulative sum. Exact for any
+    int64 doc_ids (dense or sparse) because bucket order + in-bucket
+    order = total doc_id order.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": b["text"]
+                .str.lower()
+                .str.count(TOKEN_RE)
+                .astype("int64"),
+                "_bucket": (b["doc_id"].astype("int64") // _PACK_BUCKET).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    counted = docs.map_batches(counts, batch_format="pandas").materialize()
+
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("_bucket", sort=False, as_index=False)["n_tokens"].sum()
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("_bucket", sort=False, as_index=False)["n_tokens"].sum()
+
+    sums = tree_fold_tables(
+        counted.map_batches(bucket_partial, batch_format="pandas"), combine
+    )
+    if sums is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_tokens", "shard_id")}
+        )
+    sums = sums.sort_values("_bucket", ignore_index=True)
+    offsets = dict(
+        zip(sums["_bucket"], np.concatenate(([0], np.cumsum(sums["n_tokens"])[:-1])))
+    )
+    ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        offs = ray.get(_ref)
+        g = g.sort_values("doc_id", ignore_index=True)
+        excl = g["n_tokens"].cumsum() - g["n_tokens"] + offs[int(g["_bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "shard_id": (excl // budget).astype("int64"),
+            }
+        )
+
+    return counted.groupby("_bucket").map_groups(assign, batch_format="pandas")
