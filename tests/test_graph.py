@@ -398,3 +398,25 @@ class TestShardPack:
         pd.testing.assert_frame_equal(got, want)
         # shards fill in doc order: shard_id nondecreasing
         assert got["shard_id"].is_monotonic_increasing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerankJoinVariant:
+    def test_join_variant_equals_broadcast(self):
+        rng = np.random.default_rng(21)
+        pairs = list(
+            {
+                (f"w{a:02d}", f"w{b:02d}")
+                for a, b in zip(rng.integers(0, 30, 150), rng.integers(0, 30, 150))
+                if a != b
+            }
+        )
+        df = pd.DataFrame(pairs, columns=["a", "b"])
+        bc = graph.pagerank(_ds(df, blocks=3), n_iter=5)
+        jn = graph.pagerank_join(_ds(df, blocks=3), n_iter=5, num_partitions=4)
+        b_map = dict(zip(bc["node"], bc["rank"]))
+        j_map = dict(zip(jn["node"], jn["rank"]))
+        assert set(b_map) == set(j_map)
+        ks = sorted(b_map)
+        assert np.allclose([b_map[k] for k in ks], [j_map[k] for k in ks],
+                           rtol=1e-9, atol=1e-12)
