@@ -139,6 +139,28 @@ class TestCLI:
         assert '"secret-123"' not in joined
         assert "<http://example.org/Alice>" in joined
 
+    def test_cli_analyze_on_fixture(self, tmp_path):
+        out = str(tmp_path / "an")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+                "analyze", "-i", FIXTURE_NT, "-o", out,
+            ],
+            capture_output=True, text=True, env=env, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        # fixture graph: 15 triples, rdf:type among the predicates
+        assert info["predicates"]["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"] > 0
+        assert info["n_components"] >= 1
+        assert sum(c["size"] for c in info["largest_components"]) <= info["n_edge_nodes"]
+        import pandas as pd
+
+        deg = pd.read_parquet(os.path.join(out, "degrees"))
+        assert set(deg.columns) == {"subject", "out_degree", "n_predicates"}
+        assert (deg["out_degree"] >= 1).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMalformedLineCounting:

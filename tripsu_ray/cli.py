@@ -106,6 +106,42 @@ def cmd_index(args):
     print(json.dumps(info))
 
 
+def cmd_analyze(args):
+    """Graph profiling over a triple stream: degree census, predicate
+    census, component sizes — the skew/partitioning reconnaissance a
+    100 TB run does BEFORE choosing link-stage salts (stages/graph.py)."""
+    from .stages.graph import (
+        connected_components_str,
+        degree_census,
+        entity_edges,
+        predicate_census,
+    )
+
+    jc, handle = _skip_counter(args.on_error)
+    triples = _read_triples(args.input, args.on_error, handle)
+    degree_census(triples).write_parquet(f"{args.output}/degrees")
+    preds = predicate_census(triples).to_pandas()
+    labels = connected_components_str(entity_edges(triples))
+    import collections
+
+    comp_sizes = collections.Counter(labels.values())
+    info = {
+        "command": "analyze",
+        "output": args.output,
+        "predicates": {
+            r["predicate"]: int(r["n_triples"]) for _, r in preds.iterrows()
+        },
+        "n_edge_nodes": len(labels),
+        "n_components": len(comp_sizes),
+        "largest_components": [
+            {"root": k, "size": int(v)} for k, v in comp_sizes.most_common(5)
+        ],
+    }
+    if jc is not None:
+        info["counters"] = jc.counts()
+    print(json.dumps(info))
+
+
 def cmd_pseudo(args):
     import ray
     import ray.data
@@ -218,6 +254,12 @@ def main(argv=None):
                     choices=["sha256-salted", "blake2b-keyed", "blake3-keyed"])
     pp.add_argument("--on-error", default="raise", choices=["raise", "skip"])
     pp.set_defaults(fn=cmd_pseudo)
+
+    pa = sub.add_parser("analyze", help="graph profiling: degrees, predicates, components")
+    pa.add_argument("-i", "--input", required=True, help=".nt file or triples parquet dir")
+    pa.add_argument("-o", "--output", required=True, help="output dir (degrees parquet)")
+    pa.add_argument("--on-error", default="raise", choices=["raise", "skip"])
+    pa.set_defaults(fn=cmd_analyze)
 
     pr = sub.add_parser("run", help="full KG pipeline (ray-job-submit entry)")
     pr.add_argument("--sf-dir", required=True)

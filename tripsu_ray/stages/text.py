@@ -538,9 +538,11 @@ BENCH_MIN_CHARS = BENCH_OFF + BENCH_LEN
 def bench_snippets(docs) -> list:
     """Deterministic benchmark set: a fixed substring of every
     ``BENCH_EVERY``-th document (stand-in for an eval-benchmark n-gram
-    list — no external data allowed in this sandbox). Tiny by
-    construction (#docs / BENCH_EVERY), collected to the driver and
-    broadcast."""
+    list — no external data allowed in this sandbox; a REAL
+    decontaminator's snippet set is an external eval-benchmark list,
+    small and independent of corpus size). At sandbox scale the derived
+    set is #docs/BENCH_EVERY; the broadcast-probe plan assumes the
+    snippet set stays driver-bounded either way."""
     snips: list = []
     for b in docs.iter_batches(batch_format="pandas", batch_size=1 << 14):
         m = (b["doc_id"] % BENCH_EVERY == 0) & (b["text"].str.len() >= BENCH_MIN_CHARS)
