@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
+        "text_repetition": docops.q_text_repetition,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "text_shard_pack": d.sql_text_shard_pack(),
+        "text_repetition": d.sql_text_repetition(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

@@ -420,3 +420,33 @@ class TestPagerankJoinVariant:
         ks = sorted(b_map)
         assert np.allclose([b_map[k] for k in ks], [j_map[k] for k in ks],
                            rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetition:
+    def test_repetition_signals(self, tmp_path):
+        from tripsu_ray.stages.text import text_repetition
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "a b c a b c a b c",   # heavy 3-gram repetition
+                    "one two three four five six",  # all distinct
+                    "x y",                  # < n tokens → 0 ngrams
+                    "",
+                ],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = (
+            text_repetition(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # doc0: 7 3-grams, 3 distinct ("a b c","b c a","c a b") → 4 dups
+        assert out.loc[0, "n_ngrams"] == 7 and out.loc[0, "dup_ngrams"] == 4
+        assert abs(out.loc[0, "top_ngram_share"] - 3 / 7) < 1e-12
+        assert out.loc[1, "dup_ngrams"] == 0 and out.loc[1, "n_ngrams"] == 4
+        assert (out.loc[2:, ["n_ngrams", "dup_ngrams"]].to_numpy() == 0).all()
+        assert (out.loc[2:, "dup_ratio"] == 0).all()

@@ -401,6 +401,34 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_text_repetition() -> str:
+    from ..stages.text import REP_NGRAM as N
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(ts[i:i+{N - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - {N - 1})) AS t(i)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         count(DISTINCT g) AS n_distinct,
+         max(cnt) AS top_count
+  FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM grams)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(p.n_ngrams - p.n_distinct, 0) AS BIGINT) AS dup_ngrams,
+  CAST(coalesce(p.n_ngrams - p.n_distinct, 0) AS DOUBLE)
+    / greatest(coalesce(p.n_ngrams, 0), 1) AS dup_ratio,
+  CAST(coalesce(p.top_count, 0) AS DOUBLE)
+    / greatest(coalesce(p.n_ngrams, 0), 1) AS top_ngram_share
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_shard_pack() -> str:
     from ..stages.text import SHARD_TOKEN_BUDGET
 

@@ -725,3 +725,52 @@ def text_shard_pack(sf_dir: str, *, budget: int = SHARD_TOKEN_BUDGET):
         )
 
     return counted.groupby("_bucket").map_groups(assign, batch_format="pandas")
+
+
+# --- within-doc repetition (Gopher rep signals) ------------------------------
+
+REP_NGRAM = 3
+
+
+def repetition_batch(batch: pd.DataFrame, *, n: int = REP_NGRAM) -> pd.DataFrame:
+    """Within-document repetition signals (Gopher §A1.1 shape): the
+    fraction of token n-grams that are duplicates of an earlier n-gram in
+    the SAME document, plus the top n-gram's share.
+
+    Purely per-document → stateless ``map_batches``, shards trivially.
+    Counts are integers (dup_ngrams = n_ngrams − distinct_ngrams), ratios
+    final divisions — oracle-exact. Docs with < n tokens have 0 n-grams
+    and ratio 0.
+    """
+    toks = batch["text"].str.lower().str.findall(_token_pat)
+
+    n_ngrams = np.empty(len(toks), dtype=np.int64)
+    n_distinct = np.empty(len(toks), dtype=np.int64)
+    top_count = np.empty(len(toks), dtype=np.int64)
+    for i, ts in enumerate(toks):
+        m = len(ts) - n + 1
+        if m <= 0:
+            n_ngrams[i] = n_distinct[i] = top_count[i] = 0
+            continue
+        grams = [" ".join(ts[j : j + n]) for j in range(m)]
+        vc: dict = {}
+        for g in grams:
+            vc[g] = vc.get(g, 0) + 1
+        n_ngrams[i] = m
+        n_distinct[i] = len(vc)
+        top_count[i] = max(vc.values())
+    dup = n_ngrams - n_distinct
+    denom = np.maximum(n_ngrams, 1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_ngrams": n_ngrams,
+            "dup_ngrams": dup,
+            "dup_ratio": dup / denom,
+            "top_ngram_share": top_count / denom,
+        }
+    )
+
+
+def text_repetition(sf_dir: str):
+    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
