@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": docops.q_ann_ivf,
         "sim_threshold": docops.q_sim_threshold,
         "sim_threshold_lsh": docops.q_sim_threshold_lsh,
+        "ann_knn_graph": docops.q_ann_knn_graph,
         # multimodal
         "multimodal_dims": docops.q_multimodal_dims,
         "multimodal_features": docops.q_multimodal_features,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),
         "sim_threshold": d.sql_sim_threshold(),
+        "ann_knn_graph": d.sql_ann_knn_graph(),
         "multimodal_dims": d.sql_multimodal_dims(),
         "multimodal_resize": d.sql_multimodal_resize(),
         "multimodal_frames": d.sql_multimodal_frames(),

@@ -450,3 +450,38 @@ class TestRepetition:
         assert out.loc[1, "dup_ngrams"] == 0 and out.loc[1, "n_ngrams"] == 4
         assert (out.loc[2:, ["n_ngrams", "dup_ngrams"]].to_numpy() == 0).all()
         assert (out.loc[2:, "dup_ratio"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnGraph:
+    def test_knn_graph_matches_numpy(self, tmp_path):
+        from tripsu_ray.stages.similarity import QUANT, ann_knn_graph
+
+        rng = np.random.default_rng(17)
+        n, d, k = 80, 16, 4
+        M = rng.normal(size=(n, d))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in M],
+                                          pa.list_(pa.float32())),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        got = ann_knn_graph(str(tmp_path), k=k, chunk=32).to_pandas()
+        # reference: float32-read matrix, full cosine, same quantization
+        Mf = M.astype(np.float32).astype(np.float64)
+        Mn = Mf / np.linalg.norm(Mf, axis=1, keepdims=True)
+        S = np.floor(Mn @ Mn.T * QUANT).astype(np.int64)
+        np.fill_diagonal(S, -(1 << 62))
+        for q in range(n):
+            order = np.lexsort((np.arange(n), -S[q]))[:k]
+            sub = got[got["query_id"] == q].sort_values("rank")
+            assert sub["vec_id"].tolist() == list(order)
+            assert sub["simq"].tolist() == S[q][order].tolist()
+        assert len(got) == n * k

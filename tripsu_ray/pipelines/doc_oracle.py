@@ -464,3 +464,21 @@ SELECT user_id,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
 """.strip()
+
+
+def sql_ann_knn_graph(k: int = 5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         CAST(floor(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS simq
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()

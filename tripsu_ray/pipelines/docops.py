@@ -201,6 +201,7 @@ q_ann_lsh = similarity.ann_lsh
 q_ann_ivf = similarity.ann_ivf
 q_sim_threshold = similarity.sim_threshold_join
 q_sim_threshold_lsh = similarity.sim_threshold_lsh
+q_ann_knn_graph = similarity.ann_knn_graph
 
 
 # --- multimodal ------------------------------------------------------------

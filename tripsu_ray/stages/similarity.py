@@ -408,3 +408,74 @@ def ann_lsh(
 
     partials = ds.map_batches(local, batch_format="pandas").to_pandas()
     return _global_topk(partials, k)
+
+
+def ann_knn_graph(sf_dir: str, *, k: int = 5, chunk: int = 1024):
+    """Exact cosine k-NN GRAPH: top-k neighbors for EVERY vector (the
+    all-queries generalization of :func:`ann_topk`) — the input to
+    graph-based dedup/diversity sampling over an embedded corpus.
+
+    Probe-chunk plan (same shape as the exact threshold join): ``chunk``
+    query vectors broadcast at a time while the corpus streams against
+    them, so broadcast memory is O(chunk·d) and the inherent O(n²)
+    compute spreads across the cluster. Per batch the top-k is fully
+    vectorized: batch rows pre-sorted by vec_id so a STABLE argsort of
+    −simq yields (simq desc, vec_id asc) determinism without per-row
+    lexsorts. Per-chunk partials reduce to the global top-k on the
+    driver (n·k·#batches rows at this scale; at corpus scale the reduce
+    becomes a query_id-partitioned groupby — same partials).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ids_df = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).to_pandas()
+    all_ids = np.sort(ids_df["vec_id"].to_numpy().astype(np.int64))
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    outs = []
+    for lo in range(0, len(all_ids), chunk):
+        want = all_ids[lo : lo + chunk]
+        qdf = (
+            _read_parquet_clean(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filter=(pc.field("vec_id") >= int(want[0]))
+                & (pc.field("vec_id") <= int(want[-1])),
+            )
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        q_ids = qdf["vec_id"].to_numpy().astype(np.int64)
+        Q = _normalize_rows(np.stack(qdf["embedding"].to_numpy()))
+        ref = ray.put((q_ids, Q))
+
+        def local_topk(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            qi, Q_ = ray.get(_ref)
+            order0 = np.argsort(batch["vec_id"].to_numpy(), kind="stable")
+            vids = batch["vec_id"].to_numpy().astype(np.int64)[order0]
+            vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()[order0]))
+            simq = np.floor((Q_ @ vm.T) * QUANT).astype(np.int64)
+            simq[qi[:, None] == vids[None, :]] = -(1 << 62)  # drop self
+            kk = min(k, simq.shape[1])
+            # stable sort on -simq over vid-ascending columns = (simq desc,
+            # vec_id asc) — deterministic without per-row lexsort
+            top = np.argsort(-simq, axis=1, kind="stable")[:, :kk]
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi, kk),
+                    "vec_id": vids[top].ravel(),
+                    "simq": np.take_along_axis(simq, top, axis=1).ravel(),
+                }
+            ).astype("int64")
+
+        outs.append(ds.map_batches(local_topk, batch_format="pandas").to_pandas())
+
+    partials = pd.concat(outs, ignore_index=True)
+    partials = partials[partials["simq"] > -(1 << 62)]
+    return _global_topk(partials, k)
