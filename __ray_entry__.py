@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": docops.q_multimodal_features,
         "multimodal_resize": docops.q_multimodal_resize,
         "multimodal_frames": docops.q_multimodal_frames,
+        "multimodal_audio": docops.q_multimodal_audio,
         # relational engine showcase
         "rel_lineitem_agg": docops.q_rel_lineitem_agg,
         "rel_join_revenue": docops.q_rel_join_revenue,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dims": d.sql_multimodal_dims(),
         "multimodal_resize": d.sql_multimodal_resize(),
         "multimodal_frames": d.sql_multimodal_frames(),
+        "multimodal_audio": d.sql_multimodal_audio(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),
         "rel_join_revenue": d.sql_rel_join_revenue(),
         "rel_events_window": d.sql_rel_events_window(),

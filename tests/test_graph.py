@@ -485,3 +485,32 @@ class TestKnnGraph:
             assert sub["vec_id"].tolist() == list(order)
             assert sub["simq"].tolist() == S[q][order].tolist()
         assert len(got) == n * k
+
+
+class TestAudioKernels:
+    def test_codec_roundtrip_and_rms(self):
+        from tripsu_ray.stages.multimodal import (
+            AUDIO_WINDOW,
+            decode_audio,
+            encode_audio,
+            rms_windows,
+        )
+
+        payload = encode_audio(37, "hello audio")
+        rate, n, pcm = decode_audio(payload)
+        assert rate == 8000 * (1 + 37 % 2) and n == 256 + 37 % 4096
+        assert len(pcm) == n and pcm.dtype == np.dtype("<i2")
+        e = rms_windows(pcm)
+        assert len(e) == (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+        # reference RMS of the first full window
+        ref = np.sqrt((pcm[:AUDIO_WINDOW].astype(np.float64) ** 2).mean())
+        assert abs(float(e[0]) - ref) < 1e-2
+        # deterministic: same inputs → same payload bytes
+        assert payload == encode_audio(37, "hello audio")
+
+    def test_rms_zero_and_constant_signals(self):
+        from tripsu_ray.stages.multimodal import rms_windows
+
+        assert rms_windows(np.zeros(300, dtype=np.int16)).tolist()[:1] == [0.0]
+        const = np.full(256, 1000, dtype=np.int16)
+        assert abs(float(rms_windows(const)[0]) - 1000.0) < 1e-3

@@ -482,3 +482,23 @@ WITH v AS (
 SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """.strip()
+
+
+def sql_multimodal_audio() -> str:
+    # Mirror of encode_audio formulas + the window count
+    from ..stages.multimodal import AUDIO_WINDOW as W
+
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 2) AS sample_rate,
+         256 + doc_id % 4096 AS n_samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST((n_samples + {W - 1}) // {W} AS BIGINT) AS n_windows
+FROM meta ORDER BY doc_id
+""".strip()

@@ -224,6 +224,13 @@ def q_multimodal_frames(sf_dir: str):
     return multimodal.video_frame_sample(sf_dir).drop_columns(["payload"])
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio meta projection (sample rate / sample count / duration /
+    window count — SQL-checkable doc_id formulas; the RMS energy vector
+    itself is kernel-tested in pytest)."""
+    return multimodal.audio_features(sf_dir).drop_columns(["energy"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Full featurize output incl. histogram vector (rows-only check)."""
     import pyarrow as pa

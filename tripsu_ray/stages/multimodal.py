@@ -279,3 +279,97 @@ def video_frame_sample(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- audio ------------------------------------------------------------------
+
+FORMAT_FAKE_AUDIO = 3
+AUDIO_WINDOW = 256  # samples per RMS window
+
+
+def encode_audio(doc_id: int, text: str) -> bytes:
+    """Fake PCM16 mono payload: 8-byte header (rate, n_samples, tag) +
+    deterministic int16 samples from sha256(text) (same honesty contract
+    as the image codec: byte format fake, DSP kernels real)."""
+    rate = 8000 * (1 + doc_id % 2)
+    n_samples = 256 + doc_id % 4096
+    header = struct.pack("<HIH", rate, n_samples, FORMAT_FAKE_AUDIO)
+    body = hashlib.sha256(text.encode("utf-8")).digest()
+    nbytes = n_samples * 2
+    reps = nbytes // len(body) + 1
+    return header + (body * reps)[:nbytes]
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    rate, n_samples, fmt = struct.unpack("<HIH", payload[:8])
+    if fmt != FORMAT_FAKE_AUDIO:
+        raise ValueError(f"unknown payload format tag {fmt}")
+    pcm = np.frombuffer(payload[8 : 8 + n_samples * 2], dtype="<i2")
+    return rate, n_samples, pcm
+
+
+def rms_windows(pcm: np.ndarray, window: int = AUDIO_WINDOW) -> np.ndarray:
+    """Windowed RMS energy — a REAL vectorized DSP kernel over the PCM
+    buffer (zero-padded tail window), float32 per window."""
+    n = len(pcm)
+    n_win = (n + window - 1) // window
+    padded = np.zeros(n_win * window, dtype=np.float64)
+    padded[:n] = pcm.astype(np.float64)
+    frames = padded.reshape(n_win, window)
+    return np.sqrt((frames**2).mean(axis=1)).astype(np.float32)
+
+
+def attach_fake_audio(sf_dir: str):
+    import ray.data
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = [
+            encode_audio(int(d), t)
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode PCM → meta + windowed-RMS energy vector
+    (decoder/model init once per actor; per-batch vectorized DSP)."""
+
+    def __init__(self, decode=None, window: int = AUDIO_WINDOW):
+        self.decode = decode or decode_audio
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, durs, wins, energies = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            rate, n_samples, pcm = self.decode(payload)
+            e = rms_windows(pcm, self.window)
+            rates.append(rate)
+            counts.append(n_samples)
+            durs.append(n_samples * 1000 // rate)
+            wins.append(len(e))
+            energies.append(e.tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "n_windows": pa.array(wins, pa.int64()),
+                "energy": pa.array(energies, pa.list_(pa.float32())),
+            }
+        )
+
+
+def audio_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    return attach_fake_audio(sf_dir).map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
