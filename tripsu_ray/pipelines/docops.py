@@ -570,8 +570,6 @@ def q_rel_group_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
     gather, no per-group Python. Convention = DuckDB ``quantile_disc``
     (0-based index ``ceil(q·n)−1``), same as ``skew.exact_quantiles``.
     """
-    import math
-
     ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:

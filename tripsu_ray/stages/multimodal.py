@@ -320,8 +320,6 @@ def rms_windows(pcm: np.ndarray, window: int = AUDIO_WINDOW) -> np.ndarray:
 
 
 def attach_fake_audio(sf_dir: str):
-    import ray.data
-
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def encode(batch: pa.Table) -> pa.Table:

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from ..sources import read_parquet_clean as _read_parquet_clean
 
 QUANT = 1_000_000

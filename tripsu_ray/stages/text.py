@@ -34,7 +34,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from ..sources import read_parquet_clean as _read_parquet_clean
 
 TOKEN_RE = r"[a-z0-9]+"
