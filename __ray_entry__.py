@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_census": q.q_pred_census,
         "kg_components": q.q_components,
         "kg_pagerank": q.q_pagerank,
+        "kg_co_neighbors": q.q_co_neighbors,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracle.sql_degrees(),
         "kg_pred_census": oracle.sql_pred_census(),
         "kg_components": oracle.sql_components(),
+        "kg_co_neighbors": oracle.sql_co_neighbors(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),

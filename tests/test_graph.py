@@ -514,3 +514,31 @@ class TestAudioKernels:
         assert rms_windows(np.zeros(300, dtype=np.int16)).tolist()[:1] == [0.0]
         const = np.full(256, 1000, dtype=np.int16)
         assert abs(float(rms_windows(const)[0]) - 1000.0) < 1e-3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCoNeighbors:
+    def test_co_neighbors_match_pandas(self):
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 40, 200)],
+                "b": [f"m{i}" for i in rng.integers(0, 12, 200)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        from tripsu_ray.stages.graph import co_neighbor_counts
+
+        got = (
+            co_neighbor_counts(_ds(df, blocks=4), num_partitions=4)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        j = df.merge(df, on="b")
+        j = j[j["a_x"] != j["a_y"]][["a_x", "a_y"]].drop_duplicates()
+        want = (
+            j.groupby("a_x").size().reset_index(name="n_co_neighbors")
+            .rename(columns={"a_x": "node"})
+            .sort_values("node", ignore_index=True)
+            .astype({"n_co_neighbors": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)

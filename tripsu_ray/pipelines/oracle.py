@@ -244,6 +244,21 @@ def sql_pred_census() -> str:
     )
 
 
+def sql_co_neighbors() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+two AS (SELECT DISTINCT e1.a AS a, e2.a AS c
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a <> e2.a)
+SELECT a AS node, CAST(count(*) AS BIGINT) AS n_co_neighbors
+FROM two GROUP BY a ORDER BY a"""
+    )
+
+
 def sql_components() -> str:
     # Reachability-closure connected components (UNION-dedup recursive CTE):
     # exact but O(sum comp_size^2) rows — the sf0.01 oracle anchor for the

@@ -122,6 +122,15 @@ def q_components(sf_dir: str):
     return components_table(entity_edges(_extracted(sf_dir)))
 
 
+def q_co_neighbors(sf_dir: str):
+    """Distinct co-neighbor counts over the entity graph — files sharing
+    an import/call target (string-keyed distributed self-join on the
+    shared target; stages/graph.py::co_neighbor_counts)."""
+    from ..stages.graph import co_neighbor_counts, entity_edges
+
+    return co_neighbor_counts(entity_edges(_extracted(sf_dir)))
+
+
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
     """Top-k PageRank entities of the KG (distributed power iteration —
     stages/graph.py). Rows-only driver check (float ranks don't

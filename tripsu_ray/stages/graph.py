@@ -127,6 +127,77 @@ def entity_edges(triples):
     return _subject_partitioned_distinct(triples, finish)
 
 
+def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
+    """Distinct co-neighbor counts per node: |{c ≠ a : ∃b, a→b ∧ c→b}| —
+    the co-citation self-join (files sharing an imported module, papers
+    sharing a citation), as a STRING-keyed distributed hash join.
+
+    Two single-int-key exchanges: (1) both edge roles union under one
+    shared schema and co-partition on the JOIN key (the shared target
+    b), each partition merging vectorized and deduping its local
+    (a, c) pairs; (2) pairs re-partition on a so the global distinct +
+    per-a count is partition-local. Hub targets fan out quadratically by
+    the QUERY's semantics (a 10^4-importer module implies 10^8 co-pairs);
+    the per-partition dedup caps what stage 2 moves, and at real scale a
+    hub-cap/sampling policy belongs in front of stage 1 (the degree
+    census is the detector).
+    """
+    P = num_partitions
+
+    def part_of(keys) -> np.ndarray:
+        return (pd.util.hash_array(np.asarray(keys, dtype=object)) % P).astype("int64")
+
+    def as_in(df: pd.DataFrame) -> pd.DataFrame:
+        # role 1: edge (a→b) keyed by its shared target b
+        return pd.DataFrame(
+            {
+                "key": df["b"].astype(object),
+                "a": df["a"].astype(object),
+                "c": pd.Series([None] * len(df), dtype=object),
+                "_part": part_of(df["b"]),
+            }
+        )
+
+    def as_out(df: pd.DataFrame) -> pd.DataFrame:
+        # role 2: the same edges as the c side of the join
+        return pd.DataFrame(
+            {
+                "key": df["b"].astype(object),
+                "a": pd.Series([None] * len(df), dtype=object),
+                "c": df["a"].astype(object),
+                "_part": part_of(df["b"]),
+            }
+        )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["c"].isna()][["key", "a"]]
+        right = g[g["a"].isna()][["key", "c"]]
+        m = left.merge(right, on="key")[["a", "c"]]
+        m = m[m["a"] != m["c"]].drop_duplicates()
+        if not len(m):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "c": pd.Series([], dtype=object),
+                 "_part2": pd.Series([], dtype="int64")}
+            )
+        m["_part2"] = part_of(m["a"])
+        return m
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["a", "c"]].drop_duplicates()
+        out = d.groupby("a", sort=False).size().reset_index(name="n_co_neighbors")
+        return pd.DataFrame(
+            {"node": out["a"].astype(object), "n_co_neighbors": out["n_co_neighbors"].astype("int64")}
+        )
+
+    pairs = (
+        edges_ds.map_batches(as_in, batch_format="pandas")
+        .union(edges_ds.map_batches(as_out, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(join_part, batch_format="pandas")
+    )
+    return pairs.groupby("_part2").map_groups(count_part, batch_format="pandas")
+
+
 def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
