@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_logprob": docops.q_text_unigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
         "text_repetition": docops.q_text_repetition,
+        "text_curate": docops.q_text_curate,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "text_shard_pack": d.sql_text_shard_pack(),
         "text_repetition": d.sql_text_repetition(),
+        "text_curate": d.sql_text_curate(),
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),

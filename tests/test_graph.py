@@ -542,3 +542,39 @@ class TestCoNeighbors:
             .astype({"n_co_neighbors": "int64"})
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate:
+    def test_curate_composition(self, tmp_path):
+        from tripsu_ray.stages import text as T
+
+        rng = np.random.default_rng(31)
+        # quality-passing base text (long, stopword-rich, varied tokens)
+        def good(i):
+            words = [f"word{rng.integers(0, 400)}" for _ in range(40)]
+            return "the quick value of " + " ".join(words) + " and the end to go"
+
+        texts = [good(i) for i in range(40)]
+        texts[6] = texts[5]            # exact duplicate pair → keep 5, drop 6
+        texts[3] = texts[0]            # duplicate of the SNIPPET SOURCE doc
+        texts[7] = "short"             # fails quality (min tokens)
+        texts[9] = "!!!! ???? ;;;; " * 30  # fails punctuation gate
+        docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+        docs.to_parquet(tmp_path / "documents.parquet")
+        budget = 120
+        got = (
+            T.text_curate(str(tmp_path), budget=budget)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        ids = set(got["doc_id"])
+        assert 5 in ids and 6 not in ids       # dedup kept the min doc_id
+        assert 7 not in ids and 9 not in ids   # quality gates dropped
+        # doc 0 (doc_id % 50 == 0, ≥96 chars) sources a benchmark snippet,
+        # so decontamination drops doc 0 AND its duplicate doc 3
+        assert 0 not in ids and 3 not in ids
+        # shard ids: exclusive prefix sum // budget, nondecreasing
+        n_tok = got["n_tokens"].to_numpy()
+        excl = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        assert (got["shard_id"].to_numpy() == excl // budget).all()

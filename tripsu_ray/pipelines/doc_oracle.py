@@ -502,3 +502,53 @@ SELECT doc_id,
        CAST((n_samples + {W - 1}) // {W} AS BIGINT) AS n_windows
 FROM meta ORDER BY doc_id
 """.strip()
+
+
+def sql_text_curate() -> str:
+    # Composition of the quality / decontaminate / fingerprint-dedup /
+    # prefix-sum oracles — mirrors stages/text.py::text_curate stage for
+    # stage (filter → dedup-among-survivors → pack by doc_id order).
+    from ..stages.text import (
+        BENCH_EVERY,
+        BENCH_LEN,
+        BENCH_MIN_CHARS,
+        BENCH_OFF,
+        QUALITY_MIN_TOKENS,
+        SHARD_TOKEN_BUDGET,
+    )
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS n_uniq,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    len(regexp_extract_all(lower(text), '{_STOP}')) AS stop_count,
+    len(regexp_extract_all(text, '{PUNCT_RE}')) AS punct_chars,
+    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), bench AS (
+  SELECT substring(text, {BENCH_OFF + 1}, {BENCH_LEN}) AS snippet
+  FROM documents
+  WHERE doc_id % {BENCH_EVERY} = 0 AND length(text) >= {BENCH_MIN_CHARS}
+), clean AS (
+  SELECT doc_id, n_tokens, fingerprint FROM sig
+  WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+    AND alpha_chars >= 2*n_tokens AND alpha_chars <= 12*n_tokens
+    AND stop_count*100 > n_tokens
+    AND punct_chars*5 < greatest(n_chars, 1)
+    AND n_uniq*5 > n_tokens
+    AND NOT EXISTS (SELECT 1 FROM bench b WHERE contains(sig.text, b.snippet))
+), surv AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM clean
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+FROM surv ORDER BY doc_id
+""".strip()

@@ -773,3 +773,113 @@ def repetition_batch(batch: pd.DataFrame, *, n: int = REP_NGRAM) -> pd.DataFrame
 
 def text_repetition(sf_dir: str):
     return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
+
+
+# --- curation pipeline (the capstone composition) ----------------------------
+
+
+def text_curate(sf_dir: str, *, budget: int = SHARD_TOKEN_BUDGET):
+    """The end-to-end curation pipeline a training-data run actually
+    executes, composed from the stage kernels above:
+
+      quality gates (5/5) → decontaminate (no benchmark snippet)
+      → exact dedup (min doc_id per fingerprint among survivors)
+      → token-budget shard packing over the survivors
+
+    → (doc_id, n_tokens, shard_id). One combined signal pass (all
+    per-doc kernels fused into a single ``map_batches`` over one read),
+    one fingerprint-hash exchange for the dedup winner, then the
+    ordered-bucket prefix sum. Every stage reuses the oracle-matched
+    kernel, so the COMPOSITION has an exact SQL twin too.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+    snip_ref = ray.put(bench_snippets(docs))
+
+    def signals(b: pd.DataFrame, _ref=snip_ref) -> pd.DataFrame:
+        q = quality_batch(b)
+        fp = fingerprint_batch(b)
+        snips = ray.get(_ref)
+        contaminated = np.zeros(len(b), dtype=bool)
+        for s in snips:
+            contaminated |= b["text"].str.contains(s, regex=False).to_numpy()
+        n_tokens = b["text"].str.lower().str.count(TOKEN_RE).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": n_tokens,
+                "fingerprint": fp["fingerprint"],
+                "keep": (q["quality_keep"].to_numpy() == 1) & ~contaminated,
+            }
+        )
+        return out[out["keep"]].drop(columns=["keep"])
+
+    sig = docs.map_batches(signals, batch_format="pandas")
+
+    P = 32
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b["fingerprint"].to_numpy()) % P).astype(
+            "int64"
+        )
+        return b
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["fingerprint", "doc_id"]).groupby(
+            "fingerprint", sort=False
+        ).head(1)
+        return w[["doc_id", "n_tokens"]]
+
+    surv = (
+        sig.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(winner, batch_format="pandas")
+        .materialize()
+    )
+
+    # ordered-bucket prefix sum over the survivors (same plan as
+    # text_shard_pack, but over the curated subset)
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bucket"] = (b["doc_id"] // _PACK_BUCKET).astype("int64")
+        return b
+
+    counted = surv.map_batches(bucketed, batch_format="pandas").materialize()
+
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("_bucket", sort=False, as_index=False)["n_tokens"].sum()
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("_bucket", sort=False, as_index=False)["n_tokens"].sum()
+
+    sums = tree_fold_tables(
+        counted.map_batches(bucket_partial, batch_format="pandas"), combine
+    )
+    if sums is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "n_tokens", "shard_id")}
+        )
+    sums = sums.sort_values("_bucket", ignore_index=True)
+    offsets = dict(
+        zip(sums["_bucket"], np.concatenate(([0], np.cumsum(sums["n_tokens"])[:-1])))
+    )
+    oref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame, _ref=oref) -> pd.DataFrame:
+        offs = ray.get(_ref)
+        g = g.sort_values("doc_id", ignore_index=True)
+        excl = g["n_tokens"].cumsum() - g["n_tokens"] + offs[int(g["_bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "shard_id": (excl // budget).astype("int64"),
+            }
+        )
+
+    return counted.groupby("_bucket").map_groups(assign, batch_format="pandas")
