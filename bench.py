@@ -280,6 +280,42 @@ def run_join_bench() -> dict:
     }
 
 
+def run_query_bench() -> dict:
+    """Time every driver query at $GRAFT_SF_DIR (default sf0.1) — the
+    reproducible per-operator record behind BASELINE.md's timing notes.
+    Optional positional args after --queries select a subset."""
+    import time as _time
+
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pandas as pd
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    only = {a for a in sys.argv[sys.argv.index("--queries") + 1 :] if not a.startswith("-")}
+    out = {}
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        t0 = _time.perf_counter()
+        r = fn(sf_dir)
+        n = len(r) if isinstance(r, pd.DataFrame) else int(r.count())
+        out[name] = {"sec": round(_time.perf_counter() - t0, 3), "rows": n}
+    ray.shutdown()
+    return {"metric": "query_bench", "sf": sf_dir, "num_cpus": num_cpus,
+            "queries": out}
+
+
 if __name__ == "__main__":
     if "--joinplan" in sys.argv:
         print(json.dumps(run_join_bench()))
@@ -287,6 +323,8 @@ if __name__ == "__main__":
         print(json.dumps(run_nt_bench()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--queries" in sys.argv:
+        print(json.dumps(run_query_bench()))
     else:
         result = run_bench()
         import ray

@@ -578,3 +578,31 @@ class TestCurate:
         n_tok = got["n_tokens"].to_numpy()
         excl = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
         assert (got["shard_id"].to_numpy() == excl // budget).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFaultTolerance:
+    def test_transient_task_failure_retries_transparently(self, tmp_path):
+        """Ray retries failed tasks with lineage re-execution — a transient
+        per-task fault must not surface to the pipeline (the fault-tolerance
+        half of the resumability story; checkpoint tests cover the other)."""
+        import ray
+        import ray.data
+
+        flag = tmp_path / "failed_once"
+
+        def flaky(b: pd.DataFrame) -> pd.DataFrame:
+            import os
+
+            if not flag.exists():
+                flag.touch()
+                # hard worker death (user exceptions are NOT retried by
+                # design; process loss IS — lineage re-executes the task)
+                os._exit(1)
+            return b
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"x": np.arange(200, dtype=np.int64)})
+        ).repartition(4).map_batches(flaky, batch_format="pandas")
+        out = ds.to_pandas()
+        assert sorted(out["x"]) == list(range(200))
