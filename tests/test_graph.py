@@ -606,3 +606,60 @@ class TestFaultTolerance:
         ).repartition(4).map_batches(flaky, batch_format="pandas")
         out = ds.to_pandas()
         assert sorted(out["x"]) == list(range(200))
+
+
+def test_new_kernels_cross_engine_hypothesis():
+    """The new text kernels' scalar definitions must agree with their
+    DuckDB renderings on arbitrary (incl. non-ASCII) text: substring
+    slicing + contains (decontaminate), n-gram join keys (repetition),
+    and the ln-quantization used by the unigram LM (on the engines'
+    shared libm)."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripsu_ray.stages.text import _token_pat
+
+    con = duckdb.connect()
+    alphabet = st.sampled_from(
+        list("the cat and dog ab01.,!?") + ["é", "中", " ", "\n", " "]
+    )
+    texts = st.text(alphabet=alphabet, max_size=50)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts, st.integers(min_value=1, max_value=20))
+    def check(t, off):
+        # substring semantics: Python slice == DuckDB substring (chars)
+        py = t[off : off + 8]
+        sql = con.execute("SELECT substring(?, ?, 8)", [t, off + 1]).fetchone()[0]
+        assert (sql or "") == py
+        # contains == Python `in`
+        if py:
+            assert con.execute("SELECT contains(?, ?)", [t, py]).fetchone()[0] == (
+                py in t
+            )
+        # 3-gram join keys: space-joined token windows agree
+        toks = _token_pat.findall(t.lower())
+        grams_py = [" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))]
+        grams_sql = con.execute(
+            """
+            SELECT coalesce(list(array_to_string(ts[i:i+2], ' ')), [])
+            FROM (SELECT regexp_extract_all(lower(?), '[a-z0-9]+') AS ts),
+                 unnest(generate_series(1, len(ts) - 2)) AS t(i)
+            """,
+            [t],
+        ).fetchone()[0]
+        assert grams_sql == grams_py
+
+    check()
+
+    # ln quantization parity on the actual count domain (1..10^7)
+    for n, N in [(1, 7), (3, 1000), (999983, 10_000_000), (1, 10_000_000)]:
+        py = math.floor(1_000_000 * (math.log(float(n)) - math.log(float(N))))
+        sql = con.execute(
+            "SELECT CAST(floor(1000000 * (ln(CAST(? AS DOUBLE)) - ln(CAST(? AS DOUBLE)))) AS BIGINT)",
+            [n, N],
+        ).fetchone()[0]
+        assert sql == py, (n, N)
