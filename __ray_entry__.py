@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_group_quantiles": docops.q_rel_group_quantiles,
         "rel_stratified_sample": docops.q_rel_stratified_sample,
         "rel_shuffle_join": docops.q_rel_shuffle_join,
+        "rel_rollup": docops.q_rel_rollup,
     }
 
 
@@ -145,4 +146,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_group_quantiles": d.sql_rel_group_quantiles(),
         "rel_stratified_sample": d.sql_rel_stratified_sample(),
         "rel_shuffle_join": d.sql_rel_shuffle_join(),
+        "rel_rollup": d.sql_rel_rollup(),
     }

@@ -663,3 +663,27 @@ def test_new_kernels_cross_engine_hypothesis():
             [n, N],
         ).fetchone()[0]
         assert sql == py, (n, N)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_rollup_levels_consistent(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_rollup
+
+        rng = np.random.default_rng(41)
+        li = pd.DataFrame(
+            {
+                "l_returnflag": rng.choice(["A", "N", "R"], 500),
+                "l_linestatus": rng.choice(["F", "O"], 500),
+                "l_extendedprice": rng.uniform(1, 100, 500).round(2),
+            }
+        )
+        li.to_parquet(tmp_path / "lineitem.parquet")
+        out = q_rel_rollup(str(tmp_path))
+        total = out[(out["l_returnflag"] == "") & (out["l_linestatus"] == "")]
+        fine = out[(out["l_returnflag"] != "") & (out["l_linestatus"] != "")]
+        mid = out[(out["l_returnflag"] != "") & (out["l_linestatus"] == "")]
+        assert total["n"].iloc[0] == 500 == fine["n"].sum() == mid["n"].sum()
+        assert total["price_cents"].iloc[0] == fine["price_cents"].sum()
+        want_cents = int((li["l_extendedprice"] * 100).round().astype("int64").sum())
+        assert total["price_cents"].iloc[0] == want_cents

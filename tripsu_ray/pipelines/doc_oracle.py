@@ -552,3 +552,16 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              - n_tokens) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
 FROM surv ORDER BY doc_id
 """.strip()
+
+
+def sql_rel_rollup() -> str:
+    return """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+""".strip()

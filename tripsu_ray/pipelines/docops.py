@@ -560,6 +560,61 @@ def q_rel_shuffle_join(sf_dir: str, *, num_partitions: int = 32):
     )
 
 
+def q_rel_rollup(sf_dir: str):
+    """ROLLUP-style multi-level aggregate: revenue by (returnflag,
+    linestatus), by returnflag, and grand total in ONE result — computed
+    as a single partial-aggregation pass whose finest-level partials are
+    re-aggregated driver-side for the coarser levels (the partials are
+    associative sums, so coarse levels cost nothing extra — no second
+    scan, no extra shuffle). NULL level keys render as '' to keep the
+    value-hash engine-portable.
+    """
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.assign(price_cents=(b["l_extendedprice"] * 100).round().astype("int64"), n=1)
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(price_cents=("price_cents", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        return g
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)[
+            ["price_cents", "n"]
+        ].sum()
+
+    fine = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if fine is None:
+        fine = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "price_cents": [], "n": []}
+        )
+    mid = (
+        fine.groupby("l_returnflag", as_index=False)[["price_cents", "n"]]
+        .sum()
+        .assign(l_linestatus="")
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": [""],
+            "l_linestatus": [""],
+            "price_cents": [fine["price_cents"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], ignore_index=True
+    ).astype({"price_cents": "int64", "n": "int64"})
+
+
 def q_rel_group_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
     """Exact per-user p50/p95 of event value cents.
 
