@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_stratified_sample": docops.q_rel_stratified_sample,
         "rel_shuffle_join": docops.q_rel_shuffle_join,
         "rel_rollup": docops.q_rel_rollup,
+        "rel_anomalies": docops.q_rel_anomalies,
     }
 
 
@@ -147,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_stratified_sample": d.sql_rel_stratified_sample(),
         "rel_shuffle_join": d.sql_rel_shuffle_join(),
         "rel_rollup": d.sql_rel_rollup(),
+        "rel_anomalies": d.sql_rel_anomalies(),
     }

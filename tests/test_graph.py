@@ -687,3 +687,25 @@ class TestRollup:
         assert total["price_cents"].iloc[0] == fine["price_cents"].sum()
         want_cents = int((li["l_extendedprice"] * 100).round().astype("int64").sum())
         assert total["price_cents"].iloc[0] == want_cents
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnomalies:
+    def test_integer_zscore_flags_planted_outlier(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_anomalies
+
+        base = pd.Timestamp("2025-01-01 00:00:00")
+        rows = []
+        # user 1: 20 quiet hours + one 100× spike → exactly one anomaly
+        for h in range(20):
+            rows.append((1, base + pd.Timedelta(hours=h), 10.0))
+        rows.append((1, base + pd.Timedelta(hours=20), 1000.0))
+        # user 2: constant → zero variance, nothing flagged
+        for h in range(10):
+            rows.append((2, base + pd.Timedelta(hours=h), 5.0))
+        ev = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        ev["user_id"] = ev["user_id"].astype("int64")
+        ev.to_parquet(tmp_path / "events.parquet")
+        out = q_rel_anomalies(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["user_id"] == 1 and out.iloc[0]["value_cents"] == 100000

@@ -565,3 +565,23 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_anomalies() -> str:
+    return """
+WITH w AS (
+  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT user_id, count(*) AS n, sum(value_cents) AS S,
+         sum(value_cents * value_cents) AS Q
+  FROM w GROUP BY 1
+)
+SELECT w.user_id, w.window_start, w.value_cents
+FROM w JOIN st USING (user_id)
+WHERE st.n >= 2
+  AND (st.n * w.value_cents - st.S) * (st.n * w.value_cents - st.S)
+      > 9 * (st.n * st.Q - st.S * st.S)
+ORDER BY 1, 2
+""".strip()

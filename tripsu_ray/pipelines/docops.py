@@ -560,6 +560,56 @@ def q_rel_shuffle_join(sf_dir: str, *, num_partitions: int = 32):
     )
 
 
+def q_rel_anomalies(sf_dir: str):
+    """Per-user outlier windows: hourly value sums whose z-score vs the
+    user's own window distribution exceeds 3 — the monitoring primitive,
+    in EXACT integer algebra so the oracle hash-matches:
+
+        |x − S/n| > 3σ  ⇔  (n·x − S)² > 9·(n·Q − S²)
+
+    with S = Σx, Q = Σx² over the user's windows (population variance),
+    no float thresholds anywhere. Plan: per-batch window partials →
+    ONE user-hash exchange → per-partition window sums + per-user
+    (n, S, Q) + the integer flag, all vectorized.
+    """
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        cents = (b["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": b["user_id"], "window_start": w, "value_cents": cents})
+            .groupby(["user_id", "window_start"], sort=False, as_index=False)["value_cents"]
+            .sum()
+        )
+        g["_part"] = (pd.util.hash_array(g["user_id"].to_numpy()) % 32).astype("int64")
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby(["user_id", "window_start"], sort=False, as_index=False)[
+            "value_cents"
+        ].sum()
+        st = w.groupby("user_id", sort=False).agg(
+            n=("value_cents", "size"), S=("value_cents", "sum")
+        )
+        st["Q"] = w.assign(sq=w["value_cents"] ** 2).groupby("user_id", sort=False)[
+            "sq"
+        ].sum()
+        m = w.merge(st, on="user_id")
+        lhs = (m["n"] * m["value_cents"] - m["S"]) ** 2
+        rhs = 9 * (m["n"] * m["Q"] - m["S"] ** 2)
+        out = m[(m["n"] >= 2) & (lhs > rhs)][["user_id", "window_start", "value_cents"]]
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def q_rel_rollup(sf_dir: str):
     """ROLLUP-style multi-level aggregate: revenue by (returnflag,
     linestatus), by returnflag, and grand total in ONE result — computed
