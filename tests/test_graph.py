@@ -709,3 +709,45 @@ class TestAnomalies:
         out = q_rel_anomalies(str(tmp_path)).to_pandas()
         assert len(out) == 1
         assert out.iloc[0]["user_id"] == 1 and out.iloc[0]["value_cents"] == 100000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraphReviewFixes:
+    def test_co_neighbors_empty_edges(self):
+        df = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        from tripsu_ray.stages.graph import co_neighbor_counts
+
+        out = co_neighbor_counts(_ds(df, blocks=1))
+        import pandas as _pd
+
+        assert isinstance(out, _pd.DataFrame)  # typed empty frame (see stage)
+        assert len(out) == 0 and list(out.columns) == ["node", "n_co_neighbors"]
+
+    def test_co_neighbors_no_shared_targets(self):
+        df = pd.DataFrame({"a": ["x", "y"], "b": ["t1", "t2"]})
+        from tripsu_ray.stages.graph import co_neighbor_counts
+
+        out = co_neighbor_counts(_ds(df, blocks=1))
+        assert len(out) == 0
+
+    def test_components_self_loops_are_singletons(self):
+        df = pd.DataFrame({"a": ["s", "p", "q"], "b": ["s", "q", "p"]})
+        got = graph.connected_components_str(_ds(df, blocks=1))
+        assert got == {"p": "p", "q": "p"}
+
+    def test_entity_edges_drop_blank_subjects(self):
+        from tripsu_ray.schema import KIND_BLANK
+
+        df = pd.DataFrame(
+            {
+                "subject": ["b0", "http://x/a"],
+                "subject_kind": np.array([KIND_BLANK, KIND_IRI], np.int8),
+                "predicate": ["http://x/p", "http://x/p"],
+                "object_value": ["http://x/o", "http://x/o"],
+                "object_kind": np.array([KIND_IRI, KIND_IRI], np.int8),
+                "object_lang": pd.Series([None] * 2, dtype="string"),
+                "object_datatype": pd.Series([None] * 2, dtype="string"),
+            }
+        )
+        got = graph.entity_edges(_ds(df, blocks=1)).to_pandas()
+        assert got.to_records(index=False).tolist() == [("http://x/a", "http://x/o")]

@@ -300,7 +300,9 @@ def _components(pairs: list[tuple]) -> dict:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
-def label_propagation(pairs_ds, *, impl: str = "broadcast", num_partitions: int = 8) -> dict:
+def label_propagation(
+    pairs_ds, *, impl: str = "broadcast", num_partitions: int = 8, dtype: str = "int64"
+) -> dict:
     """Edge Dataset (a, b) → {node: component-min label} via iterated
     min-label propagation — the distributed replacement for driver-side
     union-find over the pair set (same result: every node labels to the
@@ -321,11 +323,20 @@ def label_propagation(pairs_ds, *, impl: str = "broadcast", num_partitions: int 
     table itself exceeds driver memory — each round is
     join(edges, labels) + groupby-min, all Dataset ops (more rounds, a
     shuffle per round; same result).
+
+    ``dtype``: ``"int64"`` (doc ids) or ``"object"`` (string node ids —
+    lexicographic min; used by ``stages.graph.connected_components_str``).
+    The join impl is int64-only.
     """
     import pandas as pd
 
     if impl == "join":
+        if dtype != "int64":
+            raise ValueError("impl='join' supports int64 node ids only")
         return _label_propagation_join(pairs_ds, num_partitions=num_partitions)
+    _cast = (lambda se: se.astype("int64")) if dtype == "int64" else (
+        lambda se: se.astype(object)
+    )
 
     import ray
 
@@ -356,11 +367,11 @@ def label_propagation(pairs_ds, *, impl: str = "broadcast", num_partitions: int 
 
         def step(df: pd.DataFrame) -> pd.DataFrame:
             lab = ray.get(lab_ref)
-            a = df["a"].astype("int64")
-            b = df["b"].astype("int64")
-            la = a.map(lab).fillna(a).astype("int64")
-            lb = b.map(lab).fillna(b).astype("int64")
-            cand = np.minimum(la, lb)
+            a = _cast(df["a"])
+            b = _cast(df["b"])
+            la = _cast(a.map(lab).fillna(a))
+            lb = _cast(b.map(lab).fillna(b))
+            cand = np.where(la.to_numpy() < lb.to_numpy(), la, lb)
             part = pd.DataFrame(
                 {
                     "node": pd.concat([a, b], ignore_index=True),
@@ -372,9 +383,12 @@ def label_propagation(pairs_ds, *, impl: str = "broadcast", num_partitions: int 
             return part.groupby("node", sort=False, as_index=False)["label"].min()
 
         folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
-        new_labels = dict(
-            zip(folded["node"].astype(int), folded["label"].astype(int))
-        )
+        if dtype == "int64":
+            new_labels = dict(
+                zip(folded["node"].astype(int), folded["label"].astype(int))
+            )
+        else:
+            new_labels = dict(zip(folded["node"], folded["label"]))
         # keep strictly-improving entries only, then compress chains
         merged = dict(labels)
         changed = False

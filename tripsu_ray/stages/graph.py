@@ -115,7 +115,8 @@ def entity_edges(triples):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         m = (
-            (df["object_kind"] == KIND_IRI)
+            (df["subject_kind"] == KIND_IRI)
+            & (df["object_kind"] == KIND_IRI)
             & (df["predicate"] != RDF_TYPE)
             & (df["subject"] != df["object_value"])
         )
@@ -143,31 +144,31 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
     census is the detector).
     """
     P = num_partitions
+    def empty_out():
+        # a typed pandas frame, NOT a Dataset: Ray 2.49's to_pandas drops
+        # the schema of an empty Dataset, losing the columns downstream
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "n_co_neighbors": pd.Series([], dtype="int64")}
+        )
 
     def part_of(keys) -> np.ndarray:
         return (pd.util.hash_array(np.asarray(keys, dtype=object)) % P).astype("int64")
 
-    def as_in(df: pd.DataFrame) -> pd.DataFrame:
-        # role 1: edge (a→b) keyed by its shared target b
-        return pd.DataFrame(
-            {
-                "key": df["b"].astype(object),
-                "a": df["a"].astype(object),
-                "c": pd.Series([None] * len(df), dtype=object),
-                "_part": part_of(df["b"]),
-            }
+    def both_roles(df: pd.DataFrame) -> pd.DataFrame:
+        # both join roles from ONE scan (the edge set feeds the union
+        # twice otherwise, re-running the whole upstream lineage twice)
+        part = part_of(df["b"])
+        none = pd.Series([None] * len(df), dtype=object)
+        left = pd.DataFrame(
+            {"key": df["b"].astype(object), "a": df["a"].astype(object),
+             "c": none, "_part": part}
         )
-
-    def as_out(df: pd.DataFrame) -> pd.DataFrame:
-        # role 2: the same edges as the c side of the join
-        return pd.DataFrame(
-            {
-                "key": df["b"].astype(object),
-                "a": pd.Series([None] * len(df), dtype=object),
-                "c": df["a"].astype(object),
-                "_part": part_of(df["b"]),
-            }
+        right = pd.DataFrame(
+            {"key": df["b"].astype(object), "a": none,
+             "c": df["a"].astype(object), "_part": part}
         )
+        return pd.concat([left, right], ignore_index=True)
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["c"].isna()][["key", "a"]]
@@ -189,85 +190,47 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
             {"node": out["a"].astype(object), "n_co_neighbors": out["n_co_neighbors"].astype("int64")}
         )
 
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
     pairs = (
-        edges_ds.map_batches(as_in, batch_format="pandas")
-        .union(edges_ds.map_batches(as_out, batch_format="pandas"))
+        edges.map_batches(both_roles, batch_format="pandas")
         .groupby("_part")
         .map_groups(join_part, batch_format="pandas")
+        .materialize()
     )
+    if pairs.count() == 0:
+        return empty_out()
     return pairs.groupby("_part2").map_groups(count_part, batch_format="pandas")
 
 
 def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
-    component — the string twin of ``dedup.label_propagation`` (same
-    broadcast-map + tree-fold rounds, ``min`` = lexicographic).
+    component — ``dedup.label_propagation(dtype="object")`` (one shared
+    implementation; min = lexicographic) plus identity entries for the
+    component minima.
 
-    Every node incident to ≥1 edge gets an entry (singletons have no
-    edges and are their own trivial components by definition).
+    Self-loop edges are dropped up front: a node incident ONLY to a
+    self-loop is a singleton and, like all singletons, gets no entry —
+    entries cover exactly the nodes of components of size ≥ 2.
     """
-    import ray
+    import pandas as pd
 
-    from .folds import tree_fold_tables
+    from .dedup import label_propagation
 
-    edges = edges_ds.materialize()
-    if edges.count() == 0:
-        return {}
+    def drop_self(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["a"] != df["b"]]
 
-    def compress(lab: dict) -> dict:
-        out = {}
-        for x in lab:
-            r = lab[x]
-            while r in lab and lab[r] != r:
-                r = lab[r]
-            out[x] = r
-        return {k: v for k, v in out.items() if k != v}
-
-    def combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
-        df = pd.concat(frames, ignore_index=True)
-        return df.groupby("node", sort=False, as_index=False)["label"].min()
-
-    labels: dict = {}
-    for _ in range(max_rounds):
-        lab_ref = ray.put(labels)
-
-        def step(df: pd.DataFrame) -> pd.DataFrame:
-            lab = ray.get(lab_ref)
-            a = df["a"].astype(object)
-            b = df["b"].astype(object)
-            la = a.map(lab).fillna(a)
-            lb = b.map(lab).fillna(b)
-            cand = np.where(la.to_numpy() < lb.to_numpy(), la, lb)
-            part = pd.DataFrame(
-                {
-                    "node": pd.concat([a, b], ignore_index=True),
-                    "label": np.concatenate([cand, cand]),
-                }
-            )
-            return part.groupby("node", sort=False, as_index=False)["label"].min()
-
-        folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
-        merged = dict(labels)
-        changed = False
-        for n, l in zip(folded["node"], folded["label"]):
-            cur = merged.get(n, n)
-            if l < cur:
-                merged[n] = l
-                changed = True
-        merged = compress(merged)
-        if not changed:
-            # fixpoint: every node maps to its component minimum
-            break
-        labels = merged
-    # materialize identity entries for component minima so every edge-
-    # incident node appears in the result
-    seen = set(labels)
-    for n, l in list(labels.items()):
-        if l not in seen:
-            seen.add(l)
-            labels[l] = l
-    return {**{n: labels.get(n, n) for n in labels}}
+    labels = label_propagation(
+        edges_ds.map_batches(drop_self, batch_format="pandas"), dtype="object"
+    )
+    # identity entries for component minima so every node of a ≥2-sized
+    # component appears in the result (label_propagation returns only
+    # the non-minimum nodes)
+    for l in set(labels.values()) - set(labels):
+        labels[l] = l
+    return labels
 
 
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20) -> pd.DataFrame:
@@ -322,11 +285,12 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20) -> pd.DataFra
         df = pd.concat(frames, ignore_index=True)
         return df.groupby("node", sort=False, as_index=False)["c"].sum()
 
+    deg_ref = ray.put(deg_map)  # static — broadcast ONCE, not per round
     for _ in range(n_iter):
-        state = ray.put((ranks, deg_map))
+        rank_ref = ray.put(ranks)
 
-        def step(df: pd.DataFrame, _ref=state) -> pd.DataFrame:
-            r, d = ray.get(_ref)
+        def step(df: pd.DataFrame, _r=rank_ref, _d=deg_ref) -> pd.DataFrame:
+            r, d = ray.get(_r), ray.get(_d)
             src = df["a"].astype(object)
             contrib = src.map(r).to_numpy() / src.map(d).to_numpy()
             part = pd.DataFrame({"node": df["b"].astype(object), "c": contrib})
