@@ -133,16 +133,24 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
     the co-citation self-join (files sharing an imported module, papers
     sharing a citation), as a STRING-keyed distributed hash join.
 
-    Two single-int-key exchanges: (1) both edge roles union under one
-    shared schema and co-partition on the JOIN key (the shared target
-    b), each partition merging vectorized and deduping its local
-    (a, c) pairs; (2) pairs re-partition on a so the global distinct +
-    per-a count is partition-local. Hub targets fan out quadratically by
-    the QUERY's semantics (a 10^4-importer module implies 10^8 co-pairs);
-    the per-partition dedup caps what stage 2 moves, and at real scale a
-    hub-cap/sampling policy belongs in front of stage 1 (the degree
-    census is the detector).
+    Two single-int-key exchanges: (1) edges co-partition on the JOIN key
+    (the shared target b) — ONE role only, since a self-join's two sides
+    are the same rows — and each partition enumerates its within-group
+    ordered pairs with pure index arithmetic over int codes (no pandas
+    string merge), deduping on packed int64 pair keys; (2) the distinct
+    local PACKED pairs re-partition on the source code so the global
+    distinct + per-source count is partition-local. Source-node ids are
+    globally dictionary-encoded up front (sorted distinct ``a`` — the
+    type-index size class, broadcast once via ray.put), so the quadratic
+    stage-2 exchange moves ONE int64 column instead of two string
+    columns. Hub targets fan out quadratically by the QUERY's semantics
+    (a 10^4-importer module implies 10^8 co-pairs); the per-partition
+    dedup caps what stage 2 moves, and at real scale a hub-cap/sampling
+    policy belongs in front of stage 1 (the degree census is the
+    detector).
     """
+    import ray
+
     P = num_partitions
     def empty_out():
         # a typed pandas frame, NOT a Dataset: Ray 2.49's to_pandas drops
@@ -152,49 +160,62 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
              "n_co_neighbors": pd.Series([], dtype="int64")}
         )
 
-    def part_of(keys) -> np.ndarray:
-        return (pd.util.hash_array(np.asarray(keys, dtype=object)) % P).astype("int64")
-
-    def both_roles(df: pd.DataFrame) -> pd.DataFrame:
-        # both join roles from ONE scan (the edge set feeds the union
-        # twice otherwise, re-running the whole upstream lineage twice)
-        part = part_of(df["b"])
-        none = pd.Series([None] * len(df), dtype=object)
-        left = pd.DataFrame(
-            {"key": df["b"].astype(object), "a": df["a"].astype(object),
-             "c": none, "_part": part}
-        )
-        right = pd.DataFrame(
-            {"key": df["b"].astype(object), "a": none,
-             "c": df["a"].astype(object), "_part": part}
-        )
-        return pd.concat([left, right], ignore_index=True)
-
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["c"].isna()][["key", "a"]]
-        right = g[g["a"].isna()][["key", "c"]]
-        m = left.merge(right, on="key")[["a", "c"]]
-        m = m[m["a"] != m["c"]].drop_duplicates()
-        if not len(m):
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=object), "c": pd.Series([], dtype=object),
-                 "_part2": pd.Series([], dtype="int64")}
-            )
-        m["_part2"] = part_of(m["a"])
-        return m
-
-    def count_part(g: pd.DataFrame) -> pd.DataFrame:
-        d = g[["a", "c"]].drop_duplicates()
-        out = d.groupby("a", sort=False).size().reset_index(name="n_co_neighbors")
-        return pd.DataFrame(
-            {"node": out["a"].astype(object), "n_co_neighbors": out["n_co_neighbors"].astype("int64")}
-        )
-
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    # global code of every SOURCE node (nodes ≪ pairs: pairs are quadratic)
+    names = np.array(sorted(edges.unique("a")), dtype=object)
+    names_ref = ray.put(names)
+
+    def by_target(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        code = np.searchsorted(ray.get(_names), df["a"].to_numpy(dtype=object))
+        part = pd.util.hash_array(df["b"].to_numpy(dtype=object)) % P
+        return pd.DataFrame(
+            {"key": df["b"].astype(object),
+             "acode": code.astype("int64"),
+             "_part": part.astype("int64")}
+        )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pair": pd.Series([], dtype="int64"),
+             "_part2": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        kcode = pd.factorize(g["key"])[0]
+        acode = g["acode"].to_numpy()
+        order = np.argsort(kcode, kind="stable")
+        ks, asrt = kcode[order], acode[order]
+        sizes = np.bincount(ks)  # rows per key group, key codes are dense
+        tot = sizes * sizes  # ordered pairs per group (incl. self, removed below)
+        n_out = int(tot.sum())
+        if not n_out:
+            return empty
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        gid = np.repeat(np.arange(len(sizes)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]  # pos within group block
+        width = sizes[gid]
+        left = asrt[gstarts[gid] + p // width]
+        right = asrt[gstarts[gid] + p % width]
+        keep = left != right
+        uniq = np.unique((left[keep] << 32) | right[keep])
+        return pd.DataFrame({"pair": uniq, "_part2": (uniq >> 32) % P})
+
+    def count_part(g: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        names = ray.get(_names)
+        uniq = np.unique(g["pair"].to_numpy())  # cross-partition pair dedup
+        src = (uniq >> 32).astype(np.int64)
+        counts = np.bincount(src, minlength=len(names))
+        hit = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"node": pd.Series(names.take(hit), dtype=object),
+             "n_co_neighbors": counts[hit].astype("int64")}
+        )
+
     pairs = (
-        edges.map_batches(both_roles, batch_format="pandas")
+        edges.map_batches(by_target, batch_format="pandas")
         .groupby("_part")
         .map_groups(join_part, batch_format="pandas")
         .materialize()
