@@ -19,7 +19,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tripsu_ray.pipelines import docops, queries as q
+    from tripsu_ray.pipelines import docops, joins, queries as q
 
     return {
         # knowledge-graph construction (the flagship, SURVEY.md §2/§7)
@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shuffle_join": docops.q_rel_shuffle_join,
         "rel_rollup": docops.q_rel_rollup,
         "rel_anomalies": docops.q_rel_anomalies,
+        # the join family Ray Data lacks (pipelines/joins.py)
+        "rel_asof_join": joins.q_rel_asof_join,
+        "rel_range_join": joins.q_rel_range_join,
+        "rel_anti_join": joins.q_rel_anti_join,
+        "rel_semi_join": joins.q_rel_semi_join,
     }
 
 
@@ -100,7 +105,7 @@ def oracle_sql() -> dict[str, str]:
     not SQL-reproducible; error <2% vs exact asserted in tests),
     kg_pagerank (float power iteration — np.allclose-verified in tests).
     """
-    from tripsu_ray.pipelines import doc_oracle as d, oracle
+    from tripsu_ray.pipelines import doc_oracle as d, joins, oracle
 
     return {
         "kg_source_files": oracle.sql_source_files(),
@@ -149,4 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_shuffle_join": d.sql_rel_shuffle_join(),
         "rel_rollup": d.sql_rel_rollup(),
         "rel_anomalies": d.sql_rel_anomalies(),
+        "rel_asof_join": joins.sql_rel_asof_join(),
+        "rel_range_join": joins.sql_rel_range_join(),
+        "rel_anti_join": joins.sql_rel_anti_join(),
+        "rel_semi_join": joins.sql_rel_semi_join(),
     }

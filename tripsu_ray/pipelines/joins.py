@@ -1,0 +1,265 @@
+"""The join family Ray Data lacks: as-of, range (interval), anti, semi.
+
+All four share the repo's proven exchange shape (see
+``docops.q_rel_shuffle_join``): tag every input stream to ONE shared
+schema, union, hash-partition on a single int ``_part`` key
+(``Dataset.join`` is broken at ≥8 partitions on Ray 2.49 — BASELINE.md),
+then a vectorized per-partition kernel. Co-partitioning is exact because
+every side hashes the same join key, so each kernel sees ALL rows for
+its keys and the join is partition-local — the partitioning assumption
+each operator relies on.
+
+Time columns travel as int64 epoch-microseconds (exact integer algebra,
+engine-portable value hashes — the same discipline as the cents columns
+everywhere else in this repo).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sources import read_parquet_clean as _read_parquet_clean
+
+_P = 32  # partitions per exchange
+
+_HOUR_US = 3_600_000_000
+
+
+def _part_of(keys: np.ndarray) -> np.ndarray:
+    return (pd.util.hash_array(keys.astype(np.int64)) % _P).astype("int64")
+
+
+def _ts_us(ts: pd.Series) -> np.ndarray:
+    return ts.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def _events_stream(sf_dir: str, event_type: str, extra: list | None = None):
+    cols = ["user_id", "ts", "event_type"] + (extra or [])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["event_type"] == event_type].drop(columns=["event_type"])
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def q_rel_asof_join(sf_dir: str):
+    """Backward as-of join: every purchase event matched to the SAME
+    user's latest click at-or-before it (the classic attribution join).
+
+    Plan: both filtered event streams tag to one schema
+    (u, t, ev, cents, side), union, ONE user-hash exchange, then
+    ``pd.merge_asof(by=user, on=ts, direction='backward')`` per
+    partition — exact because (user_id, ts) is unique in the corpus and
+    every row of a user lives in one partition. Inner semantics:
+    purchases with no prior click drop. Output
+    (event_id, click_ts_us, click_value_cents), all int64.
+    """
+    p = _events_stream(sf_dir, "purchase", ["event_id"])
+    c = _events_stream(sf_dir, "click", ["value"])
+
+    def tag_p(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"u": u, "t": _ts_us(b["ts"]),
+             "ev": b["event_id"].astype("int64"),
+             "cents": np.full(len(b), 0, dtype=np.int64),
+             "side": np.full(len(b), 1, dtype=np.int8), "_part": _part_of(u)}
+        )
+
+    def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"u": u, "t": _ts_us(b["ts"]),
+             "ev": np.full(len(b), 0, dtype=np.int64),
+             "cents": (b["value"] * 100).round().astype("int64"),
+             "side": np.full(len(b), 0, dtype=np.int8), "_part": _part_of(u)}
+        )
+
+    both = p.map_batches(tag_p, batch_format="pandas").union(
+        c.map_batches(tag_c, batch_format="pandas")
+    )
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        pur = g[g["side"] == 1][["u", "t", "ev"]].sort_values("t", kind="stable")
+        cli = g[g["side"] == 0][["u", "t", "cents"]].sort_values("t", kind="stable")
+        # merge_asof keeps only the left's on-key, so the click's own
+        # timestamp rides along as a plain data column
+        cli = cli.assign(ct=cli["t"].to_numpy())
+        m = pd.merge_asof(
+            pur, cli, on="t", by="u", direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["ct"].notna()]  # inner: purchases with no prior click drop
+        return pd.DataFrame(
+            {"event_id": m["ev"].astype("int64"),
+             "click_ts_us": m["ct"].astype("int64"),
+             "click_value_cents": m["cents"].astype("int64")}
+        )
+
+    return both.groupby("_part").map_groups(asof_part, batch_format="pandas")
+
+
+def q_rel_range_join(sf_dir: str):
+    """Interval (range) join: per purchase event, the count of the SAME
+    user's view events in the hour before it — ``v.ts ∈ [p.ts−1h, p.ts)``.
+
+    Plan: one user-hash exchange co-locates each user's views and
+    purchases, then a packed-int64 ``np.searchsorted`` kernel per
+    partition: user codes are factorized locally and packed as
+    ``code·base + (ts − ts_min)`` with ``base = span + window + 2``, so
+    a purchase's window ``[pack−W, pack)`` can never cross into another
+    user's code range and both bounds resolve with two vectorized
+    binary searches — no per-row loop, no m:n merge explosion. Inner
+    semantics (only purchases with ≥1 view in window). Output
+    (event_id, n_views), int64.
+    """
+    p = _events_stream(sf_dir, "purchase", ["event_id"])
+    v = _events_stream(sf_dir, "view")
+
+    def tag(side: int, with_ev: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            u = b["user_id"].to_numpy().astype(np.int64)
+            ev = b["event_id"].astype("int64") if with_ev else np.zeros(len(b), np.int64)
+            return pd.DataFrame(
+                {"u": u, "t": _ts_us(b["ts"]), "ev": ev,
+                 "side": np.full(len(b), side, dtype=np.int8), "_part": _part_of(u)}
+            )
+
+        return f
+
+    both = p.map_batches(tag(1, True), batch_format="pandas").union(
+        v.map_batches(tag(0, False), batch_format="pandas")
+    )
+
+    def range_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "n_views": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        code = pd.factorize(g["u"])[0].astype(np.int64)
+        t = g["t"].to_numpy()
+        rel = t - t.min()
+        base = int(rel.max()) + _HOUR_US + 2
+        pack = code * base + rel
+        is_p = (g["side"] == 1).to_numpy()
+        vp = np.sort(pack[~is_p])
+        pp = pack[is_p]
+        lo = np.searchsorted(vp, pp - _HOUR_US, side="left")
+        hi = np.searchsorted(vp, pp, side="left")
+        n = hi - lo
+        keep = n > 0
+        return pd.DataFrame(
+            {"event_id": g["ev"].to_numpy()[is_p][keep],
+             "n_views": n[keep].astype("int64")}
+        )
+
+    return both.groupby("_part").map_groups(range_part, batch_format="pandas")
+
+
+def _key_filter_join(sf_dir: str, *, anti: bool):
+    """Shuffle anti/semi join: customers WITHOUT (anti) / WITH (semi) at
+    least one URGENT-priority order, where neither side broadcasts.
+
+    (Every customer has SOME order in this corpus, so the probe side is
+    the urgent subset — that keeps both variants non-degenerate.) The
+    probe side filters at the read and pre-dedups per batch (distinct
+    o_custkey — the partial-combine discipline), so the exchange moves
+    ≤ #batches rows per customer key no matter how many orders a
+    customer has.
+    """
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"k": k, "cents": (b["c_acctbal"] * 100).round().astype("int64"),
+             "side": np.full(len(b), 0, dtype=np.int8), "_part": _part_of(k)}
+        )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderpriority"] == "1-URGENT"]
+        k = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {"k": k, "cents": np.zeros(len(k), np.int64),
+             "side": np.ones(len(k), np.int8), "_part": _part_of(k)}
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def filter_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        seen = g.loc[g["side"] == 1, "k"].to_numpy()
+        hit = np.isin(c["k"].to_numpy(), seen)
+        out = c[~hit] if anti else c[hit]
+        return pd.DataFrame(
+            {"c_custkey": out["k"].astype("int64"),
+             "c_acctbal_cents": out["cents"].astype("int64")}
+        )
+
+    return both.groupby("_part").map_groups(filter_part, batch_format="pandas")
+
+
+def q_rel_anti_join(sf_dir: str):
+    """Customers with no urgent order (NOT EXISTS) — :func:`_key_filter_join`."""
+    return _key_filter_join(sf_dir, anti=True)
+
+
+def q_rel_semi_join(sf_dir: str):
+    """Customers with ≥1 urgent order (EXISTS) — :func:`_key_filter_join`."""
+    return _key_filter_join(sf_dir, anti=False)
+
+
+def sql_rel_asof_join() -> str:
+    return """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT event_id, click_ts_us, click_value_cents FROM (
+  SELECT p.event_id AS event_id,
+         CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+         CAST(round(c.value * 100) AS BIGINT) AS click_value_cents,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+"""
+
+
+def sql_rel_range_join() -> str:
+    return """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS event_id, CAST(count(*) AS BIGINT) AS n_views
+FROM p JOIN v ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+GROUP BY 1
+"""
+
+
+def sql_rel_anti_join() -> str:
+    return """
+SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def sql_rel_semi_join() -> str:
+    return """
+SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
