@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q.q_components,
         "kg_pagerank": q.q_pagerank,
         "kg_co_neighbors": q.q_co_neighbors,
+        "kg_butterflies": q.q_butterflies,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_census": oracle.sql_pred_census(),
         "kg_components": oracle.sql_components(),
         "kg_co_neighbors": oracle.sql_co_neighbors(),
+        "kg_butterflies": oracle.sql_butterflies(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),

@@ -543,6 +543,56 @@ class TestCoNeighbors:
         )
         pd.testing.assert_frame_equal(got, want)
 
+    def test_butterflies_match_pandas(self):
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 40, 260)],
+                "b": [f"m{i}" for i in rng.integers(0, 12, 260)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        from tripsu_ray.stages.graph import butterfly_counts
+
+        got = (
+            butterfly_counts(_ds(df, blocks=4), num_partitions=4)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        j = df.merge(df, on="b")
+        j = j[j["a_x"] < j["a_y"]]
+        codeg = j.groupby(["a_x", "a_y"]).size()
+        bf = (codeg * (codeg - 1) // 2)[codeg >= 2]
+        per = pd.concat(
+            [
+                bf.groupby(level=0).sum(),
+                bf.groupby(level=1).sum(),
+            ]
+        )
+        want = (
+            per.groupby(level=0).sum().rename_axis("node")
+            .reset_index(name="n_butterflies")
+            .sort_values("node", ignore_index=True)
+            .astype({"n_butterflies": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_butterflies_known_square(self):
+        # K_{2,2} = exactly one butterfly; each left node participates once
+        df = pd.DataFrame(
+            {"a": ["u", "u", "v", "v", "w"], "b": ["m1", "m2", "m1", "m2", "m1"]}
+        )
+        from tripsu_ray.stages.graph import butterfly_counts
+
+        got = (
+            butterfly_counts(_ds(df, blocks=2), num_partitions=3)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        want = pd.DataFrame({"node": ["u", "v"], "n_butterflies": [1, 1]}).astype(
+            {"n_butterflies": "int64"}
+        )
+        pd.testing.assert_frame_equal(got, want)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCurate:

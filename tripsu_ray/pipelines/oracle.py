@@ -259,6 +259,29 @@ FROM two GROUP BY a ORDER BY a"""
     )
 
 
+def sql_butterflies() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+codeg AS (
+  SELECT e1.a AS u, e2.a AS v, count(*) AS c
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+per AS (
+  SELECT u AS node, c * (c - 1) / 2 AS bf FROM codeg
+  UNION ALL
+  SELECT v AS node, c * (c - 1) / 2 AS bf FROM codeg
+)
+SELECT node, CAST(sum(bf) AS BIGINT) AS n_butterflies
+FROM per GROUP BY node ORDER BY node"""
+    )
+
+
 def sql_components() -> str:
     # Reachability-closure connected components (UNION-dedup recursive CTE):
     # exact but O(sum comp_size^2) rows — the sf0.01 oracle anchor for the

@@ -131,6 +131,15 @@ def q_co_neighbors(sf_dir: str):
     return co_neighbor_counts(entity_edges(_extracted(sf_dir)))
 
 
+def q_butterflies(sf_dir: str):
+    """Per-file butterfly counts (bipartite 4-cycles — pairs of files
+    agreeing on ≥2 shared targets) over the entity graph
+    (stages/graph.py::butterfly_counts; exact, two int-keyed exchanges)."""
+    from ..stages.graph import butterfly_counts, entity_edges
+
+    return butterfly_counts(entity_edges(_extracted(sf_dir)))
+
+
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
     """Top-k PageRank entities of the KG (distributed power iteration —
     stages/graph.py). Rows-only driver check (float ranks don't

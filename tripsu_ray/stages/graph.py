@@ -225,6 +225,118 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
     return pairs.groupby("_part2").map_groups(count_part, batch_format="pandas")
 
 
+def butterfly_counts(edges_ds, *, num_partitions: int = 32):
+    """Per-source-node butterfly counts over the bipartite entity graph:
+    b(u) = Σ_{v≠u} C(codeg(u, v), 2), where codeg is the number of
+    targets two source nodes share. A butterfly (4-cycle / (2,2)-biclique)
+    is the bipartite analogue of a triangle — the extracted KG's
+    file→module graph is bipartite, so triangle counts are identically
+    zero and butterflies are the right cohesion statistic (e.g. pairs of
+    files that agree on ≥2 imports).
+
+    Same two-exchange shape as :func:`co_neighbor_counts`, with one
+    crucial difference: the wedge stage must NOT dedup — the co-degree of
+    a pair is the number of wedges it closes, so every (target-group)
+    pair occurrence travels to stage 2. Pair rows hash-partition on the
+    packed int64 pair key, which puts ALL occurrences of one pair in the
+    same partition: the per-partition `unique(return_counts)` is the
+    exact global co-degree, and C(c,2) per pair plus a weighted bincount
+    over the two endpoints gives exact per-node partials with no further
+    exchange (a pair lives in exactly one partition). The final
+    small-row groupby just sums per-partition partials per node.
+
+    Hub targets fan out quadratically by the statistic's own semantics
+    (same caveat as co_neighbor_counts) — at real scale a degree-census
+    hub cap belongs in front; here the per-group pair arithmetic is pure
+    index math, no Python loop.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+
+    def empty_out():
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "n_butterflies": pd.Series([], dtype="int64")}
+        )
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
+    names = np.array(sorted(edges.unique("a")), dtype=object)
+    names_ref = ray.put(names)
+
+    def by_target(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        code = np.searchsorted(ray.get(_names), df["a"].to_numpy(dtype=object))
+        part = pd.util.hash_array(df["b"].to_numpy(dtype=object)) % P
+        return pd.DataFrame(
+            {"key": df["b"].astype(object),
+             "acode": code.astype("int64"),
+             "_part": part.astype("int64")}
+        )
+
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All u<v source pairs per target group — packed, NOT deduped."""
+        empty = pd.DataFrame(
+            {"pair": pd.Series([], dtype="int64"),
+             "_part2": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        kcode = pd.factorize(g["key"])[0]
+        acode = g["acode"].to_numpy()
+        order = np.argsort(kcode, kind="stable")
+        ks, asrt = kcode[order], acode[order]
+        sizes = np.bincount(ks)
+        tot = sizes * sizes
+        n_out = int(tot.sum())
+        if not n_out:
+            return empty
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        gid = np.repeat(np.arange(len(sizes)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]
+        width = sizes[gid]
+        left = asrt[gstarts[gid] + p // width]
+        right = asrt[gstarts[gid] + p % width]
+        keep = left < right  # each unordered pair once per shared target
+        pair = (left[keep] << 32) | right[keep]
+        return pd.DataFrame({"pair": pair, "_part2": pd.util.hash_array(pair) % P})
+
+    def codeg_part(g: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        names = ray.get(_names)
+        pair, c = np.unique(g["pair"].to_numpy(), return_counts=True)
+        hit = c >= 2
+        if not hit.any():
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "n_butterflies": pd.Series([], dtype="int64")}
+            )
+        pair, c = pair[hit], c[hit].astype(np.int64)
+        bf = c * (c - 1) // 2
+        u, v = (pair >> 32).astype(np.int64), (pair & 0xFFFFFFFF).astype(np.int64)
+        counts = np.bincount(u, weights=bf, minlength=len(names)) + np.bincount(
+            v, weights=bf, minlength=len(names)
+        )
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"node": pd.Series(names.take(nz), dtype=object),
+             "n_butterflies": counts[nz].astype("int64")}
+        )
+
+    wedges = (
+        edges.map_batches(by_target, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(wedge_part, batch_format="pandas")
+        .materialize()
+    )
+    if wedges.count() == 0:
+        return empty_out()
+    partials = wedges.groupby("_part2").map_groups(codeg_part, batch_format="pandas")
+    return partials.groupby("node").aggregate(Sum("n_butterflies", alias_name="n_butterflies"))
+
+
 def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
