@@ -30,10 +30,19 @@ def _ray_session(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        import os
+
+        # Under `ray job submit` the job runner exports RAY_ADDRESS for the
+        # target cluster — defer to it (a hardcoded "local" would boot a
+        # private single-node Ray inside the job). Standalone runs get a
+        # local session with the requested CPU count.
+        kwargs = {"include_dashboard": False,
                   "ignore_reinit_error": True, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        env_addr = os.environ.get("RAY_ADDRESS", "")
+        if env_addr in ("", "local"):
+            kwargs["address"] = "local"
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
 
