@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q.q_pagerank,
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_butterflies": q.q_butterflies,
+        "kg_core_numbers": q.q_core_numbers,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -104,7 +105,9 @@ def oracle_sql() -> dict[str, str]:
     vs their exact anchors), multimodal_features (feature vector from
     binary payloads), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
-    kg_pagerank (float power iteration — np.allclose-verified in tests).
+    kg_pagerank (float power iteration — np.allclose-verified in tests),
+    kg_core_numbers (iterative H-index fixpoint — exact-equal to
+    sequential peeling in tests).
     """
     from tripsu_ray.pipelines import doc_oracle as d, joins, oracle
 

@@ -593,6 +593,70 @@ class TestCoNeighbors:
         )
         pd.testing.assert_frame_equal(got, want)
 
+    @staticmethod
+    def _local_core(pairs) -> dict:
+        """Classic sequential peeling: core[v] = k at removal time."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core = {}
+        k = 0
+        while deg:
+            v = min(deg, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            core[v] = k
+            for u in adj[v]:
+                if u in deg:
+                    deg[u] -= 1
+            adj_v = adj.pop(v)
+            for u in adj_v:
+                adj[u].discard(v)
+            del deg[v]
+        return core
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_core_numbers_match_peeling(self, seed):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "a": [f"n{i}" for i in rng.integers(0, 60, 300)],
+                "b": [f"n{i}" for i in rng.integers(0, 60, 300)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        from tripsu_ray.stages.graph import core_numbers
+
+        got = core_numbers(_ds(df, blocks=4))
+        want_map = self._local_core(list(zip(df["a"], df["b"])))
+        want = (
+            pd.DataFrame(
+                {"node": list(want_map), "core": [want_map[x] for x in want_map]}
+            )
+            .sort_values("node", ignore_index=True)
+            .astype({"core": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_core_numbers_known_graph(self):
+        # triangle (core 2) + pendant chain (core 1)
+        df = pd.DataFrame(
+            {
+                "a": ["x", "y", "z", "x", "p"],
+                "b": ["y", "z", "x", "p", "q"],
+            }
+        )
+        from tripsu_ray.stages.graph import core_numbers
+
+        got = core_numbers(_ds(df, blocks=2))
+        want = pd.DataFrame(
+            {"node": ["p", "q", "x", "y", "z"], "core": [1, 1, 2, 2, 2]}
+        ).astype({"core": "int64"})
+        pd.testing.assert_frame_equal(got, want)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCurate:

@@ -140,6 +140,16 @@ def q_butterflies(sf_dir: str):
     return butterfly_counts(entity_edges(_extracted(sf_dir)))
 
 
+def q_core_numbers(sf_dir: str):
+    """Exact coreness of every entity-graph node via the iterated-H-index
+    fixpoint (stages/graph.py::core_numbers — one adjacency shuffle, then
+    map-only rounds). Rows-only driver check (iterative fixpoint has no
+    SQL rendering); tests assert exact equality vs sequential peeling."""
+    from ..stages.graph import core_numbers, entity_edges
+
+    return core_numbers(entity_edges(_extracted(sf_dir)))
+
+
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
     """Top-k PageRank entities of the KG (distributed power iteration —
     stages/graph.py). Rows-only driver check (float ranks don't

@@ -337,6 +337,119 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32):
     return partials.groupby("node").aggregate(Sum("n_butterflies", alias_name="n_butterflies"))
 
 
+def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
+    """Exact k-core numbers (coreness) of the undirected simple graph
+    under an edge Dataset (a, b) — iterated-H-index fixpoint
+    (Lü/Zhou/Zhang/Stanley 2016: init est = degree; repeatedly replace
+    each node's estimate with the H-index of its neighbors' estimates;
+    the fixpoint IS the coreness), the shuffle-frugal alternative to
+    distributed peeling (whose round count equals the peel depth).
+
+    ONE exchange total: symmetrized edges hash-partition on the source
+    so per-source dedup (distinct neighbors) is exact, and each source's
+    neighbor list packs into a single adjacency row of int codes
+    (global node dictionary, sorted + broadcast once — the same
+    node-size-class driver state as :func:`pagerank`). Every H-index
+    round is then a pure ``map_batches`` over adjacency rows with the
+    current estimate vector broadcast via ``ray.put``; per-batch new
+    estimates fold to the driver (node-size class, like the PageRank
+    rank vector). Rounds stop at the fixpoint (no estimate changed),
+    bounded by ``max_rounds``.
+
+    The per-batch H-index is computed for ALL lists at once with offset
+    arithmetic (segment-wise descending sort + prefix indicator), no
+    Python loop over nodes. Returns (node, core) sorted by node;
+    singletons/self-loop-only nodes never enter (no neighbors).
+    """
+    import ray
+
+    P = _HASH_PARTS
+
+    def empty_out():
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "core": pd.Series([], dtype="int64")}
+        )
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
+    names = np.array(
+        sorted(set(edges.unique("a")) | set(edges.unique("b"))), dtype=object
+    )
+    names_ref = ray.put(names)
+
+    def sym_coded(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        df = df[df["a"] != df["b"]]
+        nm = ray.get(_names)
+        u = np.searchsorted(nm, df["a"].to_numpy(dtype=object))
+        v = np.searchsorted(nm, df["b"].to_numpy(dtype=object))
+        src = np.concatenate([u, v]).astype(np.int64)
+        dst = np.concatenate([v, u]).astype(np.int64)
+        return pd.DataFrame({"src": src, "dst": dst, "_part": src % P})
+
+    def adj_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"),
+                 "neighbors": pd.Series([], dtype=object)}
+            )
+        pairs = np.unique((g["src"].to_numpy() << 32) | g["dst"].to_numpy())
+        src = (pairs >> 32).astype(np.int64)
+        dst = (pairs & 0xFFFFFFFF).astype(np.int64)
+        bounds = np.flatnonzero(np.diff(src)) + 1
+        return pd.DataFrame(
+            {"src": src[np.concatenate([[0], bounds])],
+             "neighbors": [a for a in np.split(dst, bounds)]}
+        )
+
+    adj = (
+        edges.map_batches(sym_coded, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(adj_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    est = np.zeros(len(names), dtype=np.int64)
+    deg_parts = adj.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"], "e": [len(a) for a in df["neighbors"]]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    est[deg_parts["src"].to_numpy()] = deg_parts["e"].to_numpy()
+
+    for _ in range(max_rounds):
+        est_ref = ray.put(est)
+
+        def hstep(df: pd.DataFrame, _e=est_ref) -> pd.DataFrame:
+            e = ray.get(_e)
+            lens = np.array([len(a) for a in df["neighbors"]], dtype=np.int64)
+            flat = np.concatenate(list(df["neighbors"])) if len(df) else np.array([], np.int64)
+            vals = e[flat]
+            lid = np.repeat(np.arange(len(df)), lens)
+            # segment-wise descending value sort, then H = #{i : val_i >= rank_i}
+            order = np.lexsort((-vals, lid))  # primary: list id, secondary: val desc
+            vs = vals[order]
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rank = np.arange(len(vs)) - np.repeat(starts, lens) + 1
+            h = np.bincount(lid, weights=(vs >= rank), minlength=len(df))
+            return pd.DataFrame({"src": df["src"].to_numpy(), "e": h.astype(np.int64)})
+
+        folded = adj.map_batches(hstep, batch_format="pandas").to_pandas()
+        new = est.copy()
+        new[folded["src"].to_numpy()] = folded["e"].to_numpy()
+        if np.array_equal(new, est):
+            break
+        est = new
+
+    hit = np.nonzero(est)[0]
+    return pd.DataFrame(
+        {"node": pd.Series(names.take(hit), dtype=object),
+         "core": est[hit].astype("int64")}
+    ).sort_values("node", ignore_index=True)
+
+
 def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
