@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_spans": docops.q_text_dup_spans,
         "text_pii": docops.q_text_pii,
         "text_vocab": docops.q_text_vocab,
+        "text_top_terms": docops.q_text_top_terms,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_spans": d.sql_text_dup_spans(),
         "text_pii": d.sql_text_pii(),
         "text_vocab": d.sql_text_vocab(),
+        "text_top_terms": d.sql_text_top_terms(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "text_shard_pack": d.sql_text_shard_pack(),

@@ -798,3 +798,38 @@ def test_sim_threshold_lsh_precision_and_recall():
     # simq values agree with the exact join on the common pairs
     em = {(r.a, r.b): r.simq for r in exact.itertuples()}
     assert all(em[(r.a, r.b)] == r.simq for r in lsh.itertuples())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_top_terms_matches_pandas():
+    """Per-doc (tf desc, df asc, token asc) top-k vs a single-process
+    pandas reference — exact, including the deterministic tie order."""
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = (
+        T.text_top_terms(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        for tok in pat.findall(t.lower()):
+            rows.append((d, tok))
+    all_toks = pd.DataFrame(rows, columns=["doc_id", "token"])
+    tf = all_toks.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+    df = all_toks.drop_duplicates().groupby("token").size()
+    tf["df"] = tf["token"].map(df)
+    tf = tf.sort_values(
+        ["doc_id", "tf", "df", "token"], ascending=[True, False, True, True]
+    )
+    tf["rank"] = tf.groupby("doc_id").cumcount() + 1
+    want = (
+        tf[tf["rank"] <= T.TOP_TERMS_K][["doc_id", "rank", "token", "tf", "df"]]
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -139,6 +139,31 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
 """.strip()
 
 
+def sql_text_top_terms() -> str:
+    from ..stages.text import TOP_TERMS_K
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    row_number() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC
+    ) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {TOP_TERMS_K}
+ORDER BY doc_id, rank
+""".strip()
+
+
 def sql_text_decontaminate() -> str:
     from ..stages.text import BENCH_EVERY, BENCH_LEN, BENCH_MIN_CHARS, BENCH_OFF
 

@@ -526,6 +526,100 @@ def text_vocab(sf_dir: str, *, k: int = VOCAB_TOP_K):
     return out.astype({"n": "int64"})
 
 
+# --- per-document salient terms (tf-desc / df-asc ranking) -------------------
+
+TOP_TERMS_K = 5
+
+
+def df_partial_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch document-frequency partial — a doc counts a token ONCE.
+
+    Exact across batches because a document is one row and lives in
+    exactly one batch; partials sum to the global distinct-doc count.
+    The distinct-(doc, token) projection is offset arithmetic +
+    drop_duplicates, no per-row Python."""
+    toks = batch["text"].str.lower().str.findall(_token_pat)
+    lens = toks.str.len().to_numpy()
+    if not lens.sum():
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64")})
+    flat = np.concatenate(toks.to_numpy())
+    did = np.repeat(np.arange(len(batch)), lens)
+    pair = pd.DataFrame({"d": did, "token": flat}).drop_duplicates()
+    vc = pair["token"].value_counts()
+    return pd.DataFrame(
+        {"token": vc.index.astype(object), "df": vc.to_numpy().astype("int64")}
+    )
+
+
+def text_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K):
+    """Top-k salient terms per document, ranked (tf desc, df asc, token
+    asc) — the integer-exact TF-IDF surrogate: high in-doc frequency,
+    low corpus spread, with a total deterministic order (no float
+    log-weights, so the ranking is bit-reproducible across engines and
+    hash-comparable against the SQL oracle).
+
+    Two passes: (1) document frequencies tree-fold from per-batch
+    distinct-doc partials (the same fold discipline as
+    :func:`text_vocab`; DF map is vocab-size driver state, broadcast
+    once via ``ray.put`` — at an unbounded-vocab scale the map-side
+    lookup becomes a token-hash partition join); (2) a map-only pass
+    re-tokenizes each doc, counts tf, attaches df from the broadcast and
+    keeps the top k by the total order. Docs with zero tokens emit no
+    rows (mirrors the oracle's inner join)."""
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)["df"].sum()
+
+    folded = tree_fold_tables(
+        docs.map_batches(df_partial_batch, batch_format="pandas"), combine
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int64"),
+         "token": pd.Series([], dtype=object),
+         "tf": pd.Series([], dtype="int64"),
+         "df": pd.Series([], dtype="int64")}
+    )
+    if folded is None or not len(folded):
+        return empty
+    df_ref = ray.put(dict(zip(folded["token"], folded["df"].astype(np.int64))))
+
+    def rank_batch(b: pd.DataFrame, _df=df_ref) -> pd.DataFrame:
+        dfm = ray.get(_df)
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        if not lens.sum():
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        did = np.repeat(b["doc_id"].to_numpy(), lens)
+        g = (
+            pd.DataFrame({"doc_id": did, "token": flat})
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["df"] = g["token"].map(dfm).astype("int64")
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True],
+            ignore_index=True,
+        )
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = g[g["rank"] <= k]
+        return out[["doc_id", "rank", "token", "tf", "df"]].astype(
+            {"doc_id": "int64", "tf": "int64"}
+        )
+
+    return docs.map_batches(rank_batch, batch_format="pandas")
+
+
 # --- decontamination (benchmark-overlap check) -------------------------------
 
 BENCH_EVERY = 50     # every 50th doc contributes a benchmark snippet
