@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
+        "kg_bfs": q.q_bfs,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_stratified_sample": docops.q_rel_stratified_sample,
         "rel_shuffle_join": docops.q_rel_shuffle_join,
         "rel_rollup": docops.q_rel_rollup,
+        "rel_pivot": docops.q_rel_pivot,
         "rel_anomalies": docops.q_rel_anomalies,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
@@ -124,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": oracle.sql_components(),
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_butterflies": oracle.sql_butterflies(),
+        "kg_bfs": oracle.sql_bfs(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),
@@ -160,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_stratified_sample": d.sql_rel_stratified_sample(),
         "rel_shuffle_join": d.sql_rel_shuffle_join(),
         "rel_rollup": d.sql_rel_rollup(),
+        "rel_pivot": d.sql_rel_pivot(),
         "rel_anomalies": d.sql_rel_anomalies(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),

@@ -657,6 +657,40 @@ class TestCoNeighbors:
         ).astype({"core": "int64"})
         pd.testing.assert_frame_equal(got, want)
 
+    @pytest.mark.parametrize("seed", [7, 19])
+    def test_bfs_matches_local(self, seed):
+        from collections import deque
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "a": [f"n{i:02d}" for i in rng.integers(0, 50, 120)],
+                "b": [f"n{i:02d}" for i in rng.integers(0, 50, 120)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        from tripsu_ray.stages.graph import bfs_distances
+
+        got = bfs_distances(_ds(df, blocks=4))
+        adj: dict = {}
+        for a, b in zip(df["a"], df["b"]):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        src = min(set(df["a"]) | set(df["b"]))
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for u in sorted(adj.get(v, ())):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        want = (
+            pd.DataFrame({"node": sorted(dist), "dist": [dist[x] for x in sorted(dist)]})
+            .astype({"dist": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCurate:

@@ -579,6 +579,19 @@ FROM surv ORDER BY doc_id
 """.strip()
 
 
+def sql_rel_pivot() -> str:
+    return """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN l_linestatus = 'F'
+       THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS f_cents,
+  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+  CAST(sum(CASE WHEN l_linestatus = 'O'
+       THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS o_cents,
+  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+
+
 def sql_rel_rollup() -> str:
     return """
 SELECT coalesce(l_returnflag, '') AS l_returnflag,

@@ -666,6 +666,55 @@ def q_rel_rollup(sf_dir: str):
     ).astype({"price_cents": "int64", "n": "int64"})
 
 
+def q_rel_pivot(sf_dir: str):
+    """PIVOT / crosstab: revenue cents and row counts by returnflag
+    (rows) × linestatus (columns, fixed domain {F, O}) — the wide-format
+    report shape. One partial-aggregation pass (same fold discipline as
+    q_rel_rollup); the long→wide reshape happens on the ≤|domain|² fold
+    result, never on the raw stream. Fixed column domain keeps the output
+    schema static — a dynamic-domain pivot would need a domain-census
+    pass first (the distinct-segments query is that primitive).
+    """
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(cents=(b["l_extendedprice"] * 100).round().astype("int64"), n=1)
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(cents=("cents", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        )[["cents", "n"]].sum()
+
+    fine = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    flags = sorted(fine["l_returnflag"].unique()) if fine is not None else []
+    rows = []
+    for f in flags:
+        sub = fine[fine["l_returnflag"] == f].set_index("l_linestatus")
+        rows.append(
+            {
+                "l_returnflag": f,
+                "f_cents": int(sub["cents"].get("F", 0)),
+                "f_n": int(sub["n"].get("F", 0)),
+                "o_cents": int(sub["cents"].get("O", 0)),
+                "o_n": int(sub["n"].get("O", 0)),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "f_cents", "f_n", "o_cents", "o_n"]
+    ).astype({c: "int64" for c in ["f_cents", "f_n", "o_cents", "o_n"]})
+
+
 def q_rel_group_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
     """Exact per-user p50/p95 of event value cents.
 

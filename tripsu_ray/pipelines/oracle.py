@@ -282,6 +282,36 @@ FROM per GROUP BY node ORDER BY node"""
     )
 
 
+def sql_bfs() -> str:
+    # Capped recursive-CTE BFS walk: UNION-dedup on (node, dist) pairs;
+    # min(dist) per node = hop distance. The dist < 64 cap bounds the
+    # recursion on cycles (exact while eccentricity < 64 — the Ray side's
+    # level count is the witness). sf-small anchor for the distributed
+    # frontier expansion in stages/graph.py.
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+walk AS (
+  SELECT (SELECT min(x) FROM (SELECT a AS x FROM edges
+                              UNION SELECT b AS x FROM edges)) AS node,
+         0 AS dist
+  UNION
+  SELECT s.b AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.a = w.node WHERE w.dist < 64
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node"""
+    )
+
+
 def sql_components() -> str:
     # Reachability-closure connected components (UNION-dedup recursive CTE):
     # exact but O(sum comp_size^2) rows — the sf0.01 oracle anchor for the

@@ -150,6 +150,16 @@ def q_core_numbers(sf_dir: str):
     return core_numbers(entity_edges(_extracted(sf_dir)))
 
 
+def q_bfs(sf_dir: str):
+    """Hop distances from the lexicographically smallest entity node
+    (level-synchronous frontier BFS — stages/graph.py::bfs_distances).
+    Oracle: capped recursive-CTE walk with min(dist) (exact while true
+    eccentricity < the cap, asserted by the Ray side's round count)."""
+    from ..stages.graph import bfs_distances, entity_edges
+
+    return bfs_distances(entity_edges(_extracted(sf_dir)))
+
+
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
     """Top-k PageRank entities of the KG (distributed power iteration —
     stages/graph.py). Rows-only driver check (float ranks don't

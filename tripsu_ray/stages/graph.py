@@ -450,6 +450,75 @@ def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
     ).sort_values("node", ignore_index=True)
 
 
+def bfs_distances(edges_ds, *, source: str | None = None, max_rounds: int = 64) -> pd.DataFrame:
+    """Exact single-source hop distances over the UNDIRECTED graph of an
+    edge Dataset (a, b) — level-synchronous frontier expansion.
+
+    Per round the current frontier (a set, broadcast via ``ray.put``)
+    probes the symmetrized edge stream in one map pass; per-batch
+    partials are the DISTINCT neighbors touched, and a tree fold dedups
+    them before the driver assigns ``dist = round`` to the unseen ones.
+    Driver state = the distance map (node-size class — the same budget
+    as :func:`pagerank`'s rank vector; outgrowing it means switching to
+    co-partitioned relational rounds à la :func:`pagerank_join`). Round
+    count = graph eccentricity of the source, the irreducible depth of
+    BFS. Default source = the lexicographically smallest node, so the
+    result is fully deterministic with no parameter.
+
+    Returns (node, dist) for REACHED nodes only, sorted by node.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype="int64")})
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a"] != df["b"]]
+        return pd.DataFrame(
+            {"a": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object),
+             "b": pd.concat([df["b"], df["a"]], ignore_index=True).astype(object)}
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pandas").materialize()
+    if source is None:
+        source = min(min(edges.unique("a")), min(edges.unique("b")))
+
+    dist: dict = {source: 0}
+    frontier = {source}
+
+    def combine(frames):
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    for r in range(1, max_rounds + 1):
+        f_ref = ray.put(frozenset(frontier))
+
+        def probe(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            f = ray.get(_f)
+            hit = df[df["a"].isin(f)]
+            return pd.DataFrame({"b": hit["b"].drop_duplicates().astype(object)})
+
+        folded = tree_fold_tables(
+            sedges.map_batches(probe, batch_format="pandas"), combine
+        )
+        if folded is None or not len(folded):
+            break
+        frontier = {x for x in folded["b"] if x not in dist}
+        if not frontier:
+            break
+        for x in frontier:
+            dist[x] = r
+
+    nodes = sorted(dist)
+    return pd.DataFrame(
+        {"node": pd.Series(nodes, dtype=object),
+         "dist": pd.Series([dist[x] for x in nodes], dtype="int64")}
+    )
+
+
 def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
