@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pseudo": q.q_pseudo,
         "kg_link_map": q.q_link_map,
         "kg_pipeline": q.q_pipeline,
+        "kg_incremental": q.q_incremental,
         "kg_degrees": q.q_degrees,
         "kg_pred_census": q.q_pred_census,
         "kg_components": q.q_components,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pseudo": oracle.sql_pseudo(),
         "kg_link_map": oracle.sql_link_map(),
         "kg_pipeline": oracle.sql_pipeline(),
+        "kg_incremental": oracle.sql_pipeline(),
         "kg_degrees": oracle.sql_degrees(),
         "kg_pred_census": oracle.sql_pred_census(),
         "kg_components": oracle.sql_components(),

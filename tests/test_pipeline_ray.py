@@ -365,3 +365,92 @@ def test_stage_log_records_barriers(tmp_path):
     # live emission: one parseable JSON line per record, same content
     lines = [json.loads(l) for l in stream.getvalue().splitlines()]
     assert lines == log.records
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncremental:
+    """incremental_update ≡ full recompute, including the two paths where a
+    base triple's rendering actually changes (new type pair; changed
+    canonical)."""
+
+    @staticmethod
+    def _src(df):
+        import ray.data
+
+        from tripsu_ray.schema import SOURCE_FILES
+
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, schema=SOURCE_FILES, preserve_index=False)
+        )
+
+    @staticmethod
+    def _sorted(ds):
+        df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        return df.sort_values(
+            ["subject", "predicate", "object_value", "object_kind"],
+            ignore_index=True,
+        )
+
+    def test_handcrafted_canonical_change(self):
+        import pandas as pd
+
+        from tripsu_ray.pipelines.kg import incremental_update
+
+        base = pd.DataFrame(
+            {
+                "repo": ["org/r1", "org/r1", "org/r2"],
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c1", "c2", "c3"],
+                "lang": ["py", "py", "py"],
+                "content": [
+                    "# Author: Ann\nimport zebra_mod\ndef f():\n    pass\n",
+                    "import zebra_mod\nimport other_mod\n",
+                    "# License: MIT\nclass C:\n    pass\n",
+                ],
+            }
+        )
+        delta = pd.DataFrame(
+            {
+                "repo": ["org/r1", "org/r3"],
+                "path": ["d.py", "e.py"],
+                "commit": ["c4", "c5"],
+                "lang": ["py", "py"],
+                "content": [
+                    # adds call/zebra_mod: "call/" < "mod/" so the canonical
+                    # for key zebra_mod CHANGES — base a.py/b.py import
+                    # triples must re-render to the new canonical
+                    "def g():\n    zebra_mod.run()\n",
+                    # brand-new repo: new Repository type pair (of_type path)
+                    "# Author: Bob\nimport zzz\n",
+                ],
+            }
+        )
+        inc = self._sorted(
+            incremental_update(self._src(base), self._src(delta), salt=DEFAULT_SALT)
+        )
+        full = self._sorted(
+            kg_pipeline(
+                "", source_ds=self._src(pd.concat([base, delta], ignore_index=True)),
+                salt=DEFAULT_SALT, sort=False,
+            )
+        )
+        import pandas as pd2
+
+        pd2.testing.assert_frame_equal(inc, full)
+        # the canonical-change path genuinely fired: the old canonical
+        # mod/zebra_mod is gone, the new one is referenced by base files
+        objs = set(full["object_value"])
+        assert "http://kg.example/call/zebra_mod" in objs
+        assert "http://kg.example/mod/zebra_mod" not in objs
+
+    @pytest.mark.parametrize("delta_mod", [2, 5])
+    def test_corpus_split_equals_full(self, delta_mod):
+        from tripsu_ray.pipelines.kg import kg_pipeline_incremental
+
+        inc = self._sorted(
+            kg_pipeline_incremental(SF, salt=DEFAULT_SALT, delta_mod=delta_mod)
+        )
+        full = self._sorted(kg_pipeline(SF, salt=DEFAULT_SALT, sort=False))
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(inc, full)

@@ -64,8 +64,15 @@ def kg_pipeline(
     checkpoint_dir: str | None = None,
     batch_size=None,
     stage_log=None,
+    source_ds=None,
 ):
     """Run extract → index → pseudo → link → materialize; returns the final Dataset.
+
+    ``source_ds`` overrides the corpus: any Dataset of SOURCE_FILES shape
+    (a user's own ``read_parquet`` of a real corpus) instead of the
+    ``sf_dir`` synth reader. Checkpoint lineage keys on ``sf_dir``, which
+    an in-memory Dataset doesn't have — combine ``source_ds`` with
+    ``checkpoint_dir`` only when ``sf_dir`` still identifies the input.
 
     With ``checkpoint_dir``, the triple stream is pinned to Parquet after
     extraction and after pseudonymization (per-partition files → resumable;
@@ -107,7 +114,9 @@ def kg_pipeline(
     params = {"sf_dir": sf_dir, "rules": rules_cfg, "salt_fp": salt_fp, "algorithm": algorithm}
 
     def raw_triples():
-        return extract_triples(read_source_files(sf_dir))
+        return extract_triples(
+            source_ds if source_ds is not None else read_source_files(sf_dir)
+        )
 
     if ckpt:
         triples_ds = ckpt.dataset_stage("triples", raw_triples, extract_params)
@@ -182,3 +191,251 @@ def kg_pipeline(
     if ckpt:
         ckpt.finish(sf_dir=sf_dir, output=output_path)
     return result
+
+
+def _split_source(src, delta_mod: int, take_delta: bool):
+    """Deterministic (repo, path)-hash split of the source corpus:
+    files with ``hash % delta_mod == 0`` form the DELTA (new repos AND new
+    files of existing repos, so delta entities genuinely interact with
+    base types and link keys)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["repo"].to_pandas().astype(object)
+            + "/"
+            + batch["path"].to_pandas().astype(object)
+        )
+        h = pd.util.hash_array(key.to_numpy(dtype=object)) % delta_mod
+        m = (h == 0) if take_delta else (h != 0)
+        return batch.filter(pa.array(m))
+
+    return src.map_batches(f, batch_format="pyarrow")
+
+
+def kg_pipeline_incremental(
+    sf_dir: str,
+    *,
+    rules_cfg: dict | None = None,
+    salt: str | None = None,
+    algorithm: str = "sha256-salted",
+    delta_mod: int = 5,
+    sort: bool = False,
+):
+    """Deterministic-split driver for :func:`incremental_update` over one
+    corpus directory — see that function for the semantics and proof
+    obligations. The driver correctness gate compares this result against
+    the full-corpus kg_pipeline oracle."""
+    return incremental_update(
+        _split_source(read_source_files(sf_dir), delta_mod, False),
+        _split_source(read_source_files(sf_dir), delta_mod, True),
+        rules_cfg=rules_cfg,
+        salt=salt,
+        algorithm=algorithm,
+        sort=sort,
+    )
+
+
+def incremental_update(
+    base_src,
+    delta_src,
+    *,
+    rules_cfg: dict | None = None,
+    salt: str | None = None,
+    algorithm: str = "sha256-salted",
+    sort: bool = False,
+):
+    """Incremental KG update: full pipeline on the BASE split, then an
+    append-only DELTA applied by re-rendering ONLY affected triples —
+    provably equal to a full recompute (the driver checks this result
+    against the very same full-corpus SQL oracle as ``kg_pipeline``).
+
+    Why a triple's rendering can change when files are appended:
+
+    1. an entity gains a rule-relevant type → its of_type node rewrite
+       flips (and, via on_type_predicate, its triples' OBJECT rewrites);
+    2. a link key gains a lexicographically smaller mention → the
+       canonical for that key changes for EVERY member mention.
+
+    Nothing else can change (on_predicate depends only on the static
+    predicate; the secret is fixed), PROVIDED pseudo and link touch
+    disjoint IRI sets — the same optimistic condition the main pipeline
+    verifies with its static node check + data-side risk counter. When
+    the condition fails this raises and the caller falls back to a full
+    recompute (correct by construction, never silently wrong).
+
+    The affected set is therefore: every IRI appearing in the delta
+    (covers 1 — new pairs only come from delta subjects) plus every
+    mention whose link KEY's canonical changed (covers 2; detected by
+    MIN-merging the associative per-split link maps and diffing — the
+    key map is already driver-size state). Base-OUTPUT rows to drop are
+    found by rendering the affected entities through the REAL base
+    engine (a dummy batch through pseudonymize_batch + CanonicalizeActor
+    — no duplicated rendering logic) and probing rendered
+    subject/object values plus mention keys; base RAW rows to re-render
+    are found by the same probe on raw values. Work ∝ |delta| + |triples
+    touching affected entities|, never ∝ |base|; the only full-base
+    passes are two embarrassingly-parallel filters.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.crypto import new_pseudonymizer, resolve_secret
+    from ..functions.engine import node_rewrites_any_prefix, pseudonymize_batch
+    from ..schema import KIND_IRI, KIND_LITERAL, TRIPLES
+    from ..stages.folds import (
+        fold_pass,
+        relevant_types_of,
+        risk_predicates_of,
+        tree_fold_tables,
+    )
+    from ..stages.link import (
+        LINKABLE_PREFIXES,
+        CanonicalizeActor,
+        canonicalize_tasks,
+        mention_keys,
+    )
+    from ..stages.materialize import materialize
+    from ..stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+
+    rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
+    salt = resolve_secret(salt)
+
+    base_triples = extract_triples(base_src).materialize()
+    delta_triples = extract_triples(delta_src).materialize()
+
+    rt = relevant_types_of(rules_cfg)
+    rp = risk_predicates_of(rules_cfg)
+    base_pairs, base_map, _nb, base_risk = fold_pass(
+        base_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
+    )
+    delta_pairs, delta_map, _nd, delta_risk = fold_pass(
+        delta_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
+    )
+
+    base_matcher = compile_matcher(rules_cfg, base_pairs)
+    merged_pairs = pd.concat([base_pairs, delta_pairs], ignore_index=True).drop_duplicates(
+        ignore_index=True
+    )
+    merged_matcher = compile_matcher(rules_cfg, merged_pairs)
+    if (
+        base_risk
+        or delta_risk
+        or node_rewrites_any_prefix(base_matcher, LINKABLE_PREFIXES)
+        or node_rewrites_any_prefix(merged_matcher, LINKABLE_PREFIXES)
+    ):
+        raise NotImplementedError(
+            "incremental update requires pseudo/link independence "
+            "(the optimistic condition); fall back to kg_pipeline"
+        )
+
+    # associative MIN-merge of the two link maps; diff = changed keys
+    merged_map = dict(base_map)
+    for k, c in delta_map.items():
+        b = merged_map.get(k)
+        merged_map[k] = c if b is None or c < b else b
+    k_changed = frozenset(k for k, c in base_map.items() if merged_map[k] != c)
+
+    # the base run (what a prior job would have produced and persisted)
+    base_out = materialize(
+        canonicalize_tasks(
+            pseudonymize_tasks(
+                base_triples, broadcast_matcher(base_matcher),
+                algorithm=algorithm, secret=salt,
+            ),
+            ray.put(base_map),
+        ),
+        None, sort=False, layout="bucketed",
+    ).materialize()
+
+    # ---- affected entities: every IRI the delta mentions -------------------
+    def iri_partial(b: pa.Table) -> pd.DataFrame:
+        s = b["subject"].combine_chunks().filter(
+            pc.equal(b["subject_kind"].combine_chunks(), KIND_IRI)
+        )
+        o = b["object_value"].combine_chunks().filter(
+            pc.equal(b["object_kind"].combine_chunks(), KIND_IRI)
+        )
+        u = pc.unique(pa.concat_arrays([pc.unique(s), pc.unique(o)]))
+        return pd.DataFrame(
+            {"iri": pd.Series(u.to_numpy(zero_copy_only=False), dtype=object)}
+        )
+
+    ents = tree_fold_tables(
+        delta_triples.map_batches(iri_partial, batch_format="pyarrow"),
+        lambda fs: pd.concat(fs, ignore_index=True).drop_duplicates(),
+    )
+    a_ent = (
+        np.array(sorted(ents["iri"]), dtype=object)
+        if ents is not None and len(ents)
+        else np.array([], dtype=object)
+    )
+
+    # ---- their BASE renderings, via the real engine on a dummy batch -------
+    f_ent = set(a_ent)
+    if len(a_ent):
+        n = len(a_ent)
+        dummy = pa.table(
+            {
+                "subject": pa.array(a_ent, pa.string()),
+                "subject_kind": pa.array(np.full(n, KIND_IRI, np.int8)),
+                "predicate": pa.array([f"{NS}__probe__"] * n, pa.string()),
+                "object_value": pa.array([""] * n, pa.string()),
+                "object_kind": pa.array(np.full(n, KIND_LITERAL, np.int8)),
+                "object_lang": pa.array([None] * n, pa.string()),
+                "object_datatype": pa.array([None] * n, pa.string()),
+            },
+            schema=TRIPLES,
+        )
+        rendered = CanonicalizeActor(base_map)(
+            pseudonymize_batch(dummy, base_matcher, new_pseudonymizer(algorithm, salt))
+        )
+        f_ent |= set(rendered["subject"].to_pylist())
+
+    f_ref = ray.put(frozenset(f_ent))
+    k_ref = ray.put(k_changed)
+
+    def _touch_mask(batch: pa.Table, values: frozenset, keys: frozenset) -> np.ndarray:
+        """Affected probe, applied identically to raw and rendered rows.
+
+        LINKABLE IRIs are probed by mention KEY against the
+        changed-canonical set only: under the optimistic guard they are
+        never pseudonymized, so their rendering changes iff their key's
+        canonical changed — and the key is the probe stable across raw
+        mention / canonical forms (a value probe would be asymmetric:
+        the rendered form is the canonical, the raw form any member).
+        NON-linkable values are probed by value against F (raw ∪
+        base-rendered forms of the delta-touched entities)."""
+        s = pd.Series(batch["subject"].to_numpy(zero_copy_only=False), dtype=object)
+        o = pd.Series(batch["object_value"].to_numpy(zero_copy_only=False), dtype=object)
+        o_iri = batch["object_kind"].to_numpy(zero_copy_only=False) == KIND_IRI
+        sk = mention_keys(s)
+        ok = mention_keys(o.where(pd.Series(o_iri)))
+        hit = (s.isin(values) & sk.isna()).to_numpy()
+        hit |= (o.isin(values) & ok.isna()).to_numpy() & o_iri
+        if keys:
+            hit |= sk.isin(keys).to_numpy()
+            hit |= ok.isin(keys).to_numpy()
+        return hit
+
+    def drop_affected(batch: pa.Table, _f=f_ref, _k=k_ref) -> pa.Table:
+        return batch.filter(pa.array(~_touch_mask(batch, ray.get(_f), ray.get(_k))))
+
+    def keep_affected(batch: pa.Table, _f=f_ref, _k=k_ref) -> pa.Table:
+        return batch.filter(pa.array(_touch_mask(batch, ray.get(_f), ray.get(_k))))
+
+    kept = base_out.map_batches(drop_affected, batch_format="pyarrow")
+    redo_raw = base_triples.map_batches(keep_affected, batch_format="pyarrow").union(
+        delta_triples
+    )
+    redo_out = canonicalize_tasks(
+        pseudonymize_tasks(
+            redo_raw, broadcast_matcher(merged_matcher), algorithm=algorithm, secret=salt
+        ),
+        ray.put(merged_map),
+    )
+    return materialize(kept.union(redo_out), None, sort=sort, layout="bucketed")

@@ -96,6 +96,18 @@ def q_pipeline(sf_dir: str):
     return _labeled_view(kg_pipeline(sf_dir, sort=False, salt=DEFAULT_SALT))
 
 
+def q_incremental(sf_dir: str):
+    """Incremental KG update (base split + append-only delta, affected-only
+    re-rendering — pipelines/kg.py::kg_pipeline_incremental). The oracle is
+    the SAME full-corpus SQL as kg_pipeline: a hash-match PROVES the
+    incremental plan equals a full recompute."""
+    from .kg import kg_pipeline_incremental
+
+    return _labeled_view(
+        kg_pipeline_incremental(sf_dir, salt=DEFAULT_SALT, sort=False)
+    )
+
+
 def q_degrees(sf_dir: str):
     """Per-subject out-degree / distinct-predicate census over the distinct
     extracted triples (one subject-hash shuffle — stages/graph.py)."""
