@@ -302,11 +302,29 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32):
         right = asrt[gstarts[gid] + p % width]
         keep = left < right  # each unordered pair once per shared target
         pair = (left[keep] << 32) | right[keep]
-        return pd.DataFrame({"pair": pair, "_part2": pd.util.hash_array(pair) % P})
+        # partition-local combine: a pair sharing several targets of this
+        # partition travels as ONE (pair, count) row — the stage-2 exchange
+        # moves distinct-pairs-per-partition, not raw wedge volume
+        pair, c = np.unique(pair, return_counts=True)
+        return pd.DataFrame(
+            {"pair": pair, "c": c.astype(np.int64),
+             "_part2": pd.util.hash_array(pair) % P}
+        )
 
     def codeg_part(g: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
         names = ray.get(_names)
-        pair, c = np.unique(g["pair"].to_numpy(), return_counts=True)
+        pair_all = g["pair"].to_numpy()
+        if not len(pair_all):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "n_butterflies": pd.Series([], dtype="int64")}
+            )
+        order = np.argsort(pair_all, kind="stable")
+        p_sorted = pair_all[order]
+        c_sorted = g["c"].to_numpy()[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(p_sorted)) + 1])
+        pair = p_sorted[starts]
+        c = np.add.reduceat(c_sorted, starts)
         hit = c >= 2
         if not hit.any():
             return pd.DataFrame(
