@@ -224,12 +224,58 @@ def kg_pipeline_incremental(
     sort: bool = False,
 ):
     """Deterministic-split driver for :func:`incremental_update` over one
-    corpus directory — see that function for the semantics and proof
-    obligations. The driver correctness gate compares this result against
-    the full-corpus kg_pipeline oracle."""
-    return incremental_update(
-        _split_source(read_source_files(sf_dir), delta_mod, False),
-        _split_source(read_source_files(sf_dir), delta_mod, True),
+    corpus directory — see :func:`_incremental_from_triples` for the
+    semantics and proof obligations. The driver correctness gate compares
+    this result against the full-corpus kg_pipeline oracle.
+
+    The corpus is read and regex-extracted ONCE: a tagged extract pass
+    emits each file's triples with a ``_delta`` split flag, and the two
+    sides are cheap column filters over that one materialized stream
+    (reading + extracting twice was pure wasted I/O)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..schema import TRIPLES
+    from ..stages.extract import extract_batch
+
+    tagged_schema = TRIPLES.append(pa.field("_delta", pa.int8()))
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["repo"].to_pandas().astype(object)
+            + "/"
+            + batch["path"].to_pandas().astype(object)
+        )
+        m = (pd.util.hash_array(key.to_numpy(dtype=object)) % delta_mod) == 0
+        parts = []
+        for flag, mask in ((0, ~m), (1, m)):
+            sub = batch.filter(pa.array(mask))
+            if sub.num_rows:
+                t = extract_batch(sub)
+                parts.append(
+                    t.append_column(
+                        "_delta", pa.array(np.full(t.num_rows, flag, np.int8))
+                    )
+                )
+        return pa.concat_tables(parts) if parts else tagged_schema.empty_table()
+
+    all_t = (
+        read_source_files(sf_dir)
+        .map_batches(tagged, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def side(flag: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["_delta"], flag)).drop_columns(["_delta"])
+
+        return all_t.map_batches(f, batch_format="pyarrow")
+
+    return _incremental_from_triples(
+        side(0),
+        side(1),
         rules_cfg=rules_cfg,
         salt=salt,
         algorithm=algorithm,
@@ -240,6 +286,27 @@ def kg_pipeline_incremental(
 def incremental_update(
     base_src,
     delta_src,
+    *,
+    rules_cfg: dict | None = None,
+    salt: str | None = None,
+    algorithm: str = "sha256-salted",
+    sort: bool = False,
+):
+    """Incremental update from two SOURCE_FILES-shaped Datasets (a user's
+    own base/delta corpus reads) — see :func:`_incremental_from_triples`."""
+    return _incremental_from_triples(
+        extract_triples(base_src),
+        extract_triples(delta_src),
+        rules_cfg=rules_cfg,
+        salt=salt,
+        algorithm=algorithm,
+        sort=sort,
+    )
+
+
+def _incremental_from_triples(
+    base_triples_ds,
+    delta_triples_ds,
     *,
     rules_cfg: dict | None = None,
     salt: str | None = None,
@@ -305,8 +372,8 @@ def incremental_update(
     rules_cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
     salt = resolve_secret(salt)
 
-    base_triples = extract_triples(base_src).materialize()
-    delta_triples = extract_triples(delta_src).materialize()
+    base_triples = base_triples_ds.materialize()
+    delta_triples = delta_triples_ds.materialize()
 
     rt = relevant_types_of(rules_cfg)
     rp = risk_predicates_of(rules_cfg)
@@ -353,12 +420,24 @@ def incremental_update(
     ).materialize()
 
     # ---- affected entities: every IRI the delta mentions -------------------
+    # rdf:type OBJECTS (class IRIs) are excluded: a class IRI in a delta
+    # type triple does NOT make every base instance of that class affected
+    # (the instance's sensitivity changes via its OWN new pair — the
+    # delta SUBJECT probe — and the class IRI's own rendering can only
+    # change via a delta triple with the class as subject, also covered).
+    # Without this, any delta marks ~every base type triple affected and
+    # the work ∝ delta bound collapses.
+    from ..schema import RDF_TYPE as _RDF_TYPE
+
     def iri_partial(b: pa.Table) -> pd.DataFrame:
         s = b["subject"].combine_chunks().filter(
             pc.equal(b["subject_kind"].combine_chunks(), KIND_IRI)
         )
         o = b["object_value"].combine_chunks().filter(
-            pc.equal(b["object_kind"].combine_chunks(), KIND_IRI)
+            pc.and_(
+                pc.equal(b["object_kind"].combine_chunks(), KIND_IRI),
+                pc.not_equal(b["predicate"].combine_chunks(), _RDF_TYPE),
+            )
         )
         u = pc.unique(pa.concat_arrays([pc.unique(s), pc.unique(o)]))
         return pd.DataFrame(

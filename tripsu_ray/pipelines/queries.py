@@ -165,8 +165,9 @@ def q_core_numbers(sf_dir: str):
 def q_bfs(sf_dir: str):
     """Hop distances from the lexicographically smallest entity node
     (level-synchronous frontier BFS — stages/graph.py::bfs_distances).
-    Oracle: capped recursive-CTE walk with min(dist) (exact while true
-    eccentricity < the cap, asserted by the Ray side's round count)."""
+    Oracle: capped recursive-CTE walk with min(dist) — exact while true
+    eccentricity < the cap; the Ray side RAISES if its frontier outlives
+    the cap, so a silent capped-but-agreeing hash-match cannot happen."""
     from ..stages.graph import bfs_distances, entity_edges
 
     return bfs_distances(entity_edges(_extracted(sf_dir)))

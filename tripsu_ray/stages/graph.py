@@ -280,6 +280,7 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32):
         """All u<v source pairs per target group — packed, NOT deduped."""
         empty = pd.DataFrame(
             {"pair": pd.Series([], dtype="int64"),
+             "c": pd.Series([], dtype="int64"),
              "_part2": pd.Series([], dtype="int64")}
         )
         if not len(g):
@@ -441,9 +442,14 @@ def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
         est_ref = ray.put(est)
 
         def hstep(df: pd.DataFrame, _e=est_ref) -> pd.DataFrame:
+            if not len(df):  # Ray 2.49 may invoke batch UDFs on empty blocks
+                return pd.DataFrame(
+                    {"src": pd.Series([], dtype="int64"),
+                     "e": pd.Series([], dtype="int64")}
+                )
             e = ray.get(_e)
             lens = np.array([len(a) for a in df["neighbors"]], dtype=np.int64)
-            flat = np.concatenate(list(df["neighbors"])) if len(df) else np.array([], np.int64)
+            flat = np.concatenate(list(df["neighbors"]))
             vals = e[flat]
             lid = np.repeat(np.arange(len(df)), lens)
             # segment-wise descending value sort, then H = #{i : val_i >= rank_i}
@@ -460,6 +466,14 @@ def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
         if np.array_equal(new, est):
             break
         est = new
+    else:
+        # over-estimates are silent wrong answers (the driver check is
+        # rows-only) — refuse to return a non-fixpoint
+        raise RuntimeError(
+            f"core_numbers did not reach the H-index fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds (convergence needs "
+            f"O(peel-depth) rounds, e.g. ~n/2 for an n-path)"
+        )
 
     hit = np.nonzero(est)[0]
     return pd.DataFrame(
@@ -529,6 +543,14 @@ def bfs_distances(edges_ds, *, source: str | None = None, max_rounds: int = 64) 
             break
         for x in frontier:
             dist[x] = r
+    else:
+        # the frontier was still growing at the cap: distances beyond it
+        # would be silently reported as unreachable (and the capped SQL
+        # oracle would agree) — refuse instead of being quietly wrong
+        raise RuntimeError(
+            f"bfs_distances frontier still active after {max_rounds} "
+            f"rounds; source eccentricity exceeds the cap — raise max_rounds"
+        )
 
     nodes = sorted(dist)
     return pd.DataFrame(
