@@ -899,3 +899,73 @@ class TestGraphReviewFixes:
         )
         got = graph.entity_edges(_ds(df, blocks=1)).to_pandas()
         assert got.to_records(index=False).tolist() == [("http://x/a", "http://x/o")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewPolicies:
+    def _bipartite(self, seed=41, hub=True):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 30, 150)],
+                "b": [f"m{i}" for i in rng.integers(0, 8, 150)],
+            }
+        )
+        if hub:  # one target shared by (almost) everyone
+            df = pd.concat(
+                [df, pd.DataFrame({"a": [f"f{i}" for i in range(30)], "b": "HUB"})],
+                ignore_index=True,
+            )
+        return df.drop_duplicates(ignore_index=True)
+
+    def test_hub_cap_noop_when_above_max_degree(self):
+        from tripsu_ray.stages.graph import butterfly_counts, co_neighbor_counts
+
+        df = self._bipartite()
+        for fn in (co_neighbor_counts, butterfly_counts):
+            exact = fn(_ds(df, blocks=3), num_partitions=4).to_pandas()
+            capped = fn(_ds(df, blocks=3), num_partitions=4, hub_cap=10_000).to_pandas()
+            pd.testing.assert_frame_equal(
+                exact.sort_values("node", ignore_index=True),
+                capped.sort_values("node", ignore_index=True),
+            )
+
+    def test_hub_cap_drops_hub_groups_exactly(self):
+        from tripsu_ray.stages.graph import co_neighbor_counts
+
+        df = self._bipartite()
+        cap = 20
+        got = (
+            co_neighbor_counts(_ds(df, blocks=3), num_partitions=4, hub_cap=cap)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        # pandas reference with the SAME policy: drop targets above the cap
+        deg = df.groupby("b").size()
+        kept = df[df["b"].map(deg) <= cap]
+        j = kept.merge(kept, on="b")
+        j = j[j["a_x"] != j["a_y"]][["a_x", "a_y"]].drop_duplicates()
+        want = (
+            j.groupby("a_x").size().reset_index(name="n_co_neighbors")
+            .rename(columns={"a_x": "node"})
+            .sort_values("node", ignore_index=True)
+            .astype({"n_co_neighbors": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert deg.max() > cap  # the hub really existed
+
+    def test_pagerank_tol_early_stop_matches_full(self):
+        from tripsu_ray.stages.graph import pagerank
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "a": [f"n{i}" for i in rng.integers(0, 25, 120)],
+                "b": [f"n{i}" for i in rng.integers(0, 25, 120)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        full = pagerank(_ds(df, blocks=3), n_iter=40)
+        early = pagerank(_ds(df, blocks=3), n_iter=40, tol=1e-10)
+        m = full.merge(early, on="node", suffixes=("_f", "_e"))
+        assert len(m) == len(full)
+        assert np.allclose(m["rank_f"], m["rank_e"], atol=1e-8)

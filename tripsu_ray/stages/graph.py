@@ -128,10 +128,18 @@ def entity_edges(triples):
     return _subject_partitioned_distinct(triples, finish)
 
 
-def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
+def co_neighbor_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | None = None):
     """Distinct co-neighbor counts per node: |{c ≠ a : ∃b, a→b ∧ c→b}| —
     the co-citation self-join (files sharing an imported module, papers
     sharing a citation), as a STRING-keyed distributed hash join.
+
+    ``hub_cap`` is the documented skew policy: target groups larger than
+    the cap are EXCLUDED from pair generation (an ultra-hub shared target
+    — half the corpus importing ``core`` — is near-zero co-citation
+    signal while costing quadratic pairs; the degree census is the
+    detector for choosing the cap). ``None`` = exact. Capping is
+    per-GLOBAL-target-group, decidable locally because stage 1
+    co-partitions all of a target's rows.
 
     Two single-int-key exchanges: (1) edges co-partition on the JOIN key
     (the shared target b) — ONE role only, since a self-join's two sides
@@ -189,6 +197,8 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
         ks, asrt = kcode[order], acode[order]
         sizes = np.bincount(ks)  # rows per key group, key codes are dense
         tot = sizes * sizes  # ordered pairs per group (incl. self, removed below)
+        if hub_cap is not None:
+            tot[sizes > hub_cap] = 0  # skew policy: skip ultra-hub targets
         n_out = int(tot.sum())
         if not n_out:
             return empty
@@ -225,7 +235,7 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32):
     return pairs.groupby("_part2").map_groups(count_part, batch_format="pandas")
 
 
-def butterfly_counts(edges_ds, *, num_partitions: int = 32):
+def butterfly_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | None = None):
     """Per-source-node butterfly counts over the bipartite entity graph:
     b(u) = Σ_{v≠u} C(codeg(u, v), 2), where codeg is the number of
     targets two source nodes share. A butterfly (4-cycle / (2,2)-biclique)
@@ -245,10 +255,11 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32):
     exchange (a pair lives in exactly one partition). The final
     small-row groupby just sums per-partition partials per node.
 
-    Hub targets fan out quadratically by the statistic's own semantics
-    (same caveat as co_neighbor_counts) — at real scale a degree-census
-    hub cap belongs in front; here the per-group pair arithmetic is pure
-    index math, no Python loop.
+    Hub targets fan out quadratically by the statistic's own semantics —
+    ``hub_cap`` is the same skew policy as :func:`co_neighbor_counts`:
+    target groups larger than the cap contribute no wedges (``None`` =
+    exact); the per-group pair arithmetic is pure index math, no Python
+    loop.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -291,6 +302,8 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32):
         ks, asrt = kcode[order], acode[order]
         sizes = np.bincount(ks)
         tot = sizes * sizes
+        if hub_cap is not None:
+            tot[sizes > hub_cap] = 0  # skew policy: skip ultra-hub targets
         n_out = int(tot.sum())
         if not n_out:
             return empty
@@ -588,7 +601,9 @@ def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     return labels
 
 
-def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20) -> pd.DataFrame:
+def pagerank(
+    edges_ds, *, damping: float = 0.85, n_iter: int = 20, tol: float | None = None
+) -> pd.DataFrame:
     """PageRank over a directed STRING-keyed edge Dataset (a → b) by
     distributed power iteration.
 
@@ -655,7 +670,16 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20) -> pd.DataFra
         inflow = dict(zip(folded["node"], folded["c"]))
         dangling = sum(r for x, r in ranks.items() if deg_map.get(x, 0) == 0)
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = {x: base + damping * inflow.get(x, 0.0) for x in nodes}
+        new_ranks = {x: base + damping * inflow.get(x, 0.0) for x in nodes}
+        # tolerance-based early stop: max|Δrank| is monotone non-increasing
+        # for power iteration, so stopping at tol costs bounded error and
+        # typically cuts converged graphs from n_iter to ~5 rounds
+        if tol is not None and max(
+            abs(new_ranks[x] - ranks[x]) for x in nodes
+        ) < tol:
+            ranks = new_ranks
+            break
+        ranks = new_ranks
 
     out = pd.DataFrame({"node": nodes, "rank": [ranks[x] for x in nodes]})
     return out.sort_values(["rank", "node"], ascending=[False, True], ignore_index=True)
