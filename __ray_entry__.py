@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shuffle_join": docops.q_rel_shuffle_join,
         "rel_rollup": docops.q_rel_rollup,
         "rel_pivot": docops.q_rel_pivot,
+        "rel_mode": docops.q_rel_mode,
+        "rel_rank_window": docops.q_rel_rank_window,
         "rel_anomalies": docops.q_rel_anomalies,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_shuffle_join": d.sql_rel_shuffle_join(),
         "rel_rollup": d.sql_rel_rollup(),
         "rel_pivot": d.sql_rel_pivot(),
+        "rel_mode": d.sql_rel_mode(),
+        "rel_rank_window": d.sql_rel_rank_window(),
         "rel_anomalies": d.sql_rel_anomalies(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),

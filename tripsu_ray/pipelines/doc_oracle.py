@@ -579,6 +579,40 @@ FROM surv ORDER BY doc_id
 """.strip()
 
 
+def sql_rel_mode() -> str:
+    return """
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority ASC
+  ) AS rn
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+""".strip()
+
+
+def sql_rel_rank_window() -> str:
+    return """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+    row_number() OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY round(o.o_totalprice * 100) DESC, o.o_orderkey ASC
+    ) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, cents
+FROM ranked WHERE rank <= 3 ORDER BY c_mktsegment, rank
+""".strip()
+
+
 def sql_rel_pivot() -> str:
     return """
 SELECT l_returnflag,

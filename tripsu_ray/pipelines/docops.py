@@ -483,6 +483,111 @@ def q_rel_distinct_segments(sf_dir: str):
     return pd.DataFrame({"c_mktsegment": vals})
 
 
+def q_rel_mode(sf_dir: str):
+    """Per-segment modal order priority (ties → lexicographically
+    smallest) — the MODE aggregate via associative (segment, priority)
+    count partials: one small fold (domain ≤ segments × priorities), the
+    argmax happens on the fold result. Joins orders→customer segment via
+    the broadcast-dim pattern of rel_join_revenue."""
+    import ray
+
+    from ..stages.folds import tree_fold_tables
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(b: pd.DataFrame, _s=seg_ref) -> pd.DataFrame:
+        seg = b["o_custkey"].map(ray.get(_s))
+        return (
+            pd.DataFrame({"c_mktsegment": seg, "o_orderpriority": b["o_orderpriority"]})
+            .groupby(["c_mktsegment", "o_orderpriority"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(
+            ["c_mktsegment", "o_orderpriority"], sort=False, as_index=False
+        )["n"].sum()
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series([], dtype=object),
+             "mode_priority": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+    out = (
+        folded.sort_values(
+            ["c_mktsegment", "n", "o_orderpriority"], ascending=[True, False, True]
+        )
+        .groupby("c_mktsegment", as_index=False)
+        .first()
+        .rename(columns={"o_orderpriority": "mode_priority"})
+    )
+    return out[["c_mktsegment", "mode_priority", "n"]].astype({"n": "int64"})
+
+
+def q_rel_rank_window(sf_dir: str, *, top_k: int = 3):
+    """Top-k orders per customer segment by total price with their exact
+    integer rank — the ranking-window operator (row_number over a
+    partition) as ONE segment-hash exchange + per-partition vectorized
+    sort/rank; ties broken by orderkey so the rank is total and
+    hash-comparable. Only k × segments rows leave the shuffle."""
+    import numpy as np
+    import ray
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def tag(b: pd.DataFrame, _s=seg_ref) -> pd.DataFrame:
+        seg = b["o_custkey"].map(ray.get(_s)).astype(object)
+        cents = (b["o_totalprice"] * 100).round().astype("int64")
+        out = pd.DataFrame(
+            {"c_mktsegment": seg, "o_orderkey": b["o_orderkey"], "cents": cents}
+        )
+        # partial top-k per batch: only k rows per (batch, segment) shuffle
+        out = out.sort_values(["c_mktsegment", "cents", "o_orderkey"],
+                              ascending=[True, False, True])
+        out = out.groupby("c_mktsegment").head(top_k)
+        out["_part"] = pd.util.hash_array(out["c_mktsegment"].to_numpy(dtype=object)) % 16
+        return out
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"c_mktsegment": pd.Series([], dtype=object),
+                 "rank": pd.Series([], dtype="int64"),
+                 "o_orderkey": pd.Series([], dtype="int64"),
+                 "cents": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["c_mktsegment", "cents", "o_orderkey"],
+                          ascending=[True, False, True])
+        g["rank"] = (g.groupby("c_mktsegment").cumcount() + 1).astype("int64")
+        g = g[g["rank"] <= top_k]
+        return g[["c_mktsegment", "rank", "o_orderkey", "cents"]].astype(
+            {"o_orderkey": "int64", "cents": "int64"}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(rank_part, batch_format="pandas")
+    )
+
+
 def q_rel_shuffle_join(sf_dir: str, *, num_partitions: int = 32):
     """Revenue per order priority via a BIG-both-sides hash join —
     lineitem ⋈ orders on orderkey where neither side is broadcastable
