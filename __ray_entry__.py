@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": docops.q_text_pii,
         "text_vocab": docops.q_text_vocab,
         "text_top_terms": docops.q_text_top_terms,
+        "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": d.sql_text_pii(),
         "text_vocab": d.sql_text_vocab(),
         "text_top_terms": d.sql_text_top_terms(),
+        "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "text_shard_pack": d.sql_text_shard_pack(),

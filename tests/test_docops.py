@@ -833,3 +833,30 @@ def test_text_top_terms_matches_pandas():
         .astype({"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"})
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_mixture_schedule_matches_pandas():
+    from tripsu_ray.stages import text as T
+
+    got = (
+        T.text_mixture(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    docs = docs.sort_values("doc_id", ignore_index=True)
+    docs["lang_rank"] = docs.groupby("lang").cumcount() + 1
+    docs["vkey"] = docs["lang_rank"] * docs["lang"].map(
+        lambda l: T.MIX_STRIDES.get(l, T._MIX_DEFAULT_STRIDE)
+    )
+    order = docs.sort_values(["vkey", "lang", "doc_id"]).index
+    docs.loc[order, "mix_pos"] = np.arange(1, len(docs) + 1)
+    want = docs.astype(
+        {"lang_rank": "int64", "vkey": "int64", "mix_pos": "int64"}
+    )[["doc_id", "lang", "lang_rank", "vkey", "mix_pos"]]
+    pd.testing.assert_frame_equal(got, want)
+    # weighted fairness: within any virtual-time window the en:es slot
+    # ratio approaches the 4:1 weight ratio
+    head = got.sort_values("mix_pos").head(120)
+    assert (head["lang"] == "en").sum() >= 3 * (head["lang"] == "es").sum()

@@ -164,6 +164,30 @@ ORDER BY doc_id, rank
 """.strip()
 
 
+def sql_text_mixture() -> str:
+    from ..stages.text import _MIX_DEFAULT_STRIDE, MIX_STRIDES
+
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_STRIDES.items())
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lang_rank
+  FROM documents
+),
+v AS (
+  SELECT doc_id, lang, lang_rank,
+    lang_rank * CASE lang {case} ELSE {_MIX_DEFAULT_STRIDE} END AS vkey
+  FROM r
+)
+SELECT doc_id, lang, CAST(lang_rank AS BIGINT) AS lang_rank,
+  CAST(vkey AS BIGINT) AS vkey,
+  CAST(row_number() OVER (ORDER BY vkey, lang, doc_id) AS BIGINT) AS mix_pos
+FROM v ORDER BY doc_id
+""".strip()
+
+
 def sql_text_decontaminate() -> str:
     from ..stages.text import BENCH_EVERY, BENCH_LEN, BENCH_MIN_CHARS, BENCH_OFF
 

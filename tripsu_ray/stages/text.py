@@ -620,6 +620,132 @@ def text_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K):
     return docs.map_batches(rank_batch, batch_format="pandas")
 
 
+# --- deterministic weighted data mixing (training-mixture schedule) ----------
+
+# integer sampling weights per language domain; LCM-normalized STRIDES make
+# the WFQ virtual time exact integer arithmetic (no float schedule drift and
+# the SQL oracle renders the SAME dict — single spec, two renderings)
+MIX_WEIGHTS = {"en": 4, "zh": 3, "fr": 2, "de": 2, "es": 1}
+_MIX_LCM = 12
+MIX_STRIDES = {k: _MIX_LCM // w for k, w in MIX_WEIGHTS.items()}
+_MIX_DEFAULT_STRIDE = _MIX_LCM  # unknown domains mix at weight 1
+_MIX_BUCKET = 4096
+
+
+def text_mixture(sf_dir: str):
+    """Deterministic weighted interleave of the corpus across language
+    domains — the data-MIXING schedule a training pipeline samples from:
+    a domain with weight w contributes every w-th slot of the global
+    order (weighted fair queueing with integer virtual time:
+    ``vkey = in-domain-rank × (LCM/w)``; smaller vkey runs earlier, ties
+    broken (lang, doc_id) so the schedule is total and hash-comparable).
+
+    Ray Data has no rank/row_number operator; both ranks here compose the
+    repo's distributed SCAN primitive (ordered integer buckets →
+    per-bucket fold counts → driver exclusive scan over the tiny bucket
+    table → per-bucket offset + vectorized in-bucket cumcount):
+    pass 1 ranks docs WITHIN each lang by doc_id, pass 2 ranks the
+    (vkey, lang, doc_id) order globally for ``mix_pos``. Driver state is
+    two #buckets×#langs count tables — corpus-size independent.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang"))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"].astype(object),
+                "_bucket": (b["doc_id"].astype("int64") // _MIX_BUCKET),
+            }
+        )
+
+    tagged = docs.map_batches(tag, batch_format="pandas").materialize()
+
+    def bucket_lang_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["_bucket", "lang"], sort=False).size().reset_index(name="n")
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["_bucket", "lang"], sort=False, as_index=False)["n"].sum()
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "lang": pd.Series([], dtype=object),
+         "lang_rank": pd.Series([], dtype="int64"),
+         "vkey": pd.Series([], dtype="int64"),
+         "mix_pos": pd.Series([], dtype="int64")}
+    )
+    folded = tree_fold_tables(
+        tagged.map_batches(bucket_lang_counts, batch_format="pandas"), combine
+    )
+    if folded is None or not len(folded):
+        return empty
+    folded = folded.sort_values(["lang", "_bucket"], ignore_index=True)
+    folded["start"] = folded.groupby("lang")["n"].cumsum() - folded["n"]
+    off_ref = ray.put(
+        dict(zip(zip(folded["_bucket"], folded["lang"]), folded["start"]))
+    )
+
+    def rank_part(g: pd.DataFrame, _o=off_ref) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "lang": pd.Series([], dtype=object),
+                 "lang_rank": pd.Series([], dtype="int64"),
+                 "vkey": pd.Series([], dtype="int64"),
+                 "_vb": pd.Series([], dtype="int64")}
+            )
+        offs = ray.get(_o)
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values("doc_id", ignore_index=True)
+        base = g["lang"].map(lambda l: offs[(b, l)]).to_numpy()
+        g["lang_rank"] = (g.groupby("lang").cumcount().to_numpy() + base + 1).astype(
+            "int64"
+        )
+        stride = g["lang"].map(
+            lambda l: MIX_STRIDES.get(l, _MIX_DEFAULT_STRIDE)
+        ).to_numpy()
+        g["vkey"] = (g["lang_rank"].to_numpy() * stride).astype("int64")
+        g["_vb"] = g["vkey"] // _MIX_BUCKET
+        return g[["doc_id", "lang", "lang_rank", "vkey", "_vb"]]
+
+    ranked = (
+        tagged.groupby("_bucket")
+        .map_groups(rank_part, batch_format="pandas")
+        .materialize()
+    )
+
+    # pass 2: the same scan primitive over the vkey order → global mix_pos
+    def vb_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("_vb", sort=False).size().reset_index(name="n")
+
+    def vb_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("_vb", sort=False, as_index=False)["n"].sum()
+
+    f2 = tree_fold_tables(
+        ranked.map_batches(vb_counts, batch_format="pandas"), vb_combine
+    )
+    f2 = f2.sort_values("_vb", ignore_index=True)
+    f2["start"] = f2["n"].cumsum() - f2["n"]
+    off2_ref = ray.put(dict(zip(f2["_vb"], f2["start"])))
+
+    def pos_part(g: pd.DataFrame, _o=off2_ref) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        offs = ray.get(_o)
+        vb = int(g["_vb"].iloc[0])
+        g = g.sort_values(["vkey", "lang", "doc_id"], ignore_index=True)
+        g["mix_pos"] = (np.arange(len(g)) + offs[vb] + 1).astype("int64")
+        return g[["doc_id", "lang", "lang_rank", "vkey", "mix_pos"]]
+
+    return ranked.groupby("_vb").map_groups(pos_part, batch_format="pandas")
+
+
 # --- decontamination (benchmark-overlap check) -------------------------------
 
 BENCH_EVERY = 50     # every 50th doc contributes a benchmark snippet
