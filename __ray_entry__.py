@@ -19,7 +19,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tripsu_ray.pipelines import docops, joins, queries as q
+    from tripsu_ray.pipelines import bgp, docops, joins, queries as q
 
     return {
         # knowledge-graph construction (the flagship, SURVEY.md §2/§7)
@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
         "kg_bfs": q.q_bfs,
+        "kg_bgp": bgp.q_kg_bgp,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -116,7 +117,7 @@ def oracle_sql() -> dict[str, str]:
     kg_core_numbers (iterative H-index fixpoint — exact-equal to
     sequential peeling in tests).
     """
-    from tripsu_ray.pipelines import doc_oracle as d, joins, oracle
+    from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle
 
     return {
         "kg_source_files": oracle.sql_source_files(),
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
+        "kg_bgp": bgp.sql_kg_bgp(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),

@@ -1,0 +1,94 @@
+"""BGP executor (pipelines/bgp.py) — handcrafted graphs vs pandas joins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tripsu_ray.pipelines.bgp import bgp
+from tripsu_ray.schema import KIND_IRI, KIND_LITERAL
+
+
+def _triples(rows):
+    import pyarrow as pa
+    import ray.data
+
+    from tripsu_ray.schema import TRIPLES
+
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object_value", "object_kind"])
+    df["subject_kind"] = np.int8(KIND_IRI)
+    df["object_lang"] = pd.Series([None] * len(df), dtype="string")
+    df["object_datatype"] = pd.Series([None] * len(df), dtype="string")
+    tbl = pa.Table.from_pandas(df[list(TRIPLES.names)], schema=TRIPLES, preserve_index=False)
+    return ray.data.from_arrow(tbl).repartition(3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBGP:
+    def test_two_hop_path_join(self):
+        t = _triples(
+            [
+                ("a", "knows", "b", KIND_IRI),
+                ("b", "knows", "c", KIND_IRI),
+                ("a", "knows", "c", KIND_IRI),
+                ("c", "knows", "a", KIND_IRI),
+                # duplicate triple: set semantics must collapse it
+                ("a", "knows", "b", KIND_IRI),
+                ("a", "age", "9", KIND_LITERAL),
+            ]
+        )
+        out = (
+            bgp(t, [("?x", "knows", "?y"), ("?y", "knows", "?z")], num_partitions=4)
+            .to_pandas()
+            .sort_values(["x", "y", "z"], ignore_index=True)
+        )
+        e = pd.DataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")], columns=["s", "o"]
+        )
+        want = (
+            e.merge(e, left_on="o", right_on="s", suffixes=("1", "2"))[["s1", "o1", "o2"]]
+            .rename(columns={"s1": "x", "o1": "y", "o2": "z"})
+            .drop_duplicates()
+            .sort_values(["x", "y", "z"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_constant_object_and_literal_binding(self):
+        t = _triples(
+            [
+                ("f1", "lang", "py", KIND_LITERAL),
+                ("f2", "lang", "js", KIND_LITERAL),
+                ("f1", "size", "10", KIND_LITERAL),
+                ("f2", "size", "20", KIND_LITERAL),
+            ]
+        )
+        out = (
+            bgp(t, [("?f", "lang", "py"), ("?f", "size", "?n")], num_partitions=4)
+            .to_pandas()
+            .sort_values(["f", "n"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(out, pd.DataFrame({"f": ["f1"], "n": ["10"]}))
+
+    def test_cross_product_rejected(self):
+        t = _triples([("a", "p", "b", KIND_IRI)])
+        with pytest.raises(ValueError, match="cross product"):
+            bgp(t, [("?x", "p", "?y"), ("?u", "p", "?v")])
+
+    def test_variable_predicate(self):
+        t = _triples(
+            [
+                ("a", "p1", "b", KIND_IRI),
+                ("a", "p2", "b", KIND_IRI),
+                ("b", "p1", "a", KIND_IRI),
+            ]
+        )
+        out = (
+            bgp(t, [("a", "?p", "?o"), ("?o", "p1", "?z")], num_partitions=2)
+            .to_pandas()
+            .sort_values(["p", "o", "z"], ignore_index=True)
+        )
+        want = pd.DataFrame(
+            {"o": ["b", "b"], "p": ["p1", "p2"], "z": ["a", "a"]}
+        ).sort_values(["p", "o", "z"], ignore_index=True)
+        pd.testing.assert_frame_equal(out, want)

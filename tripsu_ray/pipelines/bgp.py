@@ -1,0 +1,176 @@
+"""Basic-graph-pattern (BGP) queries over the constructed KG — the
+SPARQL-core conjunctive query shape (tripsu itself has no query engine;
+this is the "use the graph you built" capability a KG pipeline needs).
+
+A pattern is an (s, p, o) triple of strings where a leading ``?`` marks a
+variable; constants must match exactly (bare IRIs / literal lexical forms,
+as stored in the TRIPLES columns). The BGP is the natural join of its
+pattern relations on shared variables, DISTINCT (set semantics).
+
+Execution is Ray-Data-first and mirrors the proven relational machinery:
+
+- each pattern becomes a map-only selection/projection over the triple
+  stream (constant equality via vectorized masks; variables project the
+  matching columns) with a partition-local dedup;
+- each pairwise join is the union-tag + single-int-key hash exchange used
+  by ``q_rel_shuffle_join`` (both sides may be big; ``Dataset.join`` is
+  avoided per the Ray 2.49 hazard in BASELINE.md): rows co-partition on
+  the hash of the FIRST shared variable, the full multi-variable equality
+  happens in a vectorized per-partition pandas merge;
+- the final DISTINCT is one row-hash exchange + per-partition dedup
+  (exact: equal rows share a partition).
+
+Join order is the caller's pattern order (selectivity-based reordering is
+an optimizer concern; the showcase query orders most-selective first).
+Cross products (no shared variable) are rejected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import KIND_IRI
+
+_P = 16
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_relation(triples, pattern):
+    """One pattern → Dataset whose columns are the pattern's variables."""
+    s, p, o = pattern
+    out_cols = {}
+    for term, col in ((s, "subject"), (p, "predicate"), (o, "object_value")):
+        if _is_var(term):
+            out_cols[term[1:]] = col
+    if not out_cols:
+        raise ValueError(f"pattern {pattern} binds no variable")
+
+    def sel(batch: pa.Table) -> pd.DataFrame:
+        n = batch.num_rows
+        mask = np.ones(n, dtype=bool)
+        for term, col in ((s, "subject"), (p, "predicate"), (o, "object_value")):
+            if not _is_var(term):
+                mask &= batch[col].to_numpy(zero_copy_only=False) == term
+        df = pd.DataFrame(
+            {
+                v: pd.Series(
+                    batch[c].to_numpy(zero_copy_only=False)[mask], dtype=object
+                )
+                for v, c in out_cols.items()
+            }
+        )
+        return df.drop_duplicates(ignore_index=True)
+
+    return triples.map_batches(sel, batch_format="pyarrow"), sorted(out_cols)
+
+
+def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P):
+    """Distributed natural join on shared variables (union-tag exchange)."""
+    shared = sorted(set(a_vars) & set(b_vars))
+    if not shared:
+        raise ValueError(f"cross product: {a_vars} ⋈ {b_vars} share no variable")
+    key = shared[0]
+    out_vars = sorted(set(a_vars) | set(b_vars))
+
+    def tag(side):
+        # Ray's union needs ONE schema: each side pads the other's
+        # variables with None (ignored at merge time via the _side split)
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for v in out_vars:
+                if v not in df.columns:
+                    df[v] = pd.Series([None] * len(df), dtype=object)
+            df["_side"] = np.int8(side)
+            df["_part"] = pd.util.hash_array(
+                df[key].to_numpy(dtype=object)
+            ) % num_partitions
+            return df[out_vars + ["_side", "_part"]]
+
+        return f
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in out_vars})
+        if not len(g):
+            return empty
+        left = g[g["_side"] == 0][a_vars].drop_duplicates()
+        right = g[g["_side"] == 1][b_vars].drop_duplicates()
+        if not len(left) or not len(right):
+            return empty
+        m = left.merge(right, on=shared)
+        return m[out_vars].drop_duplicates(ignore_index=True)
+
+    u = a.map_batches(tag(0), batch_format="pandas").union(
+        b.map_batches(tag(1), batch_format="pandas")
+    )
+    return u.groupby("_part").map_groups(join_part, batch_format="pandas"), out_vars
+
+
+def bgp(triples, patterns, *, num_partitions: int = _P):
+    """Evaluate a conjunctive pattern list → DISTINCT Dataset of bindings
+    (one string column per variable, ``?`` stripped)."""
+    rel, vars_ = _pattern_relation(triples, patterns[0])
+    for pat in patterns[1:]:
+        r, v = _pattern_relation(triples, pat)
+        rel, vars_ = _hash_join(rel, vars_, r, v, num_partitions=num_partitions)
+
+    def redist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(ignore_index=True)
+        key = df[vars_[0]].astype(str)
+        for v in vars_[1:]:
+            key = key + "\x00" + df[v].astype(str)
+        df["_dpart"] = pd.util.hash_array(key.to_numpy(dtype=object)) % num_partitions
+        return df
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_dpart"]).drop_duplicates(ignore_index=True)
+
+    return (
+        rel.map_batches(redist, batch_format="pandas")
+        .groupby("_dpart")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+
+def q_kg_bgp(sf_dir: str):
+    """Showcase BGP over the extracted KG: every (file, imported module,
+    repo, repo author) conjunction — a 3-hop join path through two
+    different variables:
+
+        ?f <imports> ?m .  ?f <inRepo> ?r .  ?r <author> ?a
+
+    DuckDB oracle: the same three-way self-join with DISTINCT."""
+    from ..stages.extract import NS, extract_triples
+    from ..sources.synth import read_source_files
+
+    triples = extract_triples(read_source_files(sf_dir))
+    out = bgp(
+        triples,
+        [
+            ("?f", f"{NS}imports", "?m"),
+            ("?f", f"{NS}inRepo", "?r"),
+            ("?r", f"{NS}author", "?a"),
+        ],
+    )
+    return out
+
+
+def sql_kg_bgp() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r, t3.o AS a
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+JOIN raw_triples t3 ON t3.s = t2.o AND t3.p = {_q(NS + "author")}
+WHERE t1.p = {_q(NS + "imports")}
+ORDER BY f, m"""
+    )
