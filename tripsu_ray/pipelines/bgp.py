@@ -147,7 +147,9 @@ def q_kg_bgp(sf_dir: str):
     from ..stages.extract import NS, extract_triples
     from ..sources.synth import read_source_files
 
-    triples = extract_triples(read_source_files(sf_dir))
+    # pin the extracted stream: each pattern scans the SAME triples; a lazy
+    # dataset would re-run synthesis+extraction once per pattern
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
     out = bgp(
         triples,
         [
