@@ -238,3 +238,66 @@ class TestSplitNTriplesRead:
         key = lambda r: tuple(sorted(r.items()))
         assert sorted(map(key, split.take_all())) == sorted(map(key, whole.take_all()))
         assert split.count() == 15
+
+
+class TestCLIUpdate:
+    def test_update_equals_full_recompute(self, tmp_path, ray_session):
+        import pandas as pd
+
+        delta = pd.DataFrame(
+            {
+                "repo": ["org0/repo0", "neworg/newrepo"],
+                "path": ["src/extra.py", "main.py"],
+                "commit": ["c9", "c10"],
+                "lang": ["py", "py"],
+                "content": [
+                    "# Author: Zed\nimport mod_0\ndef extra():\n    mod_1.run()\n",
+                    "# Author: New\nimport newmod\n",
+                ],
+            }
+        )
+        dpath = str(tmp_path / "delta.parquet")
+        delta.to_parquet(dpath)
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        base_out, ck, new_out = (
+            str(tmp_path / "base_out"), str(tmp_path / "ck"), str(tmp_path / "new_out")
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+             "run", "--sf-dir", "/root/testdata/sf0.001",
+             "-o", base_out, "--checkpoint-dir", ck, "--salt", "upd-salt"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        r = subprocess.run(
+            [sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+             "update", "--base-sf-dir", "/root/testdata/sf0.001",
+             "--base-checkpoint", ck, "--base-output", base_out,
+             "--delta", dpath, "-o", new_out, "--salt", "upd-salt"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        # wrong salt must refuse (referential breakage guard)
+        r2 = subprocess.run(
+            [sys.executable, "-m", "tripsu_ray.cli", "update",
+             "--base-sf-dir", "/root/testdata/sf0.001",
+             "--base-checkpoint", ck, "--base-output", base_out,
+             "--delta", dpath, "-o", str(tmp_path / "x"), "--salt", "WRONG"],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+        assert r2.returncode != 0 and "fingerprint" in (r2.stderr + r2.stdout)
+
+        from tripsu_ray.pipelines.kg import kg_pipeline
+        from tripsu_ray.sources import read_parquet_clean
+        from tripsu_ray.sources.synth import read_source_files
+
+        full_src = read_source_files("/root/testdata/sf0.001").union(
+            read_parquet_clean(dpath)
+        )
+        full = kg_pipeline("", source_ds=full_src, salt="upd-salt", sort=False).to_pandas()
+        got = read_parquet_clean(new_out).to_pandas()
+        key = ["subject", "predicate", "object_value", "object_kind"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key, ignore_index=True),
+            full.sort_values(key, ignore_index=True),
+        )

@@ -115,6 +115,65 @@ def cmd_index(args):
     print(json.dumps(info))
 
 
+def cmd_update(args):
+    """Apply an append-only delta of source files against a CHECKPOINTED
+    base run: no base recompute — the fold state loads from the base
+    run's `folds` value checkpoint, the raw base triples from its
+    `triples` Parquet stage, and the base output from the prior run's
+    output directory. Only affected triples re-render
+    (pipelines/kg.py::_incremental_from_triples)."""
+    import hashlib
+    import os
+
+    from .functions.crypto import resolve_secret
+    from .pipelines.kg import DEFAULT_RULES, _incremental_from_triples
+    from .stages.extract import extract_triples
+    from .state.checkpoint import CheckpointManager
+
+    rules_cfg = (
+        DEFAULT_RULES if not args.rules else __import__("yaml").safe_load(open(args.rules))
+    )
+    salt = resolve_secret(args.salt)
+    # refuse a salt that differs from the base run's (referential breakage)
+    mp = os.path.join(args.base_checkpoint, "pseudo.manifest.json")
+    if os.path.exists(mp):
+        want_fp = json.load(open(mp))["params"].get("salt_fp")
+        sb = salt.encode() if isinstance(salt, str) else bytes(salt)
+        if want_fp and want_fp != hashlib.sha256(sb).hexdigest()[:16]:
+            raise SystemExit("--salt does not match the base run's salt fingerprint")
+
+    ckpt = CheckpointManager(args.base_checkpoint)
+    fold_params = {"sf_dir": args.base_sf_dir, "rules": rules_cfg}
+
+    def _missing():
+        raise SystemExit(
+            "base checkpoint lacks a completed stage for these params — "
+            "run `run --checkpoint-dir` first (same --sf-dir and rules)"
+        )
+
+    if not ckpt.is_complete("folds", fold_params):
+        _missing()
+    base_state = ckpt.value_stage("folds", _missing, fold_params)
+    if not ckpt.is_complete("triples", {"sf_dir": args.base_sf_dir}):
+        _missing()
+    base_triples = ckpt.dataset_stage("triples", _missing, {"sf_dir": args.base_sf_dir})
+    base_out = _read_parquet_clean(args.base_output)
+    delta_triples = extract_triples(_read_parquet_clean(args.delta))
+
+    out = _incremental_from_triples(
+        base_triples,
+        delta_triples,
+        rules_cfg=rules_cfg,
+        salt=salt,
+        algorithm=args.algorithm,
+        base_state=base_state,
+        base_out=base_out,
+    )
+    out.write_parquet(args.output)
+    n = _read_parquet_clean(args.output).count()
+    print(json.dumps({"command": "update", "output": args.output, "rows": n}))
+
+
 def cmd_analyze(args):
     """Graph profiling over a triple stream: degree census, predicate
     census, component sizes — the skew/partitioning reconnaissance a
@@ -269,6 +328,17 @@ def main(argv=None):
     pa.add_argument("-o", "--output", required=True, help="output dir (degrees parquet)")
     pa.add_argument("--on-error", default="raise", choices=["raise", "skip"])
     pa.set_defaults(fn=cmd_analyze)
+
+    pu = sub.add_parser("update", help="apply an append-only source delta against a checkpointed base run")
+    pu.add_argument("--base-sf-dir", required=True, help="the base run's --sf-dir (checkpoint lineage key)")
+    pu.add_argument("--base-checkpoint", required=True, help="the base run's --checkpoint-dir")
+    pu.add_argument("--base-output", required=True, help="the base run's -o output parquet dir")
+    pu.add_argument("--delta", required=True, help="parquet of NEW source files (repo,path,commit,lang,content)")
+    pu.add_argument("-o", "--output", required=True)
+    pu.add_argument("--salt", required=True, help="MUST equal the base run's salt (see its generated_salt)")
+    pu.add_argument("--algorithm", default="sha256-salted")
+    pu.add_argument("--rules", default=None)
+    pu.set_defaults(fn=cmd_update)
 
     pr = sub.add_parser("run", help="full KG pipeline (ray-job-submit entry)")
     pr.add_argument("--sf-dir", required=True)

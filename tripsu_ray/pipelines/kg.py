@@ -312,6 +312,8 @@ def _incremental_from_triples(
     salt: str | None = None,
     algorithm: str = "sha256-salted",
     sort: bool = False,
+    base_state: tuple | None = None,
+    base_out=None,
 ):
     """Incremental KG update: full pipeline on the BASE split, then an
     append-only DELTA applied by re-rendering ONLY affected triples —
@@ -377,9 +379,13 @@ def _incremental_from_triples(
 
     rt = relevant_types_of(rules_cfg)
     rp = risk_predicates_of(rules_cfg)
-    base_pairs, base_map, _nb, base_risk = fold_pass(
-        base_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
-    )
+    if base_state is not None:
+        # the persisted fold of a prior checkpointed run (cli `update`)
+        base_pairs, base_map, _nb, base_risk = base_state
+    else:
+        base_pairs, base_map, _nb, base_risk = fold_pass(
+            base_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
+        )
     delta_pairs, delta_map, _nd, delta_risk = fold_pass(
         delta_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
     )
@@ -407,17 +413,18 @@ def _incremental_from_triples(
         merged_map[k] = c if b is None or c < b else b
     k_changed = frozenset(k for k, c in base_map.items() if merged_map[k] != c)
 
-    # the base run (what a prior job would have produced and persisted)
-    base_out = materialize(
-        canonicalize_tasks(
-            pseudonymize_tasks(
-                base_triples, broadcast_matcher(base_matcher),
-                algorithm=algorithm, secret=salt,
+    if base_out is None:
+        # the base run (what a prior job would have produced and persisted)
+        base_out = materialize(
+            canonicalize_tasks(
+                pseudonymize_tasks(
+                    base_triples, broadcast_matcher(base_matcher),
+                    algorithm=algorithm, secret=salt,
+                ),
+                ray.put(base_map),
             ),
-            ray.put(base_map),
-        ),
-        None, sort=False, layout="bucketed",
-    ).materialize()
+            None, sort=False, layout="bucketed",
+        ).materialize()
 
     # ---- affected entities: every IRI the delta mentions -------------------
     # rdf:type OBJECTS (class IRIs) are excluded: a class IRI in a delta
