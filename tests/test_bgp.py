@@ -92,3 +92,44 @@ class TestBGP:
             {"o": ["b", "b"], "p": ["p1", "p2"], "z": ["a", "a"]}
         ).sort_values(["p", "o", "z"], ignore_index=True)
         pd.testing.assert_frame_equal(out, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_random_graphs_match_pandas_joins():
+    """Property check: random 2-pattern BGPs over random graphs equal the
+    pandas natural-join reference (set semantics)."""
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n_nodes, n_preds = 12, 3
+        rows = [
+            (
+                f"n{rng.integers(n_nodes)}",
+                f"p{rng.integers(n_preds)}",
+                f"n{rng.integers(n_nodes)}",
+                KIND_IRI,
+            )
+            for _ in range(80)
+        ]
+        t = _triples(rows)
+        p1 = f"p{rng.integers(n_preds)}"
+        p2 = f"p{rng.integers(n_preds)}"
+        out = (
+            bgp(t, [("?x", p1, "?y"), ("?y", p2, "?z")], num_partitions=3)
+            .to_pandas()
+            .sort_values(["x", "y", "z"], ignore_index=True)
+        )
+        df = pd.DataFrame(rows, columns=["s", "p", "o", "k"]).drop_duplicates()
+        l = df[df["p"] == p1][["s", "o"]].drop_duplicates()
+        r = df[df["p"] == p2][["s", "o"]].drop_duplicates()
+        want = (
+            l.merge(r, left_on="o", right_on="s", suffixes=("1", "2"))[
+                ["s1", "o1", "o2"]
+            ]
+            .rename(columns={"s1": "x", "o1": "y", "o2": "z"})
+            .drop_duplicates()
+            .sort_values(["x", "y", "z"], ignore_index=True)
+        )
+        if len(want) == 0:
+            assert len(out) == 0, f"trial {trial}: expected empty"
+        else:
+            pd.testing.assert_frame_equal(out, want)
