@@ -133,3 +133,32 @@ def test_bgp_random_graphs_match_pandas_joins():
             assert len(out) == 0, f"trial {trial}: expected empty"
         else:
             pd.testing.assert_frame_equal(out, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_repeated_var_and_deferred_order():
+    t = _triples(
+        [
+            ("a", "knows", "a", KIND_IRI),  # self-loop
+            ("a", "knows", "b", KIND_IRI),
+            ("b", "r", "c", KIND_IRI),
+            ("c", "q", "d", KIND_IRI),
+        ]
+    )
+    # repeated variable inside one pattern = self-loop constraint
+    out = bgp(t, [("?x", "knows", "?x")], num_partitions=2).to_pandas()
+    assert out["x"].tolist() == ["a"]
+    # connected BGP given in non-adjacent order must still evaluate
+    out2 = (
+        bgp(
+            t,
+            [("?a", "knows", "?b"), ("?c", "q", "?d"), ("?b", "r", "?c")],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "c", "d"], ignore_index=True)
+    )
+    assert out2.values.tolist() == [["a", "b", "c", "d"]]
+    # genuinely disconnected still rejected
+    with pytest.raises(ValueError, match="cross product"):
+        bgp(t, [("?x", "knows", "?y"), ("?u", "q", "?v")])

@@ -134,13 +134,28 @@ def cmd_update(args):
         DEFAULT_RULES if not args.rules else __import__("yaml").safe_load(open(args.rules))
     )
     salt = resolve_secret(args.salt)
-    # refuse a salt that differs from the base run's (referential breakage)
+    # refuse a salt OR algorithm that differs from the base run's — either
+    # mismatch silently produces referentially broken output (kept base
+    # rows in one pseudonym space, re-rendered rows in another). The
+    # pseudo manifest is REQUIRED: without it the guard cannot run, and an
+    # update against an unverifiable base is exactly the unsafe case.
     mp = os.path.join(args.base_checkpoint, "pseudo.manifest.json")
-    if os.path.exists(mp):
-        want_fp = json.load(open(mp))["params"].get("salt_fp")
-        sb = salt.encode() if isinstance(salt, str) else bytes(salt)
-        if want_fp and want_fp != hashlib.sha256(sb).hexdigest()[:16]:
-            raise SystemExit("--salt does not match the base run's salt fingerprint")
+    if not os.path.exists(mp):
+        raise SystemExit(
+            "base checkpoint lacks pseudo.manifest.json — cannot verify the "
+            "base run's salt/algorithm; re-run `run --checkpoint-dir` to completion"
+        )
+    base_params = json.load(open(mp))["params"]
+    want_fp = base_params.get("salt_fp")
+    sb = salt.encode() if isinstance(salt, str) else bytes(salt)
+    if want_fp and want_fp != hashlib.sha256(sb).hexdigest()[:16]:
+        raise SystemExit("--salt does not match the base run's salt fingerprint")
+    want_alg = base_params.get("algorithm")
+    if want_alg and want_alg != args.algorithm:
+        raise SystemExit(
+            f"--algorithm {args.algorithm!r} differs from the base run's "
+            f"{want_alg!r}"
+        )
 
     ckpt = CheckpointManager(args.base_checkpoint)
     fold_params = {"sf_dir": args.base_sf_dir, "rules": rules_cfg}

@@ -41,13 +41,17 @@ def _is_var(term: str) -> bool:
 
 
 def _pattern_relation(triples, pattern):
-    """One pattern → Dataset whose columns are the pattern's variables."""
+    """One pattern → Dataset whose columns are the pattern's variables.
+
+    A variable repeated WITHIN the pattern (``(?x, p, ?x)`` — a
+    self-loop probe) is an implicit equality constraint: all its
+    positions must hold the same value, enforced as an extra mask."""
     s, p, o = pattern
-    out_cols = {}
+    var_cols: dict[str, list[str]] = {}
     for term, col in ((s, "subject"), (p, "predicate"), (o, "object_value")):
         if _is_var(term):
-            out_cols[term[1:]] = col
-    if not out_cols:
+            var_cols.setdefault(term[1:], []).append(col)
+    if not var_cols:
         raise ValueError(f"pattern {pattern} binds no variable")
 
     def sel(batch: pa.Table) -> pd.DataFrame:
@@ -56,17 +60,23 @@ def _pattern_relation(triples, pattern):
         for term, col in ((s, "subject"), (p, "predicate"), (o, "object_value")):
             if not _is_var(term):
                 mask &= batch[col].to_numpy(zero_copy_only=False) == term
+        for cols in var_cols.values():
+            for extra in cols[1:]:  # repeated variable → positional equality
+                mask &= (
+                    batch[cols[0]].to_numpy(zero_copy_only=False)
+                    == batch[extra].to_numpy(zero_copy_only=False)
+                )
         df = pd.DataFrame(
             {
                 v: pd.Series(
-                    batch[c].to_numpy(zero_copy_only=False)[mask], dtype=object
+                    batch[cols[0]].to_numpy(zero_copy_only=False)[mask], dtype=object
                 )
-                for v, c in out_cols.items()
+                for v, cols in var_cols.items()
             }
         )
         return df.drop_duplicates(ignore_index=True)
 
-    return triples.map_batches(sel, batch_format="pyarrow"), sorted(out_cols)
+    return triples.map_batches(sel, batch_format="pyarrow"), sorted(var_cols)
 
 
 def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P):
@@ -114,7 +124,21 @@ def bgp(triples, patterns, *, num_partitions: int = _P):
     """Evaluate a conjunctive pattern list → DISTINCT Dataset of bindings
     (one string column per variable, ``?`` stripped)."""
     rel, vars_ = _pattern_relation(triples, patterns[0])
-    for pat in patterns[1:]:
+    # left-deep, but DEFER patterns that don't yet share a variable with
+    # the accumulated bindings — a connected BGP is accepted in any
+    # caller order; only a genuinely disconnected one is rejected
+    pending = list(patterns[1:])
+    while pending:
+        for i, pat in enumerate(pending):
+            pat_vars = {t[1:] for t in pat if _is_var(t)}
+            if pat_vars & set(vars_):
+                break
+        else:
+            raise ValueError(
+                f"cross product: patterns {pending} share no variable "
+                f"with bindings {vars_}"
+            )
+        pat = pending.pop(i)
         r, v = _pattern_relation(triples, pat)
         rel, vars_ = _hash_join(rel, vars_, r, v, num_partitions=num_partitions)
 

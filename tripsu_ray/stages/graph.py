@@ -191,11 +191,15 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | Non
         )
         if not len(g):
             return empty
-        kcode = pd.factorize(g["key"])[0]
-        acode = g["acode"].to_numpy()
-        order = np.argsort(kcode, kind="stable")
-        ks, asrt = kcode[order], acode[order]
-        sizes = np.bincount(ks)  # rows per key group, key codes are dense
+        # pack (target, source) and unique: dedups duplicated edge rows so
+        # group sizes are DISTINCT degrees (hub_cap compares against the
+        # degree census, which is distinct) and unique's sort co-groups keys
+        kcode = pd.factorize(g["key"])[0].astype(np.int64)
+        packed = (kcode << 32) | g["acode"].to_numpy(dtype=np.int64)
+        uniq = np.unique(packed)
+        ks = (uniq >> 32).astype(np.int64)
+        asrt = (uniq & 0xFFFFFFFF).astype(np.int64)
+        sizes = np.bincount(ks)  # distinct sources per key group (dense codes)
         tot = sizes * sizes  # ordered pairs per group (incl. self, removed below)
         if hub_cap is not None:
             tot[sizes > hub_cap] = 0  # skew policy: skip ultra-hub targets
@@ -296,10 +300,14 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | None 
         )
         if not len(g):
             return empty
-        kcode = pd.factorize(g["key"])[0]
-        acode = g["acode"].to_numpy()
-        order = np.argsort(kcode, kind="stable")
-        ks, asrt = kcode[order], acode[order]
+        # same packed-unique dedup as co_neighbor_counts: edge SET
+        # semantics (duplicated rows must not inflate co-degrees) and
+        # hub_cap compares distinct degree
+        kcode = pd.factorize(g["key"])[0].astype(np.int64)
+        packed = (kcode << 32) | g["acode"].to_numpy(dtype=np.int64)
+        uniq = np.unique(packed)
+        ks = (uniq >> 32).astype(np.int64)
+        asrt = (uniq & 0xFFFFFFFF).astype(np.int64)
         sizes = np.bincount(ks)
         tot = sizes * sizes
         if hub_cap is not None:

@@ -702,13 +702,17 @@ def text_mixture(sf_dir: str):
         offs = ray.get(_o)
         b = int(g["_bucket"].iloc[0])
         g = g.sort_values("doc_id", ignore_index=True)
-        base = g["lang"].map(lambda l: offs[(b, l)]).to_numpy()
+        # per-DISTINCT-lang lookups + np.take: the per-row Python lambda
+        # over millions of docs was the hot path of this scan stage
+        codes, uniq_langs = pd.factorize(g["lang"])
+        base = np.array([offs[(b, l)] for l in uniq_langs], dtype=np.int64)[codes]
         g["lang_rank"] = (g.groupby("lang").cumcount().to_numpy() + base + 1).astype(
             "int64"
         )
-        stride = g["lang"].map(
-            lambda l: MIX_STRIDES.get(l, _MIX_DEFAULT_STRIDE)
-        ).to_numpy()
+        stride = np.array(
+            [MIX_STRIDES.get(l, _MIX_DEFAULT_STRIDE) for l in uniq_langs],
+            dtype=np.int64,
+        )[codes]
         g["vkey"] = (g["lang_rank"].to_numpy() * stride).astype("int64")
         g["_vb"] = g["vkey"] // _MIX_BUCKET
         return g[["doc_id", "lang", "lang_rank", "vkey", "_vb"]]
