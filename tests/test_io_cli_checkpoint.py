@@ -301,3 +301,67 @@ class TestCLIUpdate:
             got.sort_values(key, ignore_index=True),
             full.sort_values(key, ignore_index=True),
         )
+
+    def test_chained_updates_equal_full(self, tmp_path, ray_session):
+        import pandas as pd
+
+        d1 = pd.DataFrame(
+            {
+                "repo": ["org0/repo0"], "path": ["src/d1.py"], "commit": ["d1"],
+                "lang": ["py"], "content": ["# Author: A1\nimport mod_0\n"],
+            }
+        )
+        d2 = pd.DataFrame(
+            {
+                "repo": ["org1/repo1"], "path": ["src/d2.py"], "commit": ["d2"],
+                "lang": ["py"], "content": ["def f2():\n    mod_0.run()\n"],
+            }
+        )
+        p1, p2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+        d1.to_parquet(p1)
+        d2.to_parquet(p2)
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        out0, ck0 = str(tmp_path / "o0"), str(tmp_path / "ck0")
+        out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "ck1")
+        out2 = str(tmp_path / "o2")
+        base = [sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2"]
+        r = subprocess.run(
+            base + ["run", "--sf-dir", "/root/testdata/sf0.001", "-o", out0,
+                    "--checkpoint-dir", ck0, "--salt", "chain-salt"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        r = subprocess.run(
+            base + ["update", "--base-sf-dir", "/root/testdata/sf0.001",
+                    "--base-checkpoint", ck0, "--base-output", out0,
+                    "--delta", p1, "-o", out1, "--salt", "chain-salt",
+                    "--checkpoint-dir", ck1],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        # second update builds on the FIRST update's chained checkpoint
+        r = subprocess.run(
+            base + ["update", "--base-checkpoint", ck1, "--base-output", out1,
+                    "--delta", p2, "-o", out2, "--salt", "chain-salt"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+
+        from tripsu_ray.pipelines.kg import kg_pipeline
+        from tripsu_ray.sources import read_parquet_clean
+        from tripsu_ray.sources.synth import read_source_files
+
+        full_src = (
+            read_source_files("/root/testdata/sf0.001")
+            .union(read_parquet_clean(p1))
+            .union(read_parquet_clean(p2))
+        )
+        full = kg_pipeline(
+            "", source_ds=full_src, salt="chain-salt", sort=False
+        ).to_pandas()
+        got = read_parquet_clean(out2).to_pandas()
+        key = ["subject", "predicate", "object_value", "object_kind"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key, ignore_index=True),
+            full.sort_values(key, ignore_index=True),
+        )

@@ -133,49 +133,76 @@ def cmd_update(args):
     rules_cfg = (
         DEFAULT_RULES if not args.rules else __import__("yaml").safe_load(open(args.rules))
     )
+    import pickle
+
     salt = resolve_secret(args.salt)
-    # refuse a salt OR algorithm that differs from the base run's — either
-    # mismatch silently produces referentially broken output (kept base
-    # rows in one pseudonym space, re-rendered rows in another). The
-    # pseudo manifest is REQUIRED: without it the guard cannot run, and an
-    # update against an unverifiable base is exactly the unsafe case.
-    mp = os.path.join(args.base_checkpoint, "pseudo.manifest.json")
-    if not os.path.exists(mp):
-        raise SystemExit(
-            "base checkpoint lacks pseudo.manifest.json — cannot verify the "
-            "base run's salt/algorithm; re-run `run --checkpoint-dir` to completion"
-        )
-    base_params = json.load(open(mp))["params"]
-    want_fp = base_params.get("salt_fp")
     sb = salt.encode() if isinstance(salt, str) else bytes(salt)
-    if want_fp and want_fp != hashlib.sha256(sb).hexdigest()[:16]:
-        raise SystemExit("--salt does not match the base run's salt fingerprint")
-    want_alg = base_params.get("algorithm")
-    if want_alg and want_alg != args.algorithm:
-        raise SystemExit(
-            f"--algorithm {args.algorithm!r} differs from the base run's "
-            f"{want_alg!r}"
+    salt_fp = hashlib.sha256(sb).hexdigest()[:16]
+
+    def _check(want_fp, want_alg, want_rules=None):
+        # refuse a salt OR algorithm differing from the base run's — either
+        # mismatch silently produces referentially broken output (kept base
+        # rows in one pseudonym space, re-rendered rows in another)
+        if want_fp and want_fp != salt_fp:
+            raise SystemExit("--salt does not match the base run's salt fingerprint")
+        if want_alg and want_alg != args.algorithm:
+            raise SystemExit(
+                f"--algorithm {args.algorithm!r} differs from the base run's "
+                f"{want_alg!r}"
+            )
+        if want_rules is not None and want_rules != rules_cfg:
+            raise SystemExit("--rules differ from the base run's rules")
+
+    chain_path = os.path.join(args.base_checkpoint, "chain.json")
+    if os.path.exists(chain_path):
+        # base is itself an `update --checkpoint-dir` result: chained state
+        chain = json.load(open(chain_path))
+        _check(chain.get("salt_fp"), chain.get("algorithm"), chain.get("rules"))
+        with open(os.path.join(args.base_checkpoint, "folds.pkl"), "rb") as f:
+            base_state = pickle.load(f)
+        triple_dirs = chain["triple_dirs"]
+        dss = [_read_parquet_clean(d) for d in triple_dirs]
+        base_triples = dss[0]
+        for d in dss[1:]:
+            base_triples = base_triples.union(d)
+    else:
+        # base is a `run --checkpoint-dir` result. The pseudo manifest is
+        # REQUIRED: without it the salt/algorithm guard cannot run, and an
+        # update against an unverifiable base is exactly the unsafe case.
+        mp = os.path.join(args.base_checkpoint, "pseudo.manifest.json")
+        if not os.path.exists(mp):
+            raise SystemExit(
+                "base checkpoint lacks pseudo.manifest.json — cannot verify the "
+                "base run's salt/algorithm; re-run `run --checkpoint-dir` to completion"
+            )
+        base_params = json.load(open(mp))["params"]
+        _check(base_params.get("salt_fp"), base_params.get("algorithm"))
+        if not args.base_sf_dir:
+            raise SystemExit("--base-sf-dir is required for a `run` base checkpoint")
+
+        ckpt = CheckpointManager(args.base_checkpoint)
+        fold_params = {"sf_dir": args.base_sf_dir, "rules": rules_cfg}
+
+        def _missing():
+            raise SystemExit(
+                "base checkpoint lacks a completed stage for these params — "
+                "run `run --checkpoint-dir` first (same --sf-dir and rules)"
+            )
+
+        if not ckpt.is_complete("folds", fold_params):
+            _missing()
+        base_state = ckpt.value_stage("folds", _missing, fold_params)
+        if not ckpt.is_complete("triples", {"sf_dir": args.base_sf_dir}):
+            _missing()
+        base_triples = ckpt.dataset_stage(
+            "triples", _missing, {"sf_dir": args.base_sf_dir}
         )
+        triple_dirs = [os.path.join(args.base_checkpoint, "triples")]
 
-    ckpt = CheckpointManager(args.base_checkpoint)
-    fold_params = {"sf_dir": args.base_sf_dir, "rules": rules_cfg}
-
-    def _missing():
-        raise SystemExit(
-            "base checkpoint lacks a completed stage for these params — "
-            "run `run --checkpoint-dir` first (same --sf-dir and rules)"
-        )
-
-    if not ckpt.is_complete("folds", fold_params):
-        _missing()
-    base_state = ckpt.value_stage("folds", _missing, fold_params)
-    if not ckpt.is_complete("triples", {"sf_dir": args.base_sf_dir}):
-        _missing()
-    base_triples = ckpt.dataset_stage("triples", _missing, {"sf_dir": args.base_sf_dir})
     base_out = _read_parquet_clean(args.base_output)
-    delta_triples = extract_triples(_read_parquet_clean(args.delta))
+    delta_triples = extract_triples(_read_parquet_clean(args.delta)).materialize()
 
-    out = _incremental_from_triples(
+    out, merged_state = _incremental_from_triples(
         base_triples,
         delta_triples,
         rules_cfg=rules_cfg,
@@ -183,10 +210,33 @@ def cmd_update(args):
         algorithm=args.algorithm,
         base_state=base_state,
         base_out=base_out,
+        return_state=True,
     )
     out.write_parquet(args.output)
     n = _read_parquet_clean(args.output).count()
-    print(json.dumps({"command": "update", "output": args.output, "rows": n}))
+    info = {"command": "update", "output": args.output, "rows": n}
+    if args.checkpoint_dir:
+        # persist chained state so the NEXT update builds on THIS one with
+        # work ∝ its own delta: merged folds + the delta's triples parquet
+        # + the list of all triple dirs so far (never a corpus rewrite)
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        ddir = os.path.join(args.checkpoint_dir, "delta_triples")
+        delta_triples.write_parquet(ddir)
+        with open(os.path.join(args.checkpoint_dir, "folds.pkl"), "wb") as f:
+            pickle.dump(merged_state, f)
+        with open(os.path.join(args.checkpoint_dir, "chain.json"), "w") as f:
+            json.dump(
+                {
+                    "triple_dirs": triple_dirs + [ddir],
+                    "salt_fp": salt_fp,
+                    "algorithm": args.algorithm,
+                    "rules": rules_cfg,
+                },
+                f,
+                indent=2,
+            )
+        info["checkpoint"] = args.checkpoint_dir
+    print(json.dumps(info))
 
 
 def cmd_analyze(args):
@@ -345,7 +395,9 @@ def main(argv=None):
     pa.set_defaults(fn=cmd_analyze)
 
     pu = sub.add_parser("update", help="apply an append-only source delta against a checkpointed base run")
-    pu.add_argument("--base-sf-dir", required=True, help="the base run's --sf-dir (checkpoint lineage key)")
+    pu.add_argument("--base-sf-dir", default=None,
+                    help="the base run's --sf-dir (checkpoint lineage key; "
+                         "unused when the base is a chained update checkpoint)")
     pu.add_argument("--base-checkpoint", required=True, help="the base run's --checkpoint-dir")
     pu.add_argument("--base-output", required=True, help="the base run's -o output parquet dir")
     pu.add_argument("--delta", required=True, help="parquet of NEW source files (repo,path,commit,lang,content)")
@@ -353,6 +405,8 @@ def main(argv=None):
     pu.add_argument("--salt", required=True, help="MUST equal the base run's salt (see its generated_salt)")
     pu.add_argument("--algorithm", default="sha256-salted")
     pu.add_argument("--rules", default=None)
+    pu.add_argument("--checkpoint-dir", default=None,
+                    help="persist chained state here so the NEXT update builds on this one")
     pu.set_defaults(fn=cmd_update)
 
     pr = sub.add_parser("run", help="full KG pipeline (ray-job-submit entry)")

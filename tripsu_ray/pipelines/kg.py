@@ -314,6 +314,7 @@ def _incremental_from_triples(
     sort: bool = False,
     base_state: tuple | None = None,
     base_out=None,
+    return_state: bool = False,
 ):
     """Incremental KG update: full pipeline on the BASE split, then an
     append-only DELTA applied by re-rendering ONLY affected triples —
@@ -524,4 +525,9 @@ def _incremental_from_triples(
         ),
         ray.put(merged_map),
     )
-    return materialize(kept.union(redo_out), None, sort=sort, layout="bucketed")
+    result = materialize(kept.union(redo_out), None, sort=sort, layout="bucketed")
+    if return_state:
+        # the merged fold state IS the next update's base state (chaining)
+        merged_state = (merged_pairs, merged_map, int(_nb) + int(_nd), 0)
+        return result, merged_state
+    return result
