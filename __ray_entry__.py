@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
+        "rel_lead_lag": docops.q_rel_lead_lag,
         "rel_sample": docops.q_rel_sample,
         "rel_group_quantiles": docops.q_rel_group_quantiles,
         "rel_stratified_sample": docops.q_rel_stratified_sample,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
+        "rel_lead_lag": d.sql_rel_lead_lag(),
         "rel_sample": d.sql_rel_sample(),
         "rel_group_quantiles": d.sql_rel_group_quantiles(),
         "rel_stratified_sample": d.sql_rel_stratified_sample(),

@@ -603,6 +603,19 @@ FROM surv ORDER BY doc_id
 """.strip()
 
 
+def sql_rel_lead_lag() -> str:
+    return """
+SELECT event_id, user_id,
+  CAST(COALESCE(date_diff('microseconds', lag(ts) OVER w, ts), -1) AS BIGINT)
+    AS prev_gap_us,
+  CAST(COALESCE(date_diff('microseconds', ts, lead(ts) OVER w), -1) AS BIGINT)
+    AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""".strip()
+
+
 def sql_rel_mode() -> str:
     return """
 WITH counts AS (

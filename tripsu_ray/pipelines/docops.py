@@ -956,6 +956,34 @@ def q_rel_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def q_rel_lead_lag(sf_dir: str):
+    """Per-user LEAD/LAG inter-event gaps in exact integer microseconds —
+    the offset-window primitive (the sessions query consumes gaps; this
+    EXPOSES them). One user-hash exchange; per-group ts sort + int64
+    shift; boundary rows get -1 (not NULL) so the value-hash is
+    engine-portable."""
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], ignore_index=True)
+        us = g["ts"].astype("int64")
+        prev = us.diff().fillna(-1).astype("int64")
+        nxt = (-us.diff(-1)).fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "prev_gap_us": prev,
+                "next_gap_us": nxt,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     """Session windows per user (gaps-and-islands): events within
     ``gap_minutes`` of the previous event share a session.
