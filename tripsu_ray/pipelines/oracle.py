@@ -337,6 +337,72 @@ FROM reach GROUP BY n ORDER BY n"""
     )
 
 
+def sql_validate() -> str:
+    """SHACL-lite census oracle: the same 8 shapes as stages/validate.py,
+    each rendered as scalar-subquery counts over the distinct triples."""
+    rt = RDF_TYPE
+    ctes = f""",
+dt AS (SELECT DISTINCT s, p, o, k FROM raw_triples),
+vfiles AS (SELECT s FROM dt WHERE p = {_q(rt)} AND o = {_q(NS + 'File')}),
+vrepos AS (SELECT s FROM dt WHERE p = {_q(rt)} AND o = {_q(NS + 'Repository')}),
+vmods AS (SELECT s FROM dt WHERE p = {_q(rt)} AND o = {_q(NS + 'Module')}),
+vlang AS (SELECT DISTINCT s FROM dt WHERE p = {_q(NS + 'language')}),
+vcommits AS (SELECT s, count(DISTINCT o) AS c FROM dt WHERE p = {_q(NS + 'commitHash')} GROUP BY s),
+vimp_s AS (SELECT DISTINCT s FROM dt WHERE p = {_q(NS + 'imports')}),
+vimp_o AS (SELECT DISTINCT o FROM dt WHERE p = {_q(NS + 'imports')} AND k = 'iri'),
+vdefined AS (SELECT DISTINCT o FROM dt WHERE p = {_q(NS + 'defines')} AND k = 'iri'),
+vnamed AS (SELECT DISTINCT s FROM dt WHERE p = {_q(NS + 'name')}),
+vauth AS (SELECT s, count(DISTINCT o) AS c FROM dt WHERE p = {_q(NS + 'author')} GROUP BY s),
+vlic AS (SELECT s, count(DISTINCT o) AS c FROM dt WHERE p = {_q(NS + 'license')} GROUP BY s),
+vsha AS (SELECT s, o FROM dt WHERE p = {_q(NS + 'sha256')})"""
+    rows = f"""
+SELECT 'defines_range_named' AS constraint_name,
+  CAST((SELECT count(*) FROM vdefined) AS BIGINT) AS n_checked,
+  CAST((SELECT count(*) FROM vdefined d
+        WHERE d.o NOT IN (SELECT s FROM vnamed)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'file_has_language',
+  CAST((SELECT count(*) FROM vfiles) AS BIGINT),
+  CAST((SELECT count(*) FROM vfiles f
+        WHERE f.s NOT IN (SELECT s FROM vlang)) AS BIGINT)
+UNION ALL
+SELECT 'file_single_commit',
+  CAST((SELECT count(*) FROM vfiles) AS BIGINT),
+  CAST((SELECT count(*) FROM vfiles f
+        WHERE coalesce((SELECT c FROM vcommits v WHERE v.s = f.s), 0) <> 1) AS BIGINT)
+UNION ALL
+SELECT 'imports_domain_is_file',
+  CAST((SELECT count(*) FROM vimp_s) AS BIGINT),
+  CAST((SELECT count(*) FROM vimp_s i
+        WHERE i.s NOT IN (SELECT s FROM vfiles)) AS BIGINT)
+UNION ALL
+SELECT 'imports_range_is_module',
+  CAST((SELECT count(*) FROM vimp_o) AS BIGINT),
+  CAST((SELECT count(*) FROM vimp_o i
+        WHERE i.o NOT IN (SELECT s FROM vmods)) AS BIGINT)
+UNION ALL
+SELECT 'repo_single_author',
+  CAST((SELECT count(*) FROM vrepos) AS BIGINT),
+  CAST((SELECT count(*) FROM vrepos r
+        WHERE coalesce((SELECT c FROM vauth v WHERE v.s = r.s), 0) > 1) AS BIGINT)
+UNION ALL
+SELECT 'repo_single_license',
+  CAST((SELECT count(*) FROM vrepos) AS BIGINT),
+  CAST((SELECT count(*) FROM vrepos r
+        WHERE coalesce((SELECT c FROM vlic v WHERE v.s = r.s), 0) > 1) AS BIGINT)
+UNION ALL
+SELECT 'sha256_wellformed',
+  CAST((SELECT count(*) FROM vsha) AS BIGINT),
+  CAST((SELECT count(*) FROM vsha
+        WHERE NOT regexp_matches(o, '^[0-9a-f]{{64}}$')) AS BIGINT)
+ORDER BY 1"""
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + ctes
+        + rows
+    )
+
+
 def sql_pipeline() -> str:
     return (
         _with(
