@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_core_numbers": q.q_core_numbers,
         "kg_bfs": q.q_bfs,
         "kg_bgp": bgp.q_kg_bgp,
+        "kg_bgp_optional": bgp.q_kg_bgp_optional,
         "kg_validate": q.q_validate,
         # text analysis
         "text_stats": docops.q_text_stats,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
         "kg_bgp": bgp.sql_kg_bgp(),
+        "kg_bgp_optional": bgp.sql_kg_bgp_optional(),
         "kg_validate": oracle.sql_validate(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),

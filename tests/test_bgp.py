@@ -162,3 +162,124 @@ def test_bgp_repeated_var_and_deferred_order():
     # genuinely disconnected still rejected
     with pytest.raises(ValueError, match="cross product"):
         bgp(t, [("?x", "knows", "?y"), ("?u", "q", "?v")])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOptionalAndFilters:
+    GRAPH = [
+        ("a", "type", "P", KIND_IRI),
+        ("b", "type", "P", KIND_IRI),
+        ("c", "type", "P", KIND_IRI),
+        ("a", "email", "a@x", KIND_LITERAL),
+        ("b", "email", "b@y", KIND_LITERAL),
+        # c has no email → OPTIONAL leaves None
+        ("a", "age", "9", KIND_LITERAL),
+        ("b", "age", "12", KIND_LITERAL),
+        ("c", "age", "30", KIND_LITERAL),
+    ]
+
+    def test_optional_keeps_unmatched_with_none(self):
+        out = (
+            bgp(
+                _triples(self.GRAPH),
+                [("?p", "type", "P")],
+                optional=[[("?p", "email", "?e")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("p", ignore_index=True)
+        )
+        want = pd.DataFrame(
+            {"e": ["a@x", "b@y", None], "p": ["a", "b", "c"]}
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_optional_group_filter_applies_before_left_join(self):
+        # FILTER inside OPTIONAL: b's email fails the prefix filter, so b
+        # gets None (it does NOT disappear — that would be top-level filter
+        # semantics)
+        out = (
+            bgp(
+                _triples(self.GRAPH),
+                [("?p", "type", "P")],
+                optional=[([("?p", "email", "?e")], [("e", "prefix", "a@")])],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("p", ignore_index=True)
+        )
+        assert list(out["p"]) == ["a", "b", "c"]
+        assert list(out["e"]) == ["a@x", None, None]
+
+    def test_top_level_filter_fails_unbound(self):
+        # top-level FILTER on the optional variable: None rows drop (SQL
+        # NULL / SPARQL type-error semantics)
+        out = (
+            bgp(
+                _triples(self.GRAPH),
+                [("?p", "type", "P")],
+                optional=[[("?p", "email", "?e")]],
+                filters=[("e", "!=", "b@y")],
+                num_partitions=4,
+            )
+            .to_pandas()
+        )
+        assert list(out["p"]) == ["a"]
+
+    def test_string_order_filter(self):
+        out = (
+            bgp(
+                _triples(self.GRAPH),
+                [("?p", "age", "?a")],
+                filters=[("a", "<", "2")],  # lexicographic on strings
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("p", ignore_index=True)
+        )
+        assert list(out["p"]) == ["b"]  # "12" < "2"; "9" and "30" not
+
+    def test_optional_must_join_on_required_vars(self):
+        with pytest.raises(ValueError, match="required"):
+            bgp(
+                _triples(self.GRAPH),
+                [("?p", "type", "P")],
+                optional=[
+                    [("?p", "email", "?e")],
+                    [("?x", "email", "?e")],  # joins only on optional ?e
+                ],
+                num_partitions=4,
+            )
+
+    def test_optional_matches_pandas_left_join(self):
+        rng = np.random.default_rng(7)
+        rows = [("s%d" % i, "knows", "s%d" % j, KIND_IRI)
+                for i, j in rng.integers(0, 12, (60, 2)) if i != j]
+        rows += [("s%d" % i, "label", "L%d" % (i % 3), KIND_LITERAL)
+                 for i in range(0, 12, 2)]
+        out = (
+            bgp(
+                _triples(rows),
+                [("?x", "knows", "?y")],
+                optional=[[("?x", "label", "?l")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["x", "y", "l"], ignore_index=True)
+        )
+        e = pd.DataFrame(
+            [(s, o) for s, p, o, _ in rows if p == "knows"], columns=["x", "y"]
+        ).drop_duplicates()
+        lab = pd.DataFrame(
+            [(s, o) for s, p, o, _ in rows if p == "label"], columns=["x", "l"]
+        ).drop_duplicates()
+        want = (
+            e.merge(lab, on="x", how="left")
+            .astype(object)
+            .where(lambda d: d.notna(), None)
+            .drop_duplicates()[["l", "x", "y"]]
+            .sort_values(["x", "y", "l"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["l", "x", "y"]].sort_values(["x", "y", "l"], ignore_index=True), want
+        )

@@ -79,8 +79,14 @@ def _pattern_relation(triples, pattern):
     return triples.map_batches(sel, batch_format="pyarrow"), sorted(var_cols)
 
 
-def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P):
-    """Distributed natural join on shared variables (union-tag exchange)."""
+def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
+    """Distributed natural join on shared variables (union-tag exchange).
+
+    ``how="left"`` keeps unmatched left rows with None for right-only
+    variables — the SPARQL OPTIONAL join. Exact under the same argument
+    as the inner join: every row with join key k (and every row whose
+    key is None — hashed consistently) lands in partition hash(k), so
+    the per-partition pandas merge sees all potential partners."""
     shared = sorted(set(a_vars) & set(b_vars))
     if not shared:
         raise ValueError(f"cross product: {a_vars} ⋈ {b_vars} share no variable")
@@ -109,9 +115,20 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P):
             return empty
         left = g[g["_side"] == 0][a_vars].drop_duplicates()
         right = g[g["_side"] == 1][b_vars].drop_duplicates()
-        if not len(left) or not len(right):
+        if not len(left):
             return empty
-        m = left.merge(right, on=shared)
+        if not len(right):
+            if how != "left":
+                return empty
+            m = left.copy()
+            for v in out_vars:
+                if v not in m.columns:
+                    m[v] = pd.Series([None] * len(m), dtype=object)
+        else:
+            m = left.merge(right, on=shared, how=how)
+            # pandas turns unmatched object cells into NaN; normalize to None
+            if how == "left":
+                m = m.astype(object).where(pd.notna(m), None)
         return m[out_vars].drop_duplicates(ignore_index=True)
 
     u = a.map_batches(tag(0), batch_format="pandas").union(
@@ -120,9 +137,38 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P):
     return u.groupby("_part").map_groups(join_part, batch_format="pandas"), out_vars
 
 
-def bgp(triples, patterns, *, num_partitions: int = _P):
-    """Evaluate a conjunctive pattern list → DISTINCT Dataset of bindings
-    (one string column per variable, ``?`` stripped)."""
+#: filter operators (SQL/SPARQL semantics: an unbound (None) value FAILS
+#: every predicate, like SQL NULL comparisons / SPARQL type errors)
+_FILTER_OPS = {
+    "==": lambda col, v: col == v,
+    "!=": lambda col, v: col != v,
+    "<": lambda col, v: col < v,
+    "<=": lambda col, v: col <= v,
+    ">": lambda col, v: col > v,
+    ">=": lambda col, v: col >= v,
+    "prefix": lambda col, v: col.str.startswith(v, na=False),
+}
+
+
+def _apply_filters(df: pd.DataFrame, filters) -> pd.DataFrame:
+    for var, op, val in filters:
+        if not len(df):
+            return df
+        col = df[var]
+        # evaluate only on bound values: object-dtype order comparisons
+        # against None raise, and SQL/SPARQL fail unbound rows anyway
+        bound = col.notna().to_numpy(dtype=bool)
+        mask = np.zeros(len(df), dtype=bool)
+        if bound.any():
+            mask[bound] = np.asarray(
+                _FILTER_OPS[op](col[bound], val), dtype=bool
+            )
+        df = df[mask]
+    return df
+
+
+def _conjunction(triples, patterns, *, num_partitions: int = _P):
+    """Pattern list → (relation Dataset, sorted variable list)."""
     rel, vars_ = _pattern_relation(triples, patterns[0])
     # left-deep, but DEFER patterns that don't yet share a variable with
     # the accumulated bindings — a connected BGP is accepted in any
@@ -141,8 +187,53 @@ def bgp(triples, patterns, *, num_partitions: int = _P):
         pat = pending.pop(i)
         r, v = _pattern_relation(triples, pat)
         rel, vars_ = _hash_join(rel, vars_, r, v, num_partitions=num_partitions)
+    return rel, vars_
+
+
+def bgp(triples, patterns, *, optional=(), filters=(), num_partitions: int = _P):
+    """Evaluate a graph pattern → DISTINCT Dataset of bindings (one string
+    column per variable, ``?`` stripped).
+
+    - ``patterns``: required conjunctive patterns (SPARQL BGP).
+    - ``optional``: OPTIONAL groups — each a pattern list or a
+      ``(pattern_list, filter_list)`` tuple, evaluated as its own
+      conjunction (with group-local filters, matching
+      ``OPTIONAL { ... FILTER ... }``) then LEFT-joined; unmatched rows
+      keep None for the group's variables. Groups must join on REQUIRED
+      variables (joining on another optional's possibly-unbound output
+      has no single well-defined SPARQL rendering — rejected).
+    - ``filters``: top-level ``(var, op, value)`` constraints
+      (ops: == != < <= > >= prefix); None/unbound fails every filter,
+      matching SQL NULL / SPARQL type-error semantics.
+    """
+    rel, vars_ = _conjunction(triples, patterns, num_partitions=num_partitions)
+    required = set(vars_)
+    for grp in optional:
+        grp_pats, grp_filters = (
+            grp if isinstance(grp, tuple) else (grp, ())
+        )
+        r, v = _conjunction(triples, grp_pats, num_partitions=num_partitions)
+        if grp_filters:
+            r = r.map_batches(
+                lambda df, _f=tuple(grp_filters): _apply_filters(df, _f),
+                batch_format="pandas",
+            )
+        shared = set(v) & set(vars_)
+        if not shared or not shared <= required:
+            raise ValueError(
+                f"optional group {grp_pats} must join on required "
+                f"variables; shares {sorted(shared)} with bindings, "
+                f"required are {sorted(required)}"
+            )
+        rel, vars_ = _hash_join(
+            rel, vars_, r, v, num_partitions=num_partitions, how="left"
+        )
+
+    filters = tuple(filters)
 
     def redist(df: pd.DataFrame) -> pd.DataFrame:
+        if filters:
+            df = _apply_filters(df, filters)
         df = df.drop_duplicates(ignore_index=True)
         key = df[vars_[0]].astype(str)
         for v in vars_[1:]:
@@ -183,6 +274,57 @@ def q_kg_bgp(sf_dir: str):
         ],
     )
     return out
+
+
+def q_kg_bgp_optional(sf_dir: str):
+    """OPTIONAL + FILTER showcase: every non-Rust file with its language
+    and — optionally — the hub module it imports (only even-numbered docs
+    import ``core``, so roughly half the rows carry None):
+
+        ?f rdf:type File . ?f <language> ?lang .
+        OPTIONAL { ?f <imports> ?hub FILTER(strstarts(?hub, mod/core)) }
+        FILTER(?lang != "rs")
+
+    DuckDB oracle: LEFT JOIN with the optional constraint in the ON
+    clause, the top-level filter in WHERE."""
+    from ..stages.extract import MOD_NS, NS, extract_triples
+    from ..sources.synth import read_source_files
+    from ..schema import RDF_TYPE
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp(
+        triples,
+        [
+            ("?f", RDF_TYPE, NS + "File"),
+            ("?f", NS + "language", "?lang"),
+        ],
+        optional=[
+            (
+                [("?f", NS + "imports", "?hub")],
+                [("hub", "prefix", MOD_NS + "core")],
+            )
+        ],
+        filters=[("lang", "!=", "rs")],
+    )
+
+
+def sql_kg_bgp_optional() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from ..schema import RDF_TYPE
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t2.o AS lang, t3.o AS hub
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "language")}
+LEFT JOIN raw_triples t3 ON t3.s = t1.s AND t3.p = {_q(NS + "imports")}
+  AND t3.o LIKE {_q(MOD_NS + "core%")}
+WHERE t1.p = {_q(RDF_TYPE)} AND t1.o = {_q(NS + "File")} AND t2.o <> 'rs'
+ORDER BY f, hub"""
+    )
 
 
 def sql_kg_bgp() -> str:
