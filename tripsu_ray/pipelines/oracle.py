@@ -337,6 +337,23 @@ FROM reach GROUP BY n ORDER BY n"""
     )
 
 
+def sql_typo_candidates() -> str:
+    """Distinct Module local names within Levenshtein ≤ 1 — the exact
+    small-scale anchor for the SymSpell deletion-neighborhood join."""
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+modnames AS (
+  SELECT DISTINCT regexp_extract(s, '([^/]+)$', 1) AS name
+  FROM raw_triples WHERE p = {_q(RDF_TYPE)} AND o = {_q(NS + 'Module')}
+)
+SELECT a.name AS name_a, b.name AS name_b
+FROM modnames a JOIN modnames b
+  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+ORDER BY 1, 2"""
+    )
+
+
 def sql_validate() -> str:
     """SHACL-lite census oracle: the same 8 shapes as stages/validate.py,
     each rendered as scalar-subquery counts over the distinct triples."""

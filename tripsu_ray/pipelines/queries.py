@@ -185,6 +185,31 @@ def q_validate(sf_dir: str):
     return validate_graph(_extracted(sf_dir))
 
 
+def q_typo_candidates(sf_dir: str):
+    """Typosquat-candidate pairs: distinct Module local names within
+    Levenshtein distance 1 of each other (SymSpell deletion-neighborhood
+    join — stages/editjoin.py; no all-pairs scan). Oracle: DuckDB
+    ``levenshtein`` over the distinct-name self-join."""
+    import pyarrow as pa
+
+    from ..schema import RDF_TYPE
+    from ..stages.editjoin import edit_distance_pairs
+    from ..stages.extract import NS
+
+    def module_names(batch: pa.Table) -> pd.DataFrame:
+        import pandas as pd
+
+        p = batch["predicate"].to_numpy(zero_copy_only=False)
+        o = batch["object_value"].to_numpy(zero_copy_only=False)
+        s = batch["subject"].to_numpy(zero_copy_only=False)
+        mods = s[(p == RDF_TYPE) & (o == NS + "Module")]
+        names = [m.rsplit("/", 1)[-1] for m in mods.tolist()]
+        return pd.DataFrame({"name": pd.Series(names, dtype=object)})
+
+    names = _extracted(sf_dir).map_batches(module_names, batch_format="pyarrow")
+    return edit_distance_pairs(names)
+
+
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
     """Top-k PageRank entities of the KG (distributed power iteration —
     stages/graph.py). Rows-only driver check (float ranks don't
