@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": bgp.q_kg_bgp_optional,
         "kg_validate": q.q_validate,
         "kg_typo_candidates": q.q_typo_candidates,
+        "kg_repo_profile": q.q_repo_profile,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": bgp.sql_kg_bgp_optional(),
         "kg_validate": oracle.sql_validate(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
+        "kg_repo_profile": oracle.sql_repo_profile(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),

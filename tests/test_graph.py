@@ -969,3 +969,52 @@ class TestSkewPolicies:
         m = full.merge(early, on="node", suffixes=("_f", "_e"))
         assert len(m) == len(full)
         assert np.allclose(m["rank_f"], m["rank_e"], atol=1e-8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepoProfile:
+    def test_matches_pandas_two_hop(self):
+        from tripsu_ray.schema import RDF_TYPE
+        from tripsu_ray.stages.extract import NS
+
+        def t(s, p, o, k=KIND_IRI):
+            return dict(
+                subject=s, subject_kind=np.int8(0), predicate=p,
+                object_value=o, object_kind=np.int8(k),
+                object_lang=None, object_datatype=None,
+            )
+
+        rows = [
+            t("f1", NS + "inRepo", "r1"),
+            t("f2", NS + "inRepo", "r1"),
+            t("f3", NS + "inRepo", "r2"),
+            t("f1", NS + "language", "py", KIND_LITERAL),
+            t("f2", NS + "language", "py", KIND_LITERAL),  # same lang → 1
+            t("f3", NS + "language", "js", KIND_LITERAL),
+            t("f1", NS + "imports", "m1"),
+            t("f1", NS + "imports", "m2"),
+            t("f2", NS + "imports", "m1"),  # shared module → distinct 2
+            t("f1", NS + "defines", "s1"),
+            t("f2", NS + "defines", "s2"),
+            # noise the profile must ignore
+            t("f1", RDF_TYPE, NS + "File"),
+            t("x", "other", "y"),
+        ]
+        df = pd.DataFrame(rows * 2)  # duplicates must not double-count
+        got = (
+            graph.repo_profile(_ds(df), num_partitions=8)
+            .to_pandas()
+            .sort_values("repo", ignore_index=True)
+        )
+        want = pd.DataFrame(
+            {
+                "repo": ["r1", "r2"],
+                "n_files": [2, 1],
+                "n_langs": [1, 1],
+                "n_modules": [2, 0],
+                "n_symbols": [2, 0],
+            }
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({c: "int64" for c in want.columns[1:]}), want
+        )

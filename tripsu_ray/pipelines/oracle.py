@@ -337,6 +337,28 @@ FROM reach GROUP BY n ORDER BY n"""
     )
 
 
+def sql_repo_profile() -> str:
+    """2-hop repo profile: LEFT JOINs multiply rows, count(DISTINCT …)
+    restores set semantics — the small-scale anchor for the two-exchange
+    Ray plan."""
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+dt AS (SELECT DISTINCT s, p, o, k FROM raw_triples),
+inrepo AS (SELECT DISTINCT s AS f, o AS r FROM dt WHERE p = {_q(NS + 'inRepo')})
+SELECT ir.r AS repo,
+  CAST(count(DISTINCT ir.f) AS BIGINT) AS n_files,
+  CAST(count(DISTINCT lg.o) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT im.o) AS BIGINT) AS n_modules,
+  CAST(count(DISTINCT df.o) AS BIGINT) AS n_symbols
+FROM inrepo ir
+LEFT JOIN dt lg ON lg.s = ir.f AND lg.p = {_q(NS + 'language')}
+LEFT JOIN dt im ON im.s = ir.f AND im.p = {_q(NS + 'imports')}
+LEFT JOIN dt df ON df.s = ir.f AND df.p = {_q(NS + 'defines')}
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def sql_typo_candidates() -> str:
     """Distinct Module local names within Levenshtein ≤ 1 — the exact
     small-scale anchor for the SymSpell deletion-neighborhood join."""

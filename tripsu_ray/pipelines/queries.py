@@ -185,6 +185,15 @@ def q_validate(sf_dir: str):
     return validate_graph(_extracted(sf_dir))
 
 
+def q_repo_profile(sf_dir: str):
+    """Per-repo 2-hop neighborhood profile (distinct files / languages /
+    imported modules / defined symbols) — two hash exchanges, no
+    broadcast (stages/graph.py::repo_profile)."""
+    from ..stages.graph import repo_profile
+
+    return repo_profile(_extracted(sf_dir))
+
+
 def q_typo_candidates(sf_dir: str):
     """Typosquat-candidate pairs: distinct Module local names within
     Levenshtein distance 1 of each other (SymSpell deletion-neighborhood

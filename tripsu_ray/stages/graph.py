@@ -871,3 +871,112 @@ def components_table(edges_ds) -> pd.DataFrame:
     return pd.DataFrame(
         {"node": nodes, "component": [labels[n] for n in nodes]}
     )
+
+
+def repo_profile(triples, *, num_partitions: int = _HASH_PARTS):
+    """2-hop neighborhood aggregation (GNN-style feature prep): per-repo
+    profile over its files' attributes → Dataset
+    (repo, n_files, n_langs, n_modules, n_symbols), all counts DISTINCT.
+
+    The repo never sees its files' attributes directly — ``language`` /
+    ``imports`` / ``defines`` hang off the FILE — so this is a genuine
+    two-exchange plan, never a broadcast (at corpus scale both the
+    file→repo map and the attribute stream are huge):
+
+    1. file-hash exchange joins (file, repo) with (file, kind, value)
+       rows (union-tag, the proven ``Dataset.join`` replacement) and
+       emits (repo, kind, value);
+    2. repo-hash exchange dedups (repo, kind, value) exactly — all copies
+       of a repo's rows co-locate — then one vectorized
+       ``groupby().nunique()`` pivot per partition.
+    """
+    from .extract import NS
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        s = batch["subject"].to_numpy(zero_copy_only=False)
+        p = batch["predicate"].to_numpy(zero_copy_only=False)
+        o = batch["object_value"].to_numpy(zero_copy_only=False)
+        parts = []
+        inrepo = p == NS + "inRepo"
+        parts.append(
+            pd.DataFrame(
+                {"file": s[inrepo], "kind": "repo", "value": o[inrepo]}
+            )
+        )
+        for pred, kind in (
+            ("language", "lang"),
+            ("imports", "mod"),
+            ("defines", "sym"),
+        ):
+            m = p == NS + pred
+            parts.append(pd.DataFrame({"file": s[m], "kind": kind, "value": o[m]}))
+        df = pd.concat(parts, ignore_index=True).drop_duplicates()
+        df["_part"] = (
+            pd.util.hash_array(df["file"].to_numpy(dtype=object)) % num_partitions
+        )
+        return df
+
+    def join_files(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in ("repo", "kind", "value")}
+        )
+        if not len(g) or "kind" not in g.columns:
+            return empty
+        g = g.drop_duplicates(subset=["file", "kind", "value"])
+        repos = g[g["kind"] == "repo"][["file", "value"]].rename(
+            columns={"value": "repo"}
+        )
+        if not len(repos):
+            return empty
+        attrs = g[g["kind"] != "repo"][["file", "kind", "value"]]
+        joined = attrs.merge(repos, on="file")[["repo", "kind", "value"]]
+        # the file itself is a counted attribute of its repo
+        files = repos.assign(kind="file", value=repos["file"])[
+            ["repo", "kind", "value"]
+        ]
+        out = pd.concat([joined, files], ignore_index=True)
+        out["_rpart"] = (
+            pd.util.hash_array(out["repo"].to_numpy(dtype=object)) % num_partitions
+        )
+        return out
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "repo" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "repo": pd.Series([], dtype=object),
+                    "n_files": pd.Series([], dtype="int64"),
+                    "n_langs": pd.Series([], dtype="int64"),
+                    "n_modules": pd.Series([], dtype="int64"),
+                    "n_symbols": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.drop_duplicates(subset=["repo", "kind", "value"])
+        pv = (
+            g.groupby(["repo", "kind"], sort=False)["value"]
+            .nunique()
+            .unstack(fill_value=0)
+            .reindex(columns=["file", "lang", "mod", "sym"], fill_value=0)
+            .rename(
+                columns={
+                    "file": "n_files",
+                    "lang": "n_langs",
+                    "mod": "n_modules",
+                    "sym": "n_symbols",
+                }
+            )
+            .reset_index()
+        )
+        pv.columns.name = None
+        return pv.astype(
+            {"n_files": "int64", "n_langs": "int64", "n_modules": "int64", "n_symbols": "int64"}
+        )
+
+    local = triples.map_batches(_dedup_batch, batch_format="pyarrow")
+    return (
+        local.map_batches(emit, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(join_files, batch_format="pandas")
+        .groupby("_rpart")
+        .map_groups(profile, batch_format="pandas")
+    )
