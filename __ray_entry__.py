@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mode": docops.q_rel_mode,
         "rel_rank_window": docops.q_rel_rank_window,
         "rel_anomalies": docops.q_rel_anomalies,
+        "rel_corr": docops.q_rel_corr,
+        "rel_cube": docops.q_rel_cube,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -185,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_mode": d.sql_rel_mode(),
         "rel_rank_window": d.sql_rel_rank_window(),
         "rel_anomalies": d.sql_rel_anomalies(),
+        "rel_corr": d.sql_rel_corr(),
+        "rel_cube": d.sql_rel_cube(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

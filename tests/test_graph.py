@@ -1018,3 +1018,67 @@ class TestRepoProfile:
         pd.testing.assert_frame_equal(
             got.astype({c: "int64" for c in want.columns[1:]}), want
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorr:
+    def test_rel_corr_matches_exact_reference(self):
+        from tripsu_ray.pipelines.docops import q_rel_corr
+
+        got = q_rel_corr("/root/testdata/sf0.001")
+        df = pd.read_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+        df = df.assign(
+            x=df["l_quantity"].round().astype("int64"),
+            y=(df["l_extendedprice"] * 100).round().astype("int64"),
+        )
+        import math
+
+        for _, row in got.iterrows():
+            sub = df[
+                (df["l_returnflag"] == row["l_returnflag"])
+                & (df["l_linestatus"] == row["l_linestatus"])
+            ]
+            x = [int(v) for v in sub["x"]]
+            y = [int(v) for v in sub["y"]]
+            n = len(x)
+            assert row["n"] == n
+            assert row["sum_qty"] == sum(x)
+            assert row["sum_price_cents"] == sum(y)
+            num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+            d1 = n * sum(a * a for a in x) - sum(x) ** 2
+            d2 = n * sum(b * b for b in y) - sum(y) ** 2
+            want_q = math.floor(1e6 * (float(num) / math.sqrt(float(d1) * float(d2))))
+            assert row["corr_q"] == want_q
+            # and the quantized value is the true Pearson r to ~1e-6
+            r = np.corrcoef(np.array(x, dtype=float), np.array(y, dtype=float))[0, 1]
+            assert abs(row["corr_q"] / 1e6 - r) < 2e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCube:
+    def test_cube_levels_consistent(self):
+        from tripsu_ray.pipelines.docops import q_rel_cube
+
+        out = q_rel_cube("/root/testdata/sf0.001")
+        fine = out[(out["l_returnflag"] != "") & (out["l_linestatus"] != "")]
+        by_flag = out[(out["l_returnflag"] != "") & (out["l_linestatus"] == "")]
+        by_status = out[(out["l_returnflag"] == "") & (out["l_linestatus"] != "")]
+        top = out[(out["l_returnflag"] == "") & (out["l_linestatus"] == "")]
+        assert len(top) == 1
+        for col in ("price_cents", "n"):
+            assert by_flag[col].sum() == fine[col].sum() == top[col].iloc[0]
+            assert by_status[col].sum() == fine[col].sum()
+        # each marginal equals the sum of its fine cells
+        for flag, grp in fine.groupby("l_returnflag"):
+            assert (
+                by_flag.loc[by_flag["l_returnflag"] == flag, "n"].iloc[0]
+                == grp["n"].sum()
+            )
+        for st, grp in fine.groupby("l_linestatus"):
+            assert (
+                by_status.loc[by_status["l_linestatus"] == st, "n"].iloc[0]
+                == grp["n"].sum()
+            )

@@ -694,3 +694,45 @@ WHERE st.n >= 2
       > 9 * (st.n * st.Q - st.S * st.S)
 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_corr() -> str:
+    # HUGEINT keeps every moment exact; the float expression mirrors the
+    # Ray side operation-for-operation (convert → multiply → sqrt →
+    # divide → ×1e6 → floor) so IEEE rounding coincides
+    return """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(count(*) AS HUGEINT) AS n,
+    sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+    sum(CAST(round(l_quantity) AS HUGEINT)
+        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+    sum(CAST(round(l_quantity) AS HUGEINT)
+        * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(n AS BIGINT) AS n,
+  CAST(sx AS BIGINT) AS sum_qty,
+  CAST(sy AS BIGINT) AS sum_price_cents,
+  CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS corr_q
+FROM m ORDER BY 1, 2
+""".strip()
+
+
+def sql_rel_cube() -> str:
+    return """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+""".strip()

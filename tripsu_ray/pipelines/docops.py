@@ -1017,3 +1017,147 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_corr(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs price) from EXACT integer
+    moments — the distributed-moments pattern: per-batch int64 partial sums
+    (n, Σx, Σy, Σxy, Σx², Σy²; batch_size capped at 16384 so Σy² stays far
+    inside int64), tree-fold combine in PYTHON ints (arbitrary precision —
+    no overflow at any scale), final corr computed once per group on the
+    driver from the exact moments. Engine-portable float discipline: both
+    engines evaluate floor(10^6 · num/sqrt(double(d1)·double(d2))) over the
+    SAME exact integers, so every IEEE rounding step coincides and the
+    value hash matches (`rel_corr`)."""
+    import math
+
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].round().astype("int64")
+        y = (b["l_extendedprice"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "n": 1,
+                    "sx": x,
+                    "sy": y,
+                    "sxy": x * y,
+                    "sxx": x * x,
+                    "syy": y * y,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        # Python-int accumulation: moment sums exceed int64 long before the
+        # row stream does; the fold rows are few, so object dtype is free
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+            df[c] = df[c].map(int)
+        return df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        ].sum()
+
+    m = tree_fold_tables(
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384), combine
+    )
+    if m is None:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=object),
+                "l_linestatus": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sum_qty": pd.Series([], dtype="int64"),
+                "sum_price_cents": pd.Series([], dtype="int64"),
+                "corr_q": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def corr_q(row) -> int:
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        den = math.sqrt(float(d1) * float(d2))
+        return int(math.floor(1e6 * (float(num) / den))) if den else 0
+
+    out = m.assign(corr_q=m.apply(corr_q, axis=1)).rename(
+        columns={"sx": "sum_qty", "sy": "sum_price_cents"}
+    )[["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_cents", "corr_q"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True).astype(
+        {"n": "int64", "sum_qty": "int64", "sum_price_cents": "int64", "corr_q": "int64"}
+    )
+
+
+def q_rel_cube(sf_dir: str):
+    """CUBE grouping sets: revenue/count at ALL FOUR levels of the
+    (returnflag × linestatus) lattice from ONE partial-aggregation pass —
+    the fine-grain partials are associative sums, so the three coarser
+    grouping sets re-aggregate from the ≤|domain|² fold result at zero
+    extra scan/shuffle cost (the ROLLUP plan plus the (ALL, status) set).
+    NULL level keys render as '' (engine-portable hash)."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(
+                price_cents=(b["l_extendedprice"] * 100).round().astype("int64"), n=1
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(price_cents=("price_cents", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        )[["price_cents", "n"]].sum()
+
+    fine = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if fine is None:
+        fine = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "price_cents": [], "n": []}
+        )
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["price_cents", "n"]]
+        .sum()
+        .assign(l_linestatus="")
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[["price_cents", "n"]]
+        .sum()
+        .assign(l_returnflag="")
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": [""],
+            "l_linestatus": [""],
+            "price_cents": [fine["price_cents"].sum()],
+            "n": [fine["n"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_flag, by_status, top], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "price_cents", "n"]
+    ]
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], ignore_index=True
+    ).astype({"price_cents": "int64", "n": "int64"})
