@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validate": q.q_validate,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
+        "kg_char_sets": q.q_char_sets,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anomalies": docops.q_rel_anomalies,
         "rel_corr": docops.q_rel_corr,
         "rel_cube": docops.q_rel_cube,
+        "rel_moving_sum": docops.q_rel_moving_sum,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_validate": oracle.sql_validate(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),
+        "kg_char_sets": oracle.sql_char_sets(),
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),
@@ -189,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_anomalies": d.sql_rel_anomalies(),
         "rel_corr": d.sql_rel_corr(),
         "rel_cube": d.sql_rel_cube(),
+        "rel_moving_sum": d.sql_rel_moving_sum(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

@@ -1082,3 +1082,54 @@ class TestCube:
                 by_status.loc[by_status["l_linestatus"] == st, "n"].iloc[0]
                 == grp["n"].sum()
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCharSets:
+    def test_matches_pandas(self):
+        df = _triples_df(np.random.default_rng(9))
+        got = (
+            graph.characteristic_sets(_ds(df), num_partitions=8)
+            .to_pandas()
+            .sort_values("signature", ignore_index=True)
+        )
+        dt = df.drop_duplicates(subset=["subject", "predicate", "object_value"])
+        per = dt.groupby("subject").agg(
+            signature=("predicate", lambda s: "|".join(sorted(set(s)))),
+            nt=("predicate", "size"),
+        )
+        want = (
+            per.groupby("signature")
+            .agg(n_subjects=("nt", "size"), n_triples=("nt", "sum"))
+            .reset_index()
+            .astype({"n_subjects": "int64", "n_triples": "int64"})
+            .sort_values("signature", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMovingSum:
+    def test_matches_pandas_window(self):
+        from tripsu_ray.pipelines.docops import q_rel_moving_sum
+
+        got = (
+            q_rel_moving_sum("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.assign(v=(ev["value"] * 100).round().astype("int64")).sort_values(
+            ["user_id", "ts", "event_id"], ignore_index=True
+        )
+        ev["mov_cents"] = (
+            ev.groupby("user_id", sort=False)["v"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        want = ev[["user_id", "event_id", "mov_cents"]].sort_values(
+            ["user_id", "event_id"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -736,3 +736,13 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_moving_sum() -> str:
+    return """
+SELECT user_id, event_id,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents
+FROM events ORDER BY user_id, event_id
+""".strip()

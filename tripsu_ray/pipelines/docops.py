@@ -1161,3 +1161,58 @@ def q_rel_cube(sf_dir: str):
     return out.sort_values(
         ["l_returnflag", "l_linestatus"], ignore_index=True
     ).astype({"price_cents": "int64", "n": "int64"})
+
+
+def q_rel_moving_sum(sf_dir: str):
+    """Rows-frame moving window: per-user 3-row moving sum of event value
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, ordered by ts, event_id) —
+    ONE user-hash exchange co-locates each user, then a vectorized
+    per-partition sort + grouped rolling sum in integer cents; no global
+    sort. Window oracle hash-matched (`rel_moving_sum`)."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    _P = 32
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "ts": b["ts"],
+                "user_id": b["user_id"].astype("int64"),
+                "value_cents": (b["value"] * 100).round().astype("int64"),
+            }
+        )
+        out["_part"] = (out["user_id"].to_numpy() % _P).astype("int64")
+        return out
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        if "user_id" not in g.columns or not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "mov_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        mov = (
+            g.groupby("user_id", sort=False)["value_cents"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "mov_cents": mov.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(window, batch_format="pandas")
+    )

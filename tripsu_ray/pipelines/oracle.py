@@ -337,6 +337,22 @@ FROM reach GROUP BY n ORDER BY n"""
     )
 
 
+def sql_char_sets() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + """,
+dt AS (SELECT DISTINCT s, p, o, k FROM raw_triples),
+per AS (
+  SELECT s, string_agg(DISTINCT p, '|' ORDER BY p) AS signature,
+         count(*) AS nt
+  FROM dt GROUP BY s
+)
+SELECT signature, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples
+FROM per GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def sql_repo_profile() -> str:
     """2-hop repo profile: LEFT JOINs multiply rows, count(DISTINCT …)
     restores set semantics — the small-scale anchor for the two-exchange

@@ -194,6 +194,15 @@ def q_repo_profile(sf_dir: str):
     return repo_profile(_extracted(sf_dir))
 
 
+def q_char_sets(sf_dir: str):
+    """Characteristic-set census (Neumann & Moerkotte ICDE'11 — RDF
+    structure summary for cardinality estimation): subjects grouped by
+    their exact distinct-predicate set (stages/graph.py)."""
+    from ..stages.graph import characteristic_sets
+
+    return characteristic_sets(_extracted(sf_dir))
+
+
 def q_typo_candidates(sf_dir: str):
     """Typosquat-candidate pairs: distinct Module local names within
     Levenshtein distance 1 of each other (SymSpell deletion-neighborhood

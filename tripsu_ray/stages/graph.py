@@ -980,3 +980,69 @@ def repo_profile(triples, *, num_partitions: int = _HASH_PARTS):
         .groupby("_rpart")
         .map_groups(profile, batch_format="pandas")
     )
+
+
+def characteristic_sets(triples, *, num_partitions: int = _HASH_PARTS):
+    """Characteristic-set census (Neumann & Moerkotte, ICDE 2011 — the
+    classic RDF structure summary used for cardinality estimation): group
+    subjects by their exact DISTINCT predicate set → Dataset
+    (signature, n_subjects, n_triples) where ``signature`` is the
+    '|'-joined sorted predicate list.
+
+    Plan: the usual subject-hash exchange makes per-subject predicate
+    sets exact in one shuffle; each partition reduces its subjects to
+    (signature, count, triples) partials — the signature domain is tiny
+    compared to the subject domain (that's the point of the summary), so
+    the second exchange moves only partial census rows.
+    """
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        per_subj = (
+            df.drop_duplicates(subset=["subject", "predicate", "object_value"])
+            .groupby("subject", sort=False)["predicate"]
+            .agg(
+                signature=lambda s: "|".join(sorted(set(s))),
+                n_triples="size",
+            )
+            .reset_index()
+        )
+        return (
+            per_subj.groupby("signature", sort=False)
+            .agg(n_subjects=("subject", "size"), n_triples=("n_triples", "sum"))
+            .reset_index()
+        )
+
+    partials = _subject_partitioned_distinct(triples, finish, num_partitions=num_partitions)
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        if "signature" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "signature": pd.Series([], dtype=object),
+                    "n_subjects": pd.Series([], dtype="int64"),
+                    "n_triples": pd.Series([], dtype="int64"),
+                }
+            )
+        return (
+            g.groupby("signature", sort=False, as_index=False)[
+                ["n_subjects", "n_triples"]
+            ]
+            .sum()
+            .astype({"n_subjects": "int64", "n_triples": "int64"})
+        )
+
+    def add_spart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_spart"] = (
+            pd.util.hash_array(df["signature"].to_numpy(dtype=object)) % num_partitions
+        )
+        return df
+
+    return (
+        partials.map_batches(add_spart, batch_format="pandas")
+        .groupby("_spart")
+        .map_groups(
+            lambda g: census(g.drop(columns=["_spart"], errors="ignore")),
+            batch_format="pandas",
+        )
+    )
