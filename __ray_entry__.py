@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": joins.q_rel_range_join,
         "rel_anti_join": joins.q_rel_anti_join,
         "rel_semi_join": joins.q_rel_semi_join,
+        "rel_full_outer_join": joins.q_rel_full_outer_join,
     }
 
 
@@ -197,4 +198,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),
         "rel_semi_join": joins.sql_rel_semi_join(),
+        "rel_full_outer_join": joins.sql_rel_full_outer_join(),
     }

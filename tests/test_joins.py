@@ -154,3 +154,44 @@ class TestAntiSemiJoin:
             bal[k] == v
             for k, v in zip(got["c_custkey"], got["c_acctbal_cents"])
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuter:
+    def test_matches_pandas(self):
+        import pandas as pd
+
+        from tripsu_ray.pipelines.joins import q_rel_full_outer_join
+
+        got = (
+            q_rel_full_outer_join("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("o_custkey", ignore_index=True)
+        )
+        o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+        o = o.assign(cents=(o["o_totalprice"] * 100).round().astype("int64"))
+        cut = pd.Timestamp("1998-01-01")
+        e = (
+            o[o["o_orderdate"] < cut]
+            .groupby("o_custkey", as_index=False)["cents"]
+            .sum()
+            .rename(columns={"cents": "early_cents"})
+        )
+        l = (
+            o[o["o_orderdate"] >= cut]
+            .groupby("o_custkey", as_index=False)["cents"]
+            .sum()
+            .rename(columns={"cents": "late_cents"})
+        )
+        e["early_cents"] = e["early_cents"].astype("Int64")
+        l["late_cents"] = l["late_cents"].astype("Int64")
+        want = e.merge(l, on="o_custkey", how="outer").sort_values(
+            "o_custkey", ignore_index=True
+        )
+        # at sf0.001 every customer has late orders; the early side's NULLs
+        # exercise the unmatched path (both directions hash-match vs the
+        # FULL OUTER oracle at sf0.01 via check_correctness)
+        assert want["early_cents"].isna().any()
+        pd.testing.assert_frame_equal(
+            got.astype({"early_cents": "Int64", "late_cents": "Int64"}), want
+        )

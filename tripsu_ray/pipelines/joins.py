@@ -263,3 +263,87 @@ WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
 """
+
+
+def q_rel_full_outer_join(sf_dir: str):
+    """FULL OUTER join: per-customer order spend in the early period
+    (< 1998) vs the late period (≥ 1998) — customers active in only one
+    period surface with NULL on the other side, completing the join
+    family (inner via shuffle_join, left via BGP OPTIONAL, anti/semi
+    here).
+
+    Plan: both period streams are per-key AGGREGATES of the same scan, so
+    the full-outer join collapses into ONE custkey exchange — per-batch
+    (custkey, period) partial sums, co-partition on custkey, vectorized
+    per-partition combine + early/late pivot with pandas nullable Int64
+    for the unmatched sides (hash-compatible with SQL NULL)."""
+    from ..sources import read_parquet_clean as _read_parquet_clean
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    cut = pd.Timestamp("1998-01-01")
+    _P = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].astype("int64"),
+                    "late": (b["o_orderdate"] >= cut).astype("int8"),
+                    "cents": (b["o_totalprice"] * 100).round().astype("int64"),
+                }
+            )
+            .groupby(["o_custkey", "late"], sort=False, as_index=False)["cents"]
+            .sum()
+        )
+        g["_part"] = (g["o_custkey"].to_numpy() % _P).astype("int64")
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if "o_custkey" not in g.columns or not len(g):
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "early_cents": pd.Series([], dtype="Int64"),
+                    "late_cents": pd.Series([], dtype="Int64"),
+                }
+            )
+        t = g.groupby(["o_custkey", "late"], sort=False, as_index=False)["cents"].sum()
+        # convert to nullable Int64 BEFORE the outer merge: a plain int64
+        # column would round-trip through float64 on the unmatched side
+        # (silent precision loss past 2^53)
+        e = t[t["late"] == 0][["o_custkey", "cents"]].rename(
+            columns={"cents": "early_cents"}
+        )
+        l = t[t["late"] == 1][["o_custkey", "cents"]].rename(
+            columns={"cents": "late_cents"}
+        )
+        e["early_cents"] = e["early_cents"].astype("Int64")
+        l["late_cents"] = l["late_cents"].astype("Int64")
+        out = e.merge(l, on="o_custkey", how="outer")
+        return out.astype({"o_custkey": "int64"}).reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def sql_rel_full_outer_join() -> str:
+    return """
+WITH e AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS early_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+), l AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS late_cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+)
+SELECT o_custkey, e.early_cents, l.late_cents
+FROM e FULL OUTER JOIN l USING (o_custkey)
+ORDER BY 1
+""".strip()
