@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
         "kg_char_sets": q.q_char_sets,
+        "kg_random_walks": q.q_random_walks,
         # text analysis
         "text_stats": docops.q_text_stats,
         "text_langid": docops.q_text_langid,
@@ -125,7 +126,9 @@ def oracle_sql() -> dict[str, str]:
     not SQL-reproducible; error <2% vs exact asserted in tests),
     kg_pagerank (float power iteration — np.allclose-verified in tests),
     kg_core_numbers (iterative H-index fixpoint — exact-equal to
-    sequential peeling in tests).
+    sequential peeling in tests), kg_random_walks (deterministic
+    hash-seeded walks — exact-equal to a sequential replay in tests, but
+    the SipHash step choice has no SQL rendering).
     """
     from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle
 

@@ -1133,3 +1133,74 @@ class TestMovingSum:
             ["user_id", "event_id"], ignore_index=True
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRandomWalks:
+    def _edges_ds(self, edges):
+        import ray.data
+
+        df = pd.DataFrame(edges, columns=["a", "b"])
+        return ray.data.from_pandas(df).repartition(3)
+
+    @staticmethod
+    def _reference(edges, num_walks=2, walk_len=4):
+        # sequential replay of the exact same hash formula
+        adj: dict[str, list[str]] = {}
+        sym = set()
+        for a, b in edges:
+            sym.add((a, b))
+            sym.add((b, a))
+        for a, b in sorted(sym):
+            adj.setdefault(a, []).append(b)
+        rows = []
+        for start in sorted(adj):
+            for wno in range(num_walks):
+                cur, path = start, start
+                for step in range(1, walk_len + 1):
+                    nbrs = adj[cur]
+                    key = f"{start}\x1f{wno}\x1f{step}\x1f{cur}"
+                    h = int(
+                        pd.util.hash_array(np.array([key], dtype=object))[0]
+                    ) % len(nbrs)
+                    cur = nbrs[h]
+                    path += ">" + cur
+                rows.append((start, wno, path))
+        return pd.DataFrame(rows, columns=["start", "walk_no", "walk"])
+
+    def test_matches_sequential_replay(self):
+        rng = np.random.default_rng(21)
+        edges = list(
+            {
+                (f"n{i}", f"n{j}")
+                for i, j in rng.integers(0, 25, (80, 2))
+                if i != j
+            }
+        )
+        got = (
+            graph.random_walks(self._edges_ds(edges), num_partitions=8)
+            .to_pandas()
+            .sort_values(["start", "walk_no"], ignore_index=True)
+        )
+        want = self._reference(edges).sort_values(
+            ["start", "walk_no"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"walk_no": "int64"}), want.astype({"walk_no": "int64"})
+        )
+
+    def test_walk_shape_and_determinism(self):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        r1 = (
+            graph.random_walks(self._edges_ds(edges), num_walks=3, walk_len=5)
+            .to_pandas()
+            .sort_values(["start", "walk_no"], ignore_index=True)
+        )
+        assert len(r1) == 3 * 3  # every node × num_walks
+        assert (r1["walk"].str.count(">") == 5).all()
+        r2 = (
+            graph.random_walks(self._edges_ds(edges), num_walks=3, walk_len=5)
+            .to_pandas()
+            .sort_values(["start", "walk_no"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(r1, r2)

@@ -194,6 +194,16 @@ def q_repo_profile(sf_dir: str):
     return repo_profile(_extracted(sf_dir))
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic node2vec-style walk corpus over the entity graph
+    (stages/graph.py::random_walks — hash-seeded step choice, one exchange
+    per step). Rows-only driver check (walks have no SQL rendering);
+    tests replay the hash formula sequentially and assert exact equality."""
+    from ..stages.graph import entity_edges, random_walks
+
+    return random_walks(entity_edges(_extracted(sf_dir)))
+
+
 def q_char_sets(sf_dir: str):
     """Characteristic-set census (Neumann & Moerkotte ICDE'11 — RDF
     structure summary for cardinality estimation): subjects grouped by

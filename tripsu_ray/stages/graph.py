@@ -1046,3 +1046,175 @@ def characteristic_sets(triples, *, num_partitions: int = _HASH_PARTS):
             batch_format="pandas",
         )
     )
+
+
+def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
+                 num_partitions: int = 32):
+    """node2vec-style walk corpus over the (symmetrized) entity graph →
+    Dataset (start, walk_no, walk) where ``walk`` is the '>'-joined node
+    path of ``walk_len`` steps — the KG → embedding-training-data bridge
+    (DeepWalk/node2vec input shape).
+
+    DETERMINISTIC by construction (reproducible shards, engine-testable):
+    step choice is ``hash(start, walk_no, step, cur) % degree`` into the
+    SORTED neighbor list (pd.util.hash_array's fixed-key SipHash — stable
+    across processes/partitionings), not an RNG. Tests replay the same
+    formula sequentially.
+
+    Plan: adjacency is built once (one node-hash exchange, materialized —
+    each round re-reads it, never re-extracts) and each of the
+    ``walk_len`` rounds is ONE exchange: the frontier co-partitions with
+    the adjacency on the CURRENT node (union-tag), each partition extends
+    its walks vectorized (searchsorted into the sorted neighbor block —
+    no per-row Python), and the extended frontier materializes for the
+    next round. Walk state lives in the frontier rows — the driver never
+    holds walks or edges.
+    """
+    _US = "\x1f"
+
+    def sym_adj(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "nbr": pd.Series([], dtype=object),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+        both = pd.concat(
+            [
+                df[["a", "b"]].rename(columns={"a": "node", "b": "nbr"}),
+                df[["a", "b"]].rename(columns={"b": "node", "a": "nbr"}),
+            ],
+            ignore_index=True,
+        ).drop_duplicates()
+        both["_part"] = (
+            pd.util.hash_array(both["node"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return both
+
+    def adj_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in g.columns:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object), "nbr": pd.Series([], dtype=object)}
+            )
+        return g[["node", "nbr"]].drop_duplicates(ignore_index=True)
+
+    adjacency = (
+        edges_ds.map_batches(sym_adj, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(adj_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in ("start", "path", "cur")}
+            ).assign(walk_no=pd.Series([], dtype="int64"))
+        nodes = df["node"].unique()
+        n = len(nodes)
+        rep = np.repeat(nodes, num_walks)
+        wno = np.tile(np.arange(num_walks, dtype=np.int64), n)
+        return pd.DataFrame(
+            {"start": rep, "walk_no": wno, "path": rep.copy(), "cur": rep}
+        )
+
+    frontier = adjacency.map_batches(seed, batch_format="pandas").materialize()
+
+    _FCOLS = ["start", "walk_no", "path", "cur"]
+
+    def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns or not len(df):
+            df = pd.DataFrame(
+                {"node": pd.Series([], dtype=object), "nbr": pd.Series([], dtype=object)}
+            )
+        out = df[["node", "nbr"]].copy()
+        for c in _FCOLS:
+            out[c] = pd.Series([None] * len(out), dtype=object)
+        out["walk_no"] = out["walk_no"].astype(object)
+        out["_side"] = np.int8(0)
+        out["_part"] = (
+            pd.util.hash_array(out["node"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return out[["node", "nbr", *_FCOLS, "_side", "_part"]]
+
+    # step-invariant: tag once, reuse the materialized blocks every round
+    tagged_adj = adjacency.map_batches(tag_adj, batch_format="pandas").materialize()
+
+    for step in range(1, walk_len + 1):
+
+        def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+            if "cur" not in df.columns or not len(df):
+                df = pd.DataFrame({c: pd.Series([], dtype=object) for c in _FCOLS})
+            out = df[_FCOLS].copy()
+            out["walk_no"] = out["walk_no"].astype(object)
+            out["node"] = pd.Series([None] * len(out), dtype=object)
+            out["nbr"] = pd.Series([None] * len(out), dtype=object)
+            out["_side"] = np.int8(1)
+            out["_part"] = (
+                pd.util.hash_array(out["cur"].to_numpy(dtype=object)) % num_partitions
+            ).astype("int64")
+            return out[["node", "nbr", *_FCOLS, "_side", "_part"]]
+
+        def extend(g: pd.DataFrame, _step: int = step) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "start": pd.Series([], dtype=object),
+                    "walk_no": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype=object),
+                    "cur": pd.Series([], dtype=object),
+                }
+            )
+            if not len(g) or "_side" not in g.columns:
+                return empty
+            fr = g[g["_side"] == 1]
+            if not len(fr):
+                return empty
+            adj = (
+                g[g["_side"] == 0][["node", "nbr"]]
+                .sort_values(["node", "nbr"], ignore_index=True)
+            )
+            nodes_sorted = adj["node"].to_numpy(dtype=object)
+            nbrs_sorted = adj["nbr"].to_numpy(dtype=object)
+            cur = fr["cur"].to_numpy(dtype=object)
+            lo = np.searchsorted(nodes_sorted, cur, side="left")
+            hi = np.searchsorted(nodes_sorted, cur, side="right")
+            deg = hi - lo
+            # symmetric graph: every frontier node was reached along an
+            # edge, so its degree is ≥ 1 in its own partition
+            assert (deg > 0).all(), "walk reached a node with no adjacency rows"
+            key = (
+                fr["start"].astype(str)
+                + _US + fr["walk_no"].astype(str)
+                + _US + str(_step)
+                + _US + fr["cur"].astype(str)
+            )
+            h = pd.util.hash_array(key.to_numpy(dtype=object)) % deg.astype("uint64")
+            nxt = nbrs_sorted[lo + h.astype(np.int64)]
+            return pd.DataFrame(
+                {
+                    "start": fr["start"].to_numpy(dtype=object),
+                    "walk_no": fr["walk_no"].astype("int64").to_numpy(),
+                    "path": (fr["path"].astype(str) + ">" + nxt).to_numpy(dtype=object),
+                    "cur": nxt,
+                }
+            )
+
+        frontier = (
+            tagged_adj.union(frontier.map_batches(tag_frontier, batch_format="pandas"))
+            .groupby("_part")
+            .map_groups(extend, batch_format="pandas")
+            .materialize()
+        )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if "start" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "start": pd.Series([], dtype=object),
+                    "walk_no": pd.Series([], dtype="int64"),
+                    "walk": pd.Series([], dtype=object),
+                }
+            )
+        return df[["start", "walk_no", "path"]].rename(columns={"path": "walk"})
+
+    return frontier.map_batches(project, batch_format="pandas")
