@@ -746,3 +746,18 @@ SELECT user_id, event_id,
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents
 FROM events ORDER BY user_id, event_id
 """.strip()
+
+
+def sql_rel_q5_revenue() -> str:
+    return """
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY 1 ORDER BY 1
+""".strip()

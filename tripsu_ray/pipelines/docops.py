@@ -1216,3 +1216,152 @@ def q_rel_moving_sum(sf_dir: str):
         .groupby("_part")
         .map_groups(window, batch_format="pandas")
     )
+
+
+def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
+    """TPC-H Q5-shaped 6-table join (region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem ⋈ supplier, ASIA, revenue per nation) — the mixed
+    broadcast+shuffle plan every warehouse query compiles to:
+
+    - the two BIG tables (lineitem, orders) co-partition on orderkey via
+      the union-tag exchange (one shuffle, `Dataset.join` avoided);
+    - the four SMALL tables collapse into dense int lookup arrays
+      (custkey→nationkey, suppkey→nationkey, nationkey→name/is-ASIA)
+      `ray.put` ONCE and probed vectorized inside each partition — at
+      true scale customer graduates to a second key exchange, which
+      `rel_shuffle_join` already demonstrates;
+    - the cross-dimension predicate c_nationkey = s_nationkey is applied
+      INSIDE the partition right after the merge, so only matching rows
+      reach the per-partition partial aggregate (≤ #nations rows leave
+      each partition).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    def dense(keys, vals, fill=-1):
+        keys = np.asarray(keys, dtype=np.int64)
+        arr = np.full(int(keys.max()) + 1 if len(keys) else 1, fill, dtype=object if vals.dtype == object else np.int64)
+        arr[keys] = vals
+        return arr
+
+    c_nat = dense(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+    s_nat = dense(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
+    nkeys = nat["n_nationkey"].to_numpy()
+    n_name = dense(nkeys, np.array(nat["n_name"].to_pylist(), dtype=object), fill="")
+    asia_regions = {
+        rk
+        for rk, rn in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if rn == "ASIA"
+    }
+    is_asia = dense(
+        nkeys,
+        np.array(
+            [int(rk in asia_regions) for rk in nat["n_regionkey"].to_pylist()],
+            dtype=np.int64,
+        ),
+        fill=0,
+    )
+    dims_ref = ray.put((c_nat, s_nat, n_name, is_asia))
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def part_of(keys: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(keys.astype(np.int64)) % num_partitions).astype(
+            "int64"
+        )
+
+    def tag_li(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "other": b["l_suppkey"].to_numpy().astype(np.int64),
+                # floor(v+0.5) = DuckDB's round-half-away for the non-negative
+                # revenue product (numpy .round() is half-even and diverges on
+                # the exact-.5 values this 3-factor product does hit).
+                "rev": np.floor(
+                    (b["l_extendedprice"] * (1 - b["l_discount"]) * 100).to_numpy()
+                    + 0.5
+                ).astype("int64"),
+                "side": np.int8(0),
+                "_part": part_of(k),
+            }
+        )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "other": b["o_custkey"].to_numpy().astype(np.int64),
+                "rev": np.full(len(b), 0, dtype=np.int64),
+                "side": np.int8(1),
+                "_part": part_of(k),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_part(g: pd.DataFrame, _dims=dims_ref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=object),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "side" not in g.columns:
+            return empty
+        c_nat, s_nat, n_name, is_asia = ray.get(_dims)
+        fact = g[g["side"] == 0][["k", "other", "rev"]].rename(
+            columns={"other": "suppkey"}
+        )
+        dim = g[g["side"] == 1][["k", "other"]].rename(columns={"other": "custkey"})
+        if not len(fact) or not len(dim):
+            return empty
+        j = fact.merge(dim, on="k")
+        cn = c_nat[j["custkey"].to_numpy()].astype(np.int64)
+        sn = s_nat[j["suppkey"].to_numpy()].astype(np.int64)
+        m = (cn == sn) & (cn >= 0) & (is_asia[sn] == 1)
+        if not m.any():
+            return empty
+        out = (
+            pd.DataFrame(
+                {"n_name": n_name[sn[m]], "revenue_cents": j["rev"].to_numpy()[m], "n": 1}
+            )
+            .groupby("n_name", sort=False, as_index=False)[["revenue_cents", "n"]]
+            .sum()
+        )
+        out["n_name"] = out["n_name"].astype(object)
+        return out.astype({"revenue_cents": "int64", "n": "int64"})
+
+    return (
+        both.groupby("_part")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
