@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": docops.q_rel_cube,
         "rel_moving_sum": docops.q_rel_moving_sum,
         "rel_q5_revenue": docops.q_rel_q5_revenue,
+        "rel_resample": docops.q_rel_resample,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cube": d.sql_rel_cube(),
         "rel_moving_sum": d.sql_rel_moving_sum(),
         "rel_q5_revenue": d.sql_rel_q5_revenue(),
+        "rel_resample": d.sql_rel_resample(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

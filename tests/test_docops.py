@@ -860,3 +860,50 @@ def test_text_mixture_schedule_matches_pandas():
     # ratio approaches the 4:1 weight ratio
     head = got.sort_values("mix_pos").head(120)
     assert (head["lang"] == "en").sum() >= 3 * (head["lang"] == "es").sum()
+
+
+def test_rel_resample_matches_pandas():
+    """Dense hourly grid + forward fill vs a single-process pandas
+    reference (per-user reindex over the full hour range)."""
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_resample(SF)
+        .to_pandas()
+        .sort_values(["user_id", "hour_start"], ignore_index=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    ev["hour_start"] = (
+        ev["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+    )
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    hourly = (
+        ev.groupby(["user_id", "hour_start"])
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        .reset_index()
+    )
+    frames = []
+    for uid, g in hourly.groupby("user_id"):
+        full = np.arange(g["hour_start"].min(), g["hour_start"].max() + 1, 3600)
+        r = g.set_index("hour_start").reindex(full)
+        r["user_id"] = uid
+        r["ff_cents"] = r["sum_cents"].ffill().astype("int64")
+        r[["n_events", "sum_cents"]] = (
+            r[["n_events", "sum_cents"]].fillna(0).astype("int64")
+        )
+        frames.append(r.rename_axis("hour_start").reset_index())
+    want = (
+        pd.concat(frames, ignore_index=True)[
+            ["user_id", "hour_start", "n_events", "sum_cents", "ff_cents"]
+        ]
+        .astype("int64")
+        .sort_values(["user_id", "hour_start"], ignore_index=True)
+    )
+    # grid rows strictly exceed observed rows (gaps exist in the corpus)
+    assert len(want) > len(hourly)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "hour_start", "n_events", "sum_cents", "ff_cents"]].astype(
+            "int64"
+        ),
+        want,
+    )

@@ -761,3 +761,28 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_resample() -> str:
+    return """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.user_id,
+  CAST(epoch(g.h) AS BIGINT) AS hour_start,
+  COALESCE(y.n_events, 0) AS n_events,
+  COALESCE(y.sum_cents, 0) AS sum_cents,
+  CAST(last_value(y.sum_cents IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ff_cents
+FROM grid g LEFT JOIN hourly y ON g.user_id = y.user_id AND g.h = y.h
+ORDER BY 1, 2
+""".strip()

@@ -1365,3 +1365,116 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
             Sum("n", alias_name="n"),
         )
     )
+
+
+def q_rel_resample(sf_dir: str, *, num_partitions: int = 32):
+    """Per-user dense hourly resample with gap-fill — the generate_series /
+    time-grid operator Ray Data has no primitive for (the output has MORE
+    rows than the input: every hour between a user's first and last event
+    exists, observed or not):
+
+    - map pass folds events to (user, hour, n, cents) partials per batch
+      (shuffle volume = observed user-hours, not events);
+    - ONE user-hash exchange co-locates each user's history;
+    - per partition the dense grid is built VECTORIZED for all users at
+      once (np.repeat + cumulative-offset arange, no per-user Python
+      loop), observed rows scatter into their grid slots by integer
+      position, and forward-fill is one pandas grouped ffill.
+
+    Gap hours report n_events=0 / sum_cents=0; ff_cents carries the most
+    recent observed hour's sum (first grid hour is always observed, so no
+    nulls and the schema stays int64). Grid amplification is bounded per
+    partition by that partition's user time-spans — at 100 TB the hour
+    granularity and the per-user span cap the fanout, and partitions
+    stream independently.
+    """
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "hour_start": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        h = b["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].astype("int64"),
+                    "hour_start": h,
+                    "n_events": np.int64(1),
+                    "sum_cents": (b["value"] * 100).round().astype("int64"),
+                }
+            )
+            .groupby(["user_id", "hour_start"], sort=False, as_index=False)
+            .sum()
+        )
+        g["_part"] = (pd.util.hash_array(g["user_id"].to_numpy()) % num_partitions).astype(
+            "int64"
+        )
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "hour_start": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+                "ff_cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "user_id" not in g.columns:
+            return empty
+        obs = (
+            g.groupby(["user_id", "hour_start"], sort=False, as_index=False)[
+                ["n_events", "sum_cents"]
+            ]
+            .sum()
+            .sort_values(["user_id", "hour_start"], ignore_index=True)
+        )
+        HOUR = 3600
+        uids = obs["user_id"].to_numpy()
+        hrs = obs["hour_start"].to_numpy()
+        first = np.concatenate(([True], uids[1:] != uids[:-1]))
+        u_idx = np.cumsum(first) - 1  # dense 0..U-1 per observed row
+        lo = hrs[first]
+        hi = np.maximum.reduceat(hrs, np.flatnonzero(first))
+        span = (hi - lo) // HOUR + 1  # grid rows per user
+        offset = np.concatenate(([0], np.cumsum(span)[:-1]))
+        total = int(span.sum())
+        # dense grid, all users at once: repeat lo, add a per-user ramp
+        ramp = np.arange(total) - np.repeat(offset, span)
+        grid_hour = np.repeat(lo, span) + ramp * HOUR
+        grid_user = np.repeat(uids[first], span)
+        n = np.zeros(total, dtype=np.int64)
+        s = np.zeros(total, dtype=np.int64)
+        pos = offset[u_idx] + (hrs - lo[u_idx]) // HOUR
+        n[pos] = obs["n_events"].to_numpy()
+        s[pos] = obs["sum_cents"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": grid_user,
+                "hour_start": grid_hour,
+                "n_events": n,
+                "sum_cents": s,
+            }
+        )
+        ff = out["sum_cents"].where(out["n_events"] > 0)
+        out["ff_cents"] = (
+            ff.groupby(out["user_id"], sort=False).ffill().astype("int64")
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
