@@ -18,6 +18,18 @@ def entry() -> Any:
     return kg_pipeline("/root/testdata/sf0.001")
 
 
+def _q_ml_kmeans(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import kmeans_census
+
+    return kmeans_census(sf_dir)
+
+
+def _sql_ml_kmeans() -> str:
+    from tripsu_ray.stages.cluster import kmeans_census_sql
+
+    return kmeans_census_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tripsu_ray.pipelines import bgp, docops, joins, queries as q
 
@@ -107,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_moving_sum": docops.q_rel_moving_sum,
         "rel_q5_revenue": docops.q_rel_q5_revenue,
         "rel_resample": docops.q_rel_resample,
+        "ml_kmeans": _q_ml_kmeans,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -201,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_moving_sum": d.sql_rel_moving_sum(),
         "rel_q5_revenue": d.sql_rel_q5_revenue(),
         "rel_resample": d.sql_rel_resample(),
+        "ml_kmeans": _sql_ml_kmeans(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

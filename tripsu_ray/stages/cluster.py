@@ -1,0 +1,207 @@
+"""Distributed k-means over the embedding corpus (curation clustering).
+
+The SemDeDup / cluster-then-sample curation step: partition the embedding
+space with Lloyd's algorithm, then report the cluster × ground-truth-label
+census. Built as the canonical *broadcast-iterate* plan — the mirror image
+of PageRank (`stages/graph.py::pagerank`):
+
+- the k×d centroid matrix is tiny and rides `ray.put` once per round;
+- each round is ONE map-only pass: every batch assigns its vectors
+  (vectorized int64 Gram expansion) and emits k partial rows
+  (cluster, count, per-dim sums) — shuffle volume per round is
+  ``k × #batches`` rows regardless of corpus size;
+- a small `groupby(cluster).sum()` folds the partials; the driver touches
+  only the k×(d+1) result matrix per round. NO all-to-all ever happens on
+  the corpus itself, and the corpus stream re-scans per round (at 100 TB
+  a compact quantized materialization would be pinned instead — same plan).
+
+Exactness discipline: embeddings are quantized to int64 fixed-point
+(``floor(x·10⁶)``) ONCE, distances and sums are exact integers, centroid
+updates are floor-divisions — so the result is bit-identical under any
+partitioning/reduction order AND expressible as an (unrolled) SQL oracle,
+unlike float k-means whose reductions drift per schedule. Ties break to
+the lowest cluster id in both engines.
+
+Reference scope: clustering is beyond tripsu (the reference ships no ML
+ops); this is north-star training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sources import read_parquet_clean as _read_parquet_clean
+
+SCALE = 1_000_000
+
+
+def _quantize(col: pd.Series) -> np.ndarray:
+    m = np.stack(col.to_numpy()).astype(np.float64)
+    return np.floor(m * SCALE).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cen: np.ndarray) -> np.ndarray:
+    """argmin_c Σ_d (q−cen)² with ties to the lowest c — exact int64.
+
+    Gram expansion keeps the per-batch cost at one (n×d)·(d×k) integer
+    matmul; |q|,|cen| ≤ ~2·10⁵ so every term is far inside int64.
+    """
+    cross = q @ cen.T  # (n, k) int64
+    c2 = np.einsum("kd,kd->k", cen, cen)  # (k,)
+    # q² is constant per row — irrelevant to the argmin, skip it
+    dist = c2[None, :] - 2 * cross
+    return np.argmin(dist, axis=1)  # first occurrence = lowest c
+
+
+def kmeans_census(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    iters: int = 4,
+):
+    """Run ``iters`` exact Lloyd rounds, return the (cluster_id, label, n)
+    census Dataset. Init = the k lowest-``vec_id`` vectors (deterministic
+    and SQL-expressible; k-means|| would replace it at real scale)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    # --- init: k lowest vec_ids (tiny: one pruned read of k rows) --------
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())[:k]
+    init = t.take(order)
+    cen = np.floor(
+        np.stack([np.asarray(e, dtype=np.float64) for e in init["embedding"].to_pylist()])
+        * SCALE
+    ).astype(np.int64)
+    d = cen.shape[1]
+    sum_cols = [f"s{j}" for j in range(d)]
+
+    for _ in range(iters):
+        cen_ref = ray.put(cen)
+
+        def partials(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in ["cluster_id", "n", *sum_cols]}
+                )
+            c = ray.get(_c)
+            q = _quantize(b["embedding"])
+            a = _assign(q, c)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
+            out = pd.DataFrame(sums, columns=sum_cols)
+            out.insert(0, "n", n)
+            out.insert(0, "cluster_id", np.arange(len(c), dtype=np.int64))
+            return out[out["n"] > 0]
+
+        folded = (
+            ds.map_batches(partials, batch_format="pandas")
+            .groupby("cluster_id")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(c, alias_name=c) for c in sum_cols],
+            )
+            .to_pandas()
+        )
+        new = cen.copy()  # empty clusters keep their centroid
+        cids = folded["cluster_id"].to_numpy().astype(np.int64)
+        counts = folded["n"].to_numpy().astype(np.int64)
+        sums = folded[sum_cols].to_numpy().astype(np.int64)
+        # floor division on exact ints == the oracle's floor(sum/n) in
+        # double (quotient error ≪ 1/n at these magnitudes)
+        new[cids] = sums // counts[:, None]
+        cen = new
+
+    cen_ref = ray.put(cen)
+
+    def census(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("cluster_id", "label", "n")}
+            )
+        a = _assign(_quantize(b["embedding"]), ray.get(_c))
+        return (
+            pd.DataFrame(
+                {
+                    "cluster_id": a.astype(np.int64),
+                    "label": b["label"].to_numpy().astype(np.int64),
+                    "n": np.int64(1),
+                }
+            )
+            .groupby(["cluster_id", "label"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+
+    return (
+        ds.map_batches(census, batch_format="pandas")
+        .groupby(["cluster_id", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def kmeans_census_sql(*, k: int = 8, iters: int = 4) -> str:
+    """The same ``iters`` Lloyd rounds, unrolled into chained CTEs (one
+    dist/asg/cen triple per round) — DuckDB replays the exact integer
+    algebra, so the census hash-matches bit-for-bit."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SCALE}) AS BIGINT) AS v
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+cen0 AS (SELECT s.c, q.d, q.v FROM seed s JOIN q ON q.vec_id = s.vec_id)"""
+    ]
+    # asg{t} assigns with cen{t-1}; cen{t} is the t-th update. The census
+    # is the FINAL assignment under cen{iters}, i.e. asg{iters+1} — one
+    # extra dist/asg pair past the last update (the Ray path's closing
+    # census pass).
+    for t in range(1, iters + 2):
+        p = t - 1
+        parts.append(
+            f""",
+dist{t} AS (
+  SELECT q.vec_id, c.c, sum((q.v - c.v) * (q.v - c.v)) AS dd
+  FROM q JOIN cen{p} c ON q.d = c.d GROUP BY 1, 2
+),
+asg{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+    FROM dist{t}) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f""",
+cen{t} AS (
+  SELECT prev.c, prev.d, COALESCE(u.v, prev.v) AS v
+  FROM cen{p} prev LEFT JOIN (
+    SELECT a.c, q.d,
+           CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM asg{t} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2
+  ) u ON u.c = prev.c AND u.d = prev.d
+)"""
+            )
+    parts.append(
+        f"""
+SELECT a.c AS cluster_id, CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n
+FROM asg{iters + 1} a JOIN embeddings e USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    return "".join(parts).strip()
