@@ -30,6 +30,18 @@ def _sql_ml_kmeans() -> str:
     return kmeans_census_sql()
 
 
+def _q_ml_semdedup(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import semdedup
+
+    return semdedup(sf_dir)
+
+
+def _sql_ml_semdedup() -> str:
+    from tripsu_ray.stages.cluster import semdedup_sql
+
+    return semdedup_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tripsu_ray.pipelines import bgp, docops, joins, queries as q
 
@@ -120,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_revenue": docops.q_rel_q5_revenue,
         "rel_resample": docops.q_rel_resample,
         "ml_kmeans": _q_ml_kmeans,
+        "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -215,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q5_revenue": d.sql_rel_q5_revenue(),
         "rel_resample": d.sql_rel_resample(),
         "ml_kmeans": _sql_ml_kmeans(),
+        "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

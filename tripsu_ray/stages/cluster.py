@@ -67,6 +67,41 @@ def kmeans_census(
 
     from ray.data.aggregate import Sum
 
+    ds, cen = kmeans_fit(sf_dir, k=k, iters=iters)
+    cen_ref = ray.put(cen)
+
+    def census(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("cluster_id", "label", "n")}
+            )
+        a = _assign(_quantize(b["embedding"]), ray.get(_c))
+        return (
+            pd.DataFrame(
+                {
+                    "cluster_id": a.astype(np.int64),
+                    "label": b["label"].to_numpy().astype(np.int64),
+                    "n": np.int64(1),
+                }
+            )
+            .groupby(["cluster_id", "label"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+
+    return (
+        ds.map_batches(census, batch_format="pandas")
+        .groupby(["cluster_id", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
+    """``iters`` exact Lloyd rounds; returns ``(dataset, centroids)`` with
+    the int64 fixed-point centroid matrix after the final update."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
@@ -121,37 +156,92 @@ def kmeans_census(
         new[cids] = sums // counts[:, None]
         cen = new
 
-    cen_ref = ray.put(cen)
+    return ds, cen
 
-    def census(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+
+def semdedup(sf_dir: str, *, k: int = 8, iters: int = 4, tau_pct: int = 45):
+    """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN k-means
+    clusters — the cluster assignment prunes the O(n²) pair space to
+    O(Σ m_c²), then each cluster is judged independently.
+
+    Plan: Lloyd fit (broadcast-iterate, see `kmeans_fit`) → final map
+    pass assigns clusters → ONE cluster-key exchange → per-cluster
+    vectorized pairwise judgment. k=8 here keeps the oracle tractable;
+    the paper's regime is k≈10⁴–10⁵, where one cluster ↦ one partition
+    is exactly the layout this exchange produces (hot clusters would be
+    sub-partitioned by vec_id range with cross-chunk pair passes).
+
+    Dup rule (deterministic, parallel-friendly, SQL-expressible): vector
+    i is a duplicate iff some EARLIER vector j < i in the same cluster
+    has cos(i,j) ≥ tau. The threshold test is EXACT integer algebra:
+    cos ≥ tau  ⇔  dot > 0 ∧ 10⁴·dot² ≥ tau_pct²·|i|²·|j|², evaluated in
+    arbitrary-precision Python ints for the float-boundary pairs (the
+    float64 prefilter is ~10⁻¹⁵ accurate; only pairs within 10⁻⁹ of tau
+    are re-judged) — so the flags are bit-stable and hash-match SQL."""
+    import ray
+
+    ds, cen = kmeans_fit(sf_dir, k=k, iters=iters)
+    cen_ref = ray.put(cen)
+    tau = tau_pct / 100.0
+
+    def tag(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
         if not len(b):
             return pd.DataFrame(
-                {c: pd.Series([], dtype="int64") for c in ("cluster_id", "label", "n")}
-            )
-        a = _assign(_quantize(b["embedding"]), ray.get(_c))
-        return (
-            pd.DataFrame(
                 {
-                    "cluster_id": a.astype(np.int64),
-                    "label": b["label"].to_numpy().astype(np.int64),
-                    "n": np.int64(1),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "q": pd.Series([], dtype=object),
                 }
             )
-            .groupby(["cluster_id", "label"], sort=False, as_index=False)["n"]
-            .sum()
+        q = _quantize(b["embedding"])
+        a = _assign(q, ray.get(_c))
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+                "cluster_id": a.astype(np.int64),
+                "q": [r.tobytes() for r in q],
+            }
+        )
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("vec_id", "cluster_id", "is_dup")}
+        )
+        if not len(g) or "vec_id" not in g.columns:
+            return empty
+        g = g.sort_values("vec_id", ignore_index=True)
+        q = np.frombuffer(b"".join(g["q"]), dtype=np.int64).reshape(len(g), -1)
+        dots = q @ q.T  # exact int64 (≤ d·SCALE² ≈ 4·10¹²)
+        n2 = np.einsum("id,id->i", q, q)
+        nf = np.sqrt(n2.astype(np.float64))
+        sim = dots / (nf[:, None] * nf[None, :])
+        earlier = np.tril(np.ones(len(g), dtype=bool), k=-1)  # j < i
+        hit = (sim >= tau) & (dots > 0) & earlier
+        border = (np.abs(sim - tau) < 1e-9) & (dots > 0) & earlier
+        # exact re-judgment of boundary pairs in Python big-ints
+        for i, j in zip(*np.nonzero(border)):
+            d2 = int(dots[i, j])
+            hit[i, j] = d2 > 0 and 10_000 * d2 * d2 >= (
+                tau_pct * tau_pct * int(n2[i]) * int(n2[j])
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].astype("int64"),
+                "cluster_id": g["cluster_id"].astype("int64"),
+                "is_dup": hit.any(axis=1).astype("int64"),
+            }
         )
 
     return (
-        ds.map_batches(census, batch_format="pandas")
-        .groupby(["cluster_id", "label"])
-        .aggregate(Sum("n", alias_name="n"))
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("cluster_id")
+        .map_groups(judge, batch_format="pandas")
     )
 
 
-def kmeans_census_sql(*, k: int = 8, iters: int = 4) -> str:
-    """The same ``iters`` Lloyd rounds, unrolled into chained CTEs (one
-    dist/asg/cen triple per round) — DuckDB replays the exact integer
-    algebra, so the census hash-matches bit-for-bit."""
+def _lloyd_ctes(*, k: int, iters: int) -> list[str]:
+    """Shared WITH-chain: quantized corpus, seeded centroids, ``iters``
+    unrolled Lloyd rounds, and the closing assignment ``asg{iters+1}``."""
     parts = [
         f"""
 WITH q AS (
@@ -197,11 +287,48 @@ cen{t} AS (
   ) u ON u.c = prev.c AND u.d = prev.d
 )"""
             )
+    return parts
+
+
+def kmeans_census_sql(*, k: int = 8, iters: int = 4) -> str:
+    """The same ``iters`` Lloyd rounds, unrolled into chained CTEs —
+    DuckDB replays the exact integer algebra, so the census hash-matches
+    bit-for-bit."""
+    parts = _lloyd_ctes(k=k, iters=iters)
     parts.append(
         f"""
 SELECT a.c AS cluster_id, CAST(e.label AS BIGINT) AS label,
        CAST(count(*) AS BIGINT) AS n
 FROM asg{iters + 1} a JOIN embeddings e USING (vec_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    return "".join(parts).strip()
+
+
+def semdedup_sql(*, k: int = 8, iters: int = 4, tau_pct: int = 45) -> str:
+    """SemDeDup oracle: the Lloyd chain plus an in-cluster pairwise
+    judgment in HUGEINT (10⁴·dot² vs tau²·|i|²·|j|² — the same exact
+    integers the Ray path evaluates)."""
+    parts = _lloyd_ctes(k=k, iters=iters)
+    a = f"asg{iters + 1}"
+    parts.append(
+        f""",
+nrm AS (SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY 1),
+pair AS (
+  SELECT ma.vec_id AS i, mb.vec_id AS j, sum(qa.v * qb.v) AS dot
+  FROM {a} ma JOIN {a} mb ON ma.c = mb.c AND mb.vec_id < ma.vec_id
+  JOIN q qa ON qa.vec_id = ma.vec_id
+  JOIN q qb ON qb.vec_id = mb.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT p.i AS vec_id
+  FROM pair p JOIN nrm na ON na.vec_id = p.i JOIN nrm nb ON nb.vec_id = p.j
+  WHERE p.dot > 0
+    AND 10000 * p.dot * p.dot >= {tau_pct * tau_pct} * na.n2 * nb.n2
+)
+SELECT m.vec_id, m.c AS cluster_id,
+       CAST(m.vec_id IN (SELECT vec_id FROM dup) AS BIGINT) AS is_dup
+FROM {a} m ORDER BY 1"""
     )
     return "".join(parts).strip()
