@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_moving_sum": docops.q_rel_moving_sum,
         "rel_q5_revenue": docops.q_rel_q5_revenue,
         "rel_resample": docops.q_rel_resample,
+        "rel_retention": docops.q_rel_retention,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_moving_sum": d.sql_rel_moving_sum(),
         "rel_q5_revenue": d.sql_rel_q5_revenue(),
         "rel_resample": d.sql_rel_resample(),
+        "rel_retention": d.sql_rel_retention(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

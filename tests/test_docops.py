@@ -907,3 +907,35 @@ def test_rel_resample_matches_pandas():
         ),
         want,
     )
+
+
+def test_rel_retention_matches_pandas():
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_retention(SF)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"], ignore_index=True)
+        .astype("int64")
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    days = ev["ts"].astype("datetime64[s]").astype("int64") // 86400
+    ev["week"] = (days - (days + 3) % 7) * 86400
+    uw = ev[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].transform("min")
+    want = (
+        pd.DataFrame(
+            {
+                "cohort_week": cohort,
+                "week_offset": (uw["week"] - cohort) // 604800,
+            }
+        )
+        .groupby(["cohort_week", "week_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort_week", "week_offset"], ignore_index=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # Monday anchoring: all week starts are Mondays
+    assert (((got["cohort_week"] // 86400) + 3) % 7 == 0).all()

@@ -786,3 +786,17 @@ SELECT g.user_id,
 FROM grid g LEFT JOIN hourly y ON g.user_id = y.user_id AND g.h = y.h
 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_retention() -> str:
+    return """
+WITH uw AS (
+  SELECT user_id, date_trunc('week', ts) AS w FROM events GROUP BY 1, 2
+),
+coh AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+SELECT CAST(epoch(c.cw) AS BIGINT) AS cohort_week,
+       CAST((epoch(u.w) - epoch(c.cw)) // 604800 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw u JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

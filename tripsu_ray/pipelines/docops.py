@@ -1478,3 +1478,85 @@ def q_rel_resample(sf_dir: str, *, num_partitions: int = 32):
         .groupby("_part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def q_rel_retention(sf_dir: str, *, num_partitions: int = 32):
+    """Cohort retention matrix — (cohort_week, week_offset, n_users) where
+    a user's cohort is the Monday-truncated week of their FIRST event and
+    offset counts weeks until each active week. The product-analytics
+    staple whose SQL form needs two self-referential aggregations; here it
+    is ONE user-hash exchange:
+
+    - map pass dedups (user, week) inside each batch (shuffle volume =
+      observed user-weeks, not events);
+    - per partition each user's full history is local, so cohort (min
+      week) and distinct active weeks are exact with no second shuffle;
+    - the (cohort, offset, n) partials fold in a final census groupby
+      whose domain is #cohorts × #offsets — tiny by construction.
+
+    Week truncation is Monday-anchored epoch math (day 0 = Thursday), the
+    same boundary DuckDB's date_trunc('week') uses.
+    """
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def week_start(ts: pd.Series) -> np.ndarray:
+        days = ts.astype("datetime64[s]").astype("int64") // 86400
+        monday = days - (days + 3) % 7
+        return monday * 86400
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "week": pd.Series([], dtype="int64"),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        g = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "week": week_start(b["ts"]),
+            }
+        ).drop_duplicates(ignore_index=True)
+        g["_part"] = (pd.util.hash_array(g["user_id"].to_numpy()) % num_partitions).astype(
+            "int64"
+        )
+        return g
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("cohort_week", "week_offset", "n_users")
+            }
+        )
+        if not len(g) or "user_id" not in g.columns:
+            return empty
+        uw = g[["user_id", "week"]].drop_duplicates()
+        cohort = uw.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_week": cohort.to_numpy(),
+                "week_offset": (uw["week"].to_numpy() - cohort.to_numpy()) // 604800,
+                "n_users": np.int64(1),
+            }
+        )
+        # one row per (user, week) → n_users counts distinct users exactly
+        return (
+            out.groupby(["cohort_week", "week_offset"], sort=False, as_index=False)[
+                "n_users"
+            ]
+            .sum()
+            .astype("int64")
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
