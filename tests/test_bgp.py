@@ -283,3 +283,27 @@ class TestOptionalAndFilters:
         pd.testing.assert_frame_equal(
             out[["l", "x", "y"]].sort_values(["x", "y", "l"], ignore_index=True), want
         )
+
+
+def test_bgp_agg_matches_pandas():
+    """GROUP BY over the match relation vs a pandas groupby of the
+    (already-verified) BGP result."""
+    from tripsu_ray.pipelines import bgp as B
+
+    SF = "/root/testdata/sf0.001"
+    matches = B.q_kg_bgp(SF).to_pandas()
+    got = (
+        B.q_kg_bgp_agg(SF)
+        .to_pandas()
+        .sort_values("author", ignore_index=True)
+        .astype({"n_matches": "int64", "n_modules": "int64"})
+    )
+    want = (
+        matches.groupby("a")
+        .agg(n_matches=("m", "size"), n_modules=("m", "nunique"))
+        .reset_index()
+        .rename(columns={"a": "author"})
+        .sort_values("author", ignore_index=True)
+        .astype({"n_matches": "int64", "n_modules": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["author", "n_matches", "n_modules"]], want)

@@ -342,3 +342,123 @@ JOIN raw_triples t3 ON t3.s = t2.o AND t3.p = {_q(NS + "author")}
 WHERE t1.p = {_q(NS + "imports")}
 ORDER BY f, m"""
     )
+
+
+def q_kg_bgp_agg(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL aggregate over a BGP (GROUP BY + COUNT + COUNT DISTINCT):
+
+        SELECT ?a (COUNT(*) AS n_matches)
+                  (COUNT(DISTINCT ?m) AS n_modules)
+        WHERE { ?f <imports> ?m . ?f <inRepo> ?r . ?r <author> ?a }
+        GROUP BY ?a
+
+    Plan: the BGP's (already globally DISTINCT) match relation feeds ONE
+    author-hash exchange carrying two pre-reduced partial streams in one
+    union-tagged pass — per-batch (a, n) count partials (side 0) and
+    per-batch deduped (a, m) pairs (side 1) — so shuffle volume is
+    authors×batches + distinct author-module pairs, not match rows.
+    Per partition: counts sum; modules dedup-then-count, exact because an
+    author's rows co-locate."""
+    from ..stages.extract import NS, extract_triples
+    from ..sources.synth import read_source_files
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [
+            ("?f", f"{NS}imports", "?m"),
+            ("?f", f"{NS}inRepo", "?r"),
+            ("?r", f"{NS}author", "?a"),
+        ],
+        num_partitions=num_partitions,
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "m": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int8"),
+                "_part": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(b) or "a" not in b.columns:
+            return empty
+        counts = b.groupby("a", sort=False, as_index=False).size()
+        c = pd.DataFrame(
+            {
+                "a": counts["a"].astype(object),
+                "m": "",
+                "n": counts["size"].astype("int64"),
+                "side": np.int8(0),
+            }
+        )
+        mods = b[["a", "m"]].drop_duplicates()
+        m = pd.DataFrame(
+            {
+                "a": mods["a"].astype(object),
+                "m": mods["m"].astype(object),
+                "n": np.int64(0),
+                "side": np.int8(1),
+            }
+        )
+        out = pd.concat([c, m], ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["a"], index=False) % num_partitions
+        ).astype("int64")
+        return out
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "author": pd.Series([], dtype=object),
+                "n_matches": pd.Series([], dtype="int64"),
+                "n_modules": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "side" not in g.columns:
+            return empty
+        n = (
+            g[g["side"] == 0]
+            .groupby("a", sort=False)["n"]
+            .sum()
+            .rename("n_matches")
+        )
+        nm = (
+            g[g["side"] == 1][["a", "m"]]
+            .drop_duplicates()
+            .groupby("a", sort=False)
+            .size()
+            .rename("n_modules")
+        )
+        out = pd.concat([n, nm], axis=1).reset_index().rename(columns={"a": "author"})
+        out["author"] = out["author"].astype(object)
+        return out.astype({"n_matches": "int64", "n_modules": "int64"})
+
+    return (
+        matches.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+    )
+
+
+def sql_kg_bgp_agg() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT a AS author, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT m) AS BIGINT) AS n_modules
+FROM (
+  SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r, t3.o AS a
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  JOIN raw_triples t3 ON t3.s = t2.o AND t3.p = {_q(NS + "author")}
+  WHERE t1.p = {_q(NS + "imports")}
+)
+GROUP BY 1 ORDER BY 1"""
+    )
