@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_revenue": docops.q_rel_q5_revenue,
         "rel_resample": docops.q_rel_resample,
         "rel_retention": docops.q_rel_retention,
+        "rel_funnel": docops.q_rel_funnel,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q5_revenue": d.sql_rel_q5_revenue(),
         "rel_resample": d.sql_rel_resample(),
         "rel_retention": d.sql_rel_retention(),
+        "rel_funnel": d.sql_rel_funnel(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -939,3 +939,35 @@ def test_rel_retention_matches_pandas():
     pd.testing.assert_frame_equal(got, want)
     # Monday anchoring: all week starts are Mondays
     assert (((got["cohort_week"] // 86400) + 3) % 7 == 0).all()
+
+
+def test_rel_funnel_matches_pandas():
+    """Strict-order funnel vs a per-user Python reference, plus the
+    monotone-counts invariant."""
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_funnel(SF)
+        .to_pandas()
+        .sort_values("step", ignore_index=True)
+        .astype("int64")
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"])
+    n = [0, 0, 0]
+    for _, g in ev.groupby("user_id"):
+        v = g[g["event_type"] == "view"]["ts"]
+        if not len(v):
+            continue
+        t1 = v.min()
+        n[0] += 1
+        c = g[(g["event_type"] == "click") & (g["ts"] > t1)]["ts"]
+        if not len(c):
+            continue
+        t2 = c.min()
+        n[1] += 1
+        p = g[(g["event_type"] == "purchase") & (g["ts"] > t2)]["ts"]
+        if len(p):
+            n[2] += 1
+    want = pd.DataFrame({"step": [1, 2, 3], "n_users": n}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_users"].diff().dropna() <= 0).all()

@@ -800,3 +800,25 @@ SELECT CAST(epoch(c.cw) AS BIGINT) AS cohort_week,
 FROM uw u JOIN coh c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_funnel() -> str:
+    return """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 2, count(*) FROM c
+UNION ALL SELECT 3, count(*) FROM p
+ORDER BY 1
+""".strip()

@@ -1560,3 +1560,81 @@ def q_rel_retention(sf_dir: str, *, num_partitions: int = 32):
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def q_rel_funnel(sf_dir: str, *, num_partitions: int = 32):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps): n_users reaching each step. The sequential
+    "first B after first A" dependency defeats per-batch pre-reduction
+    for the later steps (any click can be the first-after-view for some
+    t1), so the plan ships only the three funnel event types — (user,
+    ts, step-code), columns pruned at the read — through ONE user-hash
+    exchange; per partition each user's times resolve vectorized
+    (masked groupby mins, no per-user loop) and only (step, n) partials
+    leave. View mins ARE batch-reducible and get pre-folded."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    steps = {"view": 1, "click": 2, "purchase": 3}
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="int64"),
+                "step": pd.Series([], dtype="int8"),
+                "_part": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(b):
+            return empty
+        m = b["event_type"].isin(steps)
+        if not m.any():
+            return empty
+        f = b[m]
+        out = pd.DataFrame(
+            {
+                "user_id": f["user_id"].astype("int64"),
+                "t": f["ts"].astype("datetime64[us]").astype("int64"),
+                "step": f["event_type"].map(steps).astype("int8"),
+            }
+        )
+        # step-1 partial fold: only the per-user min view survives the batch
+        views = out[out["step"] == 1].groupby("user_id", as_index=False)["t"].min()
+        views["step"] = np.int8(1)
+        out = pd.concat([views[["user_id", "t", "step"]], out[out["step"] != 1]],
+                        ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_array(out["user_id"].to_numpy()) % num_partitions
+        ).astype("int64")
+        return out
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"step": pd.Series([], dtype="int64"), "n_users": pd.Series([], dtype="int64")}
+        )
+        if not len(g) or "step" not in g.columns:
+            return empty
+        t1 = g[g["step"] == 1].groupby("user_id")["t"].min()
+        c = g[g["step"] == 2].copy()
+        c["t1"] = c["user_id"].map(t1)
+        t2 = c[c["t"] > c["t1"]].groupby("user_id")["t"].min()
+        p = g[g["step"] == 3].copy()
+        p["t2"] = p["user_id"].map(t2)
+        t3 = p[p["t"] > p["t2"]].groupby("user_id")["t"].min()
+        return pd.DataFrame(
+            {
+                "step": np.array([1, 2, 3], dtype=np.int64),
+                "n_users": np.array([len(t1), len(t2), len(t3)], dtype=np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
