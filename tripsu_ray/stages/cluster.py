@@ -100,8 +100,6 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     the int64 fixed-point centroid matrix after the final update."""
     import ray
 
-    from ray.data.aggregate import Sum
-
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
@@ -138,15 +136,23 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
             out.insert(0, "cluster_id", np.arange(len(c), dtype=np.int64))
             return out[out["n"] > 0]
 
-        folded = (
-            ds.map_batches(partials, batch_format="pandas")
-            .groupby("cluster_id")
-            .aggregate(
-                Sum("n", alias_name="n"),
-                *[Sum(c, alias_name=c) for c in sum_cols],
+        # k×#blocks partial rows → rolling tree reduce (the repo's blessed
+        # fold for tiny associative partials; a 65-column Ray groupby
+        # shuffle costs ~3 s/round of pure overhead at any scale)
+        from .folds import tree_fold_tables
+
+        def _combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
+            return (
+                pd.concat(frames, ignore_index=True)
+                .groupby("cluster_id", sort=False, as_index=False)
+                .sum()
             )
-            .to_pandas()
+
+        folded = tree_fold_tables(
+            ds.map_batches(partials, batch_format="pandas"), _combine
         )
+        if folded is None or not len(folded):
+            return ds, cen
         new = cen.copy()  # empty clusters keep their centroid
         cids = folded["cluster_id"].to_numpy().astype(np.int64)
         counts = folded["n"].to_numpy().astype(np.int64)
