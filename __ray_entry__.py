@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_spans": docops.q_text_dup_spans,
         "text_pii": docops.q_text_pii,
         "text_vocab": docops.q_text_vocab,
+        "text_inverted_index": docops.q_text_inverted_index,
         "text_top_terms": docops.q_text_top_terms,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_spans": d.sql_text_dup_spans(),
         "text_pii": d.sql_text_pii(),
         "text_vocab": d.sql_text_vocab(),
+        "text_inverted_index": d.sql_text_inverted_index(),
         "text_top_terms": d.sql_text_top_terms(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),

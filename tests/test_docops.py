@@ -971,3 +971,44 @@ def test_rel_funnel_matches_pandas():
     want = pd.DataFrame({"step": [1, 2, 3], "n_users": n}).astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_users"].diff().dropna() <= 0).all()
+
+
+def test_text_inverted_index_matches_pandas():
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = (
+        T.text_inverted_index(SF)
+        .to_pandas()
+        .sort_values("token", ignore_index=True)
+        .astype({"df": "int64", "tf_total": "int64", "top_doc": "int64", "top_tf": "int64"})
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    rows = [
+        (int(d), tok)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        for tok in pat.findall(t.lower())
+    ]
+    tf = (
+        pd.DataFrame(rows, columns=["doc_id", "token"])
+        .groupby(["token", "doc_id"], as_index=False)
+        .size()
+        .rename(columns={"size": "tf"})
+        .sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
+    )
+    agg = tf.groupby("token", sort=True)
+    want = (
+        pd.DataFrame(
+            {
+                "df": agg.size(),
+                "tf_total": agg["tf"].sum(),
+                "top_doc": agg["doc_id"].first(),
+                "top_tf": agg["tf"].first(),
+            }
+        )
+        .reset_index()
+        .astype({"df": "int64", "tf_total": "int64", "top_doc": "int64", "top_tf": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -822,3 +822,22 @@ UNION ALL SELECT 2, count(*) FROM c
 UNION ALL SELECT 3, count(*) FROM p
 ORDER BY 1
 """.strip()
+
+
+def sql_text_inverted_index() -> str:
+    return f"""
+WITH tt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY 1, 2
+)
+SELECT token, df, tf_total, doc_id AS top_doc, tf AS top_tf FROM (
+  SELECT token, doc_id, tf,
+         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+         CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS tf_total,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+  FROM tf)
+WHERE rn = 1 ORDER BY token
+""".strip()

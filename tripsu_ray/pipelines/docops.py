@@ -34,6 +34,7 @@ q_text_unigram_logprob = text.text_unigram_logprob
 q_text_shard_pack = text.text_shard_pack
 q_text_repetition = text.text_repetition
 q_text_curate = text.text_curate
+q_text_inverted_index = text.text_inverted_index
 
 
 # --- dedup -----------------------------------------------------------------

@@ -1107,3 +1107,83 @@ def text_curate(sf_dir: str, *, budget: int = SHARD_TOKEN_BUDGET):
         )
 
     return counted.groupby("_bucket").map_groups(assign, batch_format="pandas")
+
+
+# --- inverted index (token postings) ----------------------------------------
+
+
+def text_inverted_index(sf_dir: str, *, num_partitions: int = 32):
+    """Token postings summary — the search-engine build step: per token
+    its document frequency, total term frequency, and the top posting
+    (max tf, ties to the smallest doc_id).
+
+    Plan: per-batch (token, doc_id, tf) partials are EXACT because a doc
+    is one row in one batch (same lemma as `df_partial_batch`); ONE
+    token-hash exchange co-locates each token's postings; the per-token
+    summary is vectorized per partition (df = rows, tf_total = sum, top
+    posting via one (tf desc, doc asc) sort + first). Shuffle volume is
+    the distinct (doc, token) pair count — the inverted index itself, the
+    irreducible payload of this operator. Full posting LISTS would be the
+    same plan with a list-agg instead of the summary."""
+    ds = _docs(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int64"),
+                "_part": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(b):
+            return empty
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        if not lens.sum():
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        did = np.repeat(b["doc_id"].to_numpy().astype(np.int64), lens)
+        tf = (
+            pd.DataFrame({"token": flat, "doc_id": did})
+            .groupby(["token", "doc_id"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["_part"] = (
+            pd.util.hash_pandas_object(tf["token"], index=False) % num_partitions
+        ).astype("int64")
+        return tf.astype({"doc_id": "int64", "tf": "int64"})
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "tf_total": pd.Series([], dtype="int64"),
+                "top_doc": pd.Series([], dtype="int64"),
+                "top_tf": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "token" not in g.columns:
+            return empty
+        g = g.sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
+        agg = g.groupby("token", sort=False)
+        out = pd.DataFrame(
+            {
+                "df": agg.size(),
+                "tf_total": agg["tf"].sum(),
+                "top_doc": agg["doc_id"].first(),
+                "top_tf": agg["tf"].first(),
+            }
+        ).reset_index()
+        out["token"] = out["token"].astype(object)
+        return out.astype(
+            {"df": "int64", "tf_total": "int64", "top_doc": "int64", "top_tf": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(summarize, batch_format="pandas")
+    )
