@@ -1012,3 +1012,47 @@ def test_text_inverted_index_matches_pandas():
         .astype({"df": "int64", "tf_total": "int64", "top_doc": "int64", "top_tf": "int64"})
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_rel_skyline_matches_brute_force():
+    """Distributed skyline vs O(n²) dominance brute force, plus a
+    duplicate/tie fixture exercising the group-min logic."""
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_skyline(SF)
+    p = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"])
+    d = pd.DataFrame(
+        {
+            "p_partkey": p["p_partkey"].astype("int64"),
+            "price_cents": (p["p_retailprice"] * 100).round().astype("int64"),
+            "p_size": p["p_size"].astype("int64"),
+        }
+    )
+    pts = d[["price_cents", "p_size"]].to_numpy()
+    keep = [
+        i
+        for i in range(len(pts))
+        if not (
+            (pts[:, 0] <= pts[i, 0])
+            & (pts[:, 1] <= pts[i, 1])
+            & ((pts[:, 0] < pts[i, 0]) | (pts[:, 1] < pts[i, 1]))
+        ).any()
+    ]
+    want = d.iloc[keep].sort_values("p_partkey", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pareto_min_ties_and_duplicates():
+    from tripsu_ray.pipelines.docops import _pareto_min
+
+    d = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5, 6],
+            "price_cents": [10, 10, 10, 20, 20, 30],
+            "p_size": [5, 5, 9, 5, 3, 3],
+        }
+    )
+    out = _pareto_min(d)
+    # (10,5) duplicates co-survive; (20,5) dominated by (10,5);
+    # (20,3) survives; (30,3) dominated by (20,3) on price
+    assert sorted(out["p_partkey"]) == [1, 2, 5]

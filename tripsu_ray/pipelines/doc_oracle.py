@@ -841,3 +841,21 @@ SELECT token, df, tf_total, doc_id AS top_doc, tf AS top_tf FROM (
   FROM tf)
 WHERE rn = 1 ORDER BY token
 """.strip()
+
+
+def sql_rel_skyline() -> str:
+    return """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+)
+ORDER BY p_partkey
+""".strip()

@@ -1639,3 +1639,73 @@ def q_rel_funnel(sf_dir: str, *, num_partitions: int = 32):
         .groupby("step")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def _pareto_min(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D Pareto-minimal filter on (price_cents, p_size):
+    keep p iff no q has both coords ≤ with one strict. Sorted by price,
+    a point survives iff its size is (a) minimal within its own price
+    group and (b) strictly below the running min over all smaller
+    prices. Duplicate (price, size) points co-survive (no strict
+    dominance between equals)."""
+    d = df.sort_values(["price_cents", "p_size"], ignore_index=True)
+    grp_min = d.groupby("price_cents", sort=False)["p_size"].transform("min")
+    # per-price-group min, price-sorted → prefix-min over STRICTLY
+    # smaller prices via cummin + shift on the GROUP-level series
+    g = d.groupby("price_cents", sort=True)["p_size"].min()
+    run = d["price_cents"].map(g.cummin().shift()).fillna(np.inf)
+    keep = (d["p_size"].to_numpy() == grp_min.to_numpy()) & (
+        d["p_size"].to_numpy() < run.to_numpy()
+    )
+    return d[keep]
+
+
+def q_rel_skyline(sf_dir: str):
+    """Pareto-optimal set (skyline) over parts, minimizing (price, size)
+    — the preference-query operator with a textbook distribution story:
+    the skyline of a union is contained in the union of local skylines,
+    so each batch emits its local Pareto front (vectorized sort +
+    grouped running-min, no O(n²)), the tiny candidate union tree-folds,
+    and one final local pass is exact. Random 2-D fronts are O(log n)
+    per batch, so the fold sees ~log-sized leaves regardless of corpus
+    size. NOT EXISTS dominance oracle hash-matched (`rel_skyline`)."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype="int64"),
+                "price_cents": pd.Series([], dtype="int64"),
+                "p_size": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(b):
+            return empty
+        d = pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].astype("int64"),
+                "price_cents": (b["p_retailprice"] * 100).round().astype("int64"),
+                "p_size": b["p_size"].astype("int64"),
+            }
+        )
+        return _pareto_min(d)
+
+    def combine(frames):
+        return _pareto_min(pd.concat(frames, ignore_index=True))
+
+    folded = tree_fold_tables(ds.map_batches(local, batch_format="pandas"), combine)
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype="int64"),
+                "price_cents": pd.Series([], dtype="int64"),
+                "p_size": pd.Series([], dtype="int64"),
+            }
+        )
+    return folded.sort_values("p_partkey", ignore_index=True).astype(
+        {"p_partkey": "int64", "price_cents": "int64", "p_size": "int64"}
+    )
