@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": docops.q_text_pii,
         "text_vocab": docops.q_text_vocab,
         "text_inverted_index": docops.q_text_inverted_index,
+        "text_search": docops.q_text_search,
         "text_top_terms": docops.q_text_top_terms,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii": d.sql_text_pii(),
         "text_vocab": d.sql_text_vocab(),
         "text_inverted_index": d.sql_text_inverted_index(),
+        "text_search": d.sql_text_search(),
         "text_top_terms": d.sql_text_top_terms(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),

@@ -1056,3 +1056,35 @@ def test_pareto_min_ties_and_duplicates():
     # (10,5) duplicates co-survive; (20,5) dominated by (10,5);
     # (20,3) survives; (30,3) dominated by (20,3) on price
     assert sorted(out["p_partkey"]) == [1, 2, 5]
+
+
+def test_text_search_matches_pandas():
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = T.text_search(SF).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    tf = {}
+    dfs = {t: 0 for t in T.SEARCH_QUERY}
+    for d, x in zip(docs["doc_id"], docs["text"]):
+        toks = pat.findall(x.lower())
+        counts = {t: toks.count(t) for t in T.SEARCH_QUERY}
+        tf[int(d)] = counts
+        for t, c in counts.items():
+            if c:
+                dfs[t] += 1
+    w = {t: T._IDF_SCALE // n for t, n in dfs.items() if n}
+    scores = {
+        d: sum(c * w[t] for t, c in counts.items() if t in w and c)
+        for d, counts in tf.items()
+    }
+    scores = {d: s for d, s in scores.items() if s > 0}
+    want = (
+        pd.DataFrame({"doc_id": list(scores), "score": list(scores.values())})
+        .sort_values(["score", "doc_id"], ascending=[False, True], ignore_index=True)
+        .head(T.SEARCH_TOP_K)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)

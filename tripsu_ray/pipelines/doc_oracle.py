@@ -859,3 +859,27 @@ WHERE NOT EXISTS (
 )
 ORDER BY p_partkey
 """.strip()
+
+
+def sql_text_search() -> str:
+    from ..stages.text import SEARCH_QUERY, SEARCH_TOP_K, _IDF_SCALE
+
+    vals = ", ".join(f"('{t}')" for t in SEARCH_QUERY)
+    return f"""
+WITH qt(token) AS (VALUES {vals}),
+tt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tt WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2
+),
+dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ({_IDF_SCALE} // dfs.df)) AS BIGINT) AS score
+  FROM tf JOIN dfs USING (token) GROUP BY 1
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_TOP_K}
+""".strip()

@@ -35,6 +35,7 @@ q_text_shard_pack = text.text_shard_pack
 q_text_repetition = text.text_repetition
 q_text_curate = text.text_curate
 q_text_inverted_index = text.text_inverted_index
+q_text_search = text.text_search
 
 
 # --- dedup -----------------------------------------------------------------

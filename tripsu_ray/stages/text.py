@@ -1187,3 +1187,90 @@ def text_inverted_index(sf_dir: str, *, num_partitions: int = 32):
         .groupby("_part")
         .map_groups(summarize, batch_format="pandas")
     )
+
+
+# --- weighted retrieval (search over the corpus) -----------------------------
+
+SEARCH_QUERY = ("scan", "merge", "window")
+SEARCH_TOP_K = 10
+_IDF_SCALE = 1_000_000_000_000  # W(t) = floor(1e12 / df(t)), exact integers
+
+
+def text_search(sf_dir: str, *, query: tuple = SEARCH_QUERY, k: int = SEARCH_TOP_K):
+    """Integer-IDF weighted retrieval: score(d) = Σ_{t∈query} tf(d,t)·W(t)
+    with W(t) = floor(10¹²/df(t)) — the tf-idf ranking shape in EXACT
+    integer algebra (a float ln-idf would hash-diverge across engines;
+    the rare-token-dominates ordering is preserved).
+
+    Two map-only passes, zero shuffles:
+    1. per-batch df partials for the QUERY tokens only (≤ |query| rows
+       per batch; exact — a doc lives in one batch) → tree-fold →
+       weights broadcast via closure (|query| ints);
+    2. per-batch scoring (one `str.count` kernel per query token) →
+       per-batch top-k partials → tree-fold re-selection, ties to the
+       smaller doc_id. Only k×#batches candidate rows ever fold."""
+    from .folds import tree_fold_tables
+
+    qtoks = list(query)
+    ds = _docs(sf_dir)
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"token": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")}
+        )
+        if not len(b):
+            return empty
+        low = b["text"].str.lower()
+        rows = []
+        for t in qtoks:
+            # token-boundary containment (matches the tokenizer: [a-z0-9]+)
+            n = int(low.str.contains(rf"(?<![a-z0-9]){re.escape(t)}(?![a-z0-9])",
+                                     regex=True).sum())
+            if n:
+                rows.append((t, n))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["token", "df"]).astype({"df": "int64"})
+
+    def df_combine(frames):
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby("token", sort=False, as_index=False)["df"]
+            .sum()
+        )
+
+    dfs = tree_fold_tables(
+        ds.map_batches(df_partial, batch_format="pandas"), df_combine
+    )
+    weights = {}
+    if dfs is not None and len(dfs):
+        for t, n in zip(dfs["token"], dfs["df"]):
+            weights[t] = _IDF_SCALE // int(n)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="int64")}
+        )
+        if not len(b) or not weights:
+            return empty
+        low = b["text"].str.lower()
+        s = np.zeros(len(b), dtype=np.int64)
+        for t, w in weights.items():
+            tf = low.str.count(rf"(?<![a-z0-9]){re.escape(t)}(?![a-z0-9])").to_numpy()
+            s += tf.astype(np.int64) * w
+        out = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy().astype(np.int64), "score": s}
+        )
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    def top_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    folded = tree_fold_tables(ds.map_batches(score, batch_format="pandas"), top_combine)
+    if folded is None:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="int64")}
+        )
+    return folded.reset_index(drop=True).astype({"doc_id": "int64", "score": "int64"})
