@@ -1088,3 +1088,53 @@ def test_text_search_matches_pandas():
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_semi_join_matches_pandas_and_prunes():
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_bloom_semi_join(SF)
+        .to_pandas()
+        .sort_values("l_linestatus", ignore_index=True)
+        .astype({"n": "int64", "sum_cents": "int64"})
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_linestatus", "l_extendedprice"]
+    )
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    urgent = set(orders[orders["o_orderpriority"] == "1-URGENT"]["o_orderkey"])
+    f = li[li["l_orderkey"].isin(urgent)].copy()
+    f["cents"] = (f["l_extendedprice"] * 100).round().astype("int64")
+    want = (
+        f.assign(n=1)
+        .groupby("l_linestatus", as_index=False)
+        .agg(n=("n", "sum"), sum_cents=("cents", "sum"))
+        .sort_values("l_linestatus", ignore_index=True)
+        .astype({"n": "int64", "sum_cents": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["l_linestatus", "n", "sum_cents"]], want)
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from tripsu_ray.pipelines.docops import _BLOOM_BITS, _bloom_indices
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    members = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+    others = np.setdiff1d(
+        rng.choice(10_000_000, size=40_000, replace=False).astype(np.int64), members
+    )
+    bits = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    for idx in _bloom_indices(members):
+        np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def test(keys):
+        m = np.ones(len(keys), dtype=bool)
+        for idx in _bloom_indices(keys):
+            m &= (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 > 0
+        return m
+
+    assert test(members).all()  # no false negatives, ever
+    fp = test(others).mean()
+    assert fp < 0.05  # ~1.2% expected at this load factor

@@ -883,3 +883,17 @@ sc AS (
 )
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_TOP_K}
 """.strip()
+
+
+def sql_rel_bloom_semi_join() -> str:
+    return """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY 1 ORDER BY 1
+""".strip()
