@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_funnel": docops.q_rel_funnel,
         "rel_skyline": docops.q_rel_skyline,
         "rel_bloom_semi_join": docops.q_rel_bloom_semi_join,
+        "rel_zorder": docops.q_rel_zorder,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_funnel": d.sql_rel_funnel(),
         "rel_skyline": d.sql_rel_skyline(),
         "rel_bloom_semi_join": d.sql_rel_bloom_semi_join(),
+        "rel_zorder": d.sql_rel_zorder(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -1138,3 +1138,44 @@ def test_bloom_filter_no_false_negatives_and_low_fp():
     assert test(members).all()  # no false negatives, ever
     fp = test(others).mean()
     assert fp < 0.05  # ~1.2% expected at this load factor
+
+
+def test_morton_interleave_properties():
+    from tripsu_ray.pipelines.docops import _morton
+
+    p = np.array([0, 1, 0, 3, 0xFFFF], dtype=np.int64)
+    s = np.array([0, 0, 1, 3, 0xFFFF], dtype=np.int64)
+    z = _morton(p, s)
+    assert z[0] == 0
+    assert z[1] == 1          # p bit 0 → even lane
+    assert z[2] == 2          # s bit 0 → odd lane
+    assert z[3] == 0b1111     # both low 2 bits set
+    assert z[4] == (1 << 32) - 1
+    # locality: points adjacent in p stay within a small z range
+    p2 = np.arange(256, dtype=np.int64)
+    z2 = _morton(p2, np.zeros(256, dtype=np.int64))
+    assert z2.max() < 1 << 16
+
+
+def test_rel_zorder_matches_pandas():
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_zorder(SF)
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+        .astype("int64")
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    z = docops._morton(
+        li["l_partkey"].to_numpy().astype(np.int64),
+        li["l_suppkey"].to_numpy().astype(np.int64),
+    )
+    want = (
+        pd.DataFrame({"bucket": z >> docops._Z_BUCKET_SHIFT, "z": z})
+        .groupby("bucket")["z"]
+        .agg(n="size", zmin="min", zmax="max")
+        .reset_index()
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got[["bucket", "n", "zmin", "zmax"]], want)

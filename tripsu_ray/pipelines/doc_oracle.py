@@ -897,3 +897,21 @@ WHERE l_orderkey IN (
 )
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_zorder() -> str:
+    from .docops import _Z_BITS, _Z_BUCKET_SHIFT
+
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((CAST(l_partkey AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST(l_suppkey AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH m AS (SELECT {z} AS z FROM lineitem)
+SELECT CAST(z >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(z) AS BIGINT) AS zmin,
+       CAST(max(z) AS BIGINT) AS zmax
+FROM m GROUP BY 1 ORDER BY 1
+""".strip()

@@ -1860,3 +1860,61 @@ def q_rel_bloom_semi_join(sf_dir: str, *, num_partitions: int = 32):
         .groupby("l_linestatus")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+_Z_BITS = 16  # 16+16 → 32-bit Morton codes
+_Z_BUCKET_SHIFT = 14  # zone buckets; sf-scale key domains give ~2^22 codes
+
+
+def _morton(p: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Interleave the low 16 bits of two int64 arrays (p even lanes,
+    s odd lanes) — vectorized, no per-row Python."""
+    out = np.zeros(len(p), dtype=np.int64)
+    for i in range(_Z_BITS):
+        out |= ((p >> i) & 1) << (2 * i)
+        out |= ((s >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def q_rel_zorder(sf_dir: str):
+    """Z-order (Morton) layout statistics — the space-filling-curve
+    clustering behind OPTIMIZE ZORDER: interleaving (partkey, suppkey)
+    bits gives a 1-D sort key under which both columns stay range-local,
+    so min/max zone maps prune 2-D predicates. The layout rewrite itself
+    is `sort by z` + partitioned write; the oracle-checkable artifact is
+    the zone-map census over the code-prefix buckets: (bucket, n,
+    zmin, zmax) — per-batch associative partials, one tiny ≤256-key
+    aggregate, no row-level shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("bucket", "n", "zmin", "zmax")}
+        )
+        if not len(b):
+            return empty
+        z = _morton(
+            b["l_partkey"].to_numpy().astype(np.int64),
+            b["l_suppkey"].to_numpy().astype(np.int64),
+        )
+        g = (
+            pd.DataFrame({"bucket": z >> _Z_BUCKET_SHIFT, "z": z})
+            .groupby("bucket", sort=False)["z"]
+            .agg(n="size", zmin="min", zmax="max")
+            .reset_index()
+        )
+        return g.astype("int64")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("zmin", alias_name="zmin"),
+            Max("zmax", alias_name="zmax"),
+        )
+    )
