@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skyline": docops.q_rel_skyline,
         "rel_bloom_semi_join": docops.q_rel_bloom_semi_join,
         "rel_zorder": docops.q_rel_zorder,
+        "rel_merge_upsert": docops.q_rel_merge_upsert,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_skyline": d.sql_rel_skyline(),
         "rel_bloom_semi_join": d.sql_rel_bloom_semi_join(),
         "rel_zorder": d.sql_rel_zorder(),
+        "rel_merge_upsert": d.sql_rel_merge_upsert(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

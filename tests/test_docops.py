@@ -1179,3 +1179,42 @@ def test_rel_zorder_matches_pandas():
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got[["bucket", "n", "zmin", "zmax"]], want)
+
+
+def test_rel_merge_upsert_matches_pandas():
+    """MERGE precedence (DELETE > UPDATE; INSERT unconditional) vs a
+    pandas replay of the derived change stream."""
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_merge_upsert(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority", ignore_index=True)
+        .astype({"n": "int64", "sum_cents": "int64"})
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    k = o["o_orderkey"].to_numpy()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    upd_cents = np.floor(o["o_totalprice"].to_numpy() * 110 + 0.5).astype("int64")
+    keep = k % 17 != 0
+    eff = np.where(k % 10 == 0, upd_cents, cents)
+    merged = pd.DataFrame(
+        {"prio": o["o_orderpriority"][keep], "cents": eff[keep]}
+    )
+    ins = pd.DataFrame(
+        {"prio": o["o_orderpriority"][k % 13 == 0], "cents": cents[k % 13 == 0]}
+    )
+    all_ = pd.concat([merged, ins], ignore_index=True)
+    want = (
+        all_.assign(n=1)
+        .groupby("prio", as_index=False)
+        .agg(n=("n", "sum"), sum_cents=("cents", "sum"))
+        .rename(columns={"prio": "o_orderpriority"})
+        .sort_values("o_orderpriority", ignore_index=True)
+        .astype({"n": "int64", "sum_cents": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["o_orderpriority", "n", "sum_cents"]], want)
+    # deletions really shrink the table: merged count < base + inserts
+    assert int(got["n"].sum()) == int(keep.sum() + (k % 13 == 0).sum())

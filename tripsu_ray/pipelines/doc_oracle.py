@@ -915,3 +915,21 @@ SELECT CAST(z >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
        CAST(max(z) AS BIGINT) AS zmax
 FROM m GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_merge_upsert() -> str:
+    return """
+WITH merged AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(round(o_totalprice * 110) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY 1 ORDER BY 1
+""".strip()

@@ -1918,3 +1918,135 @@ def q_rel_zorder(sf_dir: str):
             Max("zmax", alias_name="zmax"),
         )
     )
+
+
+def q_rel_merge_upsert(sf_dir: str, *, num_partitions: int = 32):
+    """MERGE INTO (CDC upsert) — apply a keyed change stream to a base
+    table and report the post-merge census. The delta here is derived
+    deterministically from the corpus so the oracle can replay it
+    (DELETE keys ≡ 0 mod 17; UPDATE keys ≡ 0 mod 10 get +10% price;
+    INSERT clones keys ≡ 0 mod 13 shifted by 10⁹), but the PLAN is the
+    general one: base and delta are two independent streams that
+    co-partition on the key via the union-tag exchange, and each
+    partition applies precedence (DELETE ∘ UPDATE ∘ INSERT) vectorized —
+    no driver-side key set, shuffle = base + delta rows, exactly how a
+    lakehouse MERGE executes. Census output keeps the result
+    hash-checkable without materializing the merged table.
+    """
+    base = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    delta = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def part_of(k: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(k.astype(np.int64)) % num_partitions).astype("int64")
+
+    def tag_base(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "prio": b["o_orderpriority"].astype(object),
+                "cents": cents,
+                "op": np.int8(0),  # base row
+                "_part": part_of(k),
+            }
+        )
+
+    def tag_delta(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        price = b["o_totalprice"].to_numpy()
+        prio = b["o_orderpriority"].to_numpy(dtype=object)
+        frames = []
+        d = k[k % 17 == 0]
+        if len(d):
+            frames.append(
+                pd.DataFrame(
+                    {"k": d, "prio": "", "cents": np.int64(0), "op": np.int8(1)}
+                )
+            )
+        um = k % 10 == 0
+        if um.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "k": k[um],
+                        "prio": prio[um],
+                        # +10%: half-away rounding (see q_rel_q5_revenue)
+                        "cents": np.floor(price[um] * 110 + 0.5).astype(np.int64),
+                        "op": np.int8(2),
+                    }
+                )
+            )
+        im = k % 13 == 0
+        if im.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "k": k[im] + 1_000_000_000,
+                        "prio": prio[im],
+                        "cents": np.floor(price[im] * 100 + 0.5).astype(np.int64),
+                        "op": np.int8(3),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "prio": pd.Series([], dtype=object),
+                    "cents": pd.Series([], dtype="int64"),
+                    "op": pd.Series([], dtype="int8"),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["_part"] = part_of(out["k"].to_numpy())
+        return out
+
+    both = base.map_batches(tag_base, batch_format="pandas").union(
+        delta.map_batches(tag_delta, batch_format="pandas")
+    )
+
+    def apply_ops(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "op" not in g.columns:
+            return empty
+        dels = set(g[g["op"] == 1]["k"].to_numpy())
+        upd = g[g["op"] == 2].set_index("k")
+        rows = g[g["op"] == 0].copy()
+        rows = rows[~rows["k"].isin(dels)]
+        m = rows["k"].isin(upd.index)
+        rows.loc[m, "cents"] = upd["cents"].reindex(rows.loc[m, "k"]).to_numpy()
+        ins = g[g["op"] == 3]
+        merged = pd.concat([rows, ins], ignore_index=True)
+        if not len(merged):
+            return empty
+        out = (
+            merged.assign(n=1)
+            .groupby("prio", sort=False, as_index=False)
+            .agg(n=("n", "sum"), sum_cents=("cents", "sum"))
+            .rename(columns={"prio": "o_orderpriority"})
+        )
+        out["o_orderpriority"] = out["o_orderpriority"].astype(object)
+        return out.astype({"n": "int64", "sum_cents": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.groupby("_part")
+        .map_groups(apply_ops, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
