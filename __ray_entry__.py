@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bloom_semi_join": docops.q_rel_bloom_semi_join,
         "rel_zorder": docops.q_rel_zorder,
         "rel_merge_upsert": docops.q_rel_merge_upsert,
+        "rel_sliding_distinct": docops.q_rel_sliding_distinct,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_bloom_semi_join": d.sql_rel_bloom_semi_join(),
         "rel_zorder": d.sql_rel_zorder(),
         "rel_merge_upsert": d.sql_rel_merge_upsert(),
+        "rel_sliding_distinct": d.sql_rel_sliding_distinct(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -1218,3 +1218,49 @@ def test_rel_merge_upsert_matches_pandas():
     pd.testing.assert_frame_equal(got[["o_orderpriority", "n", "sum_cents"]], want)
     # deletions really shrink the table: merged count < base + inserts
     assert int(got["n"].sum()) == int(keep.sum() + (k % 13 == 0).sum())
+
+
+def test_rel_sliding_distinct_matches_brute_force():
+    """Interval-algebra sliding COUNT DISTINCT vs a brute-force window
+    scan, including a hand-built gap corpus exercising interval splits."""
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_sliding_distinct(SF).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    uh = pd.DataFrame(
+        {
+            "u": ev["user_id"].astype("int64"),
+            "h": ev["ts"].dt.floor("h").astype("datetime64[s]").astype("int64"),
+        }
+    ).drop_duplicates()
+    lo, hi = uh["h"].min(), uh["h"].max()
+    rows = []
+    for ws in range(lo, hi + 1, 3600):
+        n = uh[(uh["h"] >= ws) & (uh["h"] < ws + 24 * 3600)]["u"].nunique()
+        if n:
+            rows.append((ws, n))
+    want = pd.DataFrame(rows, columns=["window_start", "n_users"]).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sliding_distinct_interval_split_gap(tmp_path):
+    """Two bursts >24h apart from one user must produce two coverage
+    intervals with zero-windows omitted between them."""
+    from tripsu_ray.pipelines import docops
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:30", "2024-01-01 02:30", "2024-01-05 10:15"]
+    )
+    df = pd.DataFrame({"event_id": [0, 1, 2], "ts": ts, "user_id": [7, 7, 7],
+                       "event_type": "view", "value": 1.0, "props": "{}"})
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = docops.q_rel_sliding_distinct(str(tmp_path))
+    assert (out["n_users"] == 1).all()
+    # coverage: window starts within 23h before each burst, window grid
+    # clipped to [first, last] active hour
+    h = out["window_start"].to_numpy()
+    gap = np.diff(h)
+    assert (gap > 3600).any()  # the >24h gap splits coverage
+    # burst 1 (hours 00,02): starts clipped to [00:00, 02:00] → 3 windows;
+    # burst 2 (hour 01-05 10:00): full 24-start covering range
+    assert len(out) == 3 + 24

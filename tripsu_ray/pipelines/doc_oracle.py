@@ -933,3 +933,17 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM merged GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_sliding_distinct() -> str:
+    return """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM uh),
+w AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+       CAST(count(DISTINCT uh.user_id) AS BIGINT) AS n_users
+FROM w JOIN uh ON uh.h >= ws AND uh.h < ws + INTERVAL 24 HOUR
+GROUP BY 1 ORDER BY 1
+""".strip()

@@ -2050,3 +2050,126 @@ def q_rel_merge_upsert(sf_dir: str, *, num_partitions: int = 32):
         .groupby("o_orderpriority")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+def q_rel_sliding_distinct(sf_dir: str, *, window_hours: int = 24, num_partitions: int = 32):
+    """Sliding-window COUNT DISTINCT — per 24 h window (hour-granular
+    starts), the number of distinct active users. The op resists naive
+    distribution (a user must count once per window, windows overlap),
+    but has an EXACT linear plan via interval algebra:
+
+    - distinct (user, hour) pairs dedup per batch, ONE user-hash
+      exchange co-locates each user's hours;
+    - a user active at hour h covers window starts [h−23, h]; the
+      per-user union of these ranges (vectorized gap-split on sorted
+      hours) becomes ±1 DIFF EVENTS at interval boundaries — rows
+      leaving the partition collapse from user-hours to interval ends;
+    - the tiny event stream tree-folds; one prefix sum over the hour
+      domain (thousands of rows even at decade span) finishes on the
+      driver, clipped to [first, last] active hour.
+
+    The same trick evaluates any sliding count-distinct (IPs per minute,
+    repos per day) — window length only changes the covering range."""
+    from ..stages.folds import tree_fold_tables
+
+    HOUR = 3600
+    W = window_hours
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def uh_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="int64"),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        g = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "h": b["ts"].dt.floor("h").astype("datetime64[s]").astype("int64"),
+            }
+        ).drop_duplicates(ignore_index=True)
+        g["_part"] = (pd.util.hash_array(g["user_id"].to_numpy()) % num_partitions).astype(
+            "int64"
+        )
+        return g
+
+    def events(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="int8"),
+                "w": pd.Series([], dtype="int64"),
+                "d": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "user_id" not in g.columns:
+            return empty
+        d = (
+            g[["user_id", "h"]]
+            .drop_duplicates()
+            .sort_values(["user_id", "h"], ignore_index=True)
+        )
+        uid = d["user_id"].to_numpy()
+        h = d["h"].to_numpy()
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # split where the gap exceeds the covering range (W hours)
+        gap = np.concatenate(([True], (h[1:] - h[:-1]) > (W - 1) * HOUR))
+        start = new_user | gap
+        ends_mask = np.concatenate((start[1:], [True]))
+        starts = h[start] - (W - 1) * HOUR  # first window start covered
+        ends = h[ends_mask] + HOUR  # one past the last covered start
+        ev = pd.DataFrame(
+            {
+                "w": np.concatenate([starts, ends]),
+                "d": np.concatenate(
+                    [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+                ),
+                "kind": np.int8(0),
+            }
+        )
+        # active-hour bounds ride as kind-1 rows for the final clip
+        bounds = pd.DataFrame(
+            {"w": [h.min(), h.max()], "d": np.zeros(2, dtype=np.int64),
+             "kind": np.int8(1)}
+        )
+        ev = pd.concat([ev, bounds], ignore_index=True)
+        return ev.groupby(["kind", "w"], sort=False, as_index=False)["d"].sum()
+
+    def combine(frames):
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["kind", "w"], sort=False, as_index=False)["d"]
+            .sum()
+        )
+
+    folded = tree_fold_tables(
+        ds.map_batches(uh_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(events, batch_format="pandas"),
+        combine,
+    )
+    out_empty = pd.DataFrame(
+        {
+            "window_start": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64"),
+        }
+    )
+    if folded is None or not len(folded):
+        return out_empty
+    bounds = folded[folded["kind"] == 1]
+    ev = folded[folded["kind"] == 0].sort_values("w", ignore_index=True)
+    if not len(bounds) or not len(ev):
+        return out_empty
+    lo, hi = int(bounds["w"].min()), int(bounds["w"].max())
+    w = ev["w"].to_numpy()
+    run = ev["d"].cumsum().to_numpy()
+    # dense hourly domain [lo, hi], value = running sum at the last event ≤ w
+    grid = np.arange(lo, hi + 1, HOUR)
+    idx = np.searchsorted(w, grid, side="right") - 1
+    n = np.where(idx >= 0, run[np.maximum(idx, 0)], 0).astype(np.int64)
+    out = pd.DataFrame({"window_start": grid, "n_users": n})
+    # inner-join semantics: a >W-hour global activity gap yields zero
+    # windows, which the oracle's join omits
+    return out[out["n_users"] > 0].reset_index(drop=True)
