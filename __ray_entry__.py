@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp": bgp.q_kg_bgp,
         "kg_bgp_optional": bgp.q_kg_bgp_optional,
         "kg_bgp_agg": bgp.q_kg_bgp_agg,
+        "kg_construct": bgp.q_kg_construct,
         "kg_validate": q.q_validate,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": bgp.sql_kg_bgp(),
         "kg_bgp_optional": bgp.sql_kg_bgp_optional(),
         "kg_bgp_agg": bgp.sql_kg_bgp_agg(),
+        "kg_construct": bgp.sql_kg_construct(),
         "kg_validate": oracle.sql_validate(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),

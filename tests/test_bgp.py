@@ -285,6 +285,7 @@ class TestOptionalAndFilters:
         )
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_bgp_agg_matches_pandas():
     """GROUP BY over the match relation vs a pandas groupby of the
     (already-verified) BGP result."""
@@ -307,3 +308,40 @@ def test_bgp_agg_matches_pandas():
         .astype({"n_matches": "int64", "n_modules": "int64"})
     )
     pd.testing.assert_frame_equal(got[["author", "n_matches", "n_modules"]], want)
+
+
+def test_var_var_filter():
+    """FILTER(?a < ?b) var-to-var comparison, including unbound fails."""
+    from tripsu_ray.pipelines.bgp import _apply_filters
+
+    df = pd.DataFrame(
+        {"a": ["x", "z", None, "m"], "b": ["y", "a", "q", None]}, dtype=object
+    )
+    out = _apply_filters(df, [("a", "<", "?b")])
+    assert out["a"].tolist() == ["x"]  # z<a false; None rows fail
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_construct_canonical_pairs():
+    """CONSTRUCT output: canonical (s<o) co-author pairs, distinct, and
+    consistent with a pandas self-join on the extracted stream."""
+    from tripsu_ray.pipelines import bgp as B
+    from tripsu_ray.stages.extract import NS, extract_triples
+    from tripsu_ray.sources.synth import read_source_files
+
+    SF = "/root/testdata/sf0.001"
+    got = B.q_kg_construct(SF).to_pandas().sort_values(["s", "o"], ignore_index=True)
+    t = extract_triples(read_source_files(SF)).to_pandas()
+    au = t[t["predicate"] == NS + "author"][["subject", "object_value"]].drop_duplicates()
+    j = au.merge(au, on="subject")
+    j = j[j["object_value_x"] < j["object_value_y"]]
+    want = (
+        j[["object_value_x", "object_value_y"]]
+        .drop_duplicates()
+        .rename(columns={"object_value_x": "s", "object_value_y": "o"})
+        .assign(p=NS + "coAuthor")[["s", "p", "o"]]
+        .sort_values(["s", "o"], ignore_index=True)
+        .astype(object)
+    )
+    pd.testing.assert_frame_equal(got.astype(object), want)
+    assert (got["s"] < got["o"]).all()

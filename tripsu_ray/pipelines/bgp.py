@@ -155,13 +155,19 @@ def _apply_filters(df: pd.DataFrame, filters) -> pd.DataFrame:
         if not len(df):
             return df
         col = df[var]
+        # a "?name" value compares var-to-var (FILTER(?a < ?b));
+        # otherwise the value is a constant
+        rhs = df[val[1:]] if isinstance(val, str) and _is_var(val) else val
         # evaluate only on bound values: object-dtype order comparisons
         # against None raise, and SQL/SPARQL fail unbound rows anyway
         bound = col.notna().to_numpy(dtype=bool)
+        if isinstance(rhs, pd.Series):
+            bound &= rhs.notna().to_numpy(dtype=bool)
+            rhs = rhs[bound]
         mask = np.zeros(len(df), dtype=bool)
         if bound.any():
             mask[bound] = np.asarray(
-                _FILTER_OPS[op](col[bound], val), dtype=bool
+                _FILTER_OPS[op](col[bound], rhs), dtype=bool
             )
         df = df[mask]
     return df
@@ -461,4 +467,76 @@ FROM (
   WHERE t1.p = {_q(NS + "imports")}
 )
 GROUP BY 1 ORDER BY 1"""
+    )
+
+
+def q_kg_construct(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL CONSTRUCT — materialize NEW triples from a pattern match
+    (the graph-transformation half of SPARQL; tripsu-class pipelines use
+    it to derive edges the source never stated):
+
+        CONSTRUCT { ?a1 <coAuthor> ?a2 }
+        WHERE { ?r <author> ?a1 . ?r <author> ?a2 . FILTER(?a1 < ?a2) }
+
+    The var-var FILTER makes each unordered co-author pair canonical
+    (emitted once, lexicographically). Plan: the BGP machinery produces
+    the DISTINCT (r, a1, a2) matches; projecting away ?r re-dedups via
+    one row-hash exchange — output is a valid TRIPLES-shaped stream
+    ready to union back into the graph."""
+    from ..stages.extract import NS, extract_triples
+    from ..sources.synth import read_source_files
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [("?r", f"{NS}author", "?a1"), ("?r", f"{NS}author", "?a2")],
+        filters=[("a1", "<", "?a2")],
+        num_partitions=num_partitions,
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("s", "p", "o")})
+        if not len(b) or "a1" not in b.columns:
+            return empty
+        out = pd.DataFrame(
+            {
+                "s": b["a1"].astype(object),
+                "p": f"{NS}coAuthor",
+                "o": b["a2"].astype(object),
+            }
+        ).drop_duplicates()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["s"].astype(str) + "\x00" + out["o"].astype(str),
+                                       index=False)
+            % num_partitions
+        ).astype("int64")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("s", "p", "o")})
+        if not len(g) or "s" not in g.columns:
+            return empty
+        return g[["s", "p", "o"]].drop_duplicates(ignore_index=True)
+
+    return (
+        matches.map_batches(project, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def sql_kg_construct() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.o AS s, {_q(NS + "coAuthor")} AS p, t2.o AS o
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "author")}
+  AND t1.o < t2.o
+WHERE t1.p = {_q(NS + "author")}
+ORDER BY s, o"""
     )
