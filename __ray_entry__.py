@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_zorder": docops.q_rel_zorder,
         "rel_merge_upsert": docops.q_rel_merge_upsert,
         "rel_sliding_distinct": docops.q_rel_sliding_distinct,
+        "rel_transitions": docops.q_rel_transitions,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_zorder": d.sql_rel_zorder(),
         "rel_merge_upsert": d.sql_rel_merge_upsert(),
         "rel_sliding_distinct": d.sql_rel_sliding_distinct(),
+        "rel_transitions": d.sql_rel_transitions(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -1264,3 +1264,29 @@ def test_sliding_distinct_interval_split_gap(tmp_path):
     # burst 1 (hours 00,02): starts clipped to [00:00, 02:00] → 3 windows;
     # burst 2 (hour 01-05 10:00): full 24-start covering range
     assert len(out) == 3 + 24
+
+
+def test_rel_transitions_matches_pandas():
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_transitions(SF)
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"], ignore_index=True)
+        .astype({"n": "int64"})
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    prev = ev.groupby("user_id")["event_type"].shift()
+    pairs = pd.DataFrame({"prev_type": prev, "next_type": ev["event_type"]}).dropna()
+    want = (
+        pairs.groupby(["prev_type", "next_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "next_type"], ignore_index=True)
+        .astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["prev_type", "next_type", "n"]], want)
+    # transitions = events - users (each user's stream loses one)
+    assert int(got["n"].sum()) == len(ev) - ev["user_id"].nunique()

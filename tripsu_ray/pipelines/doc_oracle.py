@@ -947,3 +947,17 @@ SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
 FROM w JOIN uh ON uh.h >= ws AND uh.h < ws + INTERVAL 24 HOUR
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_transitions() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

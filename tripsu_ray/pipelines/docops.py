@@ -2173,3 +2173,77 @@ def q_rel_sliding_distinct(sf_dir: str, *, window_hours: int = 24, num_partition
     # inner-join semantics: a >W-hour global activity gap yields zero
     # windows, which the oracle's join omits
     return out[out["n_users"] > 0].reset_index(drop=True)
+
+
+def q_rel_transitions(sf_dir: str, *, num_partitions: int = 32):
+    """Event-sequence transition census — (prev_type, next_type, n) over
+    each user's time-ordered stream (the Markov-chain / clickstream-path
+    mining primitive). Order is (ts, event_id) so equal timestamps break
+    deterministically. ONE user-hash exchange; per partition every user's
+    stream sorts once and the lag is a vectorized shift (transitions
+    where the user changes are masked out); only the ≤|types|² census
+    leaves each partition."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "t": pd.Series([], dtype="int64"),
+                    "eid": pd.Series([], dtype="int64"),
+                    "typ": pd.Series([], dtype=object),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "t": b["ts"].astype("datetime64[us]").astype("int64"),
+                "eid": b["event_id"].astype("int64"),
+                "typ": b["event_type"].astype(object),
+            }
+        )
+        out["_part"] = (
+            pd.util.hash_array(out["user_id"].to_numpy()) % num_partitions
+        ).astype("int64")
+        return out
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "prev_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "typ" not in g.columns:
+            return empty
+        d = g.sort_values(["user_id", "t", "eid"], ignore_index=True)
+        same = d["user_id"].eq(d["user_id"].shift())
+        out = pd.DataFrame(
+            {
+                "prev_type": d["typ"].shift().astype(object),
+                "next_type": d["typ"].astype(object),
+                "n": np.int64(1),
+            }
+        )[same.to_numpy()]
+        if not len(out):
+            return empty
+        return (
+            out.groupby(["prev_type", "next_type"], sort=False, as_index=False)["n"]
+            .sum()
+            .astype({"n": "int64"})
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
