@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": bgp.q_kg_bgp_optional,
         "kg_bgp_agg": bgp.q_kg_bgp_agg,
         "kg_construct": bgp.q_kg_construct,
+        "kg_describe": bgp.q_kg_describe,
         "kg_validate": q.q_validate,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": bgp.sql_kg_bgp_optional(),
         "kg_bgp_agg": bgp.sql_kg_bgp_agg(),
         "kg_construct": bgp.sql_kg_construct(),
+        "kg_describe": bgp.sql_kg_describe(),
         "kg_validate": oracle.sql_validate(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),

@@ -345,3 +345,33 @@ def test_kg_construct_canonical_pairs():
     )
     pd.testing.assert_frame_equal(got.astype(object), want)
     assert (got["s"] < got["o"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_describe_one_hop_semantics():
+    """DESCRIBE = exactly the triples touching a seed node, vs pandas."""
+    from tripsu_ray.pipelines import bgp as B
+    from tripsu_ray.stages.extract import NS, extract_triples
+    from tripsu_ray.sources.synth import read_source_files
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        B.q_kg_describe(SF)
+        .to_pandas()
+        .sort_values(["s", "p", "o"], ignore_index=True)
+        .astype(object)
+    )
+    t = extract_triples(read_source_files(SF)).to_pandas()
+    seeds = set(
+        t[(t["predicate"] == NS + "license") & (t["object_value"] == "MIT")]["subject"]
+    )
+    m = t["subject"].isin(seeds) | t["object_value"].isin(seeds)
+    want = (
+        t[m][["subject", "predicate", "object_value"]]
+        .drop_duplicates()
+        .rename(columns={"subject": "s", "predicate": "p", "object_value": "o"})
+        .sort_values(["s", "p", "o"], ignore_index=True)
+        .astype(object)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(seeds) > 0 and len(got) > len(seeds)  # non-trivial neighborhood

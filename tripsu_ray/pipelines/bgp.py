@@ -540,3 +540,92 @@ JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "author")}
 WHERE t1.p = {_q(NS + "author")}
 ORDER BY s, o"""
     )
+
+
+def q_kg_describe(sf_dir: str, *, license: str = "MIT", num_partitions: int = _P):
+    """SPARQL DESCRIBE — the 1-hop subgraph around a seed set (here: all
+    repos carrying the given license): every triple whose subject OR
+    object is a seed node, DISTINCT. Plan: the seed set is a small-side
+    fold (repos ≪ triples) broadcast via `ray.put`; one map pass filters
+    the triple stream vectorized (isin on both endpoints, local dedup);
+    the global DISTINCT is one row-hash exchange. At scale the seed set
+    graduates to the Bloom-pruned exchange (`rel_bloom_semi_join`'s
+    plan) when it outgrows a broadcast."""
+    import ray
+
+    from ..stages.extract import NS, extract_triples
+    from ..sources.synth import read_source_files
+    from ..stages.folds import tree_fold_tables
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["predicate"] == NS + "license") & (b["object_value"] == license)
+        return pd.DataFrame({"s": b["subject"][m].astype(object)}).drop_duplicates()
+
+    def seed_combine(frames):
+        return pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
+
+    seeds = tree_fold_tables(
+        triples.map_batches(seed_partial, batch_format="pandas"), seed_combine
+    )
+    seed_ref = ray.put(
+        frozenset(seeds["s"]) if seeds is not None and len(seeds) else frozenset()
+    )
+
+    def hop(b: pd.DataFrame, _s=seed_ref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in ("s", "p", "o")}
+        ).assign(_part=pd.Series([], dtype="int64"))
+        if not len(b):
+            return empty
+        ss = ray.get(_s)
+        m = b["subject"].isin(ss).to_numpy() | b["object_value"].isin(ss).to_numpy()
+        if not m.any():
+            return empty
+        f = b[m]
+        out = pd.DataFrame(
+            {
+                "s": f["subject"].astype(object),
+                "p": f["predicate"].astype(object),
+                "o": f["object_value"].astype(object),
+            }
+        ).drop_duplicates()
+        out["_part"] = (
+            pd.util.hash_pandas_object(
+                out["s"].astype(str) + "\x00" + out["p"].astype(str) + "\x00"
+                + out["o"].astype(str),
+                index=False,
+            )
+            % num_partitions
+        ).astype("int64")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("s", "p", "o")})
+        if not len(g) or "s" not in g.columns:
+            return empty
+        return g[["s", "p", "o"]].drop_duplicates(ignore_index=True)
+
+    return (
+        triples.map_batches(hop, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def sql_kg_describe(license: str = "MIT") -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT s, p, o FROM raw_triples
+WHERE s IN (SELECT s FROM raw_triples
+            WHERE p = {_q(NS + "license")} AND o = {_q(license)})
+   OR o IN (SELECT s FROM raw_triples
+            WHERE p = {_q(NS + "license")} AND o = {_q(license)})
+ORDER BY s, p, o"""
+    )
