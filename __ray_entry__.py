@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_merge_upsert": docops.q_rel_merge_upsert,
         "rel_sliding_distinct": docops.q_rel_sliding_distinct,
         "rel_transitions": docops.q_rel_transitions,
+        "rel_listagg": docops.q_rel_listagg,
+        "rel_json_extract": docops.q_rel_json_extract,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -253,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_merge_upsert": d.sql_rel_merge_upsert(),
         "rel_sliding_distinct": d.sql_rel_sliding_distinct(),
         "rel_transitions": d.sql_rel_transitions(),
+        "rel_listagg": d.sql_rel_listagg(),
+        "rel_json_extract": d.sql_rel_json_extract(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -1290,3 +1290,42 @@ def test_rel_transitions_matches_pandas():
     pd.testing.assert_frame_equal(got[["prev_type", "next_type", "n"]], want)
     # transitions = events - users (each user's stream loses one)
     assert int(got["n"].sum()) == len(ev) - ev["user_id"].nunique()
+
+
+def test_rel_listagg_matches_pandas():
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_listagg(SF).reset_index(drop=True)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    want = (
+        o.sort_values("o_orderkey")
+        .groupby("o_orderpriority", sort=True)["o_orderkey"]
+        .agg(lambda s: ",".join(map(str, s.head(5))))
+        .rename("first_keys")
+        .reset_index()
+        .astype(object)
+    )
+    pd.testing.assert_frame_equal(got.astype(object), want)
+
+
+def test_rel_json_extract_matches_pandas_and_fallback():
+    import json
+
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_json_extract(SF)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+        .astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "props"])
+    kv = ev["props"].map(lambda x: int(json.loads(x)["k"]))
+    want = (
+        pd.DataFrame({"event_type": ev["event_type"], "kv": kv})
+        .groupby("event_type", as_index=False)["kv"]
+        .agg(n="size", sum_k="sum", max_k="max")
+        .sort_values("event_type", ignore_index=True)
+        .astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["event_type", "n", "sum_k", "max_k"]], want)

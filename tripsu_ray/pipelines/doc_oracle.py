@@ -961,3 +961,29 @@ SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+def sql_rel_listagg(k: int = 5) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+           AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS first_keys
+FROM ranked WHERE rn <= {k}
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def sql_rel_json_extract() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+""".strip()

@@ -2247,3 +2247,118 @@ def q_rel_transitions(sf_dir: str, *, num_partitions: int = 32):
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def q_rel_listagg(sf_dir: str, *, k: int = 5):
+    """Ordered LISTAGG / string_agg — per order priority, the first k
+    orderkeys ascending rendered as a comma list. List aggregation is
+    order-sensitive, so the distributed form must fix the order BEFORE
+    concatenation: per-batch min-k partials (≤ k×priorities rows per
+    batch) tree-fold by re-selection, the string renders ONCE on the
+    tiny fold result — never concatenate partial strings."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "k_": pd.Series([], dtype="int64"),
+                }
+            )
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderpriority": b["o_orderpriority"].astype(object),
+                    "k_": b["o_orderkey"].astype("int64"),
+                }
+            )
+            .sort_values("k_")
+            .groupby("o_orderpriority", sort=False)
+            .head(k)
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.sort_values("k_").groupby("o_orderpriority", sort=False).head(k)
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype=object),
+                "first_keys": pd.Series([], dtype=object),
+            }
+        )
+    out = (
+        folded.sort_values("k_")
+        .groupby("o_orderpriority", sort=True)["k_"]
+        .agg(lambda s: ",".join(map(str, s)))
+        .rename("first_keys")
+        .reset_index()
+    )
+    out["o_orderpriority"] = out["o_orderpriority"].astype(object)
+    out["first_keys"] = out["first_keys"].astype(object)
+    return out
+
+
+def q_rel_json_extract(sf_dir: str):
+    """JSON column processing — parse ``events.props`` (JSON objects) and
+    aggregate the ``k`` field per event type. The parse is per-batch
+    vectorized DuckDB-over-Arrow? No — plain pandas str JSON decoding is
+    a Python loop; instead the fixed object shape lets a compiled regex
+    extract the field zero-copy per batch, with a json.loads fallback for
+    rows the regex misses (robustness without the hot-path cost). Partial
+    (type, n, sum, max) folds → tiny aggregate."""
+    import re as _re
+
+    from ray.data.aggregate import Max, Sum
+
+    pat = _re.compile(r'"k"\s*:\s*(-?\d+)')
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sum_k": pd.Series([], dtype="int64"),
+                "max_k": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(b):
+            return empty
+        ext = b["props"].str.extract(pat, expand=False)
+        miss = ext.isna()
+        if miss.any():  # fallback: real JSON decode for irregular rows
+            import json as _json
+
+            ext = ext.copy()
+            ext[miss] = [
+                str(_json.loads(x).get("k")) if x else None
+                for x in b["props"][miss]
+            ]
+        kv = ext.astype("int64")
+        g = (
+            pd.DataFrame({"event_type": b["event_type"].astype(object), "kv": kv})
+            .groupby("event_type", sort=False)["kv"]
+            .agg(n="size", sum_k="sum", max_k="max")
+            .reset_index()
+        )
+        return g.astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
