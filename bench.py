@@ -131,18 +131,25 @@ def run_scaling() -> dict:
         # the regime the N-vs-4N criterion is about
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("GRAFT_REPEAT", "240")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-        except subprocess.CalledProcessError as e:
-            # surface the child's diagnostics instead of a bare exit status
-            sys.stderr.write(e.stderr or "")
-            raise
+        last_err = None
+        for _attempt in range(2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                break
+            except subprocess.CalledProcessError as e:
+                # transient failure mode seen on this host: a memory-killed
+                # write task leaves an orphaned partial parquet the readback
+                # trips over — retry the child once before giving up
+                sys.stderr.write(e.stderr or "")
+                last_err = e
+        else:
+            raise last_err
         lines = out.strip().splitlines()
         if not lines:
             raise RuntimeError(f"bench child (ncpu={ncpu}) produced no output")

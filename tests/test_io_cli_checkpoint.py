@@ -365,3 +365,22 @@ class TestCLIUpdate:
             got.sort_values(key, ignore_index=True),
             full.sort_values(key, ignore_index=True),
         )
+
+
+def test_sweep_partial_parquet(tmp_path):
+    """Readback must survive an orphaned partial file beside good ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tripsu_ray.state.checkpoint import _sweep_partial_parquet
+
+    good = tmp_path / "a_000000.parquet"
+    pq.write_table(pa.table({"x": [1, 2]}), good)
+    bad = tmp_path / "b_000000.parquet"
+    bad.write_bytes(b"PAR1\x00\x00truncated-no-footer")
+    other = tmp_path / "notes.txt"
+    other.write_text("keep me")
+    assert _sweep_partial_parquet(str(tmp_path)) == 1
+    assert good.exists() and other.exists() and not bad.exists()
+    assert pq.read_table(str(good)).num_rows == 2
+    assert _sweep_partial_parquet(str(tmp_path / "missing")) == 0

@@ -24,6 +24,34 @@ import time
 from ..sources import read_parquet_clean as _read_parquet_clean
 
 
+def _sweep_partial_parquet(out_dir: str) -> int:
+    """Delete unreadable part-files left by memory-killed write tasks.
+
+    A Ray write task killed mid-write and retried leaves an orphaned
+    PARTIAL file beside the retry's complete one ("Parquet magic bytes
+    not found" on readback — observed under memory pressure on this
+    host). ``write_parquet`` returning does not preclude such orphans,
+    so validate each footer (metadata-only, cheap) before the stage's
+    readback and drop the corpses. Returns the number swept."""
+    import pyarrow.parquet as pq
+
+    swept = 0
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, name)
+        try:
+            pq.read_metadata(path)
+        except Exception:
+            os.unlink(path)
+            swept += 1
+    return swept
+
+
 class CheckpointManager:
     def __init__(self, root: str):
         self.root = root
@@ -81,6 +109,7 @@ class CheckpointManager:
         t0 = time.perf_counter()
         ds = fn()
         ds.write_parquet(out_dir)
+        _sweep_partial_parquet(out_dir)
         result = _read_parquet_clean(out_dir)
         n = result.count()
         secs = time.perf_counter() - t0
