@@ -43,7 +43,7 @@ def _sql_ml_semdedup() -> str:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tripsu_ray.pipelines import bgp, docops, joins, queries as q
+    from tripsu_ray.pipelines import bgp, docops, joins, paths, queries as q
 
     return {
         # knowledge-graph construction (the flagship, SURVEY.md §2/§7)
@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_agg": bgp.q_kg_bgp_agg,
         "kg_construct": bgp.q_kg_construct,
         "kg_describe": bgp.q_kg_describe,
+        "kg_bgp_union": bgp.q_kg_bgp_union,
+        "kg_bgp_minus": bgp.q_kg_bgp_minus,
+        "kg_bgp_values": bgp.q_kg_bgp_values,
+        "kg_path_seq": paths.q_kg_path_seq,
+        "kg_path_plus": paths.q_kg_path_plus,
         "kg_validate": q.q_validate,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
@@ -173,7 +178,7 @@ def oracle_sql() -> dict[str, str]:
     hash-seeded walks — exact-equal to a sequential replay in tests, but
     the SipHash step choice has no SQL rendering).
     """
-    from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle
+    from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle, paths
 
     return {
         "kg_source_files": oracle.sql_source_files(),
@@ -194,6 +199,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_agg": bgp.sql_kg_bgp_agg(),
         "kg_construct": bgp.sql_kg_construct(),
         "kg_describe": bgp.sql_kg_describe(),
+        "kg_bgp_union": bgp.sql_kg_bgp_union(),
+        "kg_bgp_minus": bgp.sql_kg_bgp_minus(),
+        "kg_bgp_values": bgp.sql_kg_bgp_values(),
+        "kg_path_seq": paths.sql_kg_path_seq(),
+        "kg_path_plus": paths.sql_kg_path_plus(),
         "kg_validate": oracle.sql_validate(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),

@@ -375,3 +375,224 @@ def test_kg_describe_one_hop_semantics():
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(seeds) > 0 and len(got) > len(seeds)  # non-trivial neighborhood
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionMinusValues:
+    def _graph(self):
+        return _triples(
+            [
+                ("f1", "lang", "py", KIND_LITERAL),
+                ("f2", "lang", "rs", KIND_LITERAL),
+                ("f3", "lang", "py", KIND_LITERAL),
+                ("f1", "imports", "core", KIND_IRI),
+                ("f3", "imports", "other", KIND_IRI),
+                ("f1", "inRepo", "r1", KIND_IRI),
+                ("f2", "inRepo", "r1", KIND_IRI),
+                ("f3", "inRepo", "r2", KIND_IRI),
+            ]
+        )
+
+    def test_union_same_vars(self):
+        from tripsu_ray.pipelines.bgp import bgp_union
+
+        out = (
+            bgp_union(
+                self._graph(),
+                [
+                    [("?f", "imports", "core"), ("?f", "inRepo", "?r")],
+                    [("?f", "lang", "rs"), ("?f", "inRepo", "?r")],
+                ],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["f", "r"], ignore_index=True)
+        )
+        want = pd.DataFrame({"f": ["f1", "f2"], "r": ["r1", "r1"]})
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_union_disjoint_vars_pad_none(self):
+        # branches binding different variables: missing ones pad to None
+        from tripsu_ray.pipelines.bgp import bgp_union
+
+        out = (
+            bgp_union(
+                self._graph(),
+                [
+                    [("?f", "imports", "core")],
+                    [("?g", "lang", "rs")],
+                ],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["f", "g"], ignore_index=True, na_position="last")
+        )
+        assert list(out.columns) == ["f", "g"]
+        rows = {(r["f"], r["g"]) for _, r in out.iterrows()}
+        assert rows == {("f1", None), (None, "f2")}
+
+    def test_union_dedups_across_groups(self):
+        from tripsu_ray.pipelines.bgp import bgp_union
+
+        out = (
+            bgp_union(
+                self._graph(),
+                [[("?f", "lang", "py")], [("?f", "inRepo", "r1")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        # f1 matches BOTH branches — exactly once in the set union
+        pd.testing.assert_frame_equal(out, pd.DataFrame({"f": ["f1", "f2", "f3"]}))
+
+    def test_minus_anti_join(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?lang")],
+                minus=[[("?f", "imports", "core")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        want = pd.DataFrame({"f": ["f2", "f3"], "lang": ["rs", "py"]})
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_minus_empty_group_removes_nothing(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?lang")],
+                minus=[[("?f", "imports", "nosuch")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+        )
+        assert len(out) == 3
+
+    def test_minus_unbound_shared_var_kept(self):
+        # OPTIONAL leaves ?m unbound for f2/f3; MINUS on ?m must keep
+        # unbound rows (no common-domain overlap)
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?lang")],
+                optional=[[("?f", "imports", "?m")]],
+                minus=[[("?x", "imports", "?m")]],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        # f1 (m=core) and f3 (m=other) are removed (a compatible match
+        # exists); f2 (m unbound) survives
+        assert list(out["f"]) == ["f2"]
+
+    def test_values_restricts_bindings(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?lang")],
+                values=(("?lang",), [("py",), ("go",)]),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        want = pd.DataFrame({"f": ["f1", "f3"], "lang": ["py", "py"]})
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_values_disjoint_rejected(self):
+        with pytest.raises(ValueError, match="VALUES"):
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?lang")],
+                values=(("?nope",), [("x",)]),
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPropertyPaths:
+    def _graph(self):
+        # directed chain with a side branch and a 2-cycle back to a:
+        # a→b→c→d, b→e, c→a
+        return _triples(
+            [
+                ("a", "next", "b", KIND_IRI),
+                ("b", "next", "c", KIND_IRI),
+                ("c", "next", "d", KIND_IRI),
+                ("b", "side", "e", KIND_IRI),
+                ("c", "next", "a", KIND_IRI),
+            ]
+        )
+
+    def test_seq_and_inverse(self):
+        from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+        # ^next/side : x ←next— y —side→ z  ⇒ pairs (b→…)? inv(next)
+        # gives (b,a),(c,b),(d,c),(a,c); seq with side (b,e) ⇒ (c→… mid b)
+        edges = path_distinct(
+            compile_path(
+                self._graph(), ("seq", ("inv", ("pred", "next")), ("pred", "side")),
+                num_partitions=4,
+            ),
+            num_partitions=4,
+        ).to_pandas().sort_values(["a", "b"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            edges, pd.DataFrame({"a": ["c"], "b": ["e"]})
+        )
+
+    def test_inverse_of_sequence_swaps_and_inverts(self):
+        from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+        fwd = path_distinct(
+            compile_path(self._graph(), ("seq", ("pred", "next"), ("pred", "side")),
+                         num_partitions=4), num_partitions=4,
+        ).to_pandas()
+        rev = path_distinct(
+            compile_path(self._graph(),
+                         ("inv", ("seq", ("pred", "next"), ("pred", "side"))),
+                         num_partitions=4), num_partitions=4,
+        ).to_pandas()
+        want = set(map(tuple, fwd[["b", "a"]].to_numpy()))
+        assert set(map(tuple, rev[["a", "b"]].to_numpy())) == want
+
+    def test_alt_unions_steps(self):
+        from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+        edges = path_distinct(
+            compile_path(self._graph(), ("alt", ("pred", "next"), ("pred", "side")),
+                         num_partitions=4),
+            num_partitions=4,
+        ).to_pandas()
+        assert len(edges) == 5
+
+    def test_plus_min_hop_and_cycle_back_to_seed(self):
+        from tripsu_ray.pipelines.paths import path_plus
+
+        out = path_plus(self._graph(), ("pred", "next"), ["a"], num_partitions=4)
+        got = dict(zip(out["node"], out["dist"]))
+        # a→b(1)→c(2)→{d,a}(3): the seed reappears via the cycle
+        assert got == {"b": 1, "c": 2, "d": 3, "a": 3}
+
+    def test_plus_seed_set_min_dist(self):
+        from tripsu_ray.pipelines.paths import path_plus
+
+        out = path_plus(self._graph(), ("pred", "next"), ["a", "b"], num_partitions=4)
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {"b": 1, "c": 1, "d": 2, "a": 2}
+
+    def test_plus_round_cap_raises(self):
+        from tripsu_ray.pipelines.paths import path_plus
+
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            path_plus(self._graph(), ("pred", "next"), ["a"],
+                      max_rounds=2, num_partitions=4)
+
+    def test_unanchored_plus_rejected(self):
+        from tripsu_ray.pipelines.paths import compile_path
+
+        with pytest.raises(ValueError, match="anchored"):
+            compile_path(self._graph(), ("plus", ("pred", "next")))

@@ -110,13 +110,16 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
         return f
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in out_vars})
+        res_vars = a_vars if how == "anti" else out_vars
+        empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in res_vars})
         if not len(g):
             return empty
         left = g[g["_side"] == 0][a_vars].drop_duplicates()
         right = g[g["_side"] == 1][b_vars].drop_duplicates()
         if not len(left):
             return empty
+        if how == "anti":
+            return _anti_merge(left, right, shared, a_vars)
         if not len(right):
             if how != "left":
                 return empty
@@ -134,7 +137,31 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
     u = a.map_batches(tag(0), batch_format="pandas").union(
         b.map_batches(tag(1), batch_format="pandas")
     )
-    return u.groupby("_part").map_groups(join_part, batch_format="pandas"), out_vars
+    res_vars = a_vars if how == "anti" else out_vars
+    return u.groupby("_part").map_groups(join_part, batch_format="pandas"), res_vars
+
+
+def _anti_merge(left: pd.DataFrame, right: pd.DataFrame, shared, a_vars) -> pd.DataFrame:
+    """SPARQL MINUS kernel: drop left rows with a compatible right match.
+
+    Left rows with ANY unbound (None) shared variable are KEPT — the
+    common-domain overlap rule degenerates safely for the fully-bound
+    right side a pattern conjunction produces (a partially-bound left row
+    is the OPTIONAL-then-MINUS corner; SPARQL would still remove it when
+    a μ2 agrees on the bound subset — documented simplification: MINUS
+    here applies to bound variables, the overwhelmingly common shape)."""
+    if not len(right):
+        return left[a_vars].drop_duplicates(ignore_index=True)
+    bound = left[shared].notna().all(axis=1).to_numpy(dtype=bool)
+    keep_unbound = left[~bound]
+    lb = left[bound]
+    if len(lb):
+        m = lb.merge(
+            right[shared].drop_duplicates(), on=shared, how="left", indicator=True
+        )
+        lb = m[m["_merge"] == "left_only"][a_vars]
+    out = pd.concat([lb, keep_unbound[a_vars]], ignore_index=True)
+    return out.drop_duplicates(ignore_index=True)
 
 
 #: filter operators (SQL/SPARQL semantics: an unbound (None) value FAILS
@@ -193,16 +220,20 @@ def _broadcast_join(a, a_vars, small_df, b_vars, *, how: str = "inner"):
     out_vars = sorted(set(a_vars) | set(b_vars))
     ref = ray.put(small_df.drop_duplicates(ignore_index=True))
 
+    res_vars = a_vars if how == "anti" else out_vars
+
     def f(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
-        empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in out_vars})
+        empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in res_vars})
         if not len(df) or shared[0] not in df.columns:
             return empty
+        if how == "anti":
+            return _anti_merge(df, ray.get(_r), shared, a_vars)
         m = df.merge(ray.get(_r), on=shared, how=how)
         if how == "left":
             m = m.astype(object).where(pd.notna(m), None)
         return m[out_vars].drop_duplicates(ignore_index=True)
 
-    return a.map_batches(f, batch_format="pandas"), out_vars
+    return a.map_batches(f, batch_format="pandas"), res_vars
 
 
 def _join_adaptive(rel, vars_, r, v, *, num_partitions, how: str = "inner"):
@@ -251,24 +282,28 @@ def _conjunction(triples, patterns, *, num_partitions: int = _P):
     return rel, vars_
 
 
-def bgp(triples, patterns, *, optional=(), filters=(), num_partitions: int = _P):
-    """Evaluate a graph pattern → DISTINCT Dataset of bindings (one string
-    column per variable, ``?`` stripped).
-
-    - ``patterns``: required conjunctive patterns (SPARQL BGP).
-    - ``optional``: OPTIONAL groups — each a pattern list or a
-      ``(pattern_list, filter_list)`` tuple, evaluated as its own
-      conjunction (with group-local filters, matching
-      ``OPTIONAL { ... FILTER ... }``) then LEFT-joined; unmatched rows
-      keep None for the group's variables. Groups must join on REQUIRED
-      variables (joining on another optional's possibly-unbound output
-      has no single well-defined SPARQL rendering — rejected).
-    - ``filters``: top-level ``(var, op, value)`` constraints
-      (ops: == != < <= > >= prefix); None/unbound fails every filter,
-      matching SQL NULL / SPARQL type-error semantics.
-    """
+def _bgp_rel(
+    triples, patterns, *, optional=(), minus=(), values=None, num_partitions: int = _P
+):
+    """Evaluate required + VALUES + OPTIONAL + MINUS → (relation, vars);
+    NO top-level filters and NO global DISTINCT (bgp()/bgp_union() own
+    those)."""
     rel, vars_ = _conjunction(triples, patterns, num_partitions=num_partitions)
     required = set(vars_)
+    if values is not None:
+        # SPARQL VALUES: an inline binding table, joined in by broadcast
+        # (inline data is small by construction — it's literal query text)
+        v_vars, v_rows = values
+        v_vars = [v[1:] if v.startswith("?") else v for v in v_vars]
+        if not set(v_vars) & set(vars_):
+            raise ValueError(
+                f"VALUES variables {v_vars} share nothing with bindings {vars_}"
+            )
+        vdf = pd.DataFrame(
+            [tuple(r) for r in v_rows], columns=list(v_vars), dtype=object
+        ).drop_duplicates(ignore_index=True)
+        rel, vars_ = _broadcast_join(rel, vars_, vdf, sorted(v_vars))
+        required = set(vars_)
     for grp in optional:
         grp_pats, grp_filters = (
             grp if isinstance(grp, tuple) else (grp, ())
@@ -291,7 +326,31 @@ def bgp(triples, patterns, *, optional=(), filters=(), num_partitions: int = _P)
         rel, vars_ = _join_adaptive(
             rel, vars_, r, v, num_partitions=num_partitions, how="left"
         )
+    for grp in minus:
+        # SPARQL MINUS: remove bindings compatible with the group's
+        # matches on their shared variables (distributed anti-join; the
+        # group side gets the same size-based broadcast/exchange choice)
+        grp_pats, grp_filters = (
+            grp if isinstance(grp, tuple) else (grp, ())
+        )
+        r, v = _conjunction(triples, grp_pats, num_partitions=num_partitions)
+        if grp_filters:
+            r = r.map_batches(
+                lambda df, _f=tuple(grp_filters): _apply_filters(df, _f),
+                batch_format="pandas",
+            )
+        if not set(v) & set(vars_):
+            # disjoint domains: SPARQL MINUS removes nothing — explicit
+            # no-op (never a silent full wipe)
+            continue
+        rel, vars_ = _join_adaptive(
+            rel, vars_, r, v, num_partitions=num_partitions, how="anti"
+        )
+    return rel, vars_
 
+
+def _distinct_bindings(rel, vars_, filters, *, num_partitions: int = _P):
+    """Top-level FILTER + global DISTINCT: one row-hash exchange."""
     filters = tuple(filters)
 
     def redist(df: pd.DataFrame) -> pd.DataFrame:
@@ -312,6 +371,90 @@ def bgp(triples, patterns, *, optional=(), filters=(), num_partitions: int = _P)
         .groupby("_dpart")
         .map_groups(dedup_part, batch_format="pandas")
     )
+
+
+def bgp(
+    triples,
+    patterns,
+    *,
+    optional=(),
+    filters=(),
+    minus=(),
+    values=None,
+    num_partitions: int = _P,
+):
+    """Evaluate a graph pattern → DISTINCT Dataset of bindings (one string
+    column per variable, ``?`` stripped).
+
+    - ``patterns``: required conjunctive patterns (SPARQL BGP).
+    - ``optional``: OPTIONAL groups — each a pattern list or a
+      ``(pattern_list, filter_list)`` tuple, evaluated as its own
+      conjunction (with group-local filters, matching
+      ``OPTIONAL { ... FILTER ... }``) then LEFT-joined; unmatched rows
+      keep None for the group's variables. Groups must join on REQUIRED
+      variables (joining on another optional's possibly-unbound output
+      has no single well-defined SPARQL rendering — rejected).
+    - ``filters``: top-level ``(var, op, value)`` constraints
+      (ops: == != < <= > >= prefix); None/unbound fails every filter,
+      matching SQL NULL / SPARQL type-error semantics.
+    - ``minus``: MINUS groups (same shape as ``optional``) — bindings
+      with a compatible group match on shared variables are removed
+      (distributed anti-join; disjoint-domain groups remove nothing,
+      per the SPARQL common-domain rule).
+    - ``values``: SPARQL VALUES inline data — ``(var_names, rows)``;
+      broadcast-joined into the bindings (must share a variable).
+    """
+    rel, vars_ = _bgp_rel(
+        triples,
+        patterns,
+        optional=optional,
+        minus=minus,
+        values=values,
+        num_partitions=num_partitions,
+    )
+    return _distinct_bindings(rel, vars_, filters, num_partitions=num_partitions)
+
+
+def bgp_union(triples, groups, *, filters=(), num_partitions: int = _P):
+    """SPARQL UNION: evaluate each group and take the set union.
+
+    ``groups``: each a pattern list OR a dict of bgp() keyword pieces
+    (``patterns``, ``optional``, ``filters``, ``minus``, ``values``).
+    Groups may bind different variable sets — missing variables pad with
+    None (SPARQL leaves them unbound), and the result's columns are the
+    union. Set semantics throughout (this engine is DISTINCT end-to-end;
+    SPARQL's bag-union multiplicities are not preserved). Top-level
+    ``filters`` apply to the unioned bindings."""
+    rels: list = []
+    var_sets: list[list[str]] = []
+    for grp in groups:
+        kw = dict(grp) if isinstance(grp, dict) else {"patterns": grp}
+        grp_filters = tuple(kw.pop("filters", ()))
+        rel, vars_ = _bgp_rel(triples, num_partitions=num_partitions, **kw)
+        if grp_filters:
+            rel = rel.map_batches(
+                lambda df, _f=grp_filters: _apply_filters(df, _f),
+                batch_format="pandas",
+            )
+        rels.append(rel)
+        var_sets.append(vars_)
+    out_vars = sorted(set().union(*var_sets))
+
+    def pad(vars_have):
+        missing = [v for v in out_vars if v not in vars_have]
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for v in missing:
+                df[v] = pd.Series([None] * len(df), dtype=object)
+            return df[out_vars]
+
+        return f
+
+    u = rels[0].map_batches(pad(var_sets[0]), batch_format="pandas")
+    for rel, vs in zip(rels[1:], var_sets[1:]):
+        u = u.union(rel.map_batches(pad(vs), batch_format="pandas"))
+    return _distinct_bindings(u, out_vars, filters, num_partitions=num_partitions)
 
 
 def q_kg_bgp(sf_dir: str):
@@ -685,4 +828,137 @@ WHERE s IN (SELECT s FROM raw_triples
    OR o IN (SELECT s FROM raw_triples
             WHERE p = {_q(NS + "license")} AND o = {_q(license)})
 ORDER BY s, p, o"""
+    )
+
+
+def q_kg_bgp_union(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL UNION showcase — files of interest by EITHER signal, with
+    their repo:
+
+        { ?f <imports> mod/core . ?f <inRepo> ?r }
+        UNION
+        { ?f <language> "rs" . ?f <inRepo> ?r }
+
+    Each branch is its own conjunction (join included) so the union
+    exercises branch-level plans, not just single-pattern selections.
+    DuckDB oracle: UNION of the two join queries (set semantics both
+    sides)."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp_union(
+        triples,
+        [
+            [("?f", NS + "imports", MOD_NS + "core"), ("?f", NS + "inRepo", "?r")],
+            [("?f", NS + "language", "rs"), ("?f", NS + "inRepo", "?r")],
+        ],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_union() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT f, r FROM (
+  SELECT t1.s AS f, t2.o AS r
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  WHERE t1.p = {_q(NS + "imports")} AND t1.o = {_q(MOD_NS + "core")}
+  UNION
+  SELECT t1.s AS f, t2.o AS r
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  WHERE t1.p = {_q(NS + "language")} AND t1.o = 'rs'
+) ORDER BY f, r"""
+    )
+
+
+def q_kg_bgp_minus(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL MINUS showcase — typed files and their language, EXCLUDING
+    files that import the hub module (distributed anti-join):
+
+        ?f rdf:type File . ?f <language> ?lang .
+        MINUS { ?f <imports> mod/core }
+
+    DuckDB oracle: the join with a NOT-IN anti condition."""
+    from ..schema import RDF_TYPE
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp(
+        triples,
+        [
+            ("?f", RDF_TYPE, NS + "File"),
+            ("?f", NS + "language", "?lang"),
+        ],
+        minus=[[("?f", NS + "imports", MOD_NS + "core")]],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_minus() -> str:
+    from ..schema import RDF_TYPE
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t2.o AS lang
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "language")}
+WHERE t1.p = {_q(RDF_TYPE)} AND t1.o = {_q(NS + "File")}
+  AND t1.s NOT IN (SELECT s FROM raw_triples
+                   WHERE p = {_q(NS + "imports")} AND o = {_q(MOD_NS + "core")})
+ORDER BY f, lang"""
+    )
+
+
+def q_kg_bgp_values(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL VALUES showcase — restrict bindings by an inline data block
+    (broadcast-joined; the block is literal query text, never big):
+
+        VALUES ?lang { "py" "go" }
+        ?f <language> ?lang . ?f <inRepo> ?r
+
+    ("go" matches nothing — inline values outside the data are legal and
+    must simply bind nothing.) DuckDB oracle: join against a VALUES
+    relation."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp(
+        triples,
+        [
+            ("?f", NS + "language", "?lang"),
+            ("?f", NS + "inRepo", "?r"),
+        ],
+        values=(("?lang",), [("py",), ("go",)]),
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_values() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t1.o AS lang, t2.o AS r
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+JOIN (VALUES ('py'), ('go')) v(lang) ON v.lang = t1.o
+WHERE t1.p = {_q(NS + "language")}
+ORDER BY f, lang, r"""
     )

@@ -1,0 +1,311 @@
+"""SPARQL 1.1 property-path evaluation over the triple stream.
+
+tripsu itself has no query engine; paths are the reachability half of
+SPARQL that a constructed KG is queried with (spec §9.1: ``^p`` inverse,
+``p1|p2`` alternation, ``p1/p2`` sequence, ``p+`` one-or-more). A path
+expression here is a small nested-tuple AST:
+
+    ("pred", iri)        one predicate step (subject → object)
+    ("inv", expr)        inverse: swap direction
+    ("alt", e1, e2, ...) alternation: union of the step relations
+    ("seq", e1, e2)      sequence: relational join on the midpoint
+
+``compile_path`` renders any inv/alt/seq composition to a DISTINCT edge
+Dataset ``(a, b)`` — each step is a map-only selection over the triples,
+alternation is a Dataset union, sequence is the union-tag hash exchange
+from the BGP engine (both sides stream; no driver materialization).
+
+``p+`` (``path_plus``) is evaluated ANCHORED at a seed set, the shape
+every distributed engine uses for transitive closure: level-synchronous
+frontier expansion — per round the frontier (a set, ``ray.put`` once)
+probes the compiled edge stream in one map pass, per-batch distinct
+neighbors tree-fold, unseen ones get ``dist = round``. Driver state is
+the reached-node map (node-class budget, same as stages/graph.py::
+bfs_distances); an unanchored ``?x p+ ?y`` is O(n²) output by definition
+and is rejected — anchor it or use connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_P = 16
+
+
+def _pred_edges(triples, pred: str, *, inverse: bool):
+    """One predicate step → (a, b) edge batches, locally DISTINCT."""
+
+    def sel(batch: pa.Table) -> pd.DataFrame:
+        m = batch["predicate"].to_numpy(zero_copy_only=False) == pred
+        s = batch["subject"].to_numpy(zero_copy_only=False)[m]
+        o = batch["object_value"].to_numpy(zero_copy_only=False)[m]
+        a, b = (o, s) if inverse else (s, o)
+        return pd.DataFrame(
+            {"a": pd.Series(a, dtype=object), "b": pd.Series(b, dtype=object)}
+        ).drop_duplicates(ignore_index=True)
+
+    return triples.map_batches(sel, batch_format="pyarrow")
+
+
+def _seq_join(e1, e2, *, num_partitions: int):
+    """(a→x) ⋈ (x→b): the union-tag midpoint exchange (both sides big)."""
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            key = df["b"] if side == 0 else df["a"]
+            out = pd.DataFrame(
+                {
+                    "u": df["a"].astype(object) if side == 0 else df["b"].astype(object),
+                    "mid": key.astype(object),
+                    "_side": np.int8(side),
+                }
+            ).drop_duplicates()
+            out["_part"] = (
+                pd.util.hash_array(out["mid"].to_numpy(dtype=object)) % num_partitions
+            ).astype("int64")
+            return out
+
+        return f
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("a", "b")})
+        if not len(g):
+            return empty
+        left = g[g["_side"] == 0][["u", "mid"]].drop_duplicates()
+        right = g[g["_side"] == 1][["u", "mid"]].drop_duplicates()
+        if not len(left) or not len(right):
+            return empty
+        m = left.merge(right, on="mid", suffixes=("_a", "_b"))
+        return (
+            m[["u_a", "u_b"]]
+            .rename(columns={"u_a": "a", "u_b": "b"})
+            .drop_duplicates(ignore_index=True)
+        )
+
+    u = e1.map_batches(tag(0), batch_format="pandas").union(
+        e2.map_batches(tag(1), batch_format="pandas")
+    )
+    return u.groupby("_part").map_groups(join_part, batch_format="pandas")
+
+
+def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = False):
+    """Path AST (inv/alt/seq over predicate steps) → edge Dataset (a, b).
+
+    Dedup is batch-local; consumers do their own global DISTINCT
+    (path_plus dedups via its seen-set; a top-level path query ends with
+    one row-hash exchange).
+    """
+    op = expr[0]
+    if op == "pred":
+        return _pred_edges(triples, expr[1], inverse=_inverse)
+    if op == "inv":
+        return compile_path(
+            triples, expr[1], num_partitions=num_partitions, _inverse=not _inverse
+        )
+    if op == "alt":
+        parts = [
+            compile_path(triples, e, num_partitions=num_partitions, _inverse=_inverse)
+            for e in expr[1:]
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+    if op == "seq":
+        e1, e2 = expr[1], expr[2]
+        if _inverse:  # ^(p/q) ≡ ^q/^p
+            e1, e2 = e2, e1
+            e1 = ("inv", e1)
+            e2 = ("inv", e2)
+        return _seq_join(
+            compile_path(triples, e1, num_partitions=num_partitions),
+            compile_path(triples, e2, num_partitions=num_partitions),
+            num_partitions=num_partitions,
+        )
+    if op == "plus":
+        raise ValueError(
+            "p+ must be evaluated anchored: use path_plus(triples, expr[1], seeds)"
+        )
+    raise ValueError(f"unknown path op: {op!r}")
+
+
+def path_distinct(edges, *, num_partitions: int = _P):
+    """Globally DISTINCT (a, b) — one row-hash exchange over the edges."""
+
+    def redist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(ignore_index=True)
+        df["_part"] = (
+            pd.util.hash_array(
+                (df["a"].astype(str) + "\x00" + df["b"].astype(str)).to_numpy(dtype=object)
+            )
+            % num_partitions
+        ).astype("int64")
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("a", "b")})
+        if not len(g) or "a" not in g.columns:
+            return empty
+        return g[["a", "b"]].drop_duplicates(ignore_index=True)
+
+    return (
+        edges.map_batches(redist, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def path_plus(
+    triples,
+    expr,
+    seeds,
+    *,
+    max_rounds: int = 64,
+    num_partitions: int = _P,
+) -> pd.DataFrame:
+    """``seed expr+ ?x`` — min-hop reachability (≥1 step, DIRECTED per the
+    compiled expression) from a seed set.
+
+    Returns (node, dist ≥ 1) for reached nodes, sorted by node; a seed
+    appears only if a cycle returns to it (SPARQL p+ semantics). Raises
+    if the frontier outlives ``max_rounds`` (a silently capped closure
+    would claim exactness it doesn't have — same policy as
+    stages/graph.py::bfs_distances).
+    """
+    import ray
+
+    from ..stages.folds import tree_fold_tables
+
+    edges = compile_path(triples, expr, num_partitions=num_partitions).materialize()
+    seen: dict[str, int] = {}
+    frontier = frozenset(seeds)
+    if not frontier:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object), "dist": pd.Series([], dtype="int64")}
+        )
+
+    for r in range(1, max_rounds + 1):
+        f_ref = ray.put(frontier)
+
+        def probe(df: pd.DataFrame, _f=f_ref) -> pa.Table:
+            fs = ray.get(_f)
+            vals = pd.unique(df["b"][df["a"].isin(fs)])
+            # Arrow out: a zero-row object-dtype pandas block trips Ray's
+            # size estimator (np.vectorize on empty input) — string-typed
+            # Arrow is unambiguous at any length
+            return pa.table({"b": pa.array(vals, type=pa.string())})
+
+        def combine(frames):
+            return pd.concat(frames, ignore_index=True).drop_duplicates(
+                ignore_index=True
+            )
+
+        nbrs = tree_fold_tables(
+            edges.map_batches(probe, batch_format="pandas"), combine
+        )
+        touched = set(nbrs["b"]) if nbrs is not None and len(nbrs) else set()
+        new = touched - seen.keys()
+        if not new:
+            return pd.DataFrame(
+                {"node": sorted(seen), "dist": [seen[n] for n in sorted(seen)]}
+            ).astype({"dist": "int64"})
+        for n in new:
+            seen[n] = r
+        frontier = frozenset(new)
+    raise RuntimeError(
+        f"path_plus frontier still live after {max_rounds} rounds — raise max_rounds"
+    )
+
+
+def q_kg_path_seq(sf_dir: str, *, num_partitions: int = _P):
+    """Sequence + inverse path showcase — which modules does each REPO
+    import (through its files):
+
+        ?r (^<inRepo>/<imports>) ?m
+
+    Compiles to inv(inRepo) ⋈ imports on the file midpoint (one
+    union-tag exchange), then one global DISTINCT. DuckDB oracle: the
+    two-way self-join on the file."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    edges = compile_path(
+        triples,
+        ("seq", ("inv", ("pred", NS + "inRepo")), ("pred", NS + "imports")),
+        num_partitions=num_partitions,
+    )
+    out = path_distinct(edges, num_partitions=num_partitions)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"a": "r", "b": "m"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def sql_kg_path_seq() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.o AS r, t2.o AS m
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "imports")}
+WHERE t1.p = {_q(NS + "inRepo")}
+ORDER BY r, m"""
+    )
+
+
+def q_kg_path_plus(sf_dir: str, *, num_partitions: int = _P) -> pd.DataFrame:
+    """Transitive path showcase — everything reachable from the hub
+    module over import edges in EITHER direction, with min hop count:
+
+        mod/core (<imports>|^<imports>)+ ?x
+
+    (core → files importing it → their other modules → files importing
+    those → … — genuinely multi-hop.) Anchored frontier BFS over the
+    compiled alternation; DuckDB oracle: capped recursive CTE with
+    min(dist), exact while the true eccentricity < the cap (the Ray side
+    RAISES past the cap — a silent capped-but-agreeing match cannot
+    happen)."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return path_plus(
+        triples,
+        ("alt", ("pred", NS + "imports"), ("inv", ("pred", NS + "imports"))),
+        [MOD_NS + "core"],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_path_plus() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+ie AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples WHERE p = {_q(NS + "imports")}
+),
+sym AS (SELECT a, b FROM ie UNION SELECT b AS a, a AS b FROM ie),
+walk AS (
+  SELECT b AS node, 1 AS dist FROM sym WHERE a = {_q(MOD_NS + "core")}
+  UNION
+  SELECT s.b AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.a = w.node WHERE w.dist < 64
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node"""
+    )
