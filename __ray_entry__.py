@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_seq": paths.q_kg_path_seq,
         "kg_path_plus": paths.q_kg_path_plus,
         "kg_validate": q.q_validate,
+        "kg_rdfs_types": q.q_rdfs_types,
+        "kg_graph_diff": q.q_graph_diff,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
         "kg_char_sets": q.q_char_sets,
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": docops.q_rel_rollup,
         "rel_pivot": docops.q_rel_pivot,
         "rel_mode": docops.q_rel_mode,
+        "rel_histogram": docops.q_rel_histogram,
         "rel_rank_window": docops.q_rel_rank_window,
         "rel_anomalies": docops.q_rel_anomalies,
         "rel_corr": docops.q_rel_corr,
@@ -205,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_seq": paths.sql_kg_path_seq(),
         "kg_path_plus": paths.sql_kg_path_plus(),
         "kg_validate": oracle.sql_validate(),
+        "kg_rdfs_types": oracle.sql_rdfs_types(),
+        "kg_graph_diff": oracle.sql_graph_diff(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),
         "kg_char_sets": oracle.sql_char_sets(),
@@ -250,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": d.sql_rel_rollup(),
         "rel_pivot": d.sql_rel_pivot(),
         "rel_mode": d.sql_rel_mode(),
+        "rel_histogram": d.sql_rel_histogram(),
         "rel_rank_window": d.sql_rel_rank_window(),
         "rel_anomalies": d.sql_rel_anomalies(),
         "rel_corr": d.sql_rel_corr(),

@@ -596,3 +596,11 @@ class TestPropertyPaths:
 
         with pytest.raises(ValueError, match="anchored"):
             compile_path(self._graph(), ("plus", ("pred", "next")))
+
+    def test_star_includes_seed_at_zero(self):
+        from tripsu_ray.pipelines.paths import path_star
+
+        out = path_star(self._graph(), ("pred", "next"), ["a"], num_partitions=4)
+        got = dict(zip(out["node"], out["dist"]))
+        # seed at 0 (even though the cycle re-reaches it at 3)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}

@@ -987,3 +987,16 @@ SELECT event_type,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def sql_rel_histogram(num_buckets: int = 16) -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM t)
+SELECT ((cents - lo) * {num_buckets}) // (hi - lo + 1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM t, b GROUP BY 1 ORDER BY 1"""

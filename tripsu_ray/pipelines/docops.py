@@ -2362,3 +2362,52 @@ def q_rel_json_extract(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def q_rel_histogram(sf_dir: str, *, num_buckets: int = 16):
+    """Equi-width histogram of l_extendedprice — the profiling primitive
+    whose bucket bounds depend on GLOBAL data extent, so it is inherently
+    two-pass: (1) per-batch (min, max) partials fold to the global extent
+    on the driver (two ints — broadcast as plain closure args), (2) one
+    map pass buckets every row in exact integer math
+    ``(cents − lo) · nb // (hi − lo + 1)`` (never a float width) and
+    emits per-batch censuses; the ≤ nb·batches partial rows fold in one
+    tiny final groupby. Identical integer formula in the SQL oracle."""
+    ds = _read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def extent(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["l_extendedprice"] * 100).round().astype("int64")
+        return pd.DataFrame({"lo": [cents.min()], "hi": [cents.max()]})
+
+    ext = ds.map_batches(extent, batch_format="pandas").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    span = hi - lo + 1
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["l_extendedprice"] * 100).round().astype("int64")
+        bucket = (cents - lo) * num_buckets // span
+        g = (
+            pd.DataFrame({"bucket": bucket, "cents": cents})
+            .groupby("bucket", sort=False)["cents"]
+            .agg(n_rows="size", lo_cents="min", hi_cents="max")
+            .reset_index()
+        )
+        return g.astype("int64")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("bucket", sort=True)
+            .agg(
+                n_rows=("n_rows", "sum"),
+                lo_cents=("lo_cents", "min"),
+                hi_cents=("hi_cents", "max"),
+            )
+            .reset_index()
+        )
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(census, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )

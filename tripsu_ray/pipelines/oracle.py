@@ -38,70 +38,74 @@ def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _unnest_select(pred_expr: str, obj_expr: str, kind: str, pattern: str, lang: str) -> str:
+def _unnest_select(pred_expr: str, obj_expr: str, kind: str, pattern: str, lang: str,
+                   sfx: str = "") -> str:
     return (
         f"SELECT file_iri AS s, {pred_expr} AS p, {obj_expr} AS o, '{kind}' AS k\n"
         f"  FROM (SELECT file_iri, sym_base, unnest(regexp_extract_all(content, {_q(pattern)}, 1)) AS m\n"
-        f"        FROM files WHERE lang = '{lang}')"
+        f"        FROM files{sfx} WHERE lang = '{lang}')"
     )
 
 
-def files_cte() -> str:
+def files_cte(sfx: str = "") -> str:
+    # ``sfx`` renders the same extraction over an alternate source table
+    # (source_files{sfx}) under distinct CTE names — used by the graph-diff
+    # oracle, which needs the pipeline run twice in one query
     return (
-        "files AS (\n"
+        f"files{sfx} AS (\n"
         "  SELECT repo, path, commit, lang, content,\n"
         f"    {_q(FILE_NS)} || repo || '/' || path AS file_iri,\n"
         f"    {_q(REPO_NS)} || repo AS repo_iri,\n"
         f"    {_q(SYM_NS)} || repo || '/' || path || '#' AS sym_base\n"
-        "  FROM source_files\n"
+        f"  FROM source_files{sfx}\n"
         ")"
     )
 
 
-def syms_cte() -> str:
+def syms_cte(sfx: str = "") -> str:
     parts = []
     for lg in LANGS:
         for pats, cls in ((FUNC_PATTERNS, "Function"), (CLASS_PATTERNS, "Class")):
             parts.append(
                 f"SELECT file_iri, sym_base || m AS sym, m AS name, {_q(NS + cls)} AS cls\n"
                 f"  FROM (SELECT file_iri, sym_base, unnest(regexp_extract_all(content, {_q(pats[lg])}, 1)) AS m\n"
-                f"        FROM files WHERE lang = '{lg}')"
+                f"        FROM files{sfx} WHERE lang = '{lg}')"
             )
-    return "syms AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+    return f"syms{sfx} AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
 
 
-def build_raw_triples_cte() -> str:
+def build_raw_triples_cte(sfx: str = "") -> str:
     """files + syms → raw_triples (one UNION ALL branch per emission rule)."""
     parts = [
-        f"SELECT file_iri AS s, {_q(RDF_TYPE)} AS p, {_q(NS + 'File')} AS o, 'iri' AS k FROM files",
-        f"SELECT file_iri, {_q(NS + 'inRepo')}, repo_iri, 'iri' FROM files",
-        f"SELECT repo_iri, {_q(RDF_TYPE)}, {_q(NS + 'Repository')}, 'iri' FROM files",
-        f"SELECT file_iri, {_q(NS + 'language')}, lang, 'literal' FROM files",
-        f"SELECT file_iri, {_q(NS + 'commitHash')}, commit, 'literal' FROM files",
-        f"SELECT file_iri, {_q(NS + 'sha256')}, sha256(content), 'literal' FROM files",
+        f"SELECT file_iri AS s, {_q(RDF_TYPE)} AS p, {_q(NS + 'File')} AS o, 'iri' AS k FROM files{sfx}",
+        f"SELECT file_iri, {_q(NS + 'inRepo')}, repo_iri, 'iri' FROM files{sfx}",
+        f"SELECT repo_iri, {_q(RDF_TYPE)}, {_q(NS + 'Repository')}, 'iri' FROM files{sfx}",
+        f"SELECT file_iri, {_q(NS + 'language')}, lang, 'literal' FROM files{sfx}",
+        f"SELECT file_iri, {_q(NS + 'commitHash')}, commit, 'literal' FROM files{sfx}",
+        f"SELECT file_iri, {_q(NS + 'sha256')}, sha256(content), 'literal' FROM files{sfx}",
         # defs from the syms CTE
-        f"SELECT file_iri, {_q(NS + 'defines')}, sym, 'iri' FROM syms",
-        f"SELECT sym, {_q(RDF_TYPE)}, cls, 'iri' FROM syms",
-        f"SELECT sym, {_q(NS + 'name')}, name, 'literal' FROM syms",
+        f"SELECT file_iri, {_q(NS + 'defines')}, sym, 'iri' FROM syms{sfx}",
+        f"SELECT sym, {_q(RDF_TYPE)}, cls, 'iri' FROM syms{sfx}",
+        f"SELECT sym, {_q(NS + 'name')}, name, 'literal' FROM syms{sfx}",
     ]
     for lg in LANGS:
         parts.append(
             f"SELECT repo_iri, {_q(NS + 'author')}, regexp_extract(content, {_q(AUTHOR_PATTERNS[lg])}, 1), 'literal' "
-            f"FROM files WHERE lang = '{lg}' AND regexp_matches(content, {_q(AUTHOR_PATTERNS[lg])})"
+            f"FROM files{sfx} WHERE lang = '{lg}' AND regexp_matches(content, {_q(AUTHOR_PATTERNS[lg])})"
         )
         parts.append(
             f"SELECT repo_iri, {_q(NS + 'license')}, regexp_extract(content, {_q(LICENSE_PATTERNS[lg])}, 1), 'literal' "
-            f"FROM files WHERE lang = '{lg}' AND regexp_matches(content, {_q(LICENSE_PATTERNS[lg])})"
+            f"FROM files{sfx} WHERE lang = '{lg}' AND regexp_matches(content, {_q(LICENSE_PATTERNS[lg])})"
         )
         for pat in IMPORT_PATTERNS[lg]:
-            parts.append(_unnest_select(_q(NS + "imports"), f"{_q(MOD_NS)} || m", "iri", pat, lg))
+            parts.append(_unnest_select(_q(NS + "imports"), f"{_q(MOD_NS)} || m", "iri", pat, lg, sfx))
             parts.append(
                 f"SELECT {_q(MOD_NS)} || m AS s, {_q(RDF_TYPE)} AS p, {_q(NS + 'Module')} AS o, 'iri' AS k\n"
                 f"  FROM (SELECT unnest(regexp_extract_all(content, {_q(pat)}, 1)) AS m\n"
-                f"        FROM files WHERE lang = '{lg}')"
+                f"        FROM files{sfx} WHERE lang = '{lg}')"
             )
-        parts.append(_unnest_select(_q(NS + "calls"), f"{_q(CALL_NS)} || m", "iri", CALL_PATTERNS[lg], lg))
-    return "raw_triples AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+        parts.append(_unnest_select(_q(NS + "calls"), f"{_q(CALL_NS)} || m", "iri", CALL_PATTERNS[lg], lg, sfx))
+    return f"raw_triples{sfx} AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
 
 
 def pseudo_ctes(rules: dict | None = None, salt: str = DEFAULT_SALT) -> str:
@@ -465,4 +469,77 @@ def sql_pipeline() -> str:
         )
         + "\nSELECT DISTINCT s AS subject, p AS predicate, o AS object_value, k AS object_kind"
         + "\nFROM linked ORDER BY 1, 2, 3"
+    )
+
+
+def sql_rdfs_types() -> str:
+    """Recursive subclass closure + rdfs9 type inference + census — the
+    oracle anchor for stages/infer.py::rdfs_type_census."""
+    from ..stages.infer import default_ontology
+
+    onto = default_ontology(NS)
+    vals = ", ".join(f"({_q(c)}, {_q(sup)})" for c, sup in onto)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+sub(c, sup) AS (VALUES {vals}),
+clo AS (
+  SELECT c, sup FROM sub
+  UNION
+  SELECT clo.c, sub.sup FROM clo JOIN sub ON clo.sup = sub.c
+),
+typed AS (
+  SELECT DISTINCT s, o AS t FROM raw_triples WHERE p = {_q(RDF_TYPE)}
+),
+all_types AS (
+  SELECT s, t FROM typed
+  UNION
+  SELECT ty.s, c.sup AS t FROM typed ty JOIN clo c ON c.c = ty.t
+)
+SELECT t AS type, CAST(count(DISTINCT s) AS BIGINT) AS n
+FROM all_types GROUP BY 1 ORDER BY 1"""
+    )
+
+
+def sql_graph_diff() -> str:
+    """The v1→v2 perturbation (queries.DIFF_EXTRA) rendered in SQL, both
+    extractions run in one query, EXCEPT both ways."""
+    from .queries import DIFF_EXTRA
+
+    def lit(s: str) -> str:
+        # the appended lines contain quotes + newlines: escape '' and chr(10)
+        return " || chr(10) || ".join(_q(part) for part in s.rstrip("\n").split("\n")) + " || chr(10)"
+
+    extra = (
+        "CASE lang WHEN 'py' THEN " + lit(DIFF_EXTRA["py"])
+        + " WHEN 'js' THEN " + lit(DIFF_EXTRA["js"])
+        + " ELSE " + lit(DIFF_EXTRA["rs"]) + " END"
+    )
+    sf2 = f"""
+source_files2 AS (
+  SELECT d, repo, path, lang, commit,
+         content || CASE WHEN d % 9 = 0 THEN {extra} ELSE '' END AS content
+  FROM source_files WHERE d % 9 <> 5
+)""".strip()
+    return (
+        _with(
+            SOURCE_FILES_SQL,
+            files_cte(),
+            syms_cte(),
+            build_raw_triples_cte(),
+            sf2,
+            files_cte("2"),
+            syms_cte("2"),
+            build_raw_triples_cte("2"),
+        )
+        + """
+, a AS (SELECT DISTINCT s, p, o FROM raw_triples),
+b AS (SELECT DISTINCT s, p, o FROM raw_triples2)
+SELECT s, p, o, 'removed' AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT s, p, o, 'added' AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+ORDER BY s, p, o, side"""
     )

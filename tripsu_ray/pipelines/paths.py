@@ -309,3 +309,21 @@ walk AS (
 SELECT node, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node"""
     )
+
+
+def path_star(triples, expr, seeds, *, max_rounds: int = 64, num_partitions: int = _P) -> pd.DataFrame:
+    """``seed expr* ?x`` — zero-or-more: the seeds at dist 0 plus the
+    ``p+`` closure (a seed re-reached via a cycle keeps dist 0; SPARQL
+    ``p*`` always includes the subject itself)."""
+    plus = path_plus(
+        triples, expr, seeds, max_rounds=max_rounds, num_partitions=num_partitions
+    )
+    seeds = sorted(set(seeds))
+    out = pd.concat(
+        [
+            pd.DataFrame({"node": seeds, "dist": np.int64(0)}),
+            plus[~plus["node"].isin(seeds)],
+        ],
+        ignore_index=True,
+    ).sort_values("node", ignore_index=True)
+    return out.astype({"dist": "int64"})

@@ -252,3 +252,67 @@ def q_pagerank(sf_dir: str, *, top_k: int = 50):
         columns=["rank"]
     )
     return out.reset_index(drop=True)
+
+
+def q_rdfs_types(sf_dir: str):
+    """RDFS subclass inference (rule rdfs9) over the extracted KG: the
+    per-type distinct-subject census AFTER materializing inferred types
+    from a 7-edge demo ontology (Function/Class ⊑ Symbol ⊑ Entity;
+    File/Repository/Module ⊑ Resource ⊑ Entity). Ontology closure on the
+    driver (class vocabularies are query-text-sized), broadcast once; ONE
+    map pass + ONE pair-hash exchange (stages/infer.py). Recursive-CTE
+    closure oracle."""
+    from ..stages.extract import NS
+    from ..stages.infer import default_ontology, rdfs_type_census
+
+    return rdfs_type_census(_extracted(sf_dir), default_ontology(NS))
+
+
+#: the graph-diff perturbation (one spec, two renderings — see
+#: sql_graph_diff): drop files with d % 9 == 5, append one import to
+#: files with d % 9 == 0
+DIFF_EXTRA = {
+    "py": "import extra_dep\n",
+    "js": "const x = require('extra_dep.js');\n",
+    "rs": "use extra_dep;\n",
+}
+
+
+def q_graph_diff(sf_dir: str, *, num_partitions: int = 16):
+    """Snapshot graph diff — which triples did a corpus change add/remove?
+
+    The v2 corpus derives deterministically from v1 (files d%9==5 deleted,
+    one import appended to files d%9==0); both extract in parallel and the
+    DISTINCT triple sets symmetric-diff in ONE co-partitioned exchange
+    (stages/diff.py::symmetric_diff — common triples die in their
+    partition, only the diff leaves). Output (s, p, o, side). EXCEPT-both-
+    ways oracle."""
+    import pandas as pd
+
+    from ..stages.diff import symmetric_diff
+
+    def perturb(df):
+        d = df["path"].str.extract(r"mod_(\d+)\.")[0].astype("int64")
+        keep = (d % 9) != 5
+        df = df[keep].copy()
+        d = d[keep]
+        m = (d % 9) == 0
+        df.loc[m, "content"] = df.loc[m, "content"] + df.loc[m, "lang"].map(DIFF_EXTRA)
+        return df
+
+    def spo(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "s": df["subject"].astype(object),
+                "p": df["predicate"].astype(object),
+                "o": df["object_value"].astype(object),
+            }
+        )
+
+    base = _extracted(sf_dir).map_batches(spo, batch_format="pandas")
+    v2 = extract_triples(
+        read_source_files(sf_dir).map_batches(perturb, batch_format="pandas")
+    ).map_batches(spo, batch_format="pandas")
+    return symmetric_diff(base, v2, ["s", "p", "o"], num_partitions=num_partitions)
