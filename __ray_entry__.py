@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values": bgp.q_kg_bgp_values,
         "kg_path_seq": paths.q_kg_path_seq,
         "kg_path_plus": paths.q_kg_path_plus,
+        "kg_bgp_topk": bgp.q_kg_bgp_topk,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
         "kg_graph_diff": q.q_graph_diff,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": docops.q_rel_pivot,
         "rel_mode": docops.q_rel_mode,
         "rel_histogram": docops.q_rel_histogram,
+        "rel_row_number": docops.q_rel_row_number,
         "rel_rank_window": docops.q_rel_rank_window,
         "rel_anomalies": docops.q_rel_anomalies,
         "rel_corr": docops.q_rel_corr,
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_values": bgp.sql_kg_bgp_values(),
         "kg_path_seq": paths.sql_kg_path_seq(),
         "kg_path_plus": paths.sql_kg_path_plus(),
+        "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
         "kg_graph_diff": oracle.sql_graph_diff(),
@@ -256,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pivot": d.sql_rel_pivot(),
         "rel_mode": d.sql_rel_mode(),
         "rel_histogram": d.sql_rel_histogram(),
+        "rel_row_number": d.sql_rel_row_number(),
         "rel_rank_window": d.sql_rel_rank_window(),
         "rel_anomalies": d.sql_rel_anomalies(),
         "rel_corr": d.sql_rel_corr(),

@@ -604,3 +604,39 @@ class TestPropertyPaths:
         got = dict(zip(out["node"], out["dist"]))
         # seed at 0 (even though the cycle re-reaches it at 3)
         assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopK:
+    def test_order_by_limit(self):
+        from tripsu_ray.pipelines.bgp import bgp_topk
+
+        t = _triples(
+            [(f"s{i}", "v", str(100 + i), KIND_LITERAL) for i in range(30)]
+        )
+        out = bgp_topk(
+            t, [("?s", "v", "?x")], order_by="?x", limit=5, num_partitions=4
+        ).to_pandas()
+        assert list(out["x"]) == [str(100 + i) for i in range(5)]
+        out_desc = bgp_topk(
+            t, [("?s", "v", "?x")], order_by="?x", ascending=False, limit=3,
+            num_partitions=4,
+        ).to_pandas()
+        assert list(out_desc["x"]) == ["129", "128", "127"]
+
+    def test_tie_break_deterministic(self):
+        from tripsu_ray.pipelines.bgp import bgp_topk
+
+        t = _triples([(f"s{i}", "v", "same", KIND_LITERAL) for i in range(10)])
+        out = bgp_topk(
+            t, [("?s", "v", "?x")], order_by="?x", limit=4, num_partitions=4
+        ).to_pandas()
+        # ties broken by the remaining vars lexicographically
+        assert list(out["s"]) == ["s0", "s1", "s2", "s3"]
+
+    def test_unknown_order_var_rejected(self):
+        from tripsu_ray.pipelines.bgp import bgp_topk
+
+        t = _triples([("a", "p", "b", KIND_IRI)])
+        with pytest.raises(ValueError, match="ORDER BY"):
+            bgp_topk(t, [("?x", "p", "?y")], order_by="?nope", limit=1)

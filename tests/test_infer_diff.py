@@ -144,3 +144,25 @@ class TestHistogram:
         pd.testing.assert_frame_equal(out, want)
         assert out["bucket"].between(0, 15).all()
         assert out["n_rows"].sum() == len(li)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRowNumber:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_window_function(self):
+        from tripsu_ray.pipelines.docops import q_rel_row_number
+
+        out = (
+            q_rel_row_number(self.SF, num_partitions=8)
+            .to_pandas()
+            .sort_values("o_orderkey", ignore_index=True)
+        )
+        keys = pd.read_parquet(f"{self.SF}/orders.parquet", columns=["o_orderkey"])[
+            "o_orderkey"
+        ].sort_values(ignore_index=True)
+        want = pd.DataFrame(
+            {"o_orderkey": keys.astype("int64"),
+             "rn": np.arange(1, len(keys) + 1, dtype="int64")}
+        )
+        pd.testing.assert_frame_equal(out, want)

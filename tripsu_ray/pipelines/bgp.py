@@ -962,3 +962,98 @@ JOIN (VALUES ('py'), ('go')) v(lang) ON v.lang = t1.o
 WHERE t1.p = {_q(NS + "language")}
 ORDER BY f, lang, r"""
     )
+
+
+def bgp_topk(
+    triples,
+    patterns,
+    *,
+    order_by: str,
+    limit: int,
+    ascending: bool = True,
+    optional=(),
+    filters=(),
+    minus=(),
+    values=None,
+    num_partitions: int = _P,
+):
+    """SPARQL solution modifiers ``ORDER BY ?v LIMIT k`` over the DISTINCT
+    bindings — distributed top-k, never a global sort: each partition of
+    the deduped binding stream emits its LOCAL top-k (total order =
+    (order_by, then every variable lexicographically) so ties are
+    deterministic), and the k·partitions-row partial stream reduces in one
+    tiny final pass. Returns exactly ``limit`` rows (or fewer)."""
+    rel, vars_ = _bgp_rel(
+        triples,
+        patterns,
+        optional=optional,
+        minus=minus,
+        values=values,
+        num_partitions=num_partitions,
+    )
+    if order_by.startswith("?"):
+        order_by = order_by[1:]
+    if order_by not in vars_:
+        raise ValueError(f"ORDER BY ?{order_by} not among variables {vars_}")
+    distinct = _distinct_bindings(rel, vars_, filters, num_partitions=num_partitions)
+    sort_cols = [order_by] + [v for v in vars_ if v != order_by]
+    asc = [ascending] + [True] * (len(vars_) - 1)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({v: pd.Series([], dtype=object) for v in vars_})
+        return df.sort_values(sort_cols, ascending=asc).head(limit)[vars_]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({v: pd.Series([], dtype=object) for v in vars_})
+        return (
+            df.sort_values(sort_cols, ascending=asc)
+            .head(limit)[vars_]
+            .reset_index(drop=True)
+        )
+
+    return (
+        distinct.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def q_kg_bgp_topk(sf_dir: str, *, limit: int = 25, num_partitions: int = _P):
+    """ORDER BY + LIMIT showcase — the last 25 (file, module, repo)
+    bindings in descending file order:
+
+        SELECT ?f ?m ?r WHERE { ?f <imports> ?m . ?f <inRepo> ?r }
+        ORDER BY DESC(?f) ?m ?r LIMIT 25
+
+    DuckDB oracle: same DISTINCT + ORDER BY + LIMIT (binary collation =
+    Python string order on this ASCII data)."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp_topk(
+        triples,
+        [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],
+        order_by="?f",
+        ascending=False,
+        limit=limit,
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_topk(limit: int = 25) -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+WHERE t1.p = {_q(NS + "imports")}
+ORDER BY f DESC, m, r LIMIT {limit}"""
+    )

@@ -1000,3 +1000,10 @@ SELECT ((cents - lo) * {num_buckets}) // (hi - lo + 1) AS bucket,
        CAST(min(cents) AS BIGINT) AS lo_cents,
        CAST(max(cents) AS BIGINT) AS hi_cents
 FROM t, b GROUP BY 1 ORDER BY 1"""
+
+
+def sql_rel_row_number() -> str:
+    return """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+FROM orders ORDER BY o_orderkey"""

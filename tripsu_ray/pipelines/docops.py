@@ -2411,3 +2411,57 @@ def q_rel_histogram(sf_dir: str, *, num_buckets: int = 16):
         .repartition(1)
         .map_batches(fold, batch_format="pandas")
     )
+
+
+def q_rel_row_number(sf_dir: str, *, num_partitions: int = 32):
+    """Global ``ROW_NUMBER() OVER (ORDER BY o_orderkey)`` WITHOUT a
+    single-node sort — the range-partitioned rank plan every distributed
+    sort uses: (1) a two-int extent fold fixes equal-width integer key
+    ranges (o_orderkey is uniform; skewed keys would take sampled-quantile
+    bounds instead — documented), (2) a per-range count census folds to
+    DRIVER prefix offsets (num_partitions ints), (3) each range partition
+    sorts locally and adds its offset. Shuffle = the rows once, keyed by
+    range — already sorted BETWEEN partitions by construction."""
+    ds = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def extent(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].astype("int64")
+        return pd.DataFrame({"lo": [k.min()], "hi": [k.max()]})
+
+    ext = ds.map_batches(extent, batch_format="pandas").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    span = hi - lo + 1
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].astype("int64")
+        part = (k - lo) * num_partitions // span
+        g = part.value_counts().sort_index()
+        return pd.DataFrame({"part": g.index.astype("int64"), "n": g.to_numpy("int64")})
+
+    cens = ds.map_batches(census, batch_format="pandas").to_pandas()
+    sizes = cens.groupby("part")["n"].sum().reindex(range(num_partitions), fill_value=0)
+    offsets = sizes.cumsum().shift(fill_value=0).astype("int64").to_dict()
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"),
+                 "rn": pd.Series([], dtype="int64")}
+            )
+        k = g["o_orderkey"].sort_values(ignore_index=True).astype("int64")
+        off = offsets[int(g["_part"].iloc[0])]
+        return pd.DataFrame(
+            {"o_orderkey": k, "rn": np.arange(1, len(k) + 1, dtype="int64") + off}
+        )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {"o_orderkey": k, "_part": ((k - lo) * num_partitions // span).astype("int64")}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(rank_part, batch_format="pandas")
+    )
