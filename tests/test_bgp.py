@@ -640,3 +640,103 @@ class TestTopK:
         t = _triples([("a", "p", "b", KIND_IRI)])
         with pytest.raises(ValueError, match="ORDER BY"):
             bgp_topk(t, [("?x", "p", "?y")], order_by="?nope", limit=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBindAsk:
+    def test_bind_expressions(self):
+        from tripsu_ray.pipelines.bgp import bgp
+
+        t = _triples(
+            [
+                ("f1", "imports", "http://kg.example/mod/core", KIND_IRI),
+                ("f2", "imports", "http://kg.example/mod/utils.io", KIND_IRI),
+                ("f2", "imports", "plainname", KIND_IRI),
+            ]
+        )
+        out = (
+            bgp(
+                t,
+                [("?f", "imports", "?m")],
+                bind=[
+                    ("name", ("strafter", "?m", "http://kg.example/mod/")),
+                    ("tag", ("concat", "?f", "#", "?name")),
+                    ("up", ("ucase", "?name")),
+                ],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["f", "m"], ignore_index=True)
+        )
+        # strafter: "" when the separator is absent (SPARQL STRAFTER)
+        assert list(out["name"]) == ["core", "utils.io", ""]
+        assert list(out["tag"]) == ["f1#core", "f2#utils.io", "f2#"]
+        assert list(out["up"]) == ["CORE", "UTILS.IO", ""]
+
+    def test_bind_strbefore_replace_strlen(self):
+        from tripsu_ray.pipelines.bgp import _apply_binds
+
+        df = pd.DataFrame({"v": pd.Series(["a.b.c", "nodot", None], dtype=object)})
+        out = _apply_binds(
+            df,
+            [
+                ("before", ("strbefore", "?v", ".")),
+                ("repl", ("replace", "?v", ".", "_")),
+            ],
+        )
+        assert list(out["before"]) == ["a", "", None]
+        assert list(out["repl"]) == ["a_b_c", "nodot", None]
+        bound = _apply_binds(
+            pd.DataFrame({"v": pd.Series(["ab", "c"], dtype=object)}),
+            [("n", ("strlen", "?v"))],
+        )
+        assert list(bound["n"]) == [2, 1] and bound["n"].dtype == np.dtype("int64")
+
+    def test_bind_unbound_propagates_none(self):
+        from tripsu_ray.pipelines.bgp import bgp
+
+        t = _triples(
+            [
+                ("f1", "lang", "py", KIND_LITERAL),
+                ("f2", "lang", "js", KIND_LITERAL),
+                ("f1", "imports", "m1", KIND_IRI),
+            ]
+        )
+        out = (
+            bgp(
+                t,
+                [("?f", "lang", "?lang")],
+                optional=[[("?f", "imports", "?m")]],
+                bind=[("tag", ("concat", "?f", ":", "?m"))],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        assert list(out["tag"]) == ["f1:m1", None]
+
+    def test_bind_rejects_rebinding(self):
+        from tripsu_ray.pipelines.bgp import bgp
+
+        t = _triples([("a", "p", "b", KIND_IRI)])
+        with pytest.raises(ValueError, match="already bound"):
+            bgp(t, [("?x", "p", "?y")], bind=[("x", ("ucase", "?y"))])
+
+    def test_ask(self):
+        from tripsu_ray.pipelines.bgp import bgp_ask
+
+        t = _triples(
+            [
+                ("f1", "lang", "py", KIND_LITERAL),
+                ("f1", "imports", "m1", KIND_IRI),
+                ("f2", "lang", "js", KIND_LITERAL),
+            ]
+        )
+        assert bgp_ask(t, [("?f", "lang", "py"), ("?f", "imports", "?m")]) is True
+        assert bgp_ask(t, [("?f", "lang", "cobol")]) is False
+        # join-level emptiness (each pattern matches, the join doesn't)
+        assert bgp_ask(t, [("?f", "lang", "js"), ("?f", "imports", "?m")]) is False
+        # filter-level emptiness
+        assert (
+            bgp_ask(t, [("?f", "lang", "?l")], filters=[("l", "==", "rs")]) is False
+        )

@@ -200,6 +200,94 @@ def _apply_filters(df: pd.DataFrame, filters) -> pd.DataFrame:
     return df
 
 
+def _bind_term(df: pd.DataFrame, term):
+    """A BIND argument → Series (variable reference) or scalar constant."""
+    if isinstance(term, str) and _is_var(term):
+        return df[term[1:]]
+    return term
+
+
+def _eval_bind(df: pd.DataFrame, expr) -> pd.Series:
+    """Evaluate one BIND expression AST over a binding frame, vectorized.
+
+    Supported forms (terms are ``?var`` references or string constants):
+
+        ("concat", t1, t2, ...)    string concatenation
+        ("strafter", t, sep)       substring after the FIRST ``sep`` ("" if absent)
+        ("strbefore", t, sep)      substring before the FIRST ``sep`` ("" if absent)
+        ("ucase", t) / ("lcase", t)
+        ("replace", t, old, new)   literal (non-regex) replacement
+        ("strlen", t)              int64 character count
+
+    SPARQL error-propagation rule: an unbound (None) input makes the
+    result unbound (None) for that row — matching the SQL NULL semantics
+    of the oracle's rendering, so bound/unbound rows hash identically."""
+    op = expr[0]
+    if op == "concat":
+        parts = [_bind_term(df, t) for t in expr[1:]]
+        na = np.zeros(len(df), dtype=bool)
+        for p in parts:
+            if isinstance(p, pd.Series):
+                na |= p.isna().to_numpy(dtype=bool)
+        out = pd.Series([""] * len(df), index=df.index, dtype=object)
+        for p in parts:
+            out = out + (p.astype(object) if isinstance(p, pd.Series) else p)
+        out[na] = None
+        return out
+    if op in ("strafter", "strbefore"):
+        s, sep = _bind_term(df, expr[1]), expr[2]
+        na = s.isna().to_numpy(dtype=bool)
+        filled = s.fillna("").astype(str)
+        # split(n=1).str[i]: NaN marks "separator absent" → SPARQL returns ""
+        piece = filled.str.split(sep, n=1, regex=False).str[
+            1 if op == "strafter" else 0
+        ]
+        absent = piece.isna().to_numpy(dtype=bool)
+        # strbefore("x", sep-absent) is "" too, but split's [0] returns the
+        # whole string when sep is absent — mask it explicitly
+        if op == "strbefore":
+            absent = ~filled.str.contains(sep, regex=False).to_numpy(dtype=bool)
+        out = piece.astype(object)
+        out[absent] = ""
+        out[na] = None
+        return out
+    if op in ("ucase", "lcase"):
+        s = _bind_term(df, expr[1])
+        na = s.isna().to_numpy(dtype=bool)
+        out = (
+            s.fillna("").astype(str).str.upper()
+            if op == "ucase"
+            else s.fillna("").astype(str).str.lower()
+        ).astype(object)
+        out[na] = None
+        return out
+    if op == "replace":
+        s, old, new = _bind_term(df, expr[1]), expr[2], expr[3]
+        na = s.isna().to_numpy(dtype=bool)
+        out = s.fillna("").astype(str).str.replace(old, new, regex=False).astype(object)
+        out[na] = None
+        return out
+    if op == "strlen":
+        s = _bind_term(df, expr[1])
+        return s.str.len().astype("int64" if not s.isna().any() else "Int64")
+    raise ValueError(f"unknown BIND op: {op!r}")
+
+
+def _apply_binds(df: pd.DataFrame, binds) -> pd.DataFrame:
+    """Apply ``(new_var, expr)`` BINDs in order (later binds may reference
+    earlier ones, as in SPARQL's sequential group evaluation)."""
+    df = df.copy()
+    for var, expr in binds:
+        if var in df.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        df[var] = (
+            _eval_bind(df, expr)
+            if len(df)
+            else pd.Series([], dtype=object, index=df.index)
+        )
+    return df
+
+
 #: a pattern relation at or under this row count joins by broadcast
 #: (ray.put once, per-batch merge) instead of an all-to-all exchange —
 #: the size-based join-strategy selection every distributed SQL engine
@@ -381,6 +469,7 @@ def bgp(
     filters=(),
     minus=(),
     values=None,
+    bind=(),
     num_partitions: int = _P,
 ):
     """Evaluate a graph pattern → DISTINCT Dataset of bindings (one string
@@ -403,6 +492,10 @@ def bgp(
       per the SPARQL common-domain rule).
     - ``values``: SPARQL VALUES inline data — ``(var_names, rows)``;
       broadcast-joined into the bindings (must share a variable).
+    - ``bind``: SPARQL BIND — ``(new_var, expr)`` pairs evaluated in
+      order over the joined bindings (vectorized, map-only; see
+      :func:`_eval_bind` for the expression forms). Binds run BEFORE
+      top-level filters, so a filter may constrain a bound variable.
     """
     rel, vars_ = _bgp_rel(
         triples,
@@ -412,7 +505,53 @@ def bgp(
         values=values,
         num_partitions=num_partitions,
     )
+    if bind:
+        binds = tuple(bind)
+        for var, _ in binds:
+            if var in vars_:
+                raise ValueError(f"BIND target ?{var} is already bound")
+        rel = rel.map_batches(
+            lambda df, _b=binds: _apply_binds(df, _b), batch_format="pandas"
+        )
+        vars_ = sorted(set(vars_) | {v for v, _ in binds})
     return _distinct_bindings(rel, vars_, filters, num_partitions=num_partitions)
+
+
+def bgp_ask(
+    triples,
+    patterns,
+    *,
+    optional=(),
+    filters=(),
+    minus=(),
+    values=None,
+    num_partitions: int = _P,
+) -> bool:
+    """SPARQL ASK: does the pattern have at least one solution?
+
+    Map-only existence probe: each batch of the joined relation reduces
+    to AT MOST ONE marker row (after top-level filters), and ``take(1)``
+    consumes the stream with early stop — the executor cancels remaining
+    work once the first marker arrives, so a satisfiable ASK touches only
+    a prefix of the data and an unsatisfiable one never shuffles (the
+    final DISTINCT exchange is skipped entirely)."""
+    rel, _ = _bgp_rel(
+        triples,
+        patterns,
+        optional=optional,
+        minus=minus,
+        values=values,
+        num_partitions=num_partitions,
+    )
+    filters = tuple(filters)
+
+    def marker(df: pd.DataFrame) -> pa.Table:
+        if filters:
+            df = _apply_filters(df, filters)
+        # Arrow out: zero-row object-dtype pandas trips Ray's size estimator
+        return pa.table({"hit": pa.array([1] if len(df) else [], type=pa.int64())})
+
+    return len(rel.map_batches(marker, batch_format="pandas").take(1)) > 0
 
 
 def bgp_union(triples, groups, *, filters=(), num_partitions: int = _P):
@@ -1056,4 +1195,106 @@ FROM raw_triples t1
 JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
 WHERE t1.p = {_q(NS + "imports")}
 ORDER BY f DESC, m, r LIMIT {limit}"""
+    )
+
+
+def q_kg_bgp_bind(sf_dir: str, *, num_partitions: int = _P):
+    """BIND showcase — derive new bindings from matched ones:
+
+        SELECT ?f ?m ?mname ?r ?tag WHERE {
+          ?f <imports> ?m . ?f <inRepo> ?r
+          BIND(STRAFTER(STR(?m), mod-ns) AS ?mname)
+          BIND(CONCAT(STR(?r), "#", ?mname) AS ?tag)
+        }
+
+    The binds are vectorized map-only passes over the joined bindings
+    (zero extra shuffle — the final DISTINCT exchange was already there).
+    DuckDB oracle: the same expressions via instr/substr and ``||``."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp(
+        triples,
+        [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],
+        bind=[
+            ("mname", ("strafter", "?m", MOD_NS)),
+            ("tag", ("concat", "?r", "#", "?mname")),
+        ],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_bind() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    sep = _q(MOD_NS)
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT f, m, mname, r, r || '#' || mname AS tag
+FROM (
+  SELECT t1.s AS f, t1.o AS m,
+         CASE WHEN instr(t1.o, {sep}) > 0
+              THEN substr(t1.o, instr(t1.o, {sep}) + {len(MOD_NS)})
+              ELSE '' END AS mname,
+         t2.o AS r
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  WHERE t1.p = {_q(NS + "imports")}
+)
+ORDER BY f, m, r"""
+    )
+
+
+def q_kg_bgp_ask(sf_dir: str, *, num_partitions: int = _P) -> pd.DataFrame:
+    """ASK showcase — two existence probes, one satisfiable and one not:
+
+        ASK { ?f <imports> mod:core . ?f <language> "py" }   → 1
+        ASK { ?f <language> "cobol" }                        → 0
+
+    The satisfiable probe early-stops after the first matching batch; the
+    unsatisfiable one streams through without ever shuffling. DuckDB
+    oracle: CAST(EXISTS(...) AS BIGINT) per probe."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    probes = {
+        "cobol_file": ([("?f", NS + "language", "cobol")], {}),
+        "core_import_py": (
+            [
+                ("?f", NS + "imports", MOD_NS + "core"),
+                ("?f", NS + "language", "py"),
+            ],
+            {},
+        ),
+    }
+    rows = [
+        (name, int(bgp_ask(triples, pats, num_partitions=num_partitions, **kw)))
+        for name, (pats, kw) in sorted(probes.items())
+    ]
+    return pd.DataFrame(rows, columns=["probe", "ask"]).astype({"ask": "int64"})
+
+
+def sql_kg_bgp_ask() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT 'cobol_file' AS probe, CAST(EXISTS(
+  SELECT 1 FROM raw_triples WHERE p = {_q(NS + "language")} AND o = 'cobol'
+) AS BIGINT) AS ask
+UNION ALL
+SELECT 'core_import_py' AS probe, CAST(EXISTS(
+  SELECT 1 FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "language")} AND t2.o = 'py'
+  WHERE t1.p = {_q(NS + "imports")} AND t1.o = {_q(MOD_NS + "core")}
+) AS BIGINT) AS ask
+ORDER BY probe"""
     )
