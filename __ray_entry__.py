@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values": bgp.q_kg_bgp_values,
         "kg_path_seq": paths.q_kg_path_seq,
         "kg_path_plus": paths.q_kg_path_plus,
+        "kg_path_npred": paths.q_kg_path_npred,
         "kg_bgp_topk": bgp.q_kg_bgp_topk,
         "kg_bgp_bind": bgp.q_kg_bgp_bind,
         "kg_bgp_ask": bgp.q_kg_bgp_ask,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_values": bgp.sql_kg_bgp_values(),
         "kg_path_seq": paths.sql_kg_path_seq(),
         "kg_path_plus": paths.sql_kg_path_plus(),
+        "kg_path_npred": paths.sql_kg_path_npred(),
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),
         "kg_bgp_ask": bgp.sql_kg_bgp_ask(),

@@ -740,3 +740,69 @@ class TestBindAsk:
         assert (
             bgp_ask(t, [("?f", "lang", "?l")], filters=[("l", "==", "rs")]) is False
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNpredAndOpt:
+    def _graph(self):
+        return _triples(
+            [
+                ("a", "next", "b", KIND_IRI),
+                ("b", "next", "c", KIND_IRI),
+                ("b", "side", "e", KIND_IRI),
+                ("a", "other", "f", KIND_IRI),
+            ]
+        )
+
+    def test_npred_excludes_named_predicates(self):
+        from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+        out = (
+            path_distinct(
+                compile_path(self._graph(), ("npred", "next"), num_partitions=4),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            out, pd.DataFrame({"a": ["a", "b"], "b": ["f", "e"]})
+        )
+
+    def test_npred_inverse(self):
+        from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+        out = (
+            path_distinct(
+                compile_path(
+                    self._graph(), ("inv", ("npred", "next", "side")), num_partitions=4
+                ),
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(out, pd.DataFrame({"a": ["f"], "b": ["a"]}))
+
+    def test_path_opt_zero_or_one(self):
+        from tripsu_ray.pipelines.paths import path_opt
+
+        out = path_opt(self._graph(), ("pred", "next"), ["a", "e"], num_partitions=4)
+        # seeds at 0; only DIRECT neighbors at 1 (c is 2 steps — absent);
+        # e has no outgoing next edge but stays as a dist-0 seed
+        pd.testing.assert_frame_equal(
+            out,
+            pd.DataFrame(
+                {"node": ["a", "b", "e"], "dist": np.array([0, 1, 0], dtype="int64")}
+            ),
+        )
+
+    def test_path_opt_seed_cycle_keeps_zero(self):
+        from tripsu_ray.pipelines.paths import path_opt
+
+        t = _triples([("a", "next", "a", KIND_IRI), ("a", "next", "b", KIND_IRI)])
+        out = path_opt(t, ("pred", "next"), ["a"], num_partitions=4)
+        pd.testing.assert_frame_equal(
+            out,
+            pd.DataFrame({"node": ["a", "b"], "dist": np.array([0, 1], dtype="int64")}),
+        )

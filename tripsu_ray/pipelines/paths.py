@@ -6,6 +6,7 @@ SPARQL that a constructed KG is queried with (spec §9.1: ``^p`` inverse,
 expression here is a small nested-tuple AST:
 
     ("pred", iri)        one predicate step (subject → object)
+    ("npred", p1, p2, …) negated property set !(p1|p2|…): any OTHER predicate
     ("inv", expr)        inverse: swap direction
     ("alt", e1, e2, ...) alternation: union of the step relations
     ("seq", e1, e2)      sequence: relational join on the midpoint
@@ -39,6 +40,25 @@ def _pred_edges(triples, pred: str, *, inverse: bool):
 
     def sel(batch: pa.Table) -> pd.DataFrame:
         m = batch["predicate"].to_numpy(zero_copy_only=False) == pred
+        s = batch["subject"].to_numpy(zero_copy_only=False)[m]
+        o = batch["object_value"].to_numpy(zero_copy_only=False)[m]
+        a, b = (o, s) if inverse else (s, o)
+        return pd.DataFrame(
+            {"a": pd.Series(a, dtype=object), "b": pd.Series(b, dtype=object)}
+        ).drop_duplicates(ignore_index=True)
+
+    return triples.map_batches(sel, batch_format="pyarrow")
+
+
+def _npred_edges(triples, preds, *, inverse: bool):
+    """Negated property set ``!(p1|p2|…)`` → (a, b) edges over every
+    OTHER predicate (SPARQL 1.1 §9.1 NPS), locally DISTINCT. Map-only:
+    the membership test is one vectorized isin per batch."""
+    excluded = np.array(sorted(preds), dtype=object)
+
+    def sel(batch: pa.Table) -> pd.DataFrame:
+        p = batch["predicate"].to_numpy(zero_copy_only=False)
+        m = ~np.isin(p, excluded)
         s = batch["subject"].to_numpy(zero_copy_only=False)[m]
         o = batch["object_value"].to_numpy(zero_copy_only=False)[m]
         a, b = (o, s) if inverse else (s, o)
@@ -100,6 +120,8 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
     op = expr[0]
     if op == "pred":
         return _pred_edges(triples, expr[1], inverse=_inverse)
+    if op == "npred":
+        return _npred_edges(triples, expr[1:], inverse=_inverse)
     if op == "inv":
         return compile_path(
             triples, expr[1], num_partitions=num_partitions, _inverse=not _inverse
@@ -327,3 +349,88 @@ def path_star(triples, expr, seeds, *, max_rounds: int = 64, num_partitions: int
         ignore_index=True,
     ).sort_values("node", ignore_index=True)
     return out.astype({"dist": "int64"})
+
+
+def path_opt(
+    triples, expr, seeds, *, num_partitions: int = _P
+) -> pd.DataFrame:
+    """``seed expr? ?x`` — zero-or-one step (SPARQL 1.1 ``p?``): the seeds
+    at dist 0 plus their DIRECT neighbors at dist 1 (a seed re-reached in
+    one step keeps dist 0 — min-dist semantics, same as ``path_star``).
+
+    One map pass over the compiled edge stream (seed set ``ray.put``
+    once) + a tree-fold of per-batch distinct neighbors — no rounds, no
+    closure state."""
+    import ray
+
+    from ..stages.folds import tree_fold_tables
+
+    seeds = sorted(set(seeds))
+    if not seeds:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object), "dist": pd.Series([], dtype="int64")}
+        )
+    edges = compile_path(triples, expr, num_partitions=num_partitions)
+    f_ref = ray.put(frozenset(seeds))
+
+    def probe(df: pd.DataFrame, _f=f_ref) -> pa.Table:
+        fs = ray.get(_f)
+        vals = pd.unique(df["b"][df["a"].isin(fs)])
+        return pa.table({"b": pa.array(vals, type=pa.string())})
+
+    def combine(frames):
+        return pd.concat(frames, ignore_index=True).drop_duplicates(ignore_index=True)
+
+    nbrs = tree_fold_tables(edges.map_batches(probe, batch_format="pandas"), combine)
+    touched = sorted(set(nbrs["b"]) - set(seeds)) if nbrs is not None and len(nbrs) else []
+    out = pd.concat(
+        [
+            pd.DataFrame({"node": seeds, "dist": np.int64(0)}),
+            pd.DataFrame({"node": touched, "dist": np.int64(1)}),
+        ],
+        ignore_index=True,
+    ).sort_values("node", ignore_index=True)
+    return out.astype({"dist": "int64"})
+
+
+def q_kg_path_npred(sf_dir: str, *, num_partitions: int = _P):
+    """Negated-property-set showcase — every edge that is NOT a
+    structural one:
+
+        ?x !(rdf:type | <imports> | <inRepo>) ?y
+
+    (leaves defines/calls/author/license/language/name/commitHash —
+    the "content" facts of the KG.) One vectorized anti-membership pass
+    + the global DISTINCT exchange. DuckDB oracle: ``p NOT IN (…)``."""
+    from ..sources.synth import read_source_files
+    from ..schema import RDF_TYPE
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    edges = compile_path(
+        triples,
+        ("npred", RDF_TYPE, NS + "imports", NS + "inRepo"),
+        num_partitions=num_partitions,
+    )
+    out = path_distinct(edges, num_partitions=num_partitions)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"a": "x", "b": "y"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def sql_kg_path_npred() -> str:
+    from ..schema import RDF_TYPE
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    excl = ", ".join(_q(p) for p in (RDF_TYPE, NS + "imports", NS + "inRepo"))
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT s AS x, o AS y
+FROM raw_triples WHERE p NOT IN ({excl})
+ORDER BY x, y"""
+    )
