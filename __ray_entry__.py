@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_parts": docops.q_rel_topk_parts,
         "rel_quantiles": docops.q_rel_quantiles,
         "rel_approx_distinct": docops.q_rel_approx_distinct,
+        "rel_kmv_distinct": docops.q_rel_kmv_distinct,
+        "rel_cms_counts": docops.q_rel_cms_counts,
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
@@ -253,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_window": d.sql_rel_events_window(),
         "rel_topk_parts": d.sql_rel_topk_parts(),
         "rel_quantiles": d.sql_rel_quantiles(),
+        "rel_kmv_distinct": d.sql_rel_kmv_distinct(),
+        "rel_cms_counts": d.sql_rel_cms_counts(),
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),

@@ -1329,3 +1329,88 @@ def test_rel_json_extract_matches_pandas_and_fallback():
         .astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
     )
     pd.testing.assert_frame_equal(got[["event_type", "n", "sum_k", "max_k"]], want)
+
+
+class TestKMVSketch:
+    def test_merge_associative_and_equals_whole(self):
+        from tripsu_ray.stages.skew import kmv_merge, kmv_partial
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 1 << 30, size=50_000)
+        whole = kmv_partial(vals, 256)
+        parts = [kmv_partial(c, 256) for c in np.array_split(vals, 7)]
+        # any merge tree gives the same bottom-k
+        left = kmv_merge([kmv_merge(parts[:3], 256), kmv_merge(parts[3:], 256)], 256)
+        assert (left == whole).all()
+
+    def test_estimate_error_and_small_range_exact(self):
+        from tripsu_ray.stages.skew import kmv_estimate, kmv_partial
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 30_000, size=300_000)
+        exact = len(np.unique(vals))
+        est = kmv_estimate(kmv_partial(vals, 1024), 1024)
+        assert abs(est / exact - 1) < 0.1, (est, exact)
+        # below k the sketch IS the distinct set
+        small = np.arange(100, dtype=np.int64)
+        assert kmv_estimate(kmv_partial(small, 1024), 1024) == 100
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_equals_local(self):
+        import ray.data
+
+        from tripsu_ray.stages.skew import (
+            kmv_distinct,
+            kmv_estimate,
+            kmv_partial,
+        )
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 5_000, size=40_000)
+        ds = ray.data.from_pandas(
+            [pd.DataFrame({"v": c}) for c in np.array_split(vals, 6)]
+        )
+        out = kmv_distinct(ds, "v", k=512)
+        local = kmv_partial(vals, 512)
+        assert int(out["est_distinct"][0]) == kmv_estimate(local, 512)
+        assert int(out["kth_hash"][0]) == int(local[-1])
+
+
+class TestCMSSketch:
+    def test_overestimate_only_and_tight(self):
+        from tripsu_ray.stages.skew import cms_partial, cms_query
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 1_000, size=100_000)
+        sketch = cms_partial(keys)
+        probe = np.arange(1_000, dtype=np.int64)
+        est = cms_query(sketch, probe)
+        exact = np.bincount(keys, minlength=1_000)
+        assert (est >= exact).all()
+        # 1000 keys in 4x2048 counters: expected excess ~ n/w per row
+        assert (est - exact).mean() < 200, (est - exact).mean()
+
+    def test_partials_sum_to_whole(self):
+        from tripsu_ray.stages.skew import cms_partial
+
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 500, size=20_000)
+        whole = cms_partial(keys)
+        parts = sum(cms_partial(c) for c in np.array_split(keys, 5))
+        assert (whole == parts).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_equals_local(self):
+        import ray.data
+
+        from tripsu_ray.stages.skew import cms_counts, cms_partial, cms_query
+
+        rng = np.random.default_rng(17)
+        keys = rng.integers(0, 300, size=30_000)
+        ds = ray.data.from_pandas(
+            [pd.DataFrame({"k": c}) for c in np.array_split(keys, 4)]
+        )
+        probe = list(range(0, 50))
+        out = cms_counts(ds, "k", probe)
+        local = cms_query(cms_partial(keys), np.array(probe, dtype=np.int64))
+        assert (out["est_count"].to_numpy() == local).all()

@@ -1007,3 +1007,39 @@ def sql_rel_row_number() -> str:
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
 FROM orders ORDER BY o_orderkey"""
+
+
+def sql_rel_kmv_distinct() -> str:
+    from ..stages.skew import KMV_K, KMV_MOD, KMV_MULT
+
+    return f"""
+WITH h AS (
+  SELECT DISTINCT (l_partkey * {KMV_MULT}) % {KMV_MOD} AS hv FROM lineitem
+),
+b AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(coalesce(max(hv), 0) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+                 ELSE ({KMV_K} - 1) * {KMV_MOD} // max(hv) END AS BIGINT)
+         AS est_distinct
+FROM b
+""".strip()
+
+
+def sql_rel_cms_counts(keys=tuple(range(1, 16))) -> str:
+    from ..stages.skew import CMS_A, CMS_B, CMS_D, CMS_P, CMS_W
+
+    probe = ", ".join(f"(CAST({k} AS BIGINT))" for k in sorted(keys))
+    rows = ",\n  ".join(
+        f"(SELECT count(*) FROM orders WHERE ((o_custkey * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P}) % {CMS_W}"
+        f" = ((p.k * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P}) % {CMS_W})"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH probe(k) AS (VALUES {probe})
+SELECT p.k AS o_custkey,
+       CAST(LEAST(
+  {rows}
+       ) AS BIGINT) AS est_count
+FROM probe p ORDER BY o_custkey
+""".strip()

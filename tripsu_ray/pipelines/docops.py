@@ -2465,3 +2465,27 @@ def q_rel_row_number(sf_dir: str, *, num_partitions: int = 32):
         .groupby("_part")
         .map_groups(rank_part, batch_format="pandas")
     )
+
+
+def q_rel_kmv_distinct(sf_dir: str):
+    """KMV (bottom-k) distinct-part sketch — the mergeable distinct
+    sketch whose state is EXACT integers, so unlike the HLL twin
+    (``rel_approx_distinct``) the estimate itself hash-matches a DuckDB
+    rendering of the same bottom-k + integer-division estimator."""
+    from ..stages.skew import kmv_distinct
+
+    li = _read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return kmv_distinct(li, "l_partkey")
+
+
+def q_rel_cms_counts(sf_dir: str, *, keys=tuple(range(1, 16))):
+    """Count-min sketch point estimates of per-customer order counts.
+
+    The sketch folds as d·w int64 per block (frequency analogue of the
+    KMV/HLL discipline); estimates are deterministic over-counts whose
+    SQL twin renders each hash row as a collision-class count and takes
+    LEAST(...) — bit-identical, so the oracle hash-matches."""
+    from ..stages.skew import cms_counts
+
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return cms_counts(orders, "o_custkey", keys)

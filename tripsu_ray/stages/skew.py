@@ -293,3 +293,139 @@ def approx_distinct(ds, column: str, *, p: int = HLL_P) -> float:
         [np.frombuffer(r, dtype=np.uint8) for r in folded["regs"]]
     )
     return hll_estimate(regs)
+
+
+# --- KMV (k-minimum-values / bottom-k): mergeable distinct sketch ----------
+# Unlike HLL the sketch state is EXACT integers (the k smallest distinct
+# hash values under a fixed multiplicative hash), so the whole sketch —
+# including its estimate — has a bit-identical SQL rendering and the
+# oracle can hash-match it. Merge = union + re-take bottom-k (associative
+# + commutative), the property that makes it a distributed sketch.
+
+KMV_MULT = 2654435761  # Knuth multiplicative constant (shared with rel_sample)
+KMV_MOD = 1 << 32
+KMV_K = 1024
+
+
+def kmv_partial(values: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """Bottom-k distinct hashes of one batch of int64 keys (sorted asc)."""
+    if not len(values):
+        return np.empty(0, dtype=np.int64)
+    hv = (values.astype(np.int64) * KMV_MULT) % KMV_MOD
+    return np.unique(hv)[:k]  # unique sorts ascending
+
+
+def kmv_merge(arrays, k: int = KMV_K) -> np.ndarray:
+    """Union of bottom-k sets → bottom-k of the union."""
+    arrays = [a for a in arrays if len(a)]
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrays))[:k]
+
+
+def kmv_estimate(bottom: np.ndarray, k: int = KMV_K) -> int:
+    """(k-1) / kth-min-normalized — in INTEGER arithmetic so the SQL
+    oracle reproduces it bit-for-bit: ``(k-1) * 2^32 // kth``. Fewer than
+    k distinct hashes means the sketch IS the exact distinct set."""
+    if len(bottom) < k:
+        return int(len(bottom))
+    return int((k - 1) * KMV_MOD // int(bottom[k - 1]))
+
+
+def kmv_distinct(ds, column: str, *, k: int = KMV_K) -> pd.DataFrame:
+    """Distributed KMV sketch: per-batch bottom-k partials (≤ k int64 per
+    block regardless of cardinality) → tree-fold union-merge → one-row
+    summary (k_used, kth_hash, est_distinct)."""
+    from .folds import tree_fold_tables
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hv": kmv_partial(b[column].to_numpy(), k)})
+
+    def combine(frames):
+        return pd.DataFrame(
+            {"hv": kmv_merge([f["hv"].to_numpy() for f in frames], k)}
+        )
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    bottom = (
+        kmv_merge([folded["hv"].to_numpy()], k)
+        if folded is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    n = len(bottom)
+    return pd.DataFrame(
+        {
+            "k_used": np.array([n], dtype="int64"),
+            "kth_hash": np.array([int(bottom[-1]) if n else 0], dtype="int64"),
+            "est_distinct": np.array([kmv_estimate(bottom, k)], dtype="int64"),
+        }
+    )
+
+
+# --- Count-min sketch: mergeable frequency sketch --------------------------
+# d pairwise-independent hash rows × w counters; per-batch partial
+# sketches SUM (associative), so the fold ships d*w int64 per block no
+# matter how many keys stream through. Point estimate = min over rows —
+# an OVER-estimate only (collisions only add). The hash family is
+# ((a_j * key + b_j) mod P) mod w with P = 2^31 - 1, so every step stays
+# inside int64 in BOTH numpy and the SQL oracle (key < 2^31 ⇒ products
+# < 2^62).
+
+CMS_D = 4
+CMS_W = 2048
+CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+CMS_A = (1103515245, 12345679, 766245317, 630360016)
+CMS_B = (12345, 67890, 424242, 999983)
+
+
+def cms_hash(keys: np.ndarray, j: int, w: int = CMS_W) -> np.ndarray:
+    return ((keys.astype(np.int64) * CMS_A[j] + CMS_B[j]) % CMS_P) % w
+
+
+def cms_partial(keys: np.ndarray, *, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, w) int64 counter matrix for one batch of int64 keys."""
+    m = np.zeros((d, w), dtype=np.int64)
+    if len(keys):
+        for j in range(d):
+            m[j] = np.bincount(cms_hash(keys, j, w), minlength=w)
+    return m
+
+
+def cms_query(sketch: np.ndarray, keys: np.ndarray, *, w: int = CMS_W) -> np.ndarray:
+    """Point estimates for int64 probe keys: min over the d rows."""
+    ests = np.stack(
+        [sketch[j, cms_hash(keys, j, w)] for j in range(sketch.shape[0])]
+    )
+    return ests.min(axis=0).astype(np.int64)
+
+
+def cms_counts(ds, column: str, probe_keys, *, d: int = CMS_D, w: int = CMS_W) -> pd.DataFrame:
+    """Distributed CMS build + point query: per-batch partial sketches →
+    tree-fold elementwise sum (d·w·8 bytes per block) → driver probes the
+    final (tiny) matrix for ``probe_keys``."""
+    from .folds import tree_fold_tables
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [cms_partial(b[column].to_numpy(), d=d, w=w).tobytes()]})
+
+    def combine(frames):
+        mats = [
+            np.frombuffer(r, dtype=np.int64).reshape(d, w)
+            for f in frames
+            for r in f["m"]
+        ]
+        return pd.DataFrame({"m": [np.sum(mats, axis=0).tobytes()]})
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    sketch = (
+        np.sum(
+            [np.frombuffer(r, dtype=np.int64).reshape(d, w) for r in folded["m"]],
+            axis=0,
+        )
+        if folded is not None
+        else np.zeros((d, w), dtype=np.int64)
+    )
+    keys = np.asarray(sorted(probe_keys), dtype=np.int64)
+    return pd.DataFrame(
+        {column: keys, "est_count": cms_query(sketch, keys, w=w)}
+    ).astype({column: "int64", "est_count": "int64"})
