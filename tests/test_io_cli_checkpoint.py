@@ -384,3 +384,68 @@ def test_sweep_partial_parquet(tmp_path):
     assert good.exists() and other.exists() and not bad.exists()
     assert pq.read_table(str(good)).num_rows == 2
     assert _sweep_partial_parquet(str(tmp_path / "missing")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlatfileIO:
+    def _nasty(self):
+        """Triples exercising every term shape + line-hostile characters."""
+        import ray.data
+
+        from tripsu_ray.functions.rdf import triples_table
+        from tripsu_ray.schema import KIND_BLANK, KIND_IRI, KIND_LITERAL
+
+        rows = [
+            ("http://ex/s1", KIND_IRI, "http://ex/p", "http://ex/o", KIND_IRI, None, None),
+            ("b0", KIND_BLANK, "http://ex/p", "anon", KIND_BLANK, None, None),
+            ("http://ex/s2", KIND_IRI, "http://ex/p", "tab\there", KIND_LITERAL, None, None),
+            ("http://ex/s3", KIND_IRI, "http://ex/p", 'new\nline "q" \\ end', KIND_LITERAL, None, None),
+            ("http://ex/s4", KIND_IRI, "http://ex/p", "bonjour", KIND_LITERAL, "fr", None),
+            ("http://ex/s5", KIND_IRI, "http://ex/p", "42", KIND_LITERAL, None, "http://www.w3.org/2001/XMLSchema#integer"),
+            ("http://ex/s6", KIND_IRI, "http://ex/p", "ünïcødé ✓", KIND_LITERAL, None, None),
+        ]
+        return ray.data.from_arrow(triples_table(rows)).repartition(3)
+
+    @staticmethod
+    def _key_set(ds):
+        return {
+            tuple("" if v is None else v for v in r.values()) for r in ds.take_all()
+        }
+
+    def test_jsonl_roundtrip(self, tmp_path):
+        from tripsu_ray.sources.flatfiles import read_jsonl, write_jsonl
+
+        ds = self._nasty()
+        out = str(tmp_path / "out_jsonl")
+        write_jsonl(ds, out)
+        back = read_jsonl(out)
+        assert self._key_set(back) == self._key_set(ds)
+
+    def test_tsv_roundtrip(self, tmp_path):
+        from tripsu_ray.sources.flatfiles import read_tsv, write_tsv
+
+        ds = self._nasty()
+        out = str(tmp_path / "out_tsv")
+        write_tsv(ds, out)
+        back = read_tsv(out)
+        assert self._key_set(back) == self._key_set(ds)
+
+    def test_tsv_columns_never_split(self, tmp_path):
+        from tripsu_ray.sources.flatfiles import write_tsv
+
+        ds = self._nasty()
+        out = str(tmp_path / "cols_tsv")
+        write_tsv(ds, out)
+        for f in os.listdir(out):
+            for line in open(os.path.join(out, f)).read().strip().splitlines():
+                assert line.count("\t") == 2, line
+
+    def test_cli_dispatch_jsonl_tsv(self, tmp_path):
+        from tripsu_ray.cli import _read_triples, _write_triples
+
+        ds = self._nasty()
+        for ext in ("jsonl", "tsv"):
+            out = str(tmp_path / f"cli_out.{ext}")
+            _write_triples(ds, out)
+            back = _read_triples(out, "raise")
+            assert self._key_set(back) == self._key_set(ds)

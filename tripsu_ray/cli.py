@@ -56,6 +56,14 @@ def _read_triples(path: str, on_error: str, counter=None):
         from .sources.ntriples import read_ntriples
 
         return read_ntriples(path, on_error=on_error, counter=counter)
+    if path.endswith(".jsonl") or path.endswith(".ndjson"):
+        from .sources.flatfiles import read_jsonl
+
+        return read_jsonl(path)
+    if path.endswith(".tsv"):
+        from .sources.flatfiles import read_tsv
+
+        return read_tsv(path)
     return _read_parquet_clean(path)
 
 
@@ -75,6 +83,14 @@ def _write_triples(ds, path: str):
         from .sources.ntriples import write_ntriples
 
         write_ntriples(ds, path)
+    elif path.endswith(".jsonl") or path.endswith(".ndjson"):
+        from .sources.flatfiles import write_jsonl
+
+        write_jsonl(ds, path)
+    elif path.endswith(".tsv"):
+        from .sources.flatfiles import write_tsv
+
+        write_tsv(ds, path)
     else:
         ds.write_parquet(path)
 

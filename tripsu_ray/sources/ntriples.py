@@ -18,8 +18,15 @@ import pyarrow as pa
 from ..functions.rdf import parse_ntriples_lines, serialize_ntriples
 
 
-def _nt_chunk_specs(paths, target_chunk_bytes: int) -> list[tuple[str, int, int]]:
-    """(file, start, end) byte ranges covering every .nt file, ~target each."""
+def _nt_chunk_specs(
+    paths, target_chunk_bytes: int, suffix: str = ".nt"
+) -> list[tuple[str, int, int]]:
+    """(file, start, end) byte ranges covering every line file, ~target each.
+
+    Format-agnostic (the ownership protocol in :func:`_read_nt_chunk` only
+    needs newline-delimited records): the JSONL/TSV sources reuse it with
+    their own ``suffix``.
+    """
     import os
 
     if isinstance(paths, str):
@@ -28,7 +35,7 @@ def _nt_chunk_specs(paths, target_chunk_bytes: int) -> list[tuple[str, int, int]
     for p in paths:
         if os.path.isdir(p):
             files.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".nt")
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(suffix)
             )
         else:
             files.append(p)
