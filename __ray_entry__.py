@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q.q_components,
         "kg_pagerank": q.q_pagerank,
         "kg_co_neighbors": q.q_co_neighbors,
+        "kg_link_scores": q.q_link_scores,
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
         "kg_bfs": q.q_bfs,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_census": oracle.sql_pred_census(),
         "kg_components": oracle.sql_components(),
         "kg_co_neighbors": oracle.sql_co_neighbors(),
+        "kg_link_scores": oracle.sql_link_scores(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
         "kg_bgp": bgp.sql_kg_bgp(),

@@ -1204,3 +1204,91 @@ class TestRandomWalks:
             .sort_values(["start", "walk_no"], ignore_index=True)
         )
         pd.testing.assert_frame_equal(r1, r2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkScores:
+    @staticmethod
+    def _reference(df: pd.DataFrame, min_common: int, hub_cap=None) -> pd.DataFrame:
+        e = df.drop_duplicates(ignore_index=True)
+        deg = e.groupby("a").size()
+        pe = e
+        if hub_cap is not None:
+            tsz = e.groupby("b")["a"].nunique()
+            pe = e[e["b"].map(tsz) <= hub_cap]
+        j = pe.merge(pe, on="b")
+        j = j[j["a_x"] < j["a_y"]]
+        pairs = (
+            j.groupby(["a_x", "a_y"]).size().reset_index(name="n_common")
+        )
+        pairs = pairs[pairs["n_common"] >= min_common]
+        pairs["n_union"] = (
+            pairs["a_x"].map(deg) + pairs["a_y"].map(deg) - pairs["n_common"]
+        )
+        return (
+            pairs.rename(columns={"a_x": "a1", "a_y": "a2"})
+            .sort_values(["a1", "a2"], ignore_index=True)
+            .astype({"n_common": "int64", "n_union": "int64"})
+        )
+
+    def test_matches_pandas(self):
+        from tripsu_ray.stages.graph import neighbor_overlap_scores
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 30, 300)],
+                "b": [f"m{i}" for i in rng.integers(0, 10, 300)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        got = (
+            neighbor_overlap_scores(_ds(df, blocks=4), min_common=2, num_partitions=4)
+            .to_pandas()
+            .sort_values(["a1", "a2"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, self._reference(df, 2))
+
+    def test_duplicate_edges_do_not_double_count(self):
+        from tripsu_ray.stages.graph import neighbor_overlap_scores
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "x", "y"],
+                "b": ["m1", "m1", "m1", "m2", "m2", "m2"],
+            }
+        )
+        got = (
+            neighbor_overlap_scores(_ds(df, blocks=3), min_common=2, num_partitions=4)
+            .to_pandas()
+            .sort_values(["a1", "a2"], ignore_index=True)
+        )
+        want = pd.DataFrame(
+            {"a1": ["x"], "a2": ["y"], "n_common": np.int64(2), "n_union": np.int64(2)}
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_hub_cap_policy(self):
+        from tripsu_ray.stages.graph import neighbor_overlap_scores
+
+        rng = np.random.default_rng(43)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 25, 400)],
+                "b": [f"m{i}" for i in rng.integers(0, 6, 400)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        res = neighbor_overlap_scores(
+            _ds(df, blocks=4), min_common=1, num_partitions=4, hub_cap=15
+        )
+        got = (res.to_pandas() if hasattr(res, "to_pandas") else res).sort_values(
+            ["a1", "a2"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got, self._reference(df, 1, hub_cap=15))
+        # a cap admitting some targets still matches the same-policy reference
+        res2 = neighbor_overlap_scores(
+            _ds(df, blocks=4), min_common=1, num_partitions=4, hub_cap=22
+        )
+        got2 = (res2.to_pandas() if hasattr(res2, "to_pandas") else res2).sort_values(
+            ["a1", "a2"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got2, self._reference(df, 1, hub_cap=22))

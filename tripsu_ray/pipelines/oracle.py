@@ -543,3 +543,24 @@ UNION ALL
 SELECT s, p, o, 'added' AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
 ORDER BY s, p, o, side"""
     )
+
+
+def sql_link_scores() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+pairs AS (
+  SELECT e1.a AS a1, e2.a AS a2, count(*) AS n_common
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT a1, a2, CAST(n_common AS BIGINT) AS n_common,
+       CAST(d1.d + d2.d - n_common AS BIGINT) AS n_union
+FROM pairs JOIN deg d1 ON d1.a = a1 JOIN deg d2 ON d2.a = a2
+ORDER BY a1, a2"""
+    )

@@ -316,3 +316,14 @@ def q_graph_diff(sf_dir: str, *, num_partitions: int = 16):
         read_source_files(sf_dir).map_batches(perturb, batch_format="pandas")
     ).map_batches(spo, batch_format="pandas")
     return symmetric_diff(base, v2, ["s", "p", "o"], num_partitions=num_partitions)
+
+
+def q_link_scores(sf_dir: str):
+    """Neighborhood-overlap link prediction over the entity graph: exact
+    (n_common, n_union) integers per candidate file pair sharing ≥2
+    targets (stages/graph.py::neighbor_overlap_scores — the Jaccard
+    numerator/denominator as rationals, one target exchange + one pair
+    exchange + a degree tree-fold)."""
+    from ..stages.graph import entity_edges, neighbor_overlap_scores
+
+    return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)

@@ -1218,3 +1218,198 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
         return df[["start", "walk_no", "path"]].rename(columns={"path": "walk"})
 
     return frontier.map_batches(project, batch_format="pandas")
+
+
+def neighbor_overlap_scores(
+    edges_ds,
+    *,
+    min_common: int = 2,
+    num_partitions: int = 32,
+    hub_cap: int | None = None,
+):
+    """Link-prediction scores per candidate node pair — the neighborhood
+    overlap in EXACT integers: ``n_common = |N(a1) ∩ N(a2)|`` and
+    ``n_union = |N(a1) ∪ N(a2)|`` for every unordered source pair sharing
+    ≥ ``min_common`` targets (Jaccard/overlap coefficients are then exact
+    rationals the consumer divides — keeping the table integer keeps it
+    hash-matchable against the SQL oracle).
+
+    Same physical plan family as :func:`co_neighbor_counts` (one
+    target-key exchange, index-arithmetic pair enumeration over globally
+    int-coded sources), with two additions that ride the SAME stage-1
+    exchange at no extra pass:
+
+    - per-pair COUNTS (not just distinct pairs): a target group
+      contributes 1 to each of its C(s,2) pairs; per-partition
+      ``np.unique(return_counts)`` partials sum across partitions in a
+      second pair-key exchange (shuffle = distinct candidate pairs).
+    - DISTINCT out-degrees as tiny per-partition partials (each distinct
+      (target, source) row lives in exactly one partition — the target
+      owns it), tree-folded to a node-class int array and broadcast for
+      the final ``n_union = d1 + d2 − n_common``.
+
+    ``hub_cap`` is the same documented skew policy: target groups above
+    the cap contribute NO pairs (their quadratic fanout is near-zero
+    signal), while their rows still count toward degrees (the degree is
+    a per-node fact, not a pair fact).
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    P = num_partitions
+
+    def empty_out():
+        return pd.DataFrame(
+            {
+                "a1": pd.Series([], dtype=object),
+                "a2": pd.Series([], dtype=object),
+                "n_common": pd.Series([], dtype="int64"),
+                "n_union": pd.Series([], dtype="int64"),
+            }
+        )
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
+    names = np.array(sorted(edges.unique("a")), dtype=object)
+    names_ref = ray.put(names)
+
+    def by_target(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        code = np.searchsorted(ray.get(_names), df["a"].to_numpy(dtype=object))
+        part = pd.util.hash_array(df["b"].to_numpy(dtype=object)) % P
+        return pd.DataFrame(
+            {
+                "key": df["b"].astype(object),
+                "acode": code.astype("int64"),
+                "_part": part.astype("int64"),
+            }
+        )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="int8"),
+                "key": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "_part2": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        kcode = pd.factorize(g["key"])[0].astype(np.int64)
+        packed = (kcode << 32) | g["acode"].to_numpy(dtype=np.int64)
+        uniq = np.unique(packed)  # distinct (target, source), keys co-grouped
+        ks = (uniq >> 32).astype(np.int64)
+        asrt = (uniq & 0xFFFFFFFF).astype(np.int64)
+        # degree partials: every distinct (b, a) row lives in exactly one
+        # partition, so per-partition source counts sum to exact degrees
+        dacc = np.bincount(asrt)
+        dcodes = np.nonzero(dacc)[0].astype(np.int64)
+        deg_rows = pd.DataFrame(
+            {
+                "kind": np.int8(0),
+                "key": dcodes,
+                "cnt": dacc[dcodes].astype(np.int64),
+                "_part2": np.int64(0),
+            }
+        )
+        sizes = np.bincount(ks)
+        tot = sizes * sizes  # ordered pairs; halved below via left < right
+        if hub_cap is not None:
+            tot[sizes > hub_cap] = 0  # skew policy: hub targets emit no pairs
+        n_out = int(tot.sum())
+        if not n_out:
+            return deg_rows if len(deg_rows) else empty
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        gid = np.repeat(np.arange(len(sizes)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]
+        width = sizes[gid]
+        left = asrt[gstarts[gid] + p // width]
+        right = asrt[gstarts[gid] + p % width]
+        keep = left < right  # unordered canonical pair, each once per target
+        pair = (left[keep] << 32) | right[keep]
+        pkeys, pcnts = np.unique(pair, return_counts=True)
+        pair_rows = pd.DataFrame(
+            {
+                "kind": np.int8(1),
+                "key": pkeys,
+                "cnt": pcnts.astype(np.int64),
+                "_part2": (pd.util.hash_array(pkeys) % P).astype("int64"),
+            }
+        )
+        return pd.concat([deg_rows, pair_rows], ignore_index=True)
+
+    stage1 = (
+        edges.map_batches(by_target, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(join_part, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0]
+        return pd.DataFrame(
+            {"key": d["key"].to_numpy(dtype="int64"), "cnt": d["cnt"].to_numpy(dtype="int64")}
+        )
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("key", sort=False, as_index=False)["cnt"].sum()
+
+    folded = tree_fold_tables(
+        stage1.map_batches(deg_partial, batch_format="pandas"), deg_combine
+    )
+    deg = np.zeros(len(names), dtype=np.int64)
+    if folded is not None and len(folded):
+        deg[folded["key"].to_numpy(dtype="int64")] = folded["cnt"].to_numpy(
+            dtype="int64"
+        )
+    deg_ref = ray.put(deg)
+
+    def pairs_only(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 1]
+        return pd.DataFrame(
+            {
+                "key": d["key"].to_numpy(dtype="int64"),
+                "cnt": d["cnt"].to_numpy(dtype="int64"),
+                "_part2": d["_part2"].to_numpy(dtype="int64"),
+            }
+        )
+
+    def score_part(
+        g: pd.DataFrame, _names=names_ref, _deg=deg_ref
+    ) -> pd.DataFrame:
+        if not len(g):
+            return empty_out()
+        s = g.groupby("key", sort=False)["cnt"].sum()
+        s = s[s >= min_common]
+        if not len(s):
+            return empty_out()
+        keys = s.index.to_numpy(dtype=np.int64)
+        common = s.to_numpy(dtype=np.int64)
+        lo = (keys >> 32).astype(np.int64)
+        hi = (keys & 0xFFFFFFFF).astype(np.int64)
+        names = ray.get(_names)
+        deg = ray.get(_deg)
+        return pd.DataFrame(
+            {
+                "a1": pd.Series(names[lo], dtype=object),
+                "a2": pd.Series(names[hi], dtype=object),
+                "n_common": common,
+                "n_union": deg[lo] + deg[hi] - common,
+            }
+        )
+
+    out = (
+        stage1.map_batches(pairs_only, batch_format="pandas")
+        .groupby("_part2")
+        .map_groups(score_part, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        # zero candidate pairs (e.g. every target hub-capped): an empty
+        # Dataset loses its schema on to_pandas (Ray 2.49) — return typed
+        return empty_out()
+    return out
