@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
+        "text_bigram_logprob": docops.q_text_bigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
         "text_repetition": docops.q_text_repetition,
         "text_curate": docops.q_text_curate,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
+        "text_bigram_logprob": d.sql_text_bigram_logprob(),
         "text_shard_pack": d.sql_text_shard_pack(),
         "text_repetition": d.sql_text_repetition(),
         "text_curate": d.sql_text_curate(),

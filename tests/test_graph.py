@@ -1292,3 +1292,59 @@ class TestLinkScores:
             ["a1", "a2"], ignore_index=True
         )
         pd.testing.assert_frame_equal(got2, self._reference(df, 1, hub_cap=22))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigramLM:
+    def test_bigram_logprob_matches_reference(self, tmp_path):
+        import math
+
+        from tripsu_ray.stages.text import _token_pat, text_bigram_logprob
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat ran",
+                    "",
+                    "one",
+                    "the cat sat",
+                ],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            text_bigram_logprob(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        toks = docs["text"].str.lower().str.findall(_token_pat)
+        from collections import Counter
+
+        bg = Counter()
+        for ts in toks:
+            bg.update(zip(ts[:-1], ts[1:]))
+        cw = Counter()
+        for (w1, _), c in bg.items():
+            cw[w1] += c
+        lq = {
+            p: math.floor(1e6 * (math.log(float(c)) - math.log(float(cw[p[0]]))))
+            for p, c in bg.items()
+        }
+        want_lp = [sum(lq[p] for p in zip(ts[:-1], ts[1:])) for ts in toks]
+        assert got["logprob_q"].tolist() == want_lp
+        assert got["n_bigrams"].tolist() == [max(len(t) - 1, 0) for t in toks]
+        # "the cat" always precedes distinct continuations; the doc repeating
+        # the corpus's dominant transitions scores no lower than the rare one
+        assert got.loc[4, "logprob_q"] >= got.loc[1, "logprob_q"]
+
+    def test_no_cross_document_bigrams(self, tmp_path):
+        from tripsu_ray.stages.text import _batch_bigrams
+
+        w1, w2, pos, nbg = _batch_bigrams(
+            pd.Series(["a b", "c d", "", "e"])
+        )
+        assert list(zip(w1, w2)) == [("a", "b"), ("c", "d")]
+        assert pos.tolist() == [0, 1]
+        assert nbg.tolist() == [1, 1, 0, 0]

@@ -1043,3 +1043,29 @@ SELECT p.k AS o_custkey,
        ) AS BIGINT) AS est_count
 FROM probe p ORDER BY o_custkey
 """.strip()
+
+
+def sql_text_bigram_logprob() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), grams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c FROM grams GROUP BY w1, w2
+), firsts AS (
+  SELECT w1, sum(c) AS cw FROM bg GROUP BY w1
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         sum(CAST(floor(1000000 * (ln(CAST(b.c AS DOUBLE)) - ln(CAST(f.cw AS DOUBLE))))
+                  AS BIGINT)) AS lp
+  FROM grams g JOIN bg b USING (w1, w2) JOIN firsts f USING (w1)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.lp, 0) AS BIGINT) AS logprob_q
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""".strip()

@@ -2489,3 +2489,11 @@ def q_rel_cms_counts(sf_dir: str, *, keys=tuple(range(1, 16))):
 
     orders = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     return cms_counts(orders, "o_custkey", keys)
+
+
+def q_text_bigram_logprob(sf_dir: str):
+    """Per-doc bigram-LM score (stages/text.py::text_bigram_logprob —
+    quantized integer conditional log-probs, bigram-table broadcast)."""
+    from ..stages.text import text_bigram_logprob
+
+    return text_bigram_logprob(sf_dir)

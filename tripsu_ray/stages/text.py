@@ -1274,3 +1274,103 @@ def text_search(sf_dir: str, *, query: tuple = SEARCH_QUERY, k: int = SEARCH_TOP
             {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="int64")}
         )
     return folded.reset_index(drop=True).astype({"doc_id": "int64", "score": "int64"})
+
+
+# --- bigram LM scoring -------------------------------------------------------
+
+
+def _batch_bigrams(texts: pd.Series):
+    """Vectorized adjacent-token pairs for a batch: (w1, w2, doc_pos)
+    numpy object arrays + per-row bigram counts; cross-document pairs are
+    masked out via the token-run boundaries."""
+    toks = texts.str.lower().str.findall(_token_pat)
+    lists = toks.tolist()
+    lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+    total = int(lens.sum())
+    if total < 2:
+        e = np.empty(0, dtype=object)
+        return e, e, np.empty(0, dtype=np.int64), np.maximum(lens - 1, 0)
+    flat = np.concatenate([np.array(l, dtype=object) for l in lists if l])
+    keep = np.ones(total - 1, dtype=bool)
+    ends = np.cumsum(lens) - 1  # last token position of each doc
+    keep[ends[(ends >= 0) & (ends < total - 1)]] = False
+    w1 = flat[:-1][keep]
+    w2 = flat[1:][keep]
+    pos = np.repeat(np.arange(len(lists), dtype=np.int64), lens)[:-1][keep]
+    return w1, w2, pos, np.maximum(lens - 1, 0)
+
+
+def text_bigram_logprob(sf_dir: str):
+    """Per-document log-probability under the corpus bigram LM (the
+    order-2 extension of :func:`text_unigram_logprob`): for every
+    adjacent token pair, ``ln c(w1,w2) − ln c(w1,·)`` with ``c(w1,·)`` =
+    bigrams starting with ``w1`` — corpus-MLE conditionals, well-defined
+    for every in-corpus document (its own bigrams are observed by
+    construction).
+
+    Pass 1 folds per-batch bigram count partials (shuffle ≤ batch-local
+    distinct bigrams per batch) to the driver; the conditional log-probs
+    quantize to ``floor(10^6·(ln c − ln cw))`` int64 BEFORE summing, so
+    per-doc scores are integer sums the DuckDB oracle reproduces exactly.
+    The bigram map broadcasts like the type index (vocabulary size class,
+    ≪ corpus); past broadcast size the same score pass becomes a
+    co-partitioned probe join (the ``pseudonymize_join`` shape).
+    """
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w1, w2, _, _ = _batch_bigrams(b["text"])
+        if not len(w1):
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame({"w1": w1, "w2": w2})
+        out = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        return out.astype({"n": "int64"})
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+
+    bg = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    logq: dict = {}
+    if bg is not None and len(bg):
+        cw = bg.groupby("w1", sort=False)["n"].sum()
+        firsts = bg["w1"].map(cw).to_numpy(dtype="float64")
+        logq = {
+            f"{a}\x1f{b_}": int(
+                math.floor(1_000_000 * (math.log(float(n)) - math.log(float(t))))
+            )
+            for a, b_, n, t in zip(bg["w1"], bg["w2"], bg["n"], firsts)
+        }
+    ref = ray.put(logq)
+
+    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        lq = ray.get(_ref)
+        w1, w2, pos, nbg = _batch_bigrams(b["text"])
+        lp = np.zeros(len(b), dtype=np.int64)
+        if len(w1):
+            # NB: np.char.add truncates at NUL bytes — pandas concat with a
+            # unit separator keeps keys exact
+            keys = pd.Series(w1, dtype=object) + "\x1f" + pd.Series(w2, dtype=object)
+            vals = keys.map(lq).to_numpy(dtype="int64")
+            np.add.at(lp, pos, vals)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64").to_numpy(),
+                "n_bigrams": nbg.astype("int64"),
+                "logprob_q": lp,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
