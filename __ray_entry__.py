@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_topk": bgp.q_kg_bgp_topk,
         "kg_bgp_bind": bgp.q_kg_bgp_bind,
         "kg_bgp_ask": bgp.q_kg_bgp_ask,
+        "kg_bgp_exists": bgp.q_kg_bgp_exists,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
         "kg_graph_diff": q.q_graph_diff,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),
         "kg_bgp_ask": bgp.sql_kg_bgp_ask(),
+        "kg_bgp_exists": bgp.sql_kg_bgp_exists(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
         "kg_graph_diff": oracle.sql_graph_diff(),

@@ -806,3 +806,112 @@ class TestNpredAndOpt:
             out,
             pd.DataFrame({"node": ["a", "b"], "dist": np.array([0, 1], dtype="int64")}),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExistsFilters:
+    def _graph(self):
+        return _triples(
+            [
+                ("f1", "lang", "py", KIND_LITERAL),
+                ("f2", "lang", "js", KIND_LITERAL),
+                ("f3", "lang", "py", KIND_LITERAL),
+                ("f1", "imports", "mod/utils.io", KIND_IRI),
+                ("f1", "imports", "mod/core", KIND_IRI),
+                ("f2", "imports", "mod/utils.fmt", KIND_IRI),
+                ("f3", "imports", "mod/other", KIND_IRI),
+            ]
+        )
+
+    def test_exists_semi_join(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?l")],
+                exists=[
+                    ([("?f", "imports", "?m")], [("m", "prefix", "mod/utils")])
+                ],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        assert out["f"].tolist() == ["f1", "f2"]
+
+    def test_not_exists_anti_join(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?l")],
+                not_exists=[
+                    ([("?f", "imports", "?m")], [("m", "prefix", "mod/core")])
+                ],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        assert out["f"].tolist() == ["f2", "f3"]
+
+    def test_exists_and_not_exists_compose(self):
+        out = (
+            bgp(
+                self._graph(),
+                [("?f", "lang", "?l")],
+                exists=[([("?f", "imports", "?m")], [("m", "prefix", "mod/utils")])],
+                not_exists=[([("?f", "imports", "?h")], [("h", "prefix", "mod/core")])],
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("f", ignore_index=True)
+        )
+        assert out["f"].tolist() == ["f2"]
+
+    def test_disjoint_exists_is_global_gate(self):
+        # no shared variable: EXISTS keeps everything iff the group matches
+        # at all; NOT EXISTS wipes — the corner where MINUS removes NOTHING
+        t = self._graph()
+        kept = bgp(
+            t,
+            [("?f", "lang", "?l")],
+            exists=[[("?x", "imports", "mod/core")]],
+            num_partitions=4,
+        ).to_pandas()
+        assert len(kept) == 3
+        wiped = bgp(
+            t,
+            [("?f", "lang", "?l")],
+            not_exists=[[("?x", "imports", "mod/core")]],
+            num_partitions=4,
+        ).to_pandas()
+        assert len(wiped) == 0
+        # an unmatched disjoint group gates the other way
+        kept2 = bgp(
+            t,
+            [("?f", "lang", "?l")],
+            not_exists=[[("?x", "imports", "mod/nope")]],
+            num_partitions=4,
+        ).to_pandas()
+        assert len(kept2) == 3
+
+    def test_exists_vs_pandas_random(self):
+        rng = np.random.default_rng(19)
+        edges = [
+            (f"s{i}", "p", f"o{j}", KIND_IRI)
+            for i, j in zip(rng.integers(0, 20, 120), rng.integers(0, 8, 120))
+        ]
+        tags = [(f"s{i}", "tag", "t", KIND_LITERAL) for i in range(20)]
+        t = _triples(edges + tags)
+        out = (
+            bgp(
+                t,
+                [("?s", "tag", "?g")],
+                exists=[[("?s", "p", "o3")]],
+                num_partitions=4,
+            )
+            .to_pandas()["s"]
+            .sort_values(ignore_index=True)
+        )
+        e = pd.DataFrame([r[:3] for r in edges], columns=["s", "p", "o"])
+        want = sorted(set(e[e["o"] == "o3"]["s"]))
+        assert out.tolist() == want

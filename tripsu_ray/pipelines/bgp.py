@@ -110,7 +110,7 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
         return f
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        res_vars = a_vars if how == "anti" else out_vars
+        res_vars = a_vars if how in ("anti", "semi") else out_vars
         empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in res_vars})
         if not len(g):
             return empty
@@ -120,6 +120,8 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
             return empty
         if how == "anti":
             return _anti_merge(left, right, shared, a_vars)
+        if how == "semi":
+            return _semi_merge(left, right, shared, a_vars)
         if not len(right):
             if how != "left":
                 return empty
@@ -137,8 +139,24 @@ def _hash_join(a, a_vars, b, b_vars, *, num_partitions=_P, how: str = "inner"):
     u = a.map_batches(tag(0), batch_format="pandas").union(
         b.map_batches(tag(1), batch_format="pandas")
     )
-    res_vars = a_vars if how == "anti" else out_vars
+    res_vars = a_vars if how in ("anti", "semi") else out_vars
     return u.groupby("_part").map_groups(join_part, batch_format="pandas"), res_vars
+
+
+def _semi_merge(left: pd.DataFrame, right: pd.DataFrame, shared, a_vars) -> pd.DataFrame:
+    """FILTER EXISTS kernel: keep left rows with a compatible right match.
+
+    Left rows with an unbound (None) shared variable FAIL the filter
+    (dropped) — the same unbound-fails rule as :func:`_apply_filters`;
+    the right side of a pattern conjunction is always fully bound."""
+    if not len(right):
+        return left.iloc[:0][a_vars]
+    bound = left[shared].notna().all(axis=1).to_numpy(dtype=bool)
+    lb = left[bound]
+    if not len(lb):
+        return left.iloc[:0][a_vars]
+    m = lb.merge(right[shared].drop_duplicates(), on=shared, how="inner")
+    return m[a_vars].drop_duplicates(ignore_index=True)
 
 
 def _anti_merge(left: pd.DataFrame, right: pd.DataFrame, shared, a_vars) -> pd.DataFrame:
@@ -308,7 +326,7 @@ def _broadcast_join(a, a_vars, small_df, b_vars, *, how: str = "inner"):
     out_vars = sorted(set(a_vars) | set(b_vars))
     ref = ray.put(small_df.drop_duplicates(ignore_index=True))
 
-    res_vars = a_vars if how == "anti" else out_vars
+    res_vars = a_vars if how in ("anti", "semi") else out_vars
 
     def f(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
         empty = pd.DataFrame({v: pd.Series([], dtype=object) for v in res_vars})
@@ -316,6 +334,8 @@ def _broadcast_join(a, a_vars, small_df, b_vars, *, how: str = "inner"):
             return empty
         if how == "anti":
             return _anti_merge(df, ray.get(_r), shared, a_vars)
+        if how == "semi":
+            return _semi_merge(df, ray.get(_r), shared, a_vars)
         m = df.merge(ray.get(_r), on=shared, how=how)
         if how == "left":
             m = m.astype(object).where(pd.notna(m), None)
@@ -371,11 +391,19 @@ def _conjunction(triples, patterns, *, num_partitions: int = _P):
 
 
 def _bgp_rel(
-    triples, patterns, *, optional=(), minus=(), values=None, num_partitions: int = _P
+    triples,
+    patterns,
+    *,
+    optional=(),
+    minus=(),
+    values=None,
+    exists=(),
+    not_exists=(),
+    num_partitions: int = _P,
 ):
-    """Evaluate required + VALUES + OPTIONAL + MINUS → (relation, vars);
-    NO top-level filters and NO global DISTINCT (bgp()/bgp_union() own
-    those)."""
+    """Evaluate required + VALUES + OPTIONAL + MINUS + EXISTS/NOT-EXISTS
+    → (relation, vars); NO top-level filters and NO global DISTINCT
+    (bgp()/bgp_union() own those)."""
     rel, vars_ = _conjunction(triples, patterns, num_partitions=num_partitions)
     required = set(vars_)
     if values is not None:
@@ -434,6 +462,34 @@ def _bgp_rel(
         rel, vars_ = _join_adaptive(
             rel, vars_, r, v, num_partitions=num_partitions, how="anti"
         )
+    for grp, positive in [(g, True) for g in exists] + [
+        (g, False) for g in not_exists
+    ]:
+        # SPARQL FILTER (NOT) EXISTS: a correlated existence filter —
+        # semi-join (anti-join) on the shared variables. Distinct from
+        # MINUS exactly in the no-shared-variable corner: (NOT) EXISTS
+        # then degenerates to a global boolean gate (keep-all/drop-all by
+        # whether the group matches AT ALL), where MINUS removes nothing.
+        grp_pats, grp_filters = grp if isinstance(grp, tuple) else (grp, ())
+        r, v = _conjunction(triples, grp_pats, num_partitions=num_partitions)
+        if grp_filters:
+            r = r.map_batches(
+                lambda df, _f=tuple(grp_filters): _apply_filters(df, _f),
+                batch_format="pandas",
+            )
+        if not set(v) & set(vars_):
+            nonempty = len(r.limit(1).take(1)) > 0
+            if nonempty != positive:
+                rel = rel.limit(0)
+            continue
+        rel, vars_ = _join_adaptive(
+            rel,
+            vars_,
+            r,
+            v,
+            num_partitions=num_partitions,
+            how="semi" if positive else "anti",
+        )
     return rel, vars_
 
 
@@ -470,6 +526,8 @@ def bgp(
     minus=(),
     values=None,
     bind=(),
+    exists=(),
+    not_exists=(),
     num_partitions: int = _P,
 ):
     """Evaluate a graph pattern → DISTINCT Dataset of bindings (one string
@@ -496,6 +554,13 @@ def bgp(
       order over the joined bindings (vectorized, map-only; see
       :func:`_eval_bind` for the expression forms). Binds run BEFORE
       top-level filters, so a filter may constrain a bound variable.
+    - ``exists`` / ``not_exists``: SPARQL FILTER (NOT) EXISTS groups
+      (same shape as ``optional``) — correlated existence filters
+      evaluated as semi-/anti-joins on shared variables; a group sharing
+      NO variable degenerates to a global keep-all/drop-all gate (the
+      corner where (NOT) EXISTS and MINUS genuinely differ). Unbound
+      shared variables fail the filter (same simplification as MINUS —
+      see :func:`_semi_merge`).
     """
     rel, vars_ = _bgp_rel(
         triples,
@@ -503,6 +568,8 @@ def bgp(
         optional=optional,
         minus=minus,
         values=values,
+        exists=exists,
+        not_exists=not_exists,
         num_partitions=num_partitions,
     )
     if bind:
@@ -1297,4 +1364,66 @@ SELECT 'core_import_py' AS probe, CAST(EXISTS(
   WHERE t1.p = {_q(NS + "imports")} AND t1.o = {_q(MOD_NS + "core")}
 ) AS BIGINT) AS ask
 ORDER BY probe"""
+    )
+
+
+def q_kg_bgp_exists(sf_dir: str, *, num_partitions: int = _P):
+    """FILTER EXISTS / NOT EXISTS showcase — files (with language) that
+    import at least one ``mod_1``-family module but do NOT import the
+    ``core`` hub:
+
+        SELECT ?f ?lang WHERE {
+          ?f <language> ?lang .
+          FILTER EXISTS     { ?f <imports> ?m FILTER(strstarts(?m, mod/mod_1)) }
+          FILTER NOT EXISTS { ?f <imports> ?h FILTER(strstarts(?h, mod/core)) }
+        }
+
+    Both groups evaluate as correlated semi-/anti-joins on ?f through the
+    same adaptive broadcast/exchange gate as OPTIONAL/MINUS. DuckDB
+    oracle: WHERE EXISTS(...) AND NOT EXISTS(...)."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import MOD_NS, NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp(
+        triples,
+        [("?f", NS + "language", "?lang")],
+        exists=[
+            (
+                [("?f", NS + "imports", "?m")],
+                [("m", "prefix", MOD_NS + "mod_1")],
+            )
+        ],
+        not_exists=[
+            (
+                [("?f", NS + "imports", "?h")],
+                [("h", "prefix", MOD_NS + "core")],
+            )
+        ],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_exists() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t1.o AS lang
+FROM raw_triples t1
+WHERE t1.p = {_q(NS + "language")}
+  AND EXISTS (
+    SELECT 1 FROM raw_triples t2
+    WHERE t2.s = t1.s AND t2.p = {_q(NS + "imports")}
+      AND t2.o LIKE {_q(MOD_NS + "mod_1%")}
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM raw_triples t3
+    WHERE t3.s = t1.s AND t3.p = {_q(NS + "imports")}
+      AND t3.o LIKE {_q(MOD_NS + "core%")}
+  )
+ORDER BY f, lang"""
     )
