@@ -1348,3 +1348,62 @@ class TestBigramLM:
         assert list(zip(w1, w2)) == [("a", "b"), ("c", "d")]
         assert pos.tolist() == [0, 1]
         assert nbg.tolist() == [1, 1, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    @staticmethod
+    def _reference(edges: pd.DataFrame) -> pd.DataFrame:
+        e = edges.drop_duplicates(ignore_index=True)
+        adj: dict = {}
+        for a, b in e.itertuples(index=False):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        from collections import Counter
+
+        tri = Counter()
+        nodes = sorted(adj)
+        for x in nodes:
+            for y in (n for n in adj[x] if n > x):
+                for z in adj[x] & adj[y]:
+                    if z > y:
+                        tri[x] += 1
+                        tri[y] += 1
+                        tri[z] += 1
+        return pd.DataFrame(
+            sorted(tri.items()), columns=["node", "n_triangles"]
+        ).astype({"n_triangles": "int64"})
+
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_matches_bruteforce(self, seed):
+        from tripsu_ray.stages.graph import triangle_counts
+
+        rng = np.random.default_rng(seed)
+        raw = pd.DataFrame(
+            {
+                "x": [f"n{i:02d}" for i in rng.integers(0, 25, 260)],
+                "y": [f"n{i:02d}" for i in rng.integers(0, 25, 260)],
+            }
+        )
+        raw = raw[raw["x"] != raw["y"]]
+        edges = pd.DataFrame(
+            {
+                "a": np.minimum(raw["x"], raw["y"]),
+                "b": np.maximum(raw["x"], raw["y"]),
+            }
+        )  # canonical, duplicates left in on purpose
+        got = triangle_counts(_ds(edges, blocks=4), num_partitions=4)
+        pd.testing.assert_frame_equal(got, self._reference(edges))
+
+    def test_k4_and_chain(self):
+        from tripsu_ray.stages.graph import triangle_counts
+
+        k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+        got = triangle_counts(
+            _ds(pd.DataFrame(k4, columns=["a", "b"]), blocks=2), num_partitions=4
+        )
+        # K4: each node sits in C(3,2) = 3 triangles
+        assert got["n_triangles"].tolist() == [3, 3, 3, 3]
+        chain = pd.DataFrame({"a": ["a", "b", "c"], "b": ["b", "c", "d"]})
+        res = triangle_counts(_ds(chain, blocks=2), num_partitions=4)
+        assert len(res) == 0

@@ -564,3 +564,31 @@ SELECT a1, a2, CAST(n_common AS BIGINT) AS n_common,
 FROM pairs JOIN deg d1 ON d1.a = a1 JOIN deg d2 ON d2.a = a2
 ORDER BY a1, a2"""
     )
+
+
+def sql_triangles() -> str:
+    from ..stages.extract import NS
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+ca AS (
+  SELECT DISTINCT t1.o AS a, t2.o AS b
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "author")} AND t1.o < t2.o
+  WHERE t1.p = {_q(NS + "author")}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ca e1
+  JOIN ca e2 ON e2.a = e1.b
+  JOIN ca e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+mem AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM mem GROUP BY node ORDER BY node"""
+    )

@@ -327,3 +327,22 @@ def q_link_scores(sf_dir: str):
     from ..stages.graph import entity_edges, neighbor_overlap_scores
 
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over the DERIVED co-author graph (the
+    CONSTRUCT output union-ed back in as edges): compact-forward
+    degree-orientation plan, each triangle found exactly once
+    (stages/graph.py::triangle_counts)."""
+    import pandas as pd
+
+    from ..stages.graph import triangle_counts
+    from .bgp import q_kg_construct
+
+    edges = q_kg_construct(sf_dir).map_batches(
+        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
+        if len(df)
+        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
+        batch_format="pandas",
+    )
+    return triangle_counts(edges)
