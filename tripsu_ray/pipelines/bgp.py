@@ -346,10 +346,15 @@ def _broadcast_join(a, a_vars, small_df, b_vars, *, how: str = "inner"):
 
 def _join_adaptive(rel, vars_, r, v, *, num_partitions, how: str = "inner"):
     """Size-based join strategy: materialize the new side, count it, and
-    broadcast if it fits (``_BGP_BROADCAST_MAX``); otherwise fall back to
-    the union-tag exchange (the materialized side re-streams at no extra
-    cost). The caller decides whether counting is worth it — an
-    unconstrained pattern should go straight to the exchange."""
+    broadcast if it fits (``_BGP_BROADCAST_MAX``); otherwise, for INNER
+    joins, try the SWAPPED broadcast — the accumulated bindings after a
+    selective root pattern are often the small side while the new pattern
+    is unconstrained (the ``{selective} . ?f <inRepo> ?r`` shape), and
+    inner natural joins are symmetric. Only when both sides exceed the
+    bound does the union-tag exchange run (both materialized sides
+    re-stream at no extra cost). The caller decides whether counting is
+    worth it — an unconstrained-only conjunction goes straight to the
+    exchange."""
     rm = r.materialize()
     n = rm.count()
     if n <= _BGP_BROADCAST_MAX:
@@ -358,12 +363,25 @@ def _join_adaptive(rel, vars_, r, v, *, num_partitions, how: str = "inner"):
         else:
             small = rm.to_pandas()
         return _broadcast_join(rel, vars_, small, v, how=how)
+    if how == "inner":
+        relm = rel.materialize()
+        nl = relm.count()
+        if nl <= _BGP_BROADCAST_MAX:
+            if nl == 0:
+                small = pd.DataFrame(
+                    {c: pd.Series([], dtype=object) for c in vars_}
+                )
+            else:
+                small = relm.to_pandas()
+            return _broadcast_join(rm, v, small, vars_, how=how)
+        return _hash_join(relm, vars_, rm, v, num_partitions=num_partitions, how=how)
     return _hash_join(rel, vars_, rm, v, num_partitions=num_partitions, how=how)
 
 
 def _conjunction(triples, patterns, *, num_partitions: int = _P):
     """Pattern list → (relation Dataset, sorted variable list)."""
     rel, vars_ = _pattern_relation(triples, patterns[0])
+    selective_root = any(not _is_var(t) for t in patterns[0])
     # left-deep, but DEFER patterns that don't yet share a variable with
     # the accumulated bindings — a connected BGP is accepted in any
     # caller order; only a genuinely disconnected one is rejected
@@ -380,8 +398,11 @@ def _conjunction(triples, patterns, *, num_partitions: int = _P):
             )
         pat = pending.pop(i)
         r, v = _pattern_relation(triples, pat)
-        if any(not _is_var(t) for t in pat):
-            # a constant makes the pattern selective → worth counting
+        if any(not _is_var(t) for t in pat) or selective_root:
+            # a constant makes the NEW pattern selective → worth counting;
+            # a selective ROOT makes the accumulated side a broadcast
+            # candidate even against an unconstrained pattern (the
+            # swapped-broadcast path in _join_adaptive)
             rel, vars_ = _join_adaptive(
                 rel, vars_, r, v, num_partitions=num_partitions
             )
