@@ -553,10 +553,8 @@ class TestCoNeighbors:
         ).drop_duplicates(ignore_index=True)
         from tripsu_ray.stages.graph import butterfly_counts
 
-        got = (
-            butterfly_counts(_ds(df, blocks=4), num_partitions=4)
-            .to_pandas()
-            .sort_values("node", ignore_index=True)
+        got = butterfly_counts(_ds(df, blocks=4), num_partitions=4).sort_values(
+            "node", ignore_index=True
         )
         j = df.merge(df, on="b")
         j = j[j["a_x"] < j["a_y"]]
@@ -583,10 +581,8 @@ class TestCoNeighbors:
         )
         from tripsu_ray.stages.graph import butterfly_counts
 
-        got = (
-            butterfly_counts(_ds(df, blocks=2), num_partitions=3)
-            .to_pandas()
-            .sort_values("node", ignore_index=True)
+        got = butterfly_counts(_ds(df, blocks=2), num_partitions=3).sort_values(
+            "node", ignore_index=True
         )
         want = pd.DataFrame({"node": ["u", "v"], "n_butterflies": [1, 1]}).astype(
             {"n_butterflies": "int64"}
@@ -922,9 +918,12 @@ class TestSkewPolicies:
         from tripsu_ray.stages.graph import butterfly_counts, co_neighbor_counts
 
         df = self._bipartite()
+        def _pd(x):
+            return x.to_pandas() if hasattr(x, "to_pandas") else x
+
         for fn in (co_neighbor_counts, butterfly_counts):
-            exact = fn(_ds(df, blocks=3), num_partitions=4).to_pandas()
-            capped = fn(_ds(df, blocks=3), num_partitions=4, hub_cap=10_000).to_pandas()
+            exact = _pd(fn(_ds(df, blocks=3), num_partitions=4))
+            capped = _pd(fn(_ds(df, blocks=3), num_partitions=4, hub_cap=10_000))
             pd.testing.assert_frame_equal(
                 exact.sort_values("node", ignore_index=True),
                 capped.sort_values("node", ignore_index=True),

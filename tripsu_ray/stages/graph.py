@@ -104,28 +104,45 @@ def predicate_census(triples):
     )
 
 
-def entity_edges(triples):
+def entity_edges(triples, *, num_partitions: int = 32):
     """DISTINCT entity-graph edges: (subject, object) pairs of IRI→IRI
     triples, rdf:type excluded (type edges would fuse every instance of a
     class into one component), self-loops dropped.
 
-    Dedup rides the subject-partitioned pass: an (s, o) pair duplicated
-    across partitions is impossible (same s → same partition).
+    Filter + project + local dedup run BEFORE the exchange, so the
+    subject-hash shuffle moves only the two edge columns of the rows that
+    survive (≪ the 7-column triple stream — this stage feeds every graph
+    query, so its constant factor matters). Within-partition dedup is
+    globally exact: all copies of a subject's edges share a partition.
     """
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        m = (
-            (df["subject_kind"] == KIND_IRI)
-            & (df["object_kind"] == KIND_IRI)
-            & (df["predicate"] != RDF_TYPE)
-            & (df["subject"] != df["object_value"])
-        )
-        out = df.loc[m, ["subject", "object_value"]].rename(
-            columns={"subject": "a", "object_value": "b"}
-        )
-        return out.drop_duplicates(ignore_index=True)
+    def project(batch: pa.Table) -> pd.DataFrame:
+        sk = batch["subject_kind"].to_numpy(zero_copy_only=False)
+        ok = batch["object_kind"].to_numpy(zero_copy_only=False)
+        pred = batch["predicate"].to_numpy(zero_copy_only=False)
+        s = batch["subject"].to_numpy(zero_copy_only=False)
+        o = batch["object_value"].to_numpy(zero_copy_only=False)
+        m = (sk == KIND_IRI) & (ok == KIND_IRI) & (pred != RDF_TYPE) & (s != o)
+        df = pd.DataFrame(
+            {"a": pd.Series(s[m], dtype=object), "b": pd.Series(o[m], dtype=object)}
+        ).drop_duplicates(ignore_index=True)
+        df["_part"] = (
+            pd.util.hash_array(df["a"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return df
 
-    return _subject_partitioned_distinct(triples, finish)
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "a" not in g.columns:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
+            )
+        return g[["a", "b"]].drop_duplicates(ignore_index=True)
+
+    return (
+        triples.map_batches(project, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
 def co_neighbor_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | None = None):
@@ -374,7 +391,22 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | None 
     if wedges.count() == 0:
         return empty_out()
     partials = wedges.groupby("_part2").map_groups(codeg_part, batch_format="pandas")
-    return partials.groupby("node").aggregate(Sum("n_butterflies", alias_name="n_butterflies"))
+
+    # final per-node sum: node-class rows (≤ P partial rows per node) —
+    # tree-fold instead of a Ray string-key aggregate (the multi-group
+    # aggregate hazard in BASELINE.md; measured 2× on the sf0.1 bench)
+    from .folds import tree_fold_tables
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["n_butterflies"].sum()
+
+    folded = tree_fold_tables(partials, combine)
+    if folded is None or not len(folded):
+        return empty_out()
+    return folded.sort_values("node", ignore_index=True).astype(
+        {"n_butterflies": "int64"}
+    )
 
 
 def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
