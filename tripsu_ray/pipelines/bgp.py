@@ -1448,3 +1448,90 @@ WHERE t1.p = {_q(NS + "language")}
   )
 ORDER BY f, lang"""
     )
+
+
+def q_kg_bgp_group_concat(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL GROUP_CONCAT over a BGP — per author, the DISTINCT modules
+    their repos' files import, as an ordered comma list:
+
+        SELECT ?a (GROUP_CONCAT(DISTINCT ?m; separator=",") AS ?modules)
+               (COUNT(DISTINCT ?m) AS ?n)
+        WHERE { ?r <author> ?a . ?f <inRepo> ?r . ?f <imports> ?m }
+        GROUP BY ?a
+
+    List aggregation is order-sensitive, so the order is fixed BEFORE
+    concatenation (the ``rel_listagg`` discipline): the BGP's DISTINCT
+    (a, m) bindings co-partition on the author, each partition sorts its
+    authors' modules and renders the string ONCE — partial strings are
+    never concatenated. DuckDB oracle: ``string_agg(DISTINCT m, ','
+    ORDER BY m)``."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [
+            ("?r", NS + "author", "?a"),
+            ("?f", NS + "inRepo", "?r"),
+            ("?f", NS + "imports", "?m"),
+        ],
+        num_partitions=num_partitions,
+    )
+
+    def redist(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "m": pd.Series([], dtype=object),
+                "_gc": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df) or "a" not in df.columns:
+            return empty
+        out = df[["a", "m"]].drop_duplicates()
+        out["_gc"] = (
+            pd.util.hash_array(out["a"].to_numpy(dtype=object)) % num_partitions
+        ).astype("int64")
+        return out
+
+    def concat_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "n_modules": pd.Series([], dtype="int64"),
+                "modules": pd.Series([], dtype=object),
+            }
+        )
+        if not len(g) or "a" not in g.columns:
+            return empty
+        d = g[["a", "m"]].drop_duplicates().sort_values(["a", "m"])
+        agg = d.groupby("a", sort=False)["m"].agg(
+            n_modules="size", modules=lambda s: ",".join(s)
+        )
+        return agg.reset_index().astype({"n_modules": "int64"})
+
+    return (
+        matches.map_batches(redist, batch_format="pandas")
+        .groupby("_gc")
+        .map_groups(concat_part, batch_format="pandas")
+    )
+
+
+def sql_kg_bgp_group_concat() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT t1.o AS a,
+       CAST(count(DISTINCT t3.o) AS BIGINT) AS n_modules,
+       string_agg(DISTINCT t3.o, ',' ORDER BY t3.o) AS modules
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.o = t1.s AND t2.p = {_q(NS + "inRepo")}
+JOIN raw_triples t3 ON t3.s = t2.s AND t3.p = {_q(NS + "imports")}
+WHERE t1.p = {_q(NS + "author")}
+GROUP BY t1.o ORDER BY a"""
+    )

@@ -1069,3 +1069,13 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id
 """.strip()
+
+
+def sql_rel_ntile(k: int = 4) -> str:
+    return f"""
+SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS price_cents,
+       CAST(NTILE({k}) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+            AS BIGINT) AS tile
+FROM customer ORDER BY price_cents, c_custkey
+""".strip()

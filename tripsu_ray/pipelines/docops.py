@@ -2497,3 +2497,89 @@ def q_text_bigram_logprob(sf_dir: str):
     from ..stages.text import text_bigram_logprob
 
     return text_bigram_logprob(sf_dir)
+
+
+def q_rel_ntile(sf_dir: str, *, k: int = 4, num_partitions: int = 32):
+    """Global ``NTILE(4) OVER (ORDER BY price_cents, c_custkey)`` —
+    equal-height bucketing over a distributed order, on the same
+    range-partitioned rank plan as ``rel_row_number``: extent fold →
+    integer key ranges (ties share a range, so the cross-partition order
+    is total) → per-range census → driver prefix offsets → per-range
+    local sort + the exact SQL NTILE split (the first ``N % k`` tiles get
+    one extra row). Rows shuffle once."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "price_cents": (b["c_acctbal"] * 100).round().astype("int64"),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+
+    def extent(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lo": [b["price_cents"].min()], "hi": [b["price_cents"].max()]}
+        )
+
+    ext = cents.map_batches(extent, batch_format="pandas").to_pandas()
+    lo, hi = int(ext["lo"].min()), int(ext["hi"].max())
+    span = hi - lo + 1
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        part = (b["price_cents"].astype("int64") - lo) * num_partitions // span
+        g = part.value_counts().sort_index()
+        return pd.DataFrame({"part": g.index.astype("int64"), "n": g.to_numpy("int64")})
+
+    cens = cents.map_batches(census, batch_format="pandas").to_pandas()
+    sizes = cens.groupby("part")["n"].sum().reindex(
+        range(num_partitions), fill_value=0
+    )
+    offsets = sizes.cumsum().shift(fill_value=0).astype("int64").to_dict()
+    n_total = int(sizes.sum())
+    size_small = n_total // k
+    n_big = n_total % k
+    cut = n_big * (size_small + 1)
+
+    def tile_of(r: np.ndarray) -> np.ndarray:
+        """1-based global rank → SQL NTILE bucket (exact split)."""
+        big = (r - 1) // (size_small + 1) + 1
+        small = n_big + (r - 1 - cut) // max(size_small, 1) + 1
+        return np.where(r <= cut, big, small).astype("int64")
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "price_cents": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        s = g.sort_values(["price_cents", "c_custkey"], ignore_index=True)
+        off = offsets[int(g["_part"].iloc[0])]
+        r = np.arange(1, len(s) + 1, dtype="int64") + off
+        return pd.DataFrame(
+            {
+                "c_custkey": s["c_custkey"].astype("int64"),
+                "price_cents": s["price_cents"].astype("int64"),
+                "tile": tile_of(r),
+            }
+        )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            (b["price_cents"].astype("int64") - lo) * num_partitions // span
+        ).astype("int64")
+        return b
+
+    return (
+        cents.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(rank_part, batch_format="pandas")
+    )
