@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_group_concat": bgp.q_kg_bgp_group_concat,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
+        "kg_rdfs_domain_range": q.q_rdfs_domain_range,
         "kg_graph_diff": q.q_graph_diff,
         "kg_typo_candidates": q.q_typo_candidates,
         "kg_repo_profile": q.q_repo_profile,
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_shard_pack": docops.q_text_shard_pack,
         "text_repetition": docops.q_text_repetition,
         "text_curate": docops.q_text_curate,
+        "text_bpe_train": docops.q_text_bpe_train,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -121,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_threshold": docops.q_sim_threshold,
         "sim_threshold_lsh": docops.q_sim_threshold_lsh,
         "ann_knn_graph": docops.q_ann_knn_graph,
+        "ann_pq": docops.q_ann_pq,
         # multimodal
         "multimodal_dims": docops.q_multimodal_dims,
         "multimodal_features": docops.q_multimodal_features,
@@ -190,7 +193,9 @@ def oracle_sql() -> dict[str, str]:
     not SQL-reproducible; error <2% vs exact asserted in tests),
     kg_pagerank (float power iteration — np.allclose-verified in tests),
     kg_core_numbers (iterative H-index fixpoint — exact-equal to
-    sequential peeling in tests), kg_random_walks (deterministic
+    sequential peeling in tests), ann_pq (PQ-compressed candidate scan — recall vs ann_topk
+    asserted in tests), text_bpe_train (iterative merge learning —
+    sequential replay asserted in tests), kg_random_walks (deterministic
     hash-seeded walks — exact-equal to a sequential replay in tests, but
     the SipHash step choice has no SQL rendering).
     """
@@ -230,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_group_concat": bgp.sql_kg_bgp_group_concat(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
+        "kg_rdfs_domain_range": oracle.sql_rdfs_domain_range(),
         "kg_graph_diff": oracle.sql_graph_diff(),
         "kg_typo_candidates": oracle.sql_typo_candidates(),
         "kg_repo_profile": oracle.sql_repo_profile(),

@@ -1447,3 +1447,85 @@ class TestNtile:
         # equal-height property: tile sizes differ by at most one
         sizes = got["tile"].value_counts()
         assert sizes.max() - sizes.min() <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPQ:
+    def test_recall_vs_exact(self):
+        from tripsu_ray.stages.similarity import ann_pq, ann_topk
+
+        sf = "/root/testdata/sf0.001"
+        exact = ann_topk(sf, k=10, num_queries=5).to_pandas()
+        pq = ann_pq(sf, k=10, num_queries=5).to_pandas()
+        # exact-rerank discipline: every reported simq must equal the
+        # exact quantized cosine for that (query, vec) pair
+        merged = pq.merge(
+            exact, on=["query_id", "vec_id"], suffixes=("_pq", "_ex"), how="inner"
+        )
+        assert (merged["simq_pq"] == merged["simq_ex"]).all()
+        # recall of the exact top-10 per query
+        hits = len(merged)
+        total = len(exact)
+        assert hits / total >= 0.6, (hits, total)
+
+    def test_deterministic(self):
+        from tripsu_ray.stages.similarity import ann_pq
+
+        sf = "/root/testdata/sf0.001"
+        a = ann_pq(sf, k=5, num_queries=3).to_pandas()
+        b = ann_pq(sf, k=5, num_queries=3).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestBPETrain:
+    def test_sequential_reference(self):
+        from collections import Counter
+
+        from tripsu_ray.stages.text import bpe_train_on_words
+
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        merges = bpe_train_on_words(words, 4)
+        # replay by hand: round 1 best pair on the raw chars
+        pairs = Counter()
+        for w, c in words.items():
+            for a, b in zip(w[:-1], w[1:]):
+                pairs[(a, b)] += c
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert merges[0][:2] == best[0] and merges[0][2] == best[1]
+        # merge list deterministic + descending-ish counts with lex ties
+        assert merges == bpe_train_on_words(dict(reversed(list(words.items()))), 4)
+
+    def test_merged_symbol_participates(self):
+        from tripsu_ray.stages.text import bpe_train_on_words
+
+        # "aaaa"×N: first merge (a,a) → aa; second merge must be (aa,aa)
+        merges = bpe_train_on_words({"aaaa": 10}, 2)
+        assert merges[0][:2] == ("a", "a")
+        assert merges[1][:2] == ("aa", "aa")
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_distributed_equals_local(self, tmp_path):
+        from tripsu_ray.stages.text import (
+            _token_pat,
+            bpe_train_on_words,
+            text_bpe_train,
+        )
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "the cat sat on the mat",
+                    "the battle rattled",
+                    "seattle cattle",
+                    "",
+                    "threadbare theme the",
+                    "matter scatter",
+                ],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = text_bpe_train(str(tmp_path), n_merges=6)
+        flat = docs["text"].str.lower().str.findall(_token_pat).explode().dropna()
+        want = bpe_train_on_words(flat.value_counts().to_dict(), 6)
+        assert list(zip(got["left"], got["right"], got["n"])) == want

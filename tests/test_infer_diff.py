@@ -166,3 +166,65 @@ class TestRowNumber:
              "rn": np.arange(1, len(keys) + 1, dtype="int64")}
         )
         pd.testing.assert_frame_equal(out, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDomainRange:
+    def test_rules_and_closure_compose(self):
+        import ray.data
+
+        from tripsu_ray.functions.rdf import triples_table
+        from tripsu_ray.schema import KIND_IRI, KIND_LITERAL, RDF_TYPE
+        from tripsu_ray.stages.infer import rdfs_domain_range_census
+
+        rows = [
+            # f1 asserted File; f2 untyped but subjects an `imports` triple
+            ("f1", 0, RDF_TYPE, "File", KIND_IRI, None, None),
+            ("f1", 0, "imports", "m1", KIND_IRI, None, None),
+            ("f2", 0, "imports", "m2", KIND_IRI, None, None),
+            # literal object: range rule must NOT fire
+            ("r1", 0, "author", "alice", KIND_LITERAL, None, None),
+        ]
+        t = ray.data.from_arrow(triples_table(rows)).repartition(2)
+        out = (
+            rdfs_domain_range_census(
+                t,
+                [("File", "Resource"), ("Module", "Resource")],
+                {"imports": "File", "author": "Repository"},
+                {"imports": "Module", "author": "Person"},
+            )
+            .to_pandas()
+            .sort_values("type", ignore_index=True)
+        )
+        want = pd.DataFrame(
+            {
+                # File: f1 (asserted + domain), f2 (domain) → 2
+                # Module: m1, m2 (range) → 2; Repository: r1 (domain) → 1
+                # Resource: superclass of File ∪ Module → f1 f2 m1 m2 → 4
+                # Person: author object is a LITERAL → rule must not fire
+                "type": ["File", "Module", "Repository", "Resource"],
+                "n": np.array([2, 2, 1, 4], dtype="int64"),
+            }
+        )
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_no_double_count_across_rules(self):
+        import ray.data
+
+        from tripsu_ray.functions.rdf import triples_table
+        from tripsu_ray.schema import KIND_IRI, RDF_TYPE
+        from tripsu_ray.stages.infer import rdfs_domain_range_census
+
+        # f typed File by ASSERTION and by TWO domain rules and duplicated
+        # across partitions: census must count it once
+        rows = [
+            ("f", 0, RDF_TYPE, "File", KIND_IRI, None, None),
+            ("f", 0, "imports", "m", KIND_IRI, None, None),
+            ("f", 0, "inRepo", "r", KIND_IRI, None, None),
+            ("f", 0, "imports", "m2", KIND_IRI, None, None),
+        ]
+        t = ray.data.from_arrow(triples_table(rows)).repartition(3)
+        out = rdfs_domain_range_census(
+            t, [], {"imports": "File", "inRepo": "File"}, {}
+        ).to_pandas()
+        assert out.set_index("type")["n"]["File"] == 1

@@ -2583,3 +2583,21 @@ def q_rel_ntile(sf_dir: str, *, k: int = 4, num_partitions: int = 32):
         .groupby("_part")
         .map_groups(rank_part, batch_format="pandas")
     )
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (stages/similarity.py::ann_pq — codes not
+    vectors cross the scan at scale; exact rerank of ADC survivors).
+    Rows-only; recall vs the exact ann_topk asserted in tests."""
+    from ..stages.similarity import ann_pq
+
+    return ann_pq(sf_dir)
+
+
+def q_text_bpe_train(sf_dir: str):
+    """Corpus BPE merge learning (stages/text.py::text_bpe_train — word
+    census fold + deterministic driver merge loop). Rows-only; sequential
+    whole-corpus replay asserted in tests."""
+    from ..stages.text import text_bpe_train
+
+    return text_bpe_train(sf_dir)

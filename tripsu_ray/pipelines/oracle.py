@@ -592,3 +592,45 @@ mem AS (
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM mem GROUP BY node ORDER BY node"""
     )
+
+
+def sql_rdfs_domain_range() -> str:
+    """rdfs2 + rdfs3 + recursive rdfs9 closure + census — the oracle
+    anchor for stages/infer.py::rdfs_domain_range_census."""
+    from ..stages.infer import default_ontology, default_property_axioms
+
+    onto = default_ontology(NS)
+    domains, ranges = default_property_axioms(NS)
+    vals = ", ".join(f"({_q(c)}, {_q(sup)})" for c, sup in onto)
+    dvals = ", ".join(f"({_q(p)}, {_q(c)})" for p, c in sorted(domains.items()))
+    rvals = ", ".join(f"({_q(p)}, {_q(c)})" for p, c in sorted(ranges.items()))
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+sub(c, sup) AS (VALUES {vals}),
+clo AS (
+  SELECT c, sup FROM sub
+  UNION
+  SELECT clo.c, sub.sup FROM clo JOIN sub ON clo.sup = sub.c
+),
+dom(p, c) AS (VALUES {dvals}),
+rng(p, c) AS (VALUES {rvals}),
+base AS (
+  SELECT DISTINCT s, o AS t FROM raw_triples WHERE p = {_q(RDF_TYPE)}
+  UNION
+  SELECT DISTINCT t.s, d.c AS t FROM raw_triples t JOIN dom d ON d.p = t.p
+  UNION
+  SELECT DISTINCT t.o AS s, r.c AS t
+  FROM raw_triples t JOIN rng r ON r.p = t.p WHERE t.k = 'iri'
+),
+all_types AS (
+  SELECT s, t FROM base
+  UNION
+  SELECT b.s, c.sup AS t FROM base b JOIN clo c ON c.c = b.t
+)
+SELECT t AS type, CAST(count(DISTINCT s) AS BIGINT) AS n
+FROM all_types GROUP BY 1 ORDER BY 1"""
+    )

@@ -346,3 +346,22 @@ def q_triangles(sf_dir: str):
         batch_format="pandas",
     )
     return triangle_counts(edges)
+
+
+def q_rdfs_domain_range(sf_dir: str):
+    """RDFS domain/range inference (rules rdfs2 + rdfs3) composed with the
+    subclass closure (rdfs9): per-type distinct-node census after every
+    predicate's declared domain types its subjects and its declared range
+    types its IRI objects (stages/infer.py::rdfs_domain_range_census).
+    Axioms live with the ontology: driver-side, broadcast once."""
+    from ..stages.extract import NS
+    from ..stages.infer import (
+        default_ontology,
+        default_property_axioms,
+        rdfs_domain_range_census,
+    )
+
+    domains, ranges = default_property_axioms(NS)
+    return rdfs_domain_range_census(
+        _extracted(sf_dir), default_ontology(NS), domains, ranges
+    )

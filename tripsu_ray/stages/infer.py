@@ -142,3 +142,134 @@ def rdfs_type_census(
         return out.astype({"n": "int64"})
 
     return partial.repartition(1).map_batches(fold, batch_format="pandas")
+
+
+#: demo property axioms over the extractor's predicates (a real deployment
+#: reads these from the schema file, like the class ontology above)
+def default_property_axioms(ns: str):
+    domains = {
+        ns + "imports": ns + "File",
+        ns + "inRepo": ns + "File",
+        ns + "defines": ns + "File",
+        ns + "calls": ns + "File",
+        ns + "language": ns + "File",
+        ns + "author": ns + "Repository",
+        ns + "license": ns + "Repository",
+    }
+    ranges = {
+        ns + "imports": ns + "Module",
+        ns + "inRepo": ns + "Repository",
+    }
+    return domains, ranges
+
+
+def rdfs_domain_range_census(
+    triples,
+    ontology: list[tuple[str, str]],
+    domains: dict[str, str],
+    ranges: dict[str, str],
+    *,
+    num_partitions: int = 16,
+):
+    """(type, n_subjects) census under rdfs2 + rdfs3 + rdfs9:
+
+        rdfs2: (?s ?p ?o) ∧ (?p domain C) ⇒ ?s rdf:type C
+        rdfs3: (?s ?p ?o) ∧ (?p range  C) ∧ ?o is IRI ⇒ ?o rdf:type C
+        rdfs9: subclass closure over everything derived above
+
+    Same distributed shape as :func:`rdfs_type_census` — the property
+    axioms are query-text-sized like the class ontology (driver +
+    broadcast), one map pass emits the (type, node) pairs, one pair-hash
+    exchange makes the per-type distinct-node census exact.
+    """
+    import ray
+
+    closure = subclass_closure(ontology)
+    state = ray.put((closure, dict(domains), dict(ranges)))
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        clo, dom, rng = ray.get(state)
+        p = batch["predicate"].to_numpy(zero_copy_only=False)
+        s = batch["subject"].to_numpy(zero_copy_only=False)
+        o = batch["object_value"].to_numpy(zero_copy_only=False)
+        ok = batch["object_kind"].to_numpy(zero_copy_only=False)
+        frames = []
+        m_type = p == RDF_TYPE
+        if m_type.any():
+            frames.append(pd.DataFrame({"t": o[m_type], "s": s[m_type]}))
+        # rdfs2/rdfs3: one vectorized mask per axiom (axioms ≪ rows)
+        for pred, cls in dom.items():
+            m = p == pred
+            if m.any():
+                frames.append(pd.DataFrame({"t": cls, "s": s[m]}))
+        from ..schema import KIND_IRI
+
+        for pred, cls in rng.items():
+            m = (p == pred) & (ok == KIND_IRI)
+            if m.any():
+                frames.append(pd.DataFrame({"t": cls, "s": o[m]}))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "t": pd.Series([], dtype=object),
+                    "s": pd.Series([], dtype=object),
+                    "_part": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.concat(frames, ignore_index=True).drop_duplicates()
+        df["t"] = df["t"].astype(object)
+        df["s"] = df["s"].astype(object)
+        extra_t: list[np.ndarray] = []
+        extra_s: list[np.ndarray] = []
+        for cls, sups in clo.items():
+            if not sups:
+                continue
+            subj = df["s"][df["t"] == cls].to_numpy(dtype=object)
+            if not len(subj):
+                continue
+            extra_t.append(np.repeat(np.array(sups, dtype=object), len(subj)))
+            extra_s.append(np.tile(subj, len(sups)))
+        if extra_t:
+            df = pd.concat(
+                [
+                    df,
+                    pd.DataFrame(
+                        {"t": np.concatenate(extra_t), "s": np.concatenate(extra_s)}
+                    ),
+                ],
+                ignore_index=True,
+            ).drop_duplicates()
+        df["_part"] = (
+            pd.util.hash_array(
+                (df["t"].astype(str) + "\x00" + df["s"].astype(str)).to_numpy(
+                    dtype=object
+                )
+            )
+            % num_partitions
+        ).astype("int64")
+        return df
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"type": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g) or "t" not in g.columns:
+            return empty
+        d = g[["t", "s"]].drop_duplicates()
+        out = d.groupby("t", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {"type": out["t"].astype(object), "n": out["size"].astype("int64")}
+        )
+
+    partial = (
+        triples.map_batches(expand, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("type", sort=False, as_index=False)["n"].sum()
+        out["type"] = out["type"].astype(object)
+        return out.astype({"n": "int64"})
+
+    return partial.repartition(1).map_batches(fold, batch_format="pandas")

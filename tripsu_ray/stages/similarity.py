@@ -478,3 +478,110 @@ def ann_knn_graph(sf_dir: str, *, k: int = 5, chunk: int = 1024):
     partials = pd.concat(outs, ignore_index=True)
     partials = partials[partials["simq"] > -(1 << 62)]
     return _global_topk(partials, k)
+
+
+def _train_pq_codebooks(
+    sf_dir: str, m: int, ksub: int, sample: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ksub, d/m) on a pruned sample
+    read — the PQ training step. Vectors are L2-normalized FIRST (cosine
+    ≡ dot on normalized rows), then each d/m-dim slice clusters
+    independently. Deterministic: fixed seed/sample/iterations."""
+    import pyarrow.compute as pc
+
+    df = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < sample,
+    ).to_pandas()
+    X = _normalize_rows(np.stack(df["embedding"].to_numpy()))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, : len(C)] = C
+        if len(C) < ksub:  # degenerate tiny sample: pad with copies
+            books[j, len(C) :] = C[0]
+    return books
+
+
+def ann_pq(
+    sf_dir: str,
+    *,
+    k: int = 10,
+    num_queries: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 13,
+    rerank: int = 4,
+):
+    """Product-quantization top-k — the ANN memory-scale path: each
+    vector compresses to ``m`` uint8 codes (×32–64 smaller than float32),
+    so at 100 TB the candidate scan touches codes, not vectors.
+
+    Plan: codebooks train on a pruned sample (driver, deterministic) and
+    broadcast with the per-query ADC lookup tables (num_queries × m ×
+    ksub dot-product partials — the asymmetric distance computation);
+    ONE corpus pass encodes each batch and scores candidates via m table
+    lookups + a sum (no float matmul against the corpus); the per-batch
+    top ``k·rerank`` ADC candidates are re-scored EXACTLY against the
+    batch's own (still in-hand) vectors, so the fold re-selects by exact
+    quantized cosine — the PQ approximation only affects which
+    candidates survive the per-batch cut (recall, asserted in tests),
+    never the reported similarity values. Approximate → rows-only."""
+    import ray
+
+    q_ids, Q = _query_matrix(sf_dir, num_queries)
+    books = _train_pq_codebooks(sf_dir, m, ksub, sample, iters, seed)
+    dsub = books.shape[2]
+    # ADC tables: T[q, j, c] = <Q[q] slice j, books[j, c]>
+    T = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    ref = ray.put((q_ids, Q, books, T))
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    keep = k * rerank
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, Q_, books_, T_ = ray.get(ref)
+        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
+        n = len(vm)
+        S = vm.reshape(n, m, dsub)
+        # encode: per subspace argmin L2 to the codebook
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            d2 = ((S[:, j, None, :] - books_[None, j]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        vids = batch["vec_id"].to_numpy()
+        rows = {"query_id": [], "vec_id": [], "simq": []}
+        for qi, qid in enumerate(q_ids_):
+            approx = T_[qi, np.arange(m)[None, :], codes].sum(axis=1)
+            mask = vids != qid
+            cand = np.flatnonzero(mask)
+            order = cand[np.argsort(-approx[cand], kind="stable")[:keep]]
+            # exact rerank of the ADC survivors against in-hand vectors
+            exact = vm[order] @ Q_[qi]
+            simq = np.floor(exact * QUANT).astype(np.int64)
+            sel = np.lexsort((vids[order], -simq))[:k]
+            rows["query_id"].extend([qid] * len(sel))
+            rows["vec_id"].extend(vids[order][sel])
+            rows["simq"].extend(simq[sel])
+        return pd.DataFrame(rows).astype("int64")
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _global_topk(partials, k)

@@ -1374,3 +1374,84 @@ def text_bigram_logprob(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+# --- BPE merge training ------------------------------------------------------
+
+BPE_TRAIN_MERGES = 12
+
+
+def bpe_train_on_words(word_counts: dict, n_merges: int) -> list[tuple[str, str, int]]:
+    """Sequential BPE merge learning on a word-frequency table (the
+    driver-side half; real tokenizer trainers operate on this table, not
+    the corpus). Deterministic: best pair by (count desc, pair lex asc).
+    Returns [(left, right, pair_count), ...] in merge order."""
+    from collections import Counter
+
+    seqs = {w: tuple(w) for w in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, seq in seqs.items():
+            c = word_counts[w]
+            for a, b in zip(seq[:-1], seq[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, int(cnt)))
+        ab = a + b
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def text_bpe_train(sf_dir: str, *, n_merges: int = BPE_TRAIN_MERGES):
+    """Learn the corpus's top-N BPE merges — the tokenizer-TRAINING step
+    of a training-data pipeline (the ``text_tokens`` op applies a fixed
+    tokenizer; this one derives it from the data).
+
+    The distributed half is the word-frequency census (the same
+    per-batch ``value_counts`` partials + tree-fold as ``text_vocab``):
+    BPE statistics are a pure function of the word table, which is
+    vocabulary-class — so the merge loop runs driver-side over ≤|vocab|
+    rows with a deterministic (count desc, lex asc) tie-break,
+    reproducible under ANY partitioning. Output: (rank, left, right, n)
+    merge table. Rows-only driver check (iterative merges have no SQL
+    rendering); tests replay a sequential whole-corpus reference."""
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+    parts = docs.map_batches(vocab_partial_batch, batch_format="pandas")
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)["n"].sum()
+
+    vocab = tree_fold_tables(parts, combine)
+    counts = (
+        {t: int(n) for t, n in zip(vocab["token"], vocab["n"])}
+        if vocab is not None and len(vocab)
+        else {}
+    )
+    merges = bpe_train_on_words(counts, n_merges)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype="int64"),
+            "left": pd.Series([m[0] for m in merges], dtype=object),
+            "right": pd.Series([m[1] for m in merges], dtype=object),
+            "n": np.array([m[2] for m in merges], dtype="int64"),
+        }
+    )
