@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_kmv_distinct": docops.q_rel_kmv_distinct,
         "rel_cms_counts": docops.q_rel_cms_counts,
         "rel_ntile": docops.q_rel_ntile,
+        "rel_winsorize": docops.q_rel_winsorize,
+        "rel_time_weighted": docops.q_rel_time_weighted,
+        "rel_key_skew": docops.q_rel_key_skew,
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
@@ -275,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_kmv_distinct": d.sql_rel_kmv_distinct(),
         "rel_cms_counts": d.sql_rel_cms_counts(),
         "rel_ntile": d.sql_rel_ntile(),
+        "rel_winsorize": d.sql_rel_winsorize(),
+        "rel_time_weighted": d.sql_rel_time_weighted(),
+        "rel_key_skew": d.sql_rel_key_skew(),
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),

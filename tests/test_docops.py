@@ -1529,3 +1529,75 @@ class TestBPETrain:
         flat = docs["text"].str.lower().str.findall(_token_pat).explode().dropna()
         want = bpe_train_on_words(flat.value_counts().to_dict(), 6)
         assert list(zip(got["left"], got["right"], got["n"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinsorTwaSkew:
+    def test_time_weighted_matches_pandas(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_time_weighted
+
+        rng = np.random.default_rng(31)
+        n = 600
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.Timestamp("2026-01-01")
+                + pd.to_timedelta(rng.integers(0, 86400 * 10, n), unit="s"),
+                "user_id": rng.integers(0, 40, n).astype(np.int64),
+                "event_type": "x",
+                "value": rng.uniform(0, 100, n).round(2),
+                "props": "{}",
+            }
+        )
+        ev.to_parquet(tmp_path / "events.parquet")
+        got = (
+            q_rel_time_weighted(str(tmp_path))
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        rows = []
+        for u, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            ep = (g["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+            c = (g["value"] * 100).round().astype("int64").to_numpy()
+            dt = ep[1:] - ep[:-1]
+            num, den = int((c[:-1] * dt).sum()), int(dt.sum())
+            if den > 0:
+                rows.append((u, num, den, num // den))
+        want = pd.DataFrame(rows, columns=["user_id", "num", "den", "twa_q"]).astype(
+            "int64"
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_key_skew_gini_bounds(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_key_skew
+
+        # uniform keys → gini ≈ 0; one dominant key → gini large
+        uni = pd.DataFrame({"l_partkey": np.repeat(np.arange(50, dtype=np.int64), 10)})
+        uni.to_parquet(tmp_path / "lineitem.parquet")
+        out = q_rel_key_skew(str(tmp_path))
+        assert out["gini_num"][0] == 0
+        assert out["top1_share_q"][0] == 1_000_000 * 10 // 500
+        skew = pd.DataFrame(
+            {"l_partkey": np.concatenate([np.zeros(500, np.int64), np.arange(1, 51, dtype=np.int64)])}
+        )
+        skew.to_parquet(tmp_path / "lineitem.parquet")
+        out2 = q_rel_key_skew(str(tmp_path))
+        gini = out2["gini_num"][0] / out2["gini_den"][0]
+        assert gini > 0.7
+        assert out2["n_keys"][0] == 51
+
+    def test_winsorize_bounds(self, tmp_path):
+        from tripsu_ray.pipelines.docops import q_rel_winsorize
+
+        vals = np.concatenate([np.full(96, 50.0), [0.01, 0.02, 1000.0, 2000.0]])
+        li = pd.DataFrame({"l_extendedprice": vals})
+        li.to_parquet(tmp_path / "lineitem.parquet")
+        out = q_rel_winsorize(str(tmp_path))
+        # p05/p95 by quantile_disc over 100 rows; clipped counts bounded
+        assert out["n_clipped_lo"][0] <= 5 and out["n_clipped_hi"][0] <= 5
+        cents = (vals * 100).round().astype("int64")
+        lo, hi = int(out["p05_cents"][0]), int(out["p95_cents"][0])
+        assert out["sum_winsorized_cents"][0] == int(np.clip(cents, lo, hi).sum())
+        assert out["n_clipped_lo"][0] == int((cents < lo).sum())
+        assert out["n_clipped_hi"][0] == int((cents > hi).sum())

@@ -449,3 +449,27 @@ class TestFlatfileIO:
             _write_triples(ds, out)
             back = _read_triples(out, "raise")
             assert self._key_set(back) == self._key_set(ds)
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """nt → jsonl → tsv → nt chain preserves the triple set byte-exactly.
+
+    Runs the real CLI in subprocesses (the CLI owns its own Ray session)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    a = str(tmp_path / "a.jsonl")
+    b = str(tmp_path / "b.tsv")
+    c = str(tmp_path / "c.nt")
+    for src, dst in ((FIXTURE_NT, a), (a, b), (b, c)):
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+                "convert", "-i", src, "-o", dst,
+            ],
+            capture_output=True, text=True, env=env, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+    lines = []
+    for f in os.listdir(c):
+        lines += open(os.path.join(c, f)).read().strip().splitlines()
+    fixture = set(open(FIXTURE_NT).read().strip().splitlines())
+    assert set(lines) == fixture

@@ -95,6 +95,19 @@ def _write_triples(ds, path: str):
         ds.write_parquet(path)
 
 
+def cmd_convert(args):
+    """Triple-format conversion: any supported input extension (.nt /
+    .ntriples / .jsonl / .ndjson / .tsv / parquet dir) → any supported
+    output extension — one streaming pass, no driver materialization."""
+    jc, handle = _skip_counter(args.on_error)
+    ds = _read_triples(args.input, args.on_error, handle)
+    _write_triples(ds, args.output)
+    summary = {"command": "convert", "input": args.input, "output": args.output}
+    if jc is not None:
+        summary["counters"] = jc.counts()
+    print(json.dumps(summary))
+
+
 def cmd_extract(args):
     from .sources.synth import read_source_files
     from .stages.extract import extract_triples
@@ -385,6 +398,12 @@ def main(argv=None):
     pe.add_argument("--repeat", type=int, default=1)
     pe.add_argument("-o", "--output", required=True)
     pe.set_defaults(fn=cmd_extract)
+
+    pc = sub.add_parser("convert", help="convert triples between formats (nt/jsonl/tsv/parquet)")
+    pc.add_argument("-i", "--input", required=True, help="input path (format by extension)")
+    pc.add_argument("-o", "--output", required=True, help="output path (format by extension)")
+    pc.add_argument("--on-error", default="raise", choices=["raise", "skip"])
+    pc.set_defaults(fn=cmd_convert)
 
     pi = sub.add_parser("index", help="pass 1: build the rdf:type index")
     pi.add_argument("-i", "--input", required=True, help=".nt file or triples parquet dir")

@@ -1079,3 +1079,56 @@ SELECT c_custkey,
             AS BIGINT) AS tile
 FROM customer ORDER BY price_cents, c_custkey
 """.strip()
+
+
+def sql_rel_winsorize() -> str:
+    return """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+q AS (SELECT quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi FROM c)
+SELECT CAST(q.lo AS BIGINT) AS p05_cents,
+       CAST(q.hi AS BIGINT) AS p95_cents,
+       CAST(count(*) FILTER (WHERE c.v < q.lo) AS BIGINT) AS n_clipped_lo,
+       CAST(count(*) FILTER (WHERE c.v > q.hi) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(LEAST(GREATEST(c.v, q.lo), q.hi)) AS BIGINT) AS sum_winsorized_cents
+FROM c, q GROUP BY q.lo, q.hi
+""".strip()
+
+
+def sql_rel_time_weighted() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), stepped AS (
+  SELECT user_id, cents, ep,
+         lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS nxt
+  FROM e
+), agg AS (
+  SELECT user_id,
+         sum(cents * (nxt - ep)) AS num,
+         sum(nxt - ep) AS den
+  FROM stepped WHERE nxt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST(num // den AS BIGINT) AS twa_q
+FROM agg WHERE den > 0 ORDER BY user_id
+""".strip()
+
+
+def sql_rel_key_skew() -> str:
+    return """
+WITH counts AS (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, l_partkey) AS i,
+         count(*) OVER () AS nk, sum(n) OVER () AS total
+  FROM counts
+)
+SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS n_rows,
+       CAST(1000000 * max(n) // max(total) AS BIGINT) AS top1_share_q,
+       CAST(sum((2 * i - nk - 1) * n) AS BIGINT) AS gini_num,
+       CAST(max(nk) * max(total) AS BIGINT) AS gini_den
+FROM ranked
+""".strip()

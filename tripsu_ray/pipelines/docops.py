@@ -2601,3 +2601,170 @@ def q_text_bpe_train(sf_dir: str):
     from ..stages.text import text_bpe_train
 
     return text_bpe_train(sf_dir)
+
+
+def q_rel_winsorize(sf_dir: str):
+    """Winsorization census — the outlier-trim preprocessing op: clip
+    l_extendedprice cents to its [p05, p95] and report the clip counts +
+    winsorized sum. Composes the histogram-selection exact quantiles
+    (``skew.exact_quantiles`` — quantile_disc convention, no global sort)
+    with ONE stateless clip pass whose per-batch integer partials
+    tree-fold to a single row. DuckDB oracle: quantile_disc + CASE sums."""
+    from ..stages.folds import tree_fold_tables
+    from ..stages.skew import exact_quantiles
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c": (b["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    cds = ds.map_batches(cents, batch_format="pandas").materialize()
+    qs = exact_quantiles(cds, "c", [0.05, 0.95])
+    lo, hi = int(qs[0.05]), int(qs[0.95])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy()
+        return pd.DataFrame(
+            {
+                "n_lo": [int((c < lo).sum())],
+                "n_hi": [int((c > hi).sum())],
+                "sum_wins": [int(np.clip(c, lo, hi).sum())],
+            }
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "n_lo": [int(df["n_lo"].sum())],
+                "n_hi": [int(df["n_hi"].sum())],
+                "sum_wins": [int(df["sum_wins"].sum())],
+            }
+        )
+
+    folded = tree_fold_tables(cds.map_batches(partial, batch_format="pandas"), combine)
+    return pd.DataFrame(
+        {
+            "p05_cents": np.array([lo], dtype="int64"),
+            "p95_cents": np.array([hi], dtype="int64"),
+            "n_clipped_lo": np.array([folded["n_lo"][0]], dtype="int64"),
+            "n_clipped_hi": np.array([folded["n_hi"][0]], dtype="int64"),
+            "sum_winsorized_cents": np.array([folded["sum_wins"][0]], dtype="int64"),
+        }
+    )
+
+
+def q_rel_time_weighted(sf_dir: str):
+    """Per-user TIME-WEIGHTED average event value — the metric where each
+    observation holds until the next one (billing/telemetry semantics):
+    Σ value·Δt / Σ Δt over (ts, event_id)-ordered events, users with ≥2
+    events. ONE user-hash exchange; per-partition vectorized shift with
+    user-boundary masking (the ``rel_transitions`` ordering discipline);
+    the average stays EXACT as an integer (num, den) pair + floor-division
+    quotient, so the LEAD-window oracle hash-matches."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    P = 32
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                # truncate-to-seconds via datetime64[s] (the established
+                # engine-portable convention; matches floor(epoch(ts)))
+                "epoch": b["ts"].astype("datetime64[s]").astype("int64"),
+                "cents": (b["value"] * 100).round().astype("int64"),
+                "_part": (b["user_id"].astype("int64") % P),
+            }
+        )
+
+    def twa_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "num": pd.Series([], dtype="int64"),
+                "den": pd.Series([], dtype="int64"),
+                "twa_q": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        s = g.sort_values(["user_id", "epoch", "event_id"], ignore_index=True)
+        u = s["user_id"].to_numpy()
+        e = s["epoch"].to_numpy()
+        c = s["cents"].to_numpy()
+        same = u[:-1] == u[1:]
+        dt = (e[1:] - e[:-1])[same]
+        num = c[:-1][same] * dt
+        uu = u[:-1][same]
+        df = pd.DataFrame({"u": uu, "num": num, "den": dt})
+        agg = df.groupby("u", sort=False, as_index=False).sum()
+        agg = agg[agg["den"] > 0]
+        if not len(agg):
+            return empty
+        return pd.DataFrame(
+            {
+                "user_id": agg["u"].astype("int64"),
+                "num": agg["num"].astype("int64"),
+                "den": agg["den"].astype("int64"),
+                "twa_q": (agg["num"] // agg["den"]).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(twa_part, batch_format="pandas")
+    )
+
+
+def q_rel_key_skew(sf_dir: str):
+    """Key-distribution skew diagnostic — the reconnaissance a
+    partitioner runs before choosing salts: distinct-key count, top-1 key
+    share, and the Gini coefficient of the l_partkey frequency
+    distribution, ALL as exact integers (Gini as its numerator /
+    denominator pair: Σ(2i−n−1)·x_(i) over count-ascending order is
+    tie-order-independent). Per-batch value_counts partials tree-fold to
+    the key-class count table (the heavy-hitters discipline); the
+    statistics evaluate once on the fold. Window-function oracle."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["l_partkey"].value_counts()
+        return pd.DataFrame(
+            {"k": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("k", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None or not len(folded):
+        z = np.array([0], dtype="int64")
+        return pd.DataFrame(
+            {"n_keys": z, "n_rows": z, "top1_share_q": z, "gini_num": z, "gini_den": z}
+        )
+    x = np.sort(folded["n"].to_numpy(dtype=np.int64))
+    n = len(x)
+    total = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_num = int(((2 * i - n - 1) * x).sum())
+    gini_den = n * total
+    return pd.DataFrame(
+        {
+            "n_keys": np.array([n], dtype="int64"),
+            "n_rows": np.array([total], dtype="int64"),
+            "top1_share_q": np.array([1_000_000 * int(x[-1]) // total], dtype="int64"),
+            "gini_num": np.array([gini_num], dtype="int64"),
+            "gini_den": np.array([gini_den], dtype="int64"),
+        }
+    )
