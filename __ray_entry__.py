@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_link_scores": q.q_link_scores,
         "kg_triangles": q.q_triangles,
+        "kg_truss_support": q.q_truss_support,
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
         "kg_bfs": q.q_bfs,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_link_scores": oracle.sql_link_scores(),
         "kg_triangles": oracle.sql_triangles(),
+        "kg_truss_support": oracle.sql_truss_support(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
         "kg_bgp": bgp.sql_kg_bgp(),

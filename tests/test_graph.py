@@ -1406,3 +1406,81 @@ class TestTriangles:
         chain = pd.DataFrame({"a": ["a", "b", "c"], "b": ["b", "c", "d"]})
         res = triangle_counts(_ds(chain, blocks=2), num_partitions=4)
         assert len(res) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTruss:
+    @staticmethod
+    def _support_ref(edges: pd.DataFrame) -> pd.DataFrame:
+        e = edges.drop_duplicates(ignore_index=True)
+        adj: dict = {}
+        for a, b in e.itertuples(index=False):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        rows = [
+            (a, b, len(adj[a] & adj[b])) for a, b in e.itertuples(index=False)
+        ]
+        return pd.DataFrame(rows, columns=["a", "b", "support"]).sort_values(
+            ["a", "b"], ignore_index=True
+        ).astype({"support": "int64"})
+
+    @staticmethod
+    def _truss_ref(edges: pd.DataFrame, k: int) -> set:
+        """Sequential peeling for fixed k."""
+        es = set(map(tuple, edges.drop_duplicates().to_numpy()))
+        changed = True
+        while changed and es:
+            adj: dict = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {e for e in es if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            changed = bool(drop)
+            es -= drop
+        return es
+
+    @pytest.mark.parametrize("seed", [3, 9])
+    def test_edge_supports_match_bruteforce(self, seed):
+        from tripsu_ray.stages.graph import edge_supports
+
+        rng = np.random.default_rng(seed)
+        raw = pd.DataFrame(
+            {
+                "x": [f"n{i:02d}" for i in rng.integers(0, 22, 240)],
+                "y": [f"n{i:02d}" for i in rng.integers(0, 22, 240)],
+            }
+        )
+        raw = raw[raw["x"] != raw["y"]]
+        edges = pd.DataFrame(
+            {"a": np.minimum(raw["x"], raw["y"]), "b": np.maximum(raw["x"], raw["y"])}
+        )
+        got = edge_supports(_ds(edges, blocks=4), num_partitions=4)
+        pd.testing.assert_frame_equal(got, self._support_ref(edges))
+
+    def test_k_truss_equals_sequential_peel(self):
+        from tripsu_ray.stages.graph import k_truss
+
+        rng = np.random.default_rng(17)
+        raw = pd.DataFrame(
+            {
+                "x": [f"n{i:02d}" for i in rng.integers(0, 18, 200)],
+                "y": [f"n{i:02d}" for i in rng.integers(0, 18, 200)],
+            }
+        )
+        raw = raw[raw["x"] != raw["y"]]
+        edges = pd.DataFrame(
+            {"a": np.minimum(raw["x"], raw["y"]), "b": np.maximum(raw["x"], raw["y"])}
+        ).drop_duplicates(ignore_index=True)
+        for k in (3, 4, 5):
+            got = k_truss(_ds(edges, blocks=3), k, num_partitions=4)
+            assert set(map(tuple, got.to_numpy())) == self._truss_ref(edges, k)
+
+    def test_k_truss_k4_on_known_graph(self):
+        from tripsu_ray.stages.graph import k_truss
+
+        # K4 plus a pendant triangle: 4-truss = exactly the K4's 6 edges
+        k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+        extra = [("d", "e"), ("d", "f"), ("e", "f")]
+        edges = pd.DataFrame(k4 + extra, columns=["a", "b"])
+        got = k_truss(_ds(edges, blocks=2), 4, num_partitions=4)
+        assert set(map(tuple, got.to_numpy())) == set(k4)

@@ -634,3 +634,33 @@ all_types AS (
 SELECT t AS type, CAST(count(DISTINCT s) AS BIGINT) AS n
 FROM all_types GROUP BY 1 ORDER BY 1"""
     )
+
+
+def sql_truss_support() -> str:
+    from ..stages.extract import NS
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+ca AS (
+  SELECT DISTINCT t1.o AS a, t2.o AS b
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "author")} AND t1.o < t2.o
+  WHERE t1.p = {_q(NS + "author")}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ca e1
+  JOIN ca e2 ON e2.a = e1.b
+  JOIN ca e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+contrib AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+),
+sup AS (SELECT a, b, count(*) AS s FROM contrib GROUP BY a, b)
+SELECT e.a, e.b, CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+FROM ca e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+ORDER BY e.a, e.b"""
+    )

@@ -365,3 +365,22 @@ def q_rdfs_domain_range(sf_dir: str):
     return rdfs_domain_range_census(
         _extracted(sf_dir), default_ontology(NS), domains, ranges
     )
+
+
+def q_truss_support(sf_dir: str):
+    """Per-edge triangle support over the derived co-author graph — the
+    k-truss peeling quantity (stages/graph.py::edge_supports; triangle
+    plan emitting 3 edge keys per triangle, census tree-fold, support-0
+    edges kept via the distinct-edge join)."""
+    import pandas as pd
+
+    from ..stages.graph import edge_supports
+    from .bgp import q_kg_construct
+
+    edges = q_kg_construct(sf_dir).map_batches(
+        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
+        if len(df)
+        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
+        batch_format="pandas",
+    )
+    return edge_supports(edges)

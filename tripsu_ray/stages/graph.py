@@ -1620,3 +1620,209 @@ def triangle_counts(edges_ds, *, num_partitions: int = 32):
             "n_triangles": closed["n"].to_numpy(dtype="int64"),
         }
     ).sort_values("node", ignore_index=True)
+
+
+def edge_supports(edges_ds, *, num_partitions: int = 32):
+    """Per-edge triangle SUPPORT over an undirected simple graph
+    (canonical ``(a, b)``, ``a < b``): how many triangles contain each
+    edge — the quantity k-truss decomposition peels on, and an edge-level
+    cohesion signal in its own right.
+
+    Same compact-forward plan as :func:`triangle_counts`; the closure
+    stage emits each found triangle's THREE canonical edge keys instead
+    of its member nodes, and the census tree-fold sums per edge. Edges in
+    no triangle report support 0 (a final left-join against the distinct
+    edge set, riding one more small exchange).
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    P = num_partitions
+
+    def empty_out():
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "support": pd.Series([], dtype="int64"),
+            }
+        )
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
+    names = np.array(
+        sorted(set(edges.unique("a")) | set(edges.unique("b"))), dtype=object
+    )
+    names_ref = ray.put(names)
+
+    def deg_partial(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        nm = ray.get(_names)
+        d = df.drop_duplicates(["a", "b"])
+        ca = np.searchsorted(nm, d["a"].to_numpy(dtype=object))
+        cb = np.searchsorted(nm, d["b"].to_numpy(dtype=object))
+        cnt = np.bincount(np.concatenate([ca, cb]), minlength=len(nm))
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"c": nz.astype("int64"), "n": cnt[nz].astype("int64")})
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("c", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        edges.map_batches(deg_partial, batch_format="pandas"), deg_combine
+    )
+    deg = np.zeros(len(names), dtype=np.int64)
+    if folded is not None and len(folded):
+        deg[folded["c"].to_numpy(dtype="int64")] = folded["n"].to_numpy(dtype="int64")
+    deg_ref = ray.put(deg)
+
+    def orient(df: pd.DataFrame, _names=names_ref, _deg=deg_ref) -> pd.DataFrame:
+        nm, dg = ray.get(_names), ray.get(_deg)
+        d = df.drop_duplicates(["a", "b"])
+        ca = np.searchsorted(nm, d["a"].to_numpy(dtype=object)).astype(np.int64)
+        cb = np.searchsorted(nm, d["b"].to_numpy(dtype=object)).astype(np.int64)
+        a_first = (dg[ca] < dg[cb]) | ((dg[ca] == dg[cb]) & (ca < cb))
+        u = np.where(a_first, ca, cb)
+        v = np.where(a_first, cb, ca)
+        return pd.DataFrame({"u": u, "v": v, "_part": (u % P).astype("int64")})
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="int8"),
+                "key": pd.Series([], dtype="int64"),
+                "apex": pd.Series([], dtype="int64"),
+                "_p2": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        s = g[["u", "v"]].drop_duplicates().sort_values(["u", "v"])
+        u = s["u"].to_numpy(dtype=np.int64)
+        v = s["v"].to_numpy(dtype=np.int64)
+        sizes = np.bincount(pd.factorize(u)[0])
+        tot = sizes * sizes
+        n_out = int(tot.sum())
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        gid = np.repeat(np.arange(len(sizes)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]
+        width = sizes[gid]
+        left = v[gstarts[gid] + p // width]
+        right = v[gstarts[gid] + p % width]
+        keep = left < right
+        apex = u[gstarts[gid]][keep]
+        key = (left[keep] << 32) | right[keep]
+        wedges = pd.DataFrame(
+            {
+                "kind": np.int8(0),
+                "key": key,
+                "apex": apex,
+                "_p2": (pd.util.hash_array(key) % P).astype("int64"),
+            }
+        )
+        ekey = (np.minimum(u, v) << 32) | np.maximum(u, v)
+        erows = pd.DataFrame(
+            {
+                "kind": np.int8(1),
+                "key": ekey,
+                "apex": np.int64(-1),
+                "_p2": (pd.util.hash_array(ekey) % P).astype("int64"),
+            }
+        )
+        return pd.concat([wedges, erows], ignore_index=True)
+
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"e": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        present = set(g.loc[g["kind"] == 1, "key"].to_numpy(dtype=np.int64))
+        w = g[g["kind"] == 0]
+        if not len(w) or not present:
+            return empty
+        key = w["key"].to_numpy(dtype=np.int64)
+        hit = np.isin(key, np.fromiter(present, dtype=np.int64, count=len(present)))
+        if not hit.any():
+            return empty
+        lo = key[hit] >> 32
+        hi = key[hit] & 0xFFFFFFFF
+        apex = w["apex"].to_numpy(dtype=np.int64)[hit]
+        # the triangle's three canonical edges (apex pairs re-canonicalized)
+        e1 = key[hit]
+        e2 = (np.minimum(apex, lo) << 32) | np.maximum(apex, lo)
+        e3 = (np.minimum(apex, hi) << 32) | np.maximum(apex, hi)
+        ek, cnt = np.unique(np.concatenate([e1, e2, e3]), return_counts=True)
+        return pd.DataFrame({"e": ek.astype("int64"), "n": cnt.astype("int64")})
+
+    def census_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("e", sort=False, as_index=False)["n"].sum()
+
+    closed = tree_fold_tables(
+        edges.map_batches(orient, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(wedge_rows, batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(close_part, batch_format="pandas"),
+        census_combine,
+    )
+    sup = (
+        {int(e): int(n) for e, n in zip(closed["e"], closed["n"])}
+        if closed is not None and len(closed)
+        else {}
+    )
+
+    # join support back onto the DISTINCT edge set (0 where no triangle)
+    def edge_keys(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        nm = ray.get(_names)
+        d = df.drop_duplicates(["a", "b"])
+        ca = np.searchsorted(nm, d["a"].to_numpy(dtype=object)).astype(np.int64)
+        cb = np.searchsorted(nm, d["b"].to_numpy(dtype=object)).astype(np.int64)
+        key = (np.minimum(ca, cb) << 32) | np.maximum(ca, cb)
+        return pd.DataFrame({"k": key})
+
+    def key_combine(frames):
+        return pd.DataFrame(
+            {"k": np.unique(np.concatenate([f["k"].to_numpy() for f in frames]))}
+        )
+
+    all_keys = tree_fold_tables(
+        edges.map_batches(edge_keys, batch_format="pandas"), key_combine
+    )
+    k = all_keys["k"].to_numpy(dtype=np.int64)
+    lo = (k >> 32).astype(np.int64)
+    hi = (k & 0xFFFFFFFF).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "a": pd.Series(names[lo], dtype=object),
+            "b": pd.Series(names[hi], dtype=object),
+            "support": np.array([sup.get(int(x), 0) for x in k], dtype="int64"),
+        }
+    ).sort_values(["a", "b"], ignore_index=True)
+
+
+def k_truss(edges_ds, k: int, *, max_rounds: int = 64, num_partitions: int = 32):
+    """Maximal k-truss subgraph: iteratively drop edges with triangle
+    support < k−2 until fixpoint (each round one full distributed
+    support pass over the SURVIVING edges — the standard distributed
+    truss shape; rounds ≤ edges removed). Returns the surviving canonical
+    edge DataFrame. Raises past ``max_rounds`` (a silently truncated
+    fixpoint would claim a truss it hasn't verified)."""
+    import ray.data
+
+    cur = edges_ds
+    n_prev = None
+    for _ in range(max_rounds):
+        sup = edge_supports(cur, num_partitions=num_partitions)
+        keep = sup[sup["support"] >= k - 2][["a", "b"]].reset_index(drop=True)
+        if n_prev is not None and len(keep) == n_prev:
+            return keep
+        if not len(keep):
+            return keep
+        n_prev = len(keep)
+        cur = ray.data.from_pandas(keep).repartition(max(1, min(8, len(keep) // 1024 + 1)))
+    raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
