@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": docops.q_multimodal_resize,
         "multimodal_frames": docops.q_multimodal_frames,
         "multimodal_audio": docops.q_multimodal_audio,
+        "multimodal_phash_dedup": docops.q_multimodal_phash_dedup,
         # relational engine showcase
         "rel_lineitem_agg": docops.q_rel_lineitem_agg,
         "rel_join_revenue": docops.q_rel_join_revenue,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": d.sql_multimodal_resize(),
         "multimodal_frames": d.sql_multimodal_frames(),
         "multimodal_audio": d.sql_multimodal_audio(),
+        "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),
         "rel_join_revenue": d.sql_rel_join_revenue(),
         "rel_events_window": d.sql_rel_events_window(),

@@ -1601,3 +1601,43 @@ class TestWinsorTwaSkew:
         assert out["sum_winsorized_cents"][0] == int(np.clip(cents, lo, hi).sum())
         assert out["n_clipped_lo"][0] == int((cents < lo).sum())
         assert out["n_clipped_hi"][0] == int((cents > hi).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhashDedup:
+    def test_ahash_kernel_properties(self):
+        from tripsu_ray.stages.multimodal import ahash64
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, 30 * 20 * 3, dtype=np.uint8)
+        h1 = ahash64(px, 30, 20, 3)
+        assert h1 == ahash64(px.copy(), 30, 20, 3)  # deterministic
+        assert 0 <= h1 < 1 << 64
+        # constant image → grid == mean → all bits zero
+        assert ahash64(np.full(8 * 8 * 3, 7, np.uint8), 8, 8, 3) == 0
+        # inverting intensities flips most structure
+        assert ahash64(255 - px, 30, 20, 3) != h1
+
+    def test_clusters_match_text_groups(self, tmp_path):
+        from tripsu_ray.stages.multimodal import image_phash_dedup
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(7, dtype=np.int64),
+                "text": ["aa", "bb", "aa", "cc", "bb", "aa", "dd"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        got = (
+            image_phash_dedup(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = (
+            docs.groupby("text")["doc_id"]
+            .agg(["min", "size"])
+            .rename(columns={"min": "doc_id", "size": "n_images"})
+            .sort_values("doc_id", ignore_index=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -1132,3 +1132,11 @@ SELECT CAST(max(nk) AS BIGINT) AS n_keys,
        CAST(max(nk) * max(total) AS BIGINT) AS gini_den
 FROM ranked
 """.strip()
+
+
+def sql_multimodal_phash_dedup() -> str:
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM documents GROUP BY text ORDER BY doc_id
+""".strip()

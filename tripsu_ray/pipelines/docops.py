@@ -2768,3 +2768,13 @@ def q_rel_key_skew(sf_dir: str):
             "gini_den": np.array([gini_den], dtype="int64"),
         }
     )
+
+
+def q_multimodal_phash_dedup(sf_dir: str):
+    """Perceptual-hash image dedup clusters (stages/multimodal.py::
+    image_phash_dedup — aHash64 actor pool + one integer-key exchange);
+    oracle groups by source text (identical payloads ⟺ identical text on
+    this deterministic corpus)."""
+    from ..stages.multimodal import image_phash_dedup
+
+    return image_phash_dedup(sf_dir)
