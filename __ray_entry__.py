@@ -42,6 +42,18 @@ def _sql_ml_semdedup() -> str:
     return semdedup_sql()
 
 
+def _q_ml_dbscan(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import dbscan
+
+    return dbscan(sf_dir)
+
+
+def _sql_ml_dbscan() -> str:
+    from tripsu_ray.stages.cluster import dbscan_sql
+
+    return dbscan_sql()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tripsu_ray.pipelines import bgp, docops, joins, paths, queries as q
 
@@ -177,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_json_extract": docops.q_rel_json_extract,
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
+        "ml_dbscan": _q_ml_dbscan,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -317,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_json_extract": d.sql_rel_json_extract(),
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
+        "ml_dbscan": _sql_ml_dbscan(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
+import pytest
 
 from tripsu_ray.stages import cluster as C
 
@@ -149,3 +150,78 @@ def test_semdedup_flags_planted_duplicate(tmp_path):
     assert out[17] == 1 and out[23] == 1
     assert out[5] == 0
     assert int(out.sum()) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDBSCAN:
+    @staticmethod
+    def _reference(ids, X, tau, min_pts):
+        """Sequential DBSCAN with the same determinizations (min-label
+        component, min-cluster border)."""
+        import numpy as np
+
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        simq = np.floor(Xn @ Xn.T * 1_000_000).astype(np.int64)
+        n = len(ids)
+        adj = {int(ids[i]): set() for i in range(n)}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if simq[i, j] >= tau:
+                    adj[int(ids[i])].add(int(ids[j]))
+                    adj[int(ids[j])].add(int(ids[i]))
+        core = {v for v, ns in adj.items() if len(ns) >= min_pts - 1}
+        # components over core-core edges
+        cluster = {}
+        for v in sorted(core):
+            if v in cluster:
+                continue
+            comp, stack = {v}, [v]
+            while stack:
+                u = stack.pop()
+                for w in adj[u]:
+                    if w in core and w not in comp:
+                        comp.add(w)
+                        stack.append(w)
+            label = min(comp)
+            for u in comp:
+                cluster[u] = label
+        rows = []
+        for v in sorted(map(int, ids)):
+            if v in core:
+                rows.append((v, 2, cluster[v]))
+            else:
+                cn = [cluster[u] for u in adj[v] if u in core]
+                rows.append((v, 1, min(cn)) if cn else (v, 0, -1))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["vec_id", "role", "cluster"]).astype(
+            "int64"
+        )
+
+    def test_matches_sequential_reference(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tripsu_ray.stages.cluster import dbscan
+
+        rng = np.random.default_rng(7)
+        # three tight blobs + scattered noise
+        centers = rng.normal(size=(3, 16))
+        pts = [c + 0.05 * rng.normal(size=(12, 16)) for c in centers]
+        noise = rng.normal(size=(10, 16))
+        X = np.vstack(pts + [noise]).astype(np.float32)
+        ids = np.arange(len(X), dtype=np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(len(X), dtype=np.int32)),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "embeddings.parquet")
+        got = dbscan(str(tmp_path), tau_q=900_000, min_pts=4)
+        want = self._reference(ids, X.astype(np.float64), 900_000, 4)
+        pd.testing.assert_frame_equal(got, want)
+        # structure sanity: ≥2 clusters found, noise present
+        assert got[got["role"] == 2]["cluster"].nunique() >= 2
+        assert (got["role"] == 0).any()

@@ -338,3 +338,152 @@ SELECT m.vec_id, m.c AS cluster_id,
 FROM {a} m ORDER BY 1"""
     )
     return "".join(parts).strip()
+
+
+def dbscan(sf_dir: str, *, tau_q: int = 450_000, min_pts: int = 4):
+    """Density-based clustering (DBSCAN) over the embedding corpus with a
+    COSINE eps-neighborhood: neighbors are pairs with quantized cosine
+    ≥ ``tau_q`` (the ``sim_threshold_join`` relation — its exact
+    probe-chunk plan is the pair generator and the shared oracle
+    convention); a point is CORE iff it has ≥ ``min_pts − 1`` neighbors
+    (minPts counts the point itself, per the paper); clusters are the
+    connected components of the core-core subgraph (distributed min-label
+    propagation); non-core points adjacent to ≥1 core join the MIN
+    cluster among their core neighbors (BORDER — standard DBSCAN leaves
+    this arbitrary, fixing min makes the result deterministic and
+    SQL-expressible); everything else is NOISE.
+
+    Output: (vec_id, role ∈ {0 noise, 1 border, 2 core}, cluster;
+    −1 for noise). Exact — recursive-closure + degree-census oracle."""
+    import ray
+
+    from ..stages.folds import tree_fold_tables
+    from ..stages.graph import connected_components_str
+    from ..stages.similarity import sim_threshold_join
+
+    pairs = sim_threshold_join(sf_dir, tau_q=tau_q).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        k, n = np.unique(both, return_counts=True)
+        return pd.DataFrame({"k": k.astype("int64"), "n": n.astype("int64")})
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("k", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        pairs.map_batches(deg_partial, batch_format="pandas"), deg_combine
+    )
+    deg = (
+        {int(k): int(n) for k, n in zip(folded["k"], folded["n"])}
+        if folded is not None
+        else {}
+    )
+    core = frozenset(k for k, n in deg.items() if n >= min_pts - 1)
+    core_ref = ray.put(core)
+
+    W = 12  # zero-pad width: lexicographic label order == numeric order
+
+    def core_edges(b: pd.DataFrame, _c=core_ref) -> pd.DataFrame:
+        cs = ray.get(_c)
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        m = np.array([x in cs for x in a]) & np.array([x in cs for x in bb])
+        return pd.DataFrame(
+            {
+                "a": pd.Series([f"{x:0{W}d}" for x in a[m]], dtype=object),
+                "b": pd.Series([f"{x:0{W}d}" for x in bb[m]], dtype=object),
+            }
+        )
+
+    labels = connected_components_str(pairs.map_batches(core_edges, batch_format="pandas"))
+    cluster_of = {int(k): int(v) for k, v in labels.items()}
+    for c in core:  # isolated cores: singleton clusters labeled by own id
+        cluster_of.setdefault(c, c)
+    cl_ref = ray.put((core, cluster_of))
+
+    def border_partial(b: pd.DataFrame, _s=cl_ref) -> pd.DataFrame:
+        cs, cl = ray.get(_s)
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        rows = {"vec": [], "cluster": []}
+        for x, y in ((a, bb), (bb, a)):
+            m = np.array([(u not in cs) and (v in cs) for u, v in zip(x, y)])
+            rows["vec"].extend(x[m])
+            rows["cluster"].extend(cl[v] for v in y[m])
+        return pd.DataFrame(rows).astype("int64")
+
+    def border_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("vec", sort=False, as_index=False)["cluster"].min()
+
+    bf = tree_fold_tables(
+        pairs.map_batches(border_partial, batch_format="pandas"), border_combine
+    )
+    border = (
+        {int(v): int(c) for v, c in zip(bf["vec"], bf["cluster"])}
+        if bf is not None
+        else {}
+    )
+
+    ids = (
+        _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .to_pandas()["vec_id"]
+        .astype("int64")
+        .sort_values(ignore_index=True)
+    )
+    role = np.zeros(len(ids), dtype=np.int64)
+    cluster = np.full(len(ids), -1, dtype=np.int64)
+    for i, v in enumerate(ids):
+        v = int(v)
+        if v in core:
+            role[i] = 2
+            cluster[i] = cluster_of[v]
+        elif v in border:
+            role[i] = 1
+            cluster[i] = border[v]
+    return pd.DataFrame({"vec_id": ids, "role": role, "cluster": cluster})
+
+
+def dbscan_sql(*, tau_q: int = 450_000, min_pts: int = 4) -> str:
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE floor(list_cosine_similarity(a.e, b.e) * 1000000) >= {tau_q}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+deg AS (SELECT a, count(*) AS n FROM sym GROUP BY a),
+core AS (SELECT a FROM deg WHERE n >= {min_pts} - 1),
+ce AS (
+  SELECT s.a, s.b FROM sym s
+  WHERE s.a IN (SELECT a FROM core) AND s.b IN (SELECT a FROM core)
+),
+reach AS (
+  SELECT a AS n, b AS m FROM ce
+  UNION
+  SELECT r.n, s.b AS m FROM reach r JOIN ce s ON r.m = s.a
+),
+corecl AS (
+  SELECT c.a AS node, coalesce(least(c.a, min(r.m)), c.a) AS cluster
+  FROM core c LEFT JOIN reach r ON r.n = c.a GROUP BY c.a
+),
+border AS (
+  SELECT s.a AS vec, min(cc.cluster) AS cluster
+  FROM sym s JOIN corecl cc ON cc.node = s.b
+  WHERE s.a NOT IN (SELECT a FROM core)
+  GROUP BY s.a
+)
+SELECT e.vec_id,
+       CAST(CASE WHEN cc.node IS NOT NULL THEN 2
+                 WHEN b.vec IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS role,
+       CAST(coalesce(cc.cluster, b.cluster, -1) AS BIGINT) AS cluster
+FROM embeddings e
+LEFT JOIN corecl cc ON cc.node = e.vec_id
+LEFT JOIN border b ON b.vec = e.vec_id
+ORDER BY e.vec_id
+""".strip()
