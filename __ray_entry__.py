@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cms_counts": docops.q_rel_cms_counts,
         "rel_ntile": docops.q_rel_ntile,
         "rel_winsorize": docops.q_rel_winsorize,
+        "rel_mad": docops.q_rel_mad,
         "rel_time_weighted": docops.q_rel_time_weighted,
         "rel_key_skew": docops.q_rel_key_skew,
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cms_counts": d.sql_rel_cms_counts(),
         "rel_ntile": d.sql_rel_ntile(),
         "rel_winsorize": d.sql_rel_winsorize(),
+        "rel_mad": d.sql_rel_mad(),
         "rel_time_weighted": d.sql_rel_time_weighted(),
         "rel_key_skew": d.sql_rel_key_skew(),
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),

@@ -1140,3 +1140,13 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_images
 FROM documents GROUP BY text ORDER BY doc_id
 """.strip()
+
+
+def sql_rel_mad() -> str:
+    return """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+m AS (SELECT quantile_disc(v, 0.5) AS med FROM c)
+SELECT CAST(m.med AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c, m GROUP BY m.med
+""".strip()

@@ -2778,3 +2778,38 @@ def q_multimodal_phash_dedup(sf_dir: str):
     from ..stages.multimodal import image_phash_dedup
 
     return image_phash_dedup(sf_dir)
+
+
+def q_rel_mad(sf_dir: str):
+    """Median absolute deviation of l_extendedprice cents — the robust
+    dispersion statistic: median m (histogram-selection exact quantile,
+    no global sort), then the median of |x − m| via a SECOND quantile
+    pass over the deviation stream (quantiles don't compose, so the
+    two-pass shape is forced — each pass is the 3-scan
+    ``skew.exact_quantiles`` plan). quantile_disc convention both times;
+    DuckDB oracle: nested quantile_disc."""
+    from ..stages.skew import exact_quantiles
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c": (b["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    cds = ds.map_batches(cents, batch_format="pandas").materialize()
+    med = int(exact_quantiles(cds, "c", [0.5])[0.5])
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": (b["c"] - med).abs().astype("int64")})
+
+    dds = cds.map_batches(dev, batch_format="pandas")
+    mad = int(exact_quantiles(dds, "d", [0.5])[0.5])
+    return pd.DataFrame(
+        {
+            "median_cents": np.array([med], dtype="int64"),
+            "mad_cents": np.array([mad], dtype="int64"),
+        }
+    )
