@@ -1484,3 +1484,16 @@ class TestTruss:
         edges = pd.DataFrame(k4 + extra, columns=["a", "b"])
         got = k_truss(_ds(edges, blocks=2), 4, num_partitions=4)
         assert set(map(tuple, got.to_numpy())) == set(k4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_distributed_path_equals_driver_gate():
+    """driver_max=0 forces the label-propagation rounds; the size-gated
+    union-find fast path must agree exactly."""
+    rng = np.random.default_rng(6)
+    a = [f"n{i:03d}" for i in rng.integers(0, 90, 250)]
+    b = [f"n{i:03d}" for i in rng.integers(0, 90, 250)]
+    df = pd.DataFrame([(x, y) for x, y in zip(a, b)], columns=["a", "b"])
+    fast = graph.connected_components_str(_ds(df, blocks=4))
+    slow = graph.connected_components_str(_ds(df, blocks=4), driver_max=0)
+    assert fast == slow

@@ -612,7 +612,17 @@ def bfs_distances(edges_ds, *, source: str | None = None, max_rounds: int = 64) 
     )
 
 
-def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
+#: edge count at or under which components collapse to a driver union-find
+#: — the RESULT is driver-sized (a {node: label} dict) either way, so
+#: collecting the edges below this bound is the same small-side gate the
+#: BGP planner applies (at 32k edges the distributed rounds spend ~14 s of
+#: pure scheduling; the union-find answers in milliseconds)
+_COMPONENTS_DRIVER_MAX = 1 << 20
+
+
+def connected_components_str(
+    edges_ds, *, max_rounds: int = 64, driver_max: int = _COMPONENTS_DRIVER_MAX
+) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
     component — ``dedup.label_propagation(dtype="object")`` (one shared
@@ -622,17 +632,24 @@ def connected_components_str(edges_ds, *, max_rounds: int = 64) -> dict:
     Self-loop edges are dropped up front: a node incident ONLY to a
     self-loop is a singleton and, like all singletons, gets no entry —
     entries cover exactly the nodes of components of size ≥ 2.
+
+    Size-gated plan: at or under ``driver_max`` edges the (already
+    driver-destined) result comes from an in-process union-find over the
+    collected distinct edges; above it, the distributed min-label
+    propagation rounds run — same answer, tested equal.
     """
     import pandas as pd
 
-    from .dedup import label_propagation
+    from .dedup import _components, label_propagation
 
     def drop_self(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["a"] != df["b"]]
 
-    labels = label_propagation(
-        edges_ds.map_batches(drop_self, batch_format="pandas"), dtype="object"
-    )
+    clean = edges_ds.map_batches(drop_self, batch_format="pandas").materialize()
+    if clean.count() <= driver_max:
+        df = clean.to_pandas() if clean.count() else pd.DataFrame({"a": [], "b": []})
+        return _components(list(map(tuple, df.to_numpy()))) if len(df) else {}
+    labels = label_propagation(clean, dtype="object")
     # identity entries for component minima so every node of a ≥2-sized
     # component appears in the result (label_propagation returns only
     # the non-minimum nodes)
