@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_plus": paths.q_kg_path_plus,
         "kg_path_npred": paths.q_kg_path_npred,
         "kg_bgp_topk": bgp.q_kg_bgp_topk,
+        "kg_bgp_page": bgp.q_kg_bgp_page,
         "kg_bgp_bind": bgp.q_kg_bgp_bind,
         "kg_bgp_ask": bgp.q_kg_bgp_ask,
         "kg_bgp_exists": bgp.q_kg_bgp_exists,
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mad": docops.q_rel_mad,
         "rel_time_weighted": docops.q_rel_time_weighted,
         "rel_key_skew": docops.q_rel_key_skew,
+        "rel_table_profile": docops.q_rel_table_profile,
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
@@ -249,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_plus": paths.sql_kg_path_plus(),
         "kg_path_npred": paths.sql_kg_path_npred(),
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
+        "kg_bgp_page": bgp.sql_kg_bgp_page(),
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),
         "kg_bgp_ask": bgp.sql_kg_bgp_ask(),
         "kg_bgp_exists": bgp.sql_kg_bgp_exists(),
@@ -300,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_mad": d.sql_rel_mad(),
         "rel_time_weighted": d.sql_rel_time_weighted(),
         "rel_key_skew": d.sql_rel_key_skew(),
+        "rel_table_profile": d.sql_rel_table_profile(),
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),

@@ -941,3 +941,19 @@ def test_bgp_group_concat_order_and_distinct():
     ).to_pandas()
     d = matches[["a", "m"]].drop_duplicates().sort_values(["a", "m"])
     assert ",".join(d[d["a"] == "alice"]["m"]) == "amod,zmod"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_topk_offset_paging():
+    from tripsu_ray.pipelines.bgp import bgp_topk
+
+    t = _triples([(f"s{i:02d}", "v", str(100 + i), KIND_LITERAL) for i in range(30)])
+    page = bgp_topk(
+        t, [("?s", "v", "?x")], order_by="?x", limit=5, offset=10, num_partitions=4
+    ).to_pandas()
+    assert list(page["x"]) == [str(110 + i) for i in range(5)]
+    # offset past the end → empty page, schema intact
+    tail = bgp_topk(
+        t, [("?s", "v", "?x")], order_by="?x", limit=5, offset=29, num_partitions=4
+    ).to_pandas()
+    assert list(tail["x"]) == ["129"]

@@ -1641,3 +1641,27 @@ class TestPhashDedup:
             .astype("int64")
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_table_profile_nulls_and_distinct(tmp_path):
+    from tripsu_ray.pipelines.docops import q_rel_table_profile
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(100, dtype=np.int64),
+            "o_custkey": pd.array([None if i % 10 == 0 else i % 7 for i in range(100)], dtype="Int64"),
+            "o_orderstatus": ["O" if i % 2 else "F" for i in range(100)],
+            "o_orderpriority": [f"{i % 3}-P" for i in range(100)],
+            "o_totalprice": (np.arange(100) % 5).astype(float) + 0.25,
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    out = q_rel_table_profile(str(tmp_path)).set_index("column")
+    assert out.loc["o_orderkey", "n_distinct"] == 100
+    assert out.loc["o_custkey", "n_null"] == 10
+    assert out.loc["o_custkey", "n_distinct"] == 7
+    assert out.loc["o_orderstatus", "n_distinct"] == 2
+    assert out.loc["o_orderkey", "min_repr"] == "0"
+    assert out.loc["o_orderkey", "max_repr"] == "99"  # numeric max, not "9…" string max
+    assert out.loc["o_totalprice", "max_repr"] == "425"  # cents

@@ -1197,6 +1197,7 @@ def bgp_topk(
     *,
     order_by: str,
     limit: int,
+    offset: int = 0,
     ascending: bool = True,
     optional=(),
     filters=(),
@@ -1204,12 +1205,14 @@ def bgp_topk(
     values=None,
     num_partitions: int = _P,
 ):
-    """SPARQL solution modifiers ``ORDER BY ?v LIMIT k`` over the DISTINCT
-    bindings — distributed top-k, never a global sort: each partition of
-    the deduped binding stream emits its LOCAL top-k (total order =
-    (order_by, then every variable lexicographically) so ties are
-    deterministic), and the k·partitions-row partial stream reduces in one
-    tiny final pass. Returns exactly ``limit`` rows (or fewer)."""
+    """SPARQL solution modifiers ``ORDER BY ?v LIMIT k [OFFSET o]`` over
+    the DISTINCT bindings — distributed top-k, never a global sort: each
+    partition of the deduped binding stream emits its LOCAL top-(k+o)
+    (total order = (order_by, then every variable lexicographically) so
+    ties are deterministic), and the (k+o)·partitions-row partial stream
+    reduces in one tiny final pass that drops the first ``offset`` rows
+    (the paging modifier costs only partial-stream width, never a second
+    scan). Returns exactly ``limit`` rows (or fewer)."""
     rel, vars_ = _bgp_rel(
         triples,
         patterns,
@@ -1229,14 +1232,15 @@ def bgp_topk(
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({v: pd.Series([], dtype=object) for v in vars_})
-        return df.sort_values(sort_cols, ascending=asc).head(limit)[vars_]
+        return df.sort_values(sort_cols, ascending=asc).head(limit + offset)[vars_]
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({v: pd.Series([], dtype=object) for v in vars_})
         return (
             df.sort_values(sort_cols, ascending=asc)
-            .head(limit)[vars_]
+            .head(limit + offset)[vars_]
+            .iloc[offset:]
             .reset_index(drop=True)
         )
 
@@ -1534,4 +1538,38 @@ JOIN raw_triples t2 ON t2.o = t1.s AND t2.p = {_q(NS + "inRepo")}
 JOIN raw_triples t3 ON t3.s = t2.s AND t3.p = {_q(NS + "imports")}
 WHERE t1.p = {_q(NS + "author")}
 GROUP BY t1.o ORDER BY a"""
+    )
+
+
+def q_kg_bgp_page(sf_dir: str, *, limit: int = 20, offset: int = 30, num_partitions: int = _P):
+    """OFFSET paging showcase — the SECOND page of the ordered binding
+    stream (rows 31–50 by ascending file): same distributed top-k plan,
+    partial width k+o. DuckDB oracle: LIMIT 20 OFFSET 30."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    return bgp_topk(
+        triples,
+        [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],
+        order_by="?f",
+        limit=limit,
+        offset=offset,
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_bgp_page(limit: int = 20, offset: int = 30) -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f"""
+SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r
+FROM raw_triples t1
+JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+WHERE t1.p = {_q(NS + "imports")}
+ORDER BY f, m, r LIMIT {limit} OFFSET {offset}"""
     )

@@ -1150,3 +1150,22 @@ SELECT CAST(m.med AS BIGINT) AS median_cents,
        CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT) AS mad_cents
 FROM c, m GROUP BY m.med
 """.strip()
+
+
+def sql_rel_table_profile() -> str:
+    from .docops import _PROFILE_COLS
+
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        expr = (
+            f"CAST(round({name} * 100) AS BIGINT)" if kind == "cents" else name
+        )
+        parts.append(
+            f"""SELECT '{name}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({expr}) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+  CAST(min({expr}) AS VARCHAR) AS min_repr,
+  CAST(max({expr}) AS VARCHAR) AS max_repr
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'

@@ -2813,3 +2813,133 @@ def q_rel_mad(sf_dir: str):
             "mad_cents": np.array([mad], dtype="int64"),
         }
     )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_totalprice", "cents"),
+)
+
+
+def q_rel_table_profile(sf_dir: str, *, num_partitions: int = 16):
+    """ANALYZE-style per-column statistics census over ``orders`` —
+    (column, n_rows, n_null, n_distinct, min_repr, max_repr), the
+    optimizer-statistics op every engine ships.
+
+    Counts + min/max fold as per-batch partials (tiny). EXACT multi-column
+    distinct uses ONE exchange total: every batch emits its deduped
+    (column, value-string) pairs, rows co-partition on the pair hash, and
+    per-partition distinct counts per column sum — shuffle volume is the
+    Σ-distinct payload itself, never column × pass. min/max evaluate on
+    the NATIVE type before string rendering (string min of int renders
+    would be wrong). DuckDB oracle: per-column UNION ALL aggregates."""
+    from ..stages.folds import tree_fold_tables
+
+    cols = [c for c, _ in _PROFILE_COLS]
+    ds = _read_parquet_clean(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def native(b: pd.DataFrame, name: str, kind: str) -> pd.Series:
+        if kind == "cents":
+            return (b[name] * 100).round().astype("Int64")
+        if kind == "int":
+            # a nullable int column crosses Arrow→pandas as float64 (NaN
+            # for null) — pin the nullable-int dtype so renders are "7",
+            # never "7.0"
+            return b[name].astype("Int64")
+        return b[name]
+
+    def mmn_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name, kind in _PROFILE_COLS:
+            s = native(b, name, kind)
+            nn = int(s.isna().sum())
+            sv = s.dropna()
+            rows.append(
+                (
+                    name,
+                    len(b),
+                    nn,
+                    str(sv.min()) if len(sv) else None,
+                    str(sv.max()) if len(sv) else None,
+                    "int" if kind != "str" else "str",
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["column", "n", "n_null", "mn", "mx", "kind"]
+        )
+
+    def mmn_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+
+        def fold(g: pd.DataFrame) -> pd.Series:
+            kind = g["kind"].iloc[0]
+            mn = g["mn"].dropna()
+            mx = g["mx"].dropna()
+            key = (lambda s: s.astype("int64")) if kind == "int" else (lambda s: s)
+            return pd.Series(
+                {
+                    "n": int(g["n"].sum()),
+                    "n_null": int(g["n_null"].sum()),
+                    "mn": str(key(mn).min()) if len(mn) else None,
+                    "mx": str(key(mx).max()) if len(mx) else None,
+                    "kind": kind,
+                }
+            )
+
+        return df.groupby("column", sort=False).apply(fold).reset_index()
+
+    mmn = tree_fold_tables(ds.map_batches(mmn_partial, batch_format="pandas"), mmn_combine)
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for name, kind in _PROFILE_COLS:
+            vals = native(b, name, kind).dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"column": name, "v": vals.to_numpy(dtype=object)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_array(
+                (out["column"] + "\x00" + out["v"]).to_numpy(dtype=object)
+            )
+            % num_partitions
+        ).astype("int64")
+        return out
+
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"column": pd.Series([], dtype=object), "nd": pd.Series([], dtype="int64")}
+        )
+        if not len(g) or "column" not in g.columns:
+            return empty
+        d = g[["column", "v"]].drop_duplicates()
+        out = d.groupby("column", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {"column": out["column"].astype(object), "nd": out["size"].astype("int64")}
+        )
+
+    def nd_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("column", sort=False, as_index=False)["nd"].sum()
+
+    nd = tree_fold_tables(
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(distinct_part, batch_format="pandas"),
+        nd_combine,
+    )
+    ndm = dict(zip(nd["column"], nd["nd"])) if nd is not None else {}
+    out = mmn.sort_values("column", ignore_index=True)
+    return pd.DataFrame(
+        {
+            "column": out["column"].astype(object),
+            "n_rows": out["n"].astype("int64"),
+            "n_null": out["n_null"].astype("int64"),
+            "n_distinct": np.array(
+                [int(ndm.get(c, 0)) for c in out["column"]], dtype="int64"
+            ),
+            "min_repr": out["mn"].astype(object),
+            "max_repr": out["mx"].astype(object),
+        }
+    )
