@@ -42,6 +42,18 @@ def _sql_ml_semdedup() -> str:
     return semdedup_sql()
 
 
+def _q_ml_centroids(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import label_centroids
+
+    return label_centroids(sf_dir)
+
+
+def _sql_ml_centroids() -> str:
+    from tripsu_ray.stages.cluster import label_centroids_sql
+
+    return label_centroids_sql()
+
+
 def _q_ml_dbscan(sf_dir: str) -> Any:
     from tripsu_ray.stages.cluster import dbscan
 
@@ -123,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": docops.q_text_repetition,
         "text_curate": docops.q_text_curate,
         "text_bpe_train": docops.q_text_bpe_train,
+        "text_chunk": docops.q_text_chunk,
         # deduplication
         "dedup_exact": docops.q_dedup_exact,
         "dedup_minhash": docops.q_dedup_minhash,
@@ -193,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         "ml_dbscan": _q_ml_dbscan,
+        "ml_label_centroids": _q_ml_centroids,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -278,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
         "text_bigram_logprob": d.sql_text_bigram_logprob(),
+        "text_chunk": d.sql_text_chunk(),
         "text_shard_pack": d.sql_text_shard_pack(),
         "text_repetition": d.sql_text_repetition(),
         "text_curate": d.sql_text_curate(),
@@ -337,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "ml_dbscan": _sql_ml_dbscan(),
+        "ml_label_centroids": _sql_ml_centroids(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

@@ -225,3 +225,32 @@ class TestDBSCAN:
         # structure sanity: ≥2 clusters found, noise present
         assert got[got["role"] == 2]["cluster"].nunique() >= 2
         assert (got["role"] == 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_centroids_exact_vs_local(tmp_path):
+    import pyarrow as pa
+
+    from tripsu_ray.stages.cluster import label_centroids
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 60).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+            "label": pa.array(labels),
+        }
+    )
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = label_centroids(str(tmp_path))
+    q = np.floor(X.astype(np.float64) * C.SCALE).astype(np.int64)
+    for l in np.unique(labels):
+        m = labels == l
+        want = np.floor_divide(q[m].sum(axis=0), m.sum())
+        sub = got[got["label"] == l].sort_values("dim")
+        assert (sub["mean_q"].to_numpy() == want).all()
+        assert (sub["n"] == m.sum()).all()

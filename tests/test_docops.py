@@ -1665,3 +1665,35 @@ def test_rel_table_profile_nulls_and_distinct(tmp_path):
     assert out.loc["o_orderkey", "min_repr"] == "0"
     assert out.loc["o_orderkey", "max_repr"] == "99"  # numeric max, not "9…" string max
     assert out.loc["o_totalprice", "max_repr"] == "425"  # cents
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_chunk_windows(tmp_path):
+    import hashlib
+
+    from tripsu_ray.stages.text import CHUNK_STRIDE, CHUNK_TOKENS, text_chunk
+
+    words = [f"w{i}" for i in range(80)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": [" ".join(words), "short doc", ""],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        text_chunk(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_no"], ignore_index=True)
+    )
+    d0 = got[got["doc_id"] == 0]
+    # 80 tokens, size 32, stride 24 → chunks at 0,24,48 (48+32=80 reaches end)
+    assert d0["chunk_no"].tolist() == [0, 1, 2]
+    assert d0["n_tokens"].tolist() == [32, 32, 32]
+    w = words[24:56]
+    assert (
+        d0["chunk_sha256"].iloc[1]
+        == hashlib.sha256(" ".join(w).encode()).hexdigest()
+    )
+    assert got[got["doc_id"] == 1]["n_tokens"].tolist() == [2]
+    assert (got["doc_id"] != 2).all()  # empty doc: no chunks

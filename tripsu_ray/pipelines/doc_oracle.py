@@ -1169,3 +1169,26 @@ def sql_rel_table_profile() -> str:
 FROM orders"""
         )
     return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+def sql_text_chunk() -> str:
+    from ..stages.text import CHUNK_STRIDE as ST, CHUNK_TOKENS as SZ
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), bounds AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) <= {SZ} THEN 0
+              ELSE (len(ts) - {SZ} + {ST} - 1) // {ST} END AS last_c
+  FROM toks WHERE len(ts) > 0
+), chunks AS (
+  SELECT doc_id, c.c AS chunk_no,
+         ts[c.c * {ST} + 1 : least(c.c * {ST} + {SZ}, n)] AS w
+  FROM bounds, unnest(generate_series(0, last_c)) AS c(c)
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       sha256(array_to_string(w, ' ')) AS chunk_sha256
+FROM chunks ORDER BY doc_id, chunk_no
+""".strip()

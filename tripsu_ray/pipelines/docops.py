@@ -2943,3 +2943,11 @@ def q_rel_table_profile(sf_dir: str, *, num_partitions: int = 16):
             "max_repr": out["mx"].astype(object),
         }
     )
+
+
+def q_text_chunk(sf_dir: str):
+    """Overlapping token-window chunking for RAG/context prep
+    (stages/text.py::text_chunk — in-batch fanout, content-pinning sha)."""
+    from ..stages.text import text_chunk
+
+    return text_chunk(sf_dir)

@@ -487,3 +487,65 @@ LEFT JOIN corecl cc ON cc.node = e.vec_id
 LEFT JOIN border b ON b.vec = e.vec_id
 ORDER BY e.vec_id
 """.strip()
+
+
+def label_centroids(sf_dir: str):
+    """Per-label mean-pooled embedding (the class-prototype / GNN-readout
+    pooling op): dim-wise ``floor(10⁶·x)`` quantization FIRST, then exact
+    int64 partial sums per (label) per batch (shuffle ≤ labels × batches
+    rows, each carrying a d-vector) → tree-fold → floor-division means.
+    Quantize-before-sum keeps the reduction associative (float sums drift
+    per schedule), so the unnest-and-aggregate DuckDB oracle hash-matches.
+    Output long-form (label, dim, mean_q, n) — 8 labels × 64 dims rows."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(b["embedding"])
+        lab = b["label"].to_numpy().astype(np.int64)
+        rows = []
+        for l in np.unique(lab):
+            m = lab == l
+            rows.append((int(l), int(m.sum()), q[m].sum(axis=0).tobytes()))
+        return pd.DataFrame(rows, columns=["label", "n", "s"])
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        out = []
+        for l, g in df.groupby("label", sort=False):
+            sums = np.sum(
+                [np.frombuffer(x, dtype=np.int64) for x in g["s"]], axis=0
+            )
+            out.append((int(l), int(g["n"].sum()), sums.tobytes()))
+        return pd.DataFrame(out, columns=["label", "n", "s"])
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    rows = {"label": [], "dim": [], "mean_q": [], "n": []}
+    if folded is not None:
+        for l, n, s in folded.sort_values("label").itertuples(index=False):
+            sums = np.frombuffer(s, dtype=np.int64)
+            means = sums // n  # floor division — matches SQL `//`
+            rows["label"].extend([int(l)] * len(sums))
+            rows["dim"].extend(range(len(sums)))
+            rows["mean_q"].extend(int(x) for x in means)
+            rows["n"].extend([int(n)] * len(sums))
+    return pd.DataFrame(rows).astype("int64")
+
+
+def label_centroids_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT label, t.dim - 1 AS dim,
+         CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * {SCALE}) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(dim)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       -- FLOOR division (numpy //); DuckDB's integer // truncates toward
+       -- zero on negatives. |sum| ≤ n·10⁶ ≪ 2^53 so the double is exact.
+       CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY label, dim ORDER BY label, dim
+""".strip()

@@ -1455,3 +1455,49 @@ def text_bpe_train(sf_dir: str, *, n_merges: int = BPE_TRAIN_MERGES):
             "n": np.array([m[2] for m in merges], dtype="int64"),
         }
     )
+
+
+# --- document chunking (RAG / context-window prep) ---------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def text_chunk(sf_dir: str, *, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE):
+    """Split every document into overlapping token windows — the
+    RAG/context-window prep op (output rows EXCEED input rows, the
+    ``flat_map`` fanout shape): chunk c of a doc covers tokens
+    [c·stride, c·stride + size); the last partial window is kept iff the
+    doc has any tokens past the previous chunk. Emits (doc_id, chunk_no,
+    n_tokens, chunk_sha256) — the sha pins exact chunk CONTENT so the
+    window-slicing oracle must agree byte-for-byte, not just on counts.
+    Stateless vectorized map; fanout happens inside the batch so block
+    sizes stay bounded (the multimodal_frames discipline)."""
+    import hashlib
+
+    docs = _docs(sf_dir)
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        out = {"doc_id": [], "chunk_no": [], "n_tokens": [], "chunk_sha256": []}
+        for did, ts in zip(b["doc_id"].astype("int64"), toks):
+            n = len(ts)
+            c = 0
+            while c * stride < n or (c == 0 and n > 0):
+                w = ts[c * stride : c * stride + size]
+                if not w:
+                    break
+                out["doc_id"].append(int(did))
+                out["chunk_no"].append(c)
+                out["n_tokens"].append(len(w))
+                out["chunk_sha256"].append(
+                    hashlib.sha256(" ".join(w).encode("utf-8")).hexdigest()
+                )
+                if c * stride + size >= n:
+                    break
+                c += 1
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "chunk_no": "int64", "n_tokens": "int64"}
+        )
+
+    return docs.map_batches(chunks, batch_format="pandas")
