@@ -1497,3 +1497,50 @@ def test_components_distributed_path_equals_driver_gate():
     fast = graph.connected_components_str(_ds(df, blocks=4))
     slow = graph.connected_components_str(_ds(df, blocks=4), driver_max=0)
     assert fast == slow
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNegativeSamples:
+    def test_no_true_edges_and_exact_formula(self):
+        from tripsu_ray.stages.graph import NEG_A, NEG_B, NEG_P, negative_samples
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i:02d}" for i in rng.integers(0, 15, 120)],
+                "b": [f"m{i}" for i in rng.integers(0, 9, 120)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        got = (
+            negative_samples(_ds(df, blocks=3), k=2, num_partitions=4)
+            .to_pandas()
+            .sort_values(["f", "h", "m"], ignore_index=True)
+        )
+        true = set(map(tuple, df.to_numpy()))
+        assert not any((f, m) in true for f, m in zip(got["f"], got["m"]))
+        # exact per-source replay of the hash ranking
+        files = sorted(df["a"].unique())
+        mods = sorted(df["b"].unique())
+        for f in files:
+            fc = files.index(f) + 1
+            cands = [
+                (int((fc * NEG_A + (mods.index(m) + 1) * NEG_B) % NEG_P), m)
+                for m in mods
+                if (f, m) not in true
+            ]
+            want = sorted(cands)[:2]
+            sub = got[got["f"] == f]
+            assert list(zip(sub["h"], sub["m"])) == want
+
+    def test_deterministic_across_partitionings(self):
+        from tripsu_ray.stages.graph import negative_samples
+
+        # each file imports 3 of 6 modules → 3 negatives per file exist
+        df = pd.DataFrame(
+            {"a": [f"f{i}" for i in range(8) for _ in range(3)],
+             "b": [f"m{(i + j) % 6}" for i in range(8) for j in range(3)]}
+        )
+        a = negative_samples(_ds(df, blocks=2), k=2, num_partitions=2).to_pandas()
+        b = negative_samples(_ds(df, blocks=6), k=2, num_partitions=8).to_pandas()
+        key = lambda d: d.sort_values(["f", "h", "m"], ignore_index=True)
+        pd.testing.assert_frame_equal(key(a), key(b))

@@ -664,3 +664,33 @@ SELECT e.a, e.b, CAST(coalesce(sup.s, 0) AS BIGINT) AS support
 FROM ca e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
 ORDER BY e.a, e.b"""
     )
+
+
+def sql_negative_samples(k: int = 3) -> str:
+    from ..stages.extract import NS
+    from ..stages.graph import NEG_A, NEG_B, NEG_P
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+e AS (SELECT DISTINCT s AS f, o AS m FROM raw_triples WHERE p = {_q(NS + "imports")}),
+srcs AS (
+  SELECT f, row_number() OVER (ORDER BY f) AS fc
+  FROM (SELECT DISTINCT f FROM e)
+),
+tgts AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS mc
+  FROM (SELECT DISTINCT m FROM e)
+),
+cand AS (
+  SELECT s.f, t.m, (s.fc * {NEG_A} + t.mc * {NEG_B}) % {NEG_P} AS h
+  FROM srcs s CROSS JOIN tgts t
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.f = s.f AND e.m = t.m)
+),
+ranked AS (
+  SELECT f, m, h, row_number() OVER (PARTITION BY f ORDER BY h, m) AS r
+  FROM cand
+)
+SELECT f, m, CAST(h AS BIGINT) AS h FROM ranked WHERE r <= {k}
+ORDER BY f, h, m"""
+    )

@@ -384,3 +384,21 @@ def q_truss_support(sf_dir: str):
         batch_format="pandas",
     )
     return edge_supports(edges)
+
+
+def q_negative_samples(sf_dir: str, *, k: int = 3):
+    """Deterministic link-prediction negative samples over the
+    file→module import graph (stages/graph.py::negative_samples)."""
+    from ..stages.graph import negative_samples
+
+    def imports_only(df):
+        import pandas as pd
+
+        m = df["predicate"] == "http://kg.example/ns#imports"
+        out = df.loc[m, ["subject", "object_value"]].rename(
+            columns={"subject": "a", "object_value": "b"}
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    edges = _extracted(sf_dir).map_batches(imports_only, batch_format="pandas")
+    return negative_samples(edges, k=k)

@@ -1843,3 +1843,79 @@ def k_truss(edges_ds, k: int, *, max_rounds: int = 64, num_partitions: int = 32)
         n_prev = len(keep)
         cur = ray.data.from_pandas(keep).repartition(max(1, min(8, len(keep) // 1024 + 1)))
     raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
+
+
+NEG_A = 1103515245
+NEG_B = 2654435761
+NEG_P = 2147483647
+
+
+def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
+    """Deterministic negative sampling for link-prediction training: for
+    every SOURCE node, the ``k`` smallest-hash TARGETS it has NO edge to
+    (hash = ``(fc·A + mc·B) mod P`` over dense sorted-name codes, ties →
+    target name) — the contrastive-pair generator, reproducible under any
+    partitioning/engine because the "randomness" is a pure int function
+    of the pair.
+
+    Plan: the target vocabulary is broadcast-class (modules ≪ corpus) —
+    shipped once with its codes; sources CO-PARTITION with their edge
+    lists in one exchange, so each partition excludes a source's true
+    edges locally and scores its candidate row (|targets| hashes) fully
+    vectorized. Source codes come from the sorted distinct source array
+    (node-class, the type-index budget). Returns (f, m, h).
+    """
+    import ray
+
+    edges = edges_ds.materialize()
+
+    def empty_out():
+        return pd.DataFrame(
+            {
+                "f": pd.Series([], dtype=object),
+                "m": pd.Series([], dtype=object),
+                "h": pd.Series([], dtype="int64"),
+            }
+        )
+
+    if edges.count() == 0:
+        return empty_out()
+    files = np.array(sorted(edges.unique("a")), dtype=object)
+    mods = np.array(sorted(edges.unique("b")), dtype=object)
+    state = ray.put((files, mods))
+    P = num_partitions
+
+    def tag(df: pd.DataFrame, _s=state) -> pd.DataFrame:
+        fl, _ = ray.get(_s)
+        code = np.searchsorted(fl, df["a"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {
+                "fcode": code.astype("int64"),
+                "m": df["b"].astype(object),
+                "_part": (code % P).astype("int64"),
+            }
+        )
+
+    def sample_part(g: pd.DataFrame, _s=state) -> pd.DataFrame:
+        if not len(g):
+            return empty_out()
+        fl, md = ray.get(_s)
+        mcode = np.arange(1, len(md) + 1, dtype=np.int64)
+        rows = {"f": [], "m": [], "h": []}
+        for fc, grp in g.groupby("fcode", sort=False):
+            have = set(grp["m"])
+            h = ((int(fc) + 1) * NEG_A + mcode * NEG_B) % NEG_P
+            mask = np.array([m not in have for m in md])
+            cand_h = h[mask]
+            cand_m = md[mask]
+            order = np.lexsort((cand_m, cand_h))[:k]
+            rows["f"].extend([fl[int(fc)]] * len(order))
+            rows["m"].extend(cand_m[order])
+            rows["h"].extend(cand_h[order])
+        return pd.DataFrame(rows).astype({"h": "int64"})
+
+    return (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(sample_part, batch_format="pandas")
+    )
