@@ -386,10 +386,10 @@ def dbscan(sf_dir: str, *, tau_q: int = 450_000, min_pts: int = 4):
     W = 12  # zero-pad width: lexicographic label order == numeric order
 
     def core_edges(b: pd.DataFrame, _c=core_ref) -> pd.DataFrame:
-        cs = ray.get(_c)
+        cs = np.fromiter(ray.get(_c), dtype=np.int64)
         a = b["a"].to_numpy()
         bb = b["b"].to_numpy()
-        m = np.array([x in cs for x in a]) & np.array([x in cs for x in bb])
+        m = np.isin(a, cs) & np.isin(bb, cs)
         return pd.DataFrame(
             {
                 "a": pd.Series([f"{x:0{W}d}" for x in a[m]], dtype=object),
@@ -405,13 +405,14 @@ def dbscan(sf_dir: str, *, tau_q: int = 450_000, min_pts: int = 4):
 
     def border_partial(b: pd.DataFrame, _s=cl_ref) -> pd.DataFrame:
         cs, cl = ray.get(_s)
+        ca = np.fromiter(cs, dtype=np.int64)
         a = b["a"].to_numpy()
         bb = b["b"].to_numpy()
         rows = {"vec": [], "cluster": []}
         for x, y in ((a, bb), (bb, a)):
-            m = np.array([(u not in cs) and (v in cs) for u, v in zip(x, y)])
+            m = ~np.isin(x, ca) & np.isin(y, ca)
             rows["vec"].extend(x[m])
-            rows["cluster"].extend(cl[v] for v in y[m])
+            rows["cluster"].extend(pd.Series(y[m]).map(cl))
         return pd.DataFrame(rows).astype("int64")
 
     def border_combine(frames):

@@ -1903,9 +1903,8 @@ def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
         mcode = np.arange(1, len(md) + 1, dtype=np.int64)
         rows = {"f": [], "m": [], "h": []}
         for fc, grp in g.groupby("fcode", sort=False):
-            have = set(grp["m"])
             h = ((int(fc) + 1) * NEG_A + mcode * NEG_B) % NEG_P
-            mask = np.array([m not in have for m in md])
+            mask = ~np.isin(md, grp["m"].to_numpy(dtype=object))
             cand_h = h[mask]
             cand_m = md[mask]
             order = np.lexsort((cand_m, cand_h))[:k]
