@@ -473,3 +473,58 @@ def test_cli_convert_roundtrip(tmp_path):
         lines += open(os.path.join(c, f)).read().strip().splitlines()
     fixture = set(open(FIXTURE_NT).read().strip().splitlines())
     assert set(lines) == fixture
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNQuadsIO:
+    def test_parse_serialize_roundtrip(self, tmp_path):
+        import ray.data
+
+        from tripsu_ray.sources.flatfiles import read_nquads, write_nquads
+
+        src = tmp_path / "g.nq"
+        src.write_text(
+            '<http://ex/s> <http://ex/p> "lit with \\"q\\" and \\n nl" <http://ex/g1> .\n'
+            "<http://ex/s> <http://ex/p> <http://ex/o> .\n"  # default graph
+            '_:b0 <http://ex/p> "bonjour"@fr <http://ex/g2> .\n'
+            '<http://ex/s> <http://ex/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> _:bg .\n'
+        )
+        ds = read_nquads(str(src))
+        rows = {tuple("" if v is None else v for v in r.values()) for r in ds.take_all()}
+        assert len(rows) == 4
+        graphs = {r["graph"] for r in ds.take_all()}
+        assert graphs == {"http://ex/g1", None, "http://ex/g2", "bg"}
+        out = str(tmp_path / "out_nq")
+        write_nquads(ds, out)
+        back = read_nquads(out)
+        rows2 = {
+            tuple("" if v is None else v for v in r.values()) for r in back.take_all()
+        }
+        assert rows2 == rows
+
+    def test_malformed_policy(self, tmp_path):
+        from tripsu_ray.sources.flatfiles import read_nquads
+
+        src = tmp_path / "bad.nq"
+        src.write_text("<http://ex/s> <http://ex/p> <http://ex/o> <g> extra .\n")
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            read_nquads(str(src)).take_all()
+        assert read_nquads(str(src), on_error="skip").count() == 0
+
+    def test_cli_dispatch_nq(self, tmp_path):
+        """nt → nq → nt via the CLI dispatch helpers: the graph column is
+        added as all-default (None) and dropped again at the triples sink."""
+        from tripsu_ray.cli import _read_triples, _write_triples
+
+        nq_out = str(tmp_path / "fixture.nq")
+        _write_triples(_read_triples(FIXTURE_NT, "raise"), nq_out)
+        back = _read_triples(nq_out, "raise")
+        assert "graph" in back.schema().names
+        nt_out = str(tmp_path / "back.nt")
+        _write_triples(back, nt_out)
+        lines = []
+        for f in os.listdir(nt_out):
+            lines += open(os.path.join(nt_out, f)).read().strip().splitlines()
+        assert set(lines) == set(open(FIXTURE_NT).read().strip().splitlines())

@@ -64,6 +64,10 @@ def _read_triples(path: str, on_error: str, counter=None):
         from .sources.flatfiles import read_tsv
 
         return read_tsv(path)
+    if path.endswith(".nq") or path.endswith(".nquads"):
+        from .sources.flatfiles import read_nquads
+
+        return read_nquads(path, on_error=on_error)
     return _read_parquet_clean(path)
 
 
@@ -79,7 +83,15 @@ def _skip_counter(on_error: str):
 
 
 def _write_triples(ds, path: str):
-    if path.endswith(".nt") or path.endswith(".ntriples"):
+    is_nq = path.endswith(".nq") or path.endswith(".nquads")
+    if not is_nq and "graph" in (ds.schema().names or []):
+        # quads → triples sink: the graph term has no slot; drop it
+        ds = ds.drop_columns(["graph"])
+    if is_nq:
+        from .sources.flatfiles import write_nquads
+
+        write_nquads(ds, path)
+    elif path.endswith(".nt") or path.endswith(".ntriples"):
         from .sources.ntriples import write_ntriples
 
         write_ntriples(ds, path)

@@ -213,3 +213,94 @@ def triples_table(rows: list[tuple]) -> pa.Table:
         pa.array(cols[6], type=pa.string()),
     ]
     return pa.Table.from_arrays(arrays, schema=TRIPLES)
+
+
+# ---------------------------------------------------------------------------
+# N-Quads (the 4th, optional graph term — RDF datasets at scale ship as .nq)
+# ---------------------------------------------------------------------------
+
+# same term grammar; group 9 iri / 10 blank = the optional graph label
+_NQ_LINE = (
+    r"^\s*"
+    r"(?:<([^>]*)>|_:(\S+))"  # subject
+    r"\s+<([^>]*)>\s+"  # predicate
+    r'(?:<([^>]*)>|_:(\S+)|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9\-]*)|\^\^<([^>]*)>)?)'
+    r"(?:\s+(?:<([^>]*)>|_:(\S+)))?"  # graph (optional → default graph)
+    r"\s*\.\s*$"
+)
+_NQ_LINE_RE = re.compile(_NQ_LINE)
+
+
+def parse_nquads_lines(batch: pa.Table, *, on_error: str = "raise", counter=None) -> pa.Table:
+    """Parse N-Quads lines → TRIPLES columns + a nullable ``graph`` column
+    (None = the default graph). Same vectorized single-regex pass and
+    skip/raise policy as :func:`parse_ntriples_lines`; a graph-less line
+    is a valid quad (N-Quads ⊇ N-Triples)."""
+    import pandas as pd
+
+    col = "text" if "text" in batch.column_names else "line"
+    lines = batch[col].to_pandas()
+    mask = ~(lines.str.strip().eq("") | lines.str.strip().str.startswith("#"))
+    lines = lines[mask]
+    ext = lines.str.extract(_NQ_LINE, expand=True)
+    bad = ext[0].isna() & ext[1].isna()
+    if bad.any():
+        if on_error == "raise":
+            raise ValueError(f"malformed N-Quads line: {lines[bad].iloc[0]!r}")
+        if counter is not None:
+            counter.add.remote("malformed_lines", int(bad.sum()))
+        ext = ext[~bad]
+    subj_iri, subj_blank = ext[0], ext[1]
+    subject = subj_iri.fillna(subj_blank)
+    subject_kind = np.where(subj_iri.notna(), KIND_IRI, KIND_BLANK).astype(np.int8)
+    predicate = ext[2]
+    obj_iri, obj_blank, lit, lang, dtype = ext[3], ext[4], ext[5], ext[6], ext[7]
+    graph = ext[8].where(ext[8].notna(), ext[9])
+    object_kind = np.where(
+        obj_iri.notna(), KIND_IRI, np.where(obj_blank.notna(), KIND_BLANK, KIND_LITERAL)
+    ).astype(np.int8)
+    lit_vals = lit.to_numpy(dtype=object)
+    lit_mask = object_kind == KIND_LITERAL
+    lit_vals[lit_mask] = unescape_literals(lit_vals[lit_mask])
+    object_value = np.where(
+        obj_iri.notna(), obj_iri, np.where(obj_blank.notna(), obj_blank, lit_vals)
+    )
+    object_lang = pd.Series(np.where(lit_mask, lang, None), dtype=object)
+    object_datatype = pd.Series(np.where(lit_mask, dtype, None), dtype=object)
+    return pa.table(
+        {
+            "subject": pa.array(subject, type=pa.string()),
+            "subject_kind": pa.array(subject_kind),
+            "predicate": pa.array(predicate, type=pa.string()),
+            "object_value": pa.array(object_value, type=pa.string()),
+            "object_kind": pa.array(object_kind),
+            "object_lang": pa.array(object_lang, type=pa.string()),
+            "object_datatype": pa.array(object_datatype, type=pa.string()),
+            "graph": pa.array(graph.astype(object).where(graph.notna(), None), type=pa.string()),
+        }
+    )
+
+
+def serialize_nquads(batch: pa.Table) -> pa.Table:
+    """(TRIPLES + nullable ``graph``) → one-column ``line`` of N-Quads
+    lines; a None graph serializes as a plain triple (default graph)."""
+    subj = format_subject(batch["subject"].combine_chunks(), batch["subject_kind"].combine_chunks())
+    pred = format_predicate(batch["predicate"].combine_chunks())
+    obj = format_object(
+        batch["object_value"].combine_chunks(),
+        batch["object_kind"].combine_chunks(),
+        batch["object_lang"].combine_chunks(),
+        batch["object_datatype"].combine_chunks(),
+    )
+    g = batch["graph"].combine_chunks() if "graph" in batch.column_names else None
+    import pandas as pd
+
+    base = pd.Series(
+        pc.binary_join_element_wise(subj, pred, obj, " ").to_pandas(), dtype=object
+    )
+    if g is not None:
+        gs = g.to_pandas()
+        has = gs.notna()
+        base[has] = base[has] + " <" + gs[has] + ">"
+    line = (base + " .").to_numpy(dtype=object)
+    return pa.table({"line": pa.array(line, pa.string())})

@@ -198,3 +198,39 @@ def write_tsv(triples, path: str) -> None:
             file.write(payload.encode("utf-8"))
 
     triples.write_datasink(TsvDatasink(path))
+
+
+# --- N-Quads ----------------------------------------------------------------
+
+
+def read_nquads(paths, *, on_error: str = "raise", target_chunk_bytes: int | None = None):
+    """N-Quads → (TRIPLES + nullable graph) Dataset, byte-range split."""
+    import ray.data
+
+    from ..functions.rdf import parse_nquads_lines
+
+    lines = _chunked_lines(paths, ".nq", target_chunk_bytes)
+    if lines is None:
+        lines = ray.data.read_text(paths)
+    return lines.map_batches(
+        parse_nquads_lines, fn_kwargs={"on_error": on_error}, batch_format="pyarrow"
+    )
+
+
+def write_nquads(quads, path: str) -> None:
+    """(TRIPLES + nullable graph) Dataset → directory of .nq shard files."""
+    from ray.data.block import BlockAccessor
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    from ..functions.rdf import serialize_nquads
+
+    class NQuadsDatasink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, file_format="nq")
+
+        def write_block_to_file(self, block: BlockAccessor, file) -> None:
+            lines = serialize_nquads(block.to_arrow())["line"]
+            payload = "\n".join(lines.to_pylist()) + "\n" if len(lines) else ""
+            file.write(payload.encode("utf-8"))
+
+    quads.write_datasink(NQuadsDatasink(path))
