@@ -54,10 +54,22 @@ def _sql_ml_centroids() -> str:
     return label_centroids_sql()
 
 
+def _sql_ml_knn_classify() -> str:
+    from tripsu_ray.stages.cluster import knn_classify_sql
+
+    return knn_classify_sql()
+
+
 def _q_ml_dbscan(sf_dir: str) -> Any:
     from tripsu_ray.stages.cluster import dbscan
 
     return dbscan(sf_dir)
+
+
+def _q_ml_knn_classify(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import knn_classify
+
+    return knn_classify(sf_dir)
 
 
 def _sql_ml_dbscan() -> str:
@@ -208,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_semdedup": _q_ml_semdedup,
         "ml_dbscan": _q_ml_dbscan,
         "ml_label_centroids": _q_ml_centroids,
+        "ml_knn_classify": _q_ml_knn_classify,
         # the join family Ray Data lacks (pipelines/joins.py)
         "rel_asof_join": joins.q_rel_asof_join,
         "rel_range_join": joins.q_rel_range_join,
@@ -355,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_semdedup": _sql_ml_semdedup(),
         "ml_dbscan": _sql_ml_dbscan(),
         "ml_label_centroids": _sql_ml_centroids(),
+        "ml_knn_classify": _sql_ml_knn_classify(),
         "rel_asof_join": joins.sql_rel_asof_join(),
         "rel_range_join": joins.sql_rel_range_join(),
         "rel_anti_join": joins.sql_rel_anti_join(),

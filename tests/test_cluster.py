@@ -254,3 +254,50 @@ def test_label_centroids_exact_vs_local(tmp_path):
         sub = got[got["label"] == l].sort_values("dim")
         assert (sub["mean_q"].to_numpy() == want).all()
         assert (sub["n"] == m.sum()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_classify_matches_brute_force(tmp_path):
+    """Distributed k-NN vote == single-process numpy replica (same total
+    orders: simq DESC / vec_id ASC for the neighborhood, votes DESC /
+    label ASC for the prediction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from tripsu_ray.stages.cluster import knn_classify
+
+    rng = np.random.default_rng(7)
+    n, d, nq, k = 80, 8, 6, 5
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+                "label": pa.array(labels),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = (
+        knn_classify(str(tmp_path), k=k, num_queries=nq)
+        .to_pandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+
+    Xn = X.astype(np.float64)
+    Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+    sims = Xn[:nq] @ Xn[nq:].T
+    simq = np.floor(sims * C.SCALE).astype(np.int64)
+    vids = np.arange(nq, n)
+    for qi in range(nq):
+        order = np.lexsort((vids, -simq[qi]))[:k]
+        neigh_labels = labels[nq:][order]
+        vals, counts = np.unique(neigh_labels, return_counts=True)
+        best = vals[np.lexsort((vals, -counts))][0]
+        row = got.iloc[qi]
+        assert row["query_id"] == qi
+        assert row["true_label"] == labels[qi]
+        assert row["pred_label"] == best
+        assert row["votes"] == counts[vals == best][0]

@@ -550,3 +550,119 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n
 FROM ex GROUP BY label, dim ORDER BY label, dim
 """.strip()
+
+
+def knn_classify(sf_dir: str, *, k: int = 15, num_queries: int = 20):
+    """k-NN majority-vote classification: the first ``num_queries`` vec_ids
+    are held-out queries, classified against the labeled remainder of the
+    corpus by exact cosine top-k (the auto-labeling / weak-supervision op
+    of a curation pipeline).
+
+    Same physical plan as ``similarity.ann_topk`` — the query matrix is a
+    pruned filter-pushdown read broadcast once via ``ray.put``; each
+    streamed batch emits its LOCAL top-k (with labels) per query; the
+    global reduce sees only k × queries × batches rows. The vote is
+    driver-side over k × queries rows. Ranking key (simq DESC, vec_id ASC)
+    and vote key (votes DESC, label ASC) are total orders shared with the
+    DuckDB oracle, so the prediction is deterministic and hash-checked.
+
+    Beyond-reference scope (north-star training-data op); quantized-sim
+    discipline per ``stages/similarity.py``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qdf = (
+        _read_parquet_clean(
+            path,
+            columns=["vec_id", "label", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((qdf["vec_id"].to_numpy(np.int64), Q))
+
+    corpus = _read_parquet_clean(
+        path,
+        columns=["vec_id", "label", "embedding"],
+        filter=pc.field("vec_id") >= num_queries,
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "label": [], "simq": []}
+        if len(b):
+            q_ids, Qm = ray.get(q_ref)
+            vm = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            vm = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            sims = Qm @ vm.T
+            vids = b["vec_id"].to_numpy(np.int64)
+            labs = b["label"].to_numpy(np.int64)
+            for qi, qid in enumerate(q_ids):
+                simq = np.floor(sims[qi] * SCALE).astype(np.int64)
+                order = np.lexsort((vids, -simq))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(vids[order])
+                out["label"].extend(labs[order])
+                out["simq"].extend(simq[order])
+        return pd.DataFrame(out).astype("int64")
+
+    partials = corpus.map_batches(local_topk, batch_format="pandas").to_pandas()
+    topk = (
+        partials.sort_values(
+            ["query_id", "simq", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    votes = (
+        topk.groupby(["query_id", "label"], sort=False)
+        .size()
+        .reset_index(name="votes")
+        .sort_values(["query_id", "votes", "label"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(1)
+        .rename(columns={"label": "pred_label"})
+    )
+    out = votes.merge(
+        qdf[["vec_id", "label"]].rename(
+            columns={"vec_id": "query_id", "label": "true_label"}
+        ),
+        on="query_id",
+    )[["query_id", "true_label", "pred_label", "votes"]]
+    return rd.from_pandas(out.astype("int64").reset_index(drop=True))
+
+
+def knn_classify_sql(k: int = 15, num_queries: int = 20) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS true_label, e AS qe
+  FROM v WHERE vec_id < {num_queries}
+), scored AS (
+  SELECT q.query_id, q.true_label, c.vec_id, c.label,
+         CAST(floor(list_cosine_similarity(q.qe, c.e) * {SCALE}) AS BIGINT) AS simq
+  FROM q JOIN v c ON c.vec_id >= {num_queries}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY simq DESC, vec_id) AS rnk
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, label, count(*) AS votes
+  FROM ranked WHERE rnk <= {k} GROUP BY 1, 2, 3
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS r
+  FROM votes
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM best WHERE r = 1 ORDER BY query_id
+""".strip()
