@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_inverted_index": docops.q_text_inverted_index,
         "text_search": docops.q_text_search,
         "text_top_terms": docops.q_text_top_terms,
+        "text_tfidf": docops.q_text_tfidf,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "text_inverted_index": d.sql_text_inverted_index(),
         "text_search": d.sql_text_search(),
         "text_top_terms": d.sql_text_top_terms(),
+        "text_tfidf": d.sql_text_tfidf(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),

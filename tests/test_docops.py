@@ -836,6 +836,46 @@ def test_text_top_terms_matches_pandas():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_text_tfidf_matches_pandas():
+    """Quantized-idf TF-IDF top-k vs a single-process replica: idf_q is
+    floor(1e6·(ln N − ln df)) int64, score = tf·idf_q exact integers."""
+    import math
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = (
+        T.text_tfidf(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        for tok in pat.findall(t.lower()):
+            rows.append((d, tok))
+    all_toks = pd.DataFrame(rows, columns=["doc_id", "token"])
+    tf = all_toks.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+    df = all_toks.drop_duplicates().groupby("token").size()
+    ln_n = math.log(float(len(docs)))
+    idf_q = {t: int(math.floor(1_000_000 * (ln_n - math.log(float(d)))))
+             for t, d in df.items()}
+    tf["idf_q"] = tf["token"].map(idf_q)
+    tf["tfidf_q"] = tf["tf"].astype("int64") * tf["idf_q"]
+    tf = tf.sort_values(["doc_id", "tfidf_q", "token"], ascending=[True, False, True])
+    tf["rank"] = tf.groupby("doc_id").cumcount() + 1
+    want = (
+        tf[tf["rank"] <= T.TFIDF_K][
+            ["doc_id", "rank", "token", "tf", "idf_q", "tfidf_q"]
+        ]
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in ("doc_id", "rank", "tf", "idf_q", "tfidf_q")})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_text_mixture_schedule_matches_pandas():
     from tripsu_ray.stages import text as T
 

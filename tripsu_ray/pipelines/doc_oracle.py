@@ -164,6 +164,40 @@ ORDER BY doc_id, rank
 """.strip()
 
 
+def sql_text_tfidf() -> str:
+    from ..stages.text import TFIDF_K
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+idf AS (
+  SELECT token,
+         CAST(floor(1000000 * (ln((SELECT count(*) FROM documents))
+                               - ln(df))) AS BIGINT) AS idf_q
+  FROM df
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, idf.idf_q,
+         CAST(tf.tf AS BIGINT) * idf.idf_q AS tfidf_q
+  FROM tf JOIN idf USING (token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_q DESC, token ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, idf_q, tfidf_q
+FROM ranked WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+""".strip()
+
+
 def sql_text_mixture() -> str:
     from ..stages.text import _MIX_DEFAULT_STRIDE, MIX_STRIDES
 

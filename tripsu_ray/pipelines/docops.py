@@ -28,6 +28,7 @@ q_text_dup_spans = text.text_dup_spans
 q_text_pii = text.text_pii
 q_text_vocab = text.text_vocab
 q_text_top_terms = text.text_top_terms
+q_text_tfidf = text.text_tfidf
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob

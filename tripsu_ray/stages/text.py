@@ -620,6 +620,84 @@ def text_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K):
     return docs.map_batches(rank_batch, batch_format="pandas")
 
 
+TFIDF_K = 5
+
+
+def text_tfidf(sf_dir: str, *, k: int = TFIDF_K):
+    """Top-k TF-IDF terms per document — the log-weighted variant of
+    :func:`text_top_terms` (that one ranks by the integer (tf, df)
+    surrogate; this one scores ``tf · idf``).
+
+    Exactness discipline: idf is quantized ONCE per token on the driver —
+    ``idf_q = floor(10⁶·(ln N − ln df))`` int64 — so the per-(doc, token)
+    score ``tfidf_q = tf · idf_q`` is exact integer arithmetic and the
+    ranking (tfidf_q DESC, token ASC) is a total order shared with the
+    DuckDB oracle. Same two-pass physical plan as ``text_top_terms``:
+    df tree-fold → broadcast idf map → map-only per-doc rank (a doc is
+    one row, so tf and the rank never shuffle)."""
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()  # parquet metadata count — no scan
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)["df"].sum()
+
+    folded = tree_fold_tables(
+        docs.map_batches(df_partial_batch, batch_format="pandas"), combine
+    )
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int64"),
+         "token": pd.Series([], dtype=object),
+         "tf": pd.Series([], dtype="int64"),
+         "idf_q": pd.Series([], dtype="int64"),
+         "tfidf_q": pd.Series([], dtype="int64")}
+    )
+    if folded is None or not len(folded) or not n_docs:
+        return empty
+    ln_n = math.log(float(n_docs))
+    idf = {
+        t: int(math.floor(1_000_000 * (ln_n - math.log(float(d)))))
+        for t, d in zip(folded["token"], folded["df"].astype(np.int64))
+    }
+    idf_ref = ray.put(idf)
+
+    def rank_batch(b: pd.DataFrame, _idf=idf_ref) -> pd.DataFrame:
+        idfm = ray.get(_idf)
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        if not lens.sum():
+            return empty
+        flat = np.concatenate(toks.to_numpy())
+        did = np.repeat(b["doc_id"].to_numpy(), lens)
+        g = (
+            pd.DataFrame({"doc_id": did, "token": flat})
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["idf_q"] = g["token"].map(idfm).astype("int64")
+        g["tfidf_q"] = g["tf"].astype("int64") * g["idf_q"]
+        g = g.sort_values(
+            ["doc_id", "tfidf_q", "token"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = g[g["rank"] <= k]
+        return out[["doc_id", "rank", "token", "tf", "idf_q", "tfidf_q"]].astype(
+            {"doc_id": "int64", "tf": "int64"}
+        )
+
+    return docs.map_batches(rank_batch, batch_format="pandas")
+
+
 # --- deterministic weighted data mixing (training-mixture schedule) ----------
 
 # integer sampling weights per language domain; LCM-normalized STRIDES make
