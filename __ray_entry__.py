@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search": docops.q_text_search,
         "text_top_terms": docops.q_text_top_terms,
         "text_tfidf": docops.q_text_tfidf,
+        "text_naive_bayes": docops.q_text_naive_bayes,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_heavy_hitters": docops.q_rel_heavy_hitters,
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
+        "rel_attribution": docops.q_rel_attribution,
         "rel_lead_lag": docops.q_rel_lead_lag,
         "rel_sample": docops.q_rel_sample,
         "rel_group_quantiles": docops.q_rel_group_quantiles,
@@ -305,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search": d.sql_text_search(),
         "text_top_terms": d.sql_text_top_terms(),
         "text_tfidf": d.sql_text_tfidf(),
+        "text_naive_bayes": d.sql_text_naive_bayes(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
@@ -339,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_heavy_hitters": d.sql_rel_heavy_hitters(),
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
+        "rel_attribution": d.sql_rel_attribution(),
         "rel_lead_lag": d.sql_rel_lead_lag(),
         "rel_sample": d.sql_rel_sample(),
         "rel_group_quantiles": d.sql_rel_group_quantiles(),

@@ -1737,3 +1737,56 @@ def test_text_chunk_windows(tmp_path):
     )
     assert got[got["doc_id"] == 1]["n_tokens"].tolist() == [2]
     assert (got["doc_id"] != 2).all()  # empty doc: no chunks
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_attribution_matches_pandas():
+    """Last-touch attribution vs a single-process replica: every purchase
+    credits the most recent strictly-preceding click/view per user."""
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_attribution(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        last_id, last_type = -1, ""
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                rows.append(
+                    (r.event_id, r.user_id, last_id, last_type,
+                     int(round(r.value * 100)))
+                )
+            if r.event_type in ("click", "view"):
+                last_id, last_type = r.event_id, r.event_type
+    want = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "touch_event_id", "touch_type", "value_cents"],
+    ).sort_values("event_id", ignore_index=True)
+    for c in ("event_id", "user_id", "touch_event_id", "value_cents"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_naive_bayes_self_train_accuracy_and_determinism():
+    """The synthetic corpus's lang labels are (nearly) independent of the
+    text, so exact label recovery is impossible — correctness is the
+    DuckDB oracle hash (tools/check_correctness.py). Here: the classifier
+    must beat the majority-class prior (it sees real token counts), emit
+    one row per doc, and be bit-deterministic across runs."""
+    from tripsu_ray.stages import text as T
+
+    a = T.text_naive_bayes(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(a) == 500
+    acc = (a["pred_lang"] == a["true_lang"]).mean()
+    majority = a["true_lang"].value_counts(normalize=True).max()
+    assert acc > majority, (acc, majority)
+    assert (a["score_q"] < 0).all()  # log-probs are negative
+    b = T.text_naive_bayes(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)

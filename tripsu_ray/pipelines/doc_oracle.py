@@ -198,6 +198,48 @@ ORDER BY doc_id, rank
 """.strip()
 
 
+def sql_text_naive_bayes() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+cnt AS (
+  SELECT d.lang, t.token, count(*) AS c
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT count(DISTINCT token) AS v FROM toks),
+lmodel AS (
+  SELECT l.lang,
+         CAST(floor(1000000 * (ln(l.n_docs)
+              - ln((SELECT count(*) FROM documents)))) AS BIGINT) AS prior_q,
+         tot.t + (SELECT v FROM vocab) AS denom
+  FROM langs l JOIN tot USING (lang)
+),
+scored AS (
+  SELECT tf.doc_id, m.lang,
+         m.prior_q + sum(tf.tf * CAST(floor(1000000 *
+             (ln(coalesce(c.c, 0) + 1) - ln(m.denom))) AS BIGINT)) AS score_q
+  FROM tf CROSS JOIN lmodel m
+  LEFT JOIN cnt c ON c.lang = m.lang AND c.token = tf.token
+  GROUP BY tf.doc_id, m.lang, m.prior_q
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, score_q,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, lang ASC) AS r
+  FROM scored
+)
+SELECT b.doc_id, d.lang AS true_lang, b.pred_lang,
+       CAST(b.score_q AS BIGINT) AS score_q
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+WHERE b.r = 1 ORDER BY b.doc_id
+""".strip()
+
+
 def sql_text_mixture() -> str:
     from ..stages.text import _MIX_DEFAULT_STRIDE, MIX_STRIDES
 
@@ -546,6 +588,34 @@ SELECT user_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
+""".strip()
+
+
+def sql_rel_attribution() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS touch_event_id,
+    last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS touch_type
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(coalesce(touch_event_id, -1) AS BIGINT) AS touch_event_id,
+       coalesce(touch_type, '') AS touch_type,
+       value_cents
+FROM w WHERE event_type = 'purchase' ORDER BY event_id
 """.strip()
 
 

@@ -29,6 +29,7 @@ q_text_pii = text.text_pii
 q_text_vocab = text.text_vocab
 q_text_top_terms = text.text_top_terms
 q_text_tfidf = text.text_tfidf
+q_text_naive_bayes = text.text_naive_bayes
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -1020,6 +1021,48 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_attribution(sf_dir: str):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent PRECEDING touch event (click/view) in the user's
+    event-time order — the standard attribution window op.
+
+    One user_id exchange (``groupby.map_groups``), then pure vectorized
+    forward-fill inside the ts-sorted group: the touch ids/types are
+    carried forward with ``ffill`` shifted by one so a purchase never
+    attributes to itself or to a later touch. Purchases with no prior
+    touch credit the sentinel (-1, ''). Total order (ts, event_id) is
+    shared with the oracle's window frame, so results hash-match."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], ignore_index=True)
+        is_touch = g["event_type"].isin(("click", "view"))
+        tid = pd.Series(
+            np.where(is_touch, g["event_id"], np.nan), index=g.index
+        ).ffill().shift(1)
+        ttype = pd.Series(
+            np.where(is_touch, g["event_type"], None), index=g.index, dtype=object
+        ).ffill().shift(1)
+        buy = g["event_type"] == "purchase"
+        out = pd.DataFrame(
+            {
+                "event_id": g.loc[buy, "event_id"].astype("int64"),
+                "user_id": g.loc[buy, "user_id"].astype("int64"),
+                "touch_event_id": tid[buy].fillna(-1).astype("int64"),
+                "touch_type": ttype[buy].fillna("").astype(object),
+                "value_cents": (g.loc[buy, "value"] * 100)
+                .round()
+                .astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(attribute, batch_format="pandas")
 
 
 def q_rel_corr(sf_dir: str):

@@ -620,6 +620,120 @@ def text_top_terms(sf_dir: str, *, k: int = TOP_TERMS_K):
     return docs.map_batches(rank_batch, batch_format="pandas")
 
 
+def text_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained and scored on
+    the corpus itself (the supervised counterpart of :func:`text_langid` —
+    the weak-labeling / label-model op of a curation pipeline).
+
+    Exact-integer discipline throughout: add-one-smoothed token
+    likelihoods and class priors are quantized ONCE on the driver —
+    ``logq(tok|lang) = floor(10⁶·(ln(c+1) − ln(T_lang + V)))``,
+    ``prior_q(lang) = floor(10⁶·(ln n_lang − ln N))`` — so a document's
+    class score ``prior_q + Σ tf·logq`` is an int64 sum (associativity-
+    independent, oracle-reproducible). Physical plan: one tree-fold for
+    the (lang, token) count table (vocab×langs driver state — the
+    type-index size class, broadcast once), then a map-only scoring pass;
+    argmax ties break to the lexicographically lowest lang in both
+    engines. Docs with zero tokens emit no rows (mirrors the oracle's
+    inner join)."""
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    n_docs = docs.count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        lang = np.repeat(b["lang"].to_numpy(object), lens)
+        g = (
+            pd.DataFrame({"lang": lang, "token": flat})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        nd = b.groupby("lang", sort=False).size().reset_index(name="n_docs")
+        nd["token"] = ""  # doc-count rows ride the same fold under token=''
+        nd = nd.rename(columns={"n_docs": "c"})[["lang", "token", "c"]]
+        return pd.concat([g.astype({"c": "int64"}), nd.astype({"c": "int64"})])
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["lang", "token"], sort=False, as_index=False)["c"].sum()
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "true_lang": pd.Series([], dtype=object),
+         "pred_lang": pd.Series([], dtype=object),
+         "score_q": pd.Series([], dtype="int64")}
+    )
+    folded = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    if folded is None or not len(folded) or not n_docs:
+        return empty
+    is_doc_row = folded["token"] == ""
+    n_lang = dict(zip(folded.loc[is_doc_row, "lang"], folded.loc[is_doc_row, "c"]))
+    counts = folded[~is_doc_row]
+    vocab_size = counts["token"].nunique()
+    tot = counts.groupby("lang")["c"].sum().to_dict()  # token totals per lang
+    # a lang whose docs are all token-free has no likelihood model (the
+    # oracle's tot join drops it the same way)
+    langs = sorted(set(n_lang) & set(tot))
+    ln_n = math.log(float(n_docs))
+    model = {}
+    for L in langs:
+        denom = math.log(float(tot.get(L, 0) + vocab_size))
+        sub = counts[counts["lang"] == L]
+        model[L] = (
+            int(math.floor(1_000_000 * (math.log(float(n_lang[L])) - ln_n))),
+            int(math.floor(1_000_000 * (0.0 - denom))),  # unseen: ln(0+1)=0
+            {
+                t: int(math.floor(1_000_000 * (math.log(float(c) + 1.0) - denom)))
+                for t, c in zip(sub["token"], sub["c"])
+            },
+        )
+    ref = ray.put(model)
+
+    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        mdl = ray.get(_ref)
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        if not lens.sum():
+            return empty
+        flat = pd.Series(
+            np.concatenate(toks.to_numpy()), dtype=object, name="token"
+        )
+        did = np.repeat(np.arange(len(b)), lens)
+        best_score = None
+        best_lang = None
+        for L in sorted(mdl):
+            prior, default, lq = mdl[L]
+            vals = flat.map(lq).fillna(default).astype("int64").to_numpy()
+            s = np.zeros(len(b), dtype=np.int64)
+            np.add.at(s, did, vals)
+            s = s + prior
+            if best_score is None:
+                best_score, best_lang = s, np.full(len(b), L, object)
+            else:
+                win = s > best_score  # strict: ties keep the earlier (lower) lang
+                best_score = np.where(win, s, best_score)
+                best_lang = np.where(win, L, best_lang)
+        has = lens > 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[has].astype("int64"),
+                "true_lang": b["lang"].to_numpy(object)[has],
+                "pred_lang": best_lang[has],
+                "score_q": best_score[has].astype("int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 TFIDF_K = 5
 
 
