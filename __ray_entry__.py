@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
         "rel_attribution": docops.q_rel_attribution,
+        "rel_chi2": docops.q_rel_chi2,
+        "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_lead_lag": docops.q_rel_lead_lag,
         "rel_sample": docops.q_rel_sample,
         "rel_group_quantiles": docops.q_rel_group_quantiles,
@@ -343,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
         "rel_attribution": d.sql_rel_attribution(),
+        "rel_chi2": d.sql_rel_chi2(),
+        "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_lead_lag": d.sql_rel_lead_lag(),
         "rel_sample": d.sql_rel_sample(),
         "rel_group_quantiles": d.sql_rel_group_quantiles(),

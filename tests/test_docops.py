@@ -1790,3 +1790,55 @@ def test_naive_bayes_self_train_accuracy_and_determinism():
     assert (a["score_q"] < 0).all()  # log-probs are negative
     b = T.text_naive_bayes(SF).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_chi2_matches_scipy_style_replica():
+    """Per-cell χ² contributions vs a direct pandas crosstab replica."""
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_chi2(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    got = got.sort_values(["o_orderstatus", "o_orderpriority"], ignore_index=True)
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    ct = (
+        orders.groupby(["o_orderstatus", "o_orderpriority"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["o_orderstatus", "o_orderpriority"], ignore_index=True)
+    )
+    rt = ct.groupby("o_orderstatus")["n"].sum()
+    colt = ct.groupby("o_orderpriority")["n"].sum()
+    tot = float(ct["n"].sum())
+    exp = (
+        ct["o_orderstatus"].map(rt).to_numpy(float)
+        * ct["o_orderpriority"].map(colt).to_numpy(float)
+    ) / tot
+    n = ct["n"].to_numpy(float)
+    assert (got["n"].to_numpy() == ct["n"].to_numpy()).all()
+    assert (got["exp_q"].to_numpy() == np.floor(1e6 * exp).astype("int64")).all()
+    want_contrib = np.floor(1e6 * ((n - exp) * (n - exp) / exp)).astype("int64")
+    assert (got["contrib_q"].to_numpy() == want_contrib).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_grouping_sets_internal_consistency():
+    """Every grouping set must re-aggregate to the same grand totals, and
+    set 3 (by status) must equal set 1 folded over priority."""
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_grouping_sets(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    total_cents = int((orders["o_totalprice"] * 100).round().astype("int64").sum())
+    for gs in (1, 2, 3):
+        sub = got[got["gset"] == gs]
+        assert sub["n"].sum() == len(orders)
+        assert sub["price_cents"].sum() == total_cents
+    s1 = got[got["gset"] == 1].groupby("o_orderstatus")[["price_cents", "n"]].sum()
+    s3 = got[got["gset"] == 3].set_index("o_orderstatus")[["price_cents", "n"]]
+    pd.testing.assert_frame_equal(s1.sort_index(), s3.sort_index())

@@ -591,6 +591,56 @@ FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
 """.strip()
 
 
+def sql_rel_grouping_sets() -> str:
+    return """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT CAST(1 AS BIGINT) AS gset, o_orderstatus, o_orderpriority,
+       CAST(-1 AS BIGINT) AS o_year,
+       CAST(sum(price_cents) AS BIGINT) AS price_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM base GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
+SELECT 2, '', o_orderpriority, o_year,
+       CAST(sum(price_cents) AS BIGINT), count(*)
+FROM base GROUP BY o_orderpriority, o_year
+UNION ALL
+SELECT 3, o_orderstatus, '', -1,
+       CAST(sum(price_cents) AS BIGINT), count(*)
+FROM base GROUP BY o_orderstatus
+ORDER BY gset, o_orderstatus, o_orderpriority, o_year
+""".strip()
+
+
+def sql_rel_chi2() -> str:
+    return """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), m AS (SELECT o_orderstatus, sum(n) AS row_t FROM c GROUP BY 1),
+   p AS (SELECT o_orderpriority, sum(n) AS col_t FROM c GROUP BY 1),
+   t AS (SELECT sum(n) AS total FROM c),
+   e AS (
+  SELECT c.o_orderstatus, c.o_orderpriority, c.n,
+         (CAST(m.row_t AS DOUBLE) * CAST(p.col_t AS DOUBLE))
+           / CAST(t.total AS DOUBLE) AS exp
+  FROM c JOIN m USING (o_orderstatus)
+         JOIN p USING (o_orderpriority)
+         CROSS JOIN t
+)
+SELECT o_orderstatus, o_orderpriority, n,
+       CAST(floor(1000000 * exp) AS BIGINT) AS exp_q,
+       CAST(floor(1000000 * ((CAST(n AS DOUBLE) - exp)
+                             * (CAST(n AS DOUBLE) - exp) / exp)) AS BIGINT)
+         AS contrib_q
+FROM e ORDER BY o_orderstatus, o_orderpriority
+""".strip()
+
+
 def sql_rel_attribution() -> str:
     return """
 WITH e AS (

@@ -1065,6 +1065,128 @@ def q_rel_attribution(sf_dir: str):
     return ds.groupby("user_id").map_groups(attribute, batch_format="pandas")
 
 
+def q_rel_grouping_sets(sf_dir: str):
+    """Arbitrary GROUPING SETS — ((status, priority), (priority, year),
+    (status)) — a non-lattice set list that neither ROLLUP nor CUBE
+    expresses. ONE partial-aggregation pass at the finest grain
+    (status × priority × year); every requested set re-aggregates from
+    the fold result (associative sums) at zero extra scan/shuffle.
+    Absent keys render as '' / -1 (engine-portable hash); ``gset`` tags
+    the originating set."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(
+                o_year=pd.to_datetime(b["o_orderdate"]).dt.year.astype("int64"),
+                price_cents=(b["o_totalprice"] * 100).round().astype("int64"),
+                n=1,
+            )
+            .groupby(["o_orderstatus", "o_orderpriority", "o_year"], sort=False)
+            .agg(price_cents=("price_cents", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(
+            ["o_orderstatus", "o_orderpriority", "o_year"], sort=False, as_index=False
+        )[["price_cents", "n"]].sum()
+
+    fine = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    cols = ["gset", "o_orderstatus", "o_orderpriority", "o_year", "price_cents", "n"]
+    if fine is None or not len(fine):
+        return pd.DataFrame({c: pd.Series([], dtype="int64" if c not in
+                             ("o_orderstatus", "o_orderpriority") else object)
+                             for c in cols})
+    s1 = (
+        fine.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)[
+            ["price_cents", "n"]
+        ].sum()
+        .assign(gset=1, o_year=-1)
+    )
+    s2 = (
+        fine.groupby(["o_orderpriority", "o_year"], as_index=False)[
+            ["price_cents", "n"]
+        ].sum()
+        .assign(gset=2, o_orderstatus="")
+    )
+    s3 = (
+        fine.groupby("o_orderstatus", as_index=False)[["price_cents", "n"]]
+        .sum()
+        .assign(gset=3, o_orderpriority="", o_year=-1)
+    )
+    out = pd.concat([s1[cols], s2[cols], s3[cols]], ignore_index=True)
+    return out.astype(
+        {"gset": "int64", "o_year": "int64", "price_cents": "int64", "n": "int64"}
+    ).sort_values(cols[:4], ignore_index=True)
+
+
+def q_rel_chi2(sf_dir: str):
+    """Chi-square independence census for (o_orderstatus ×
+    o_orderpriority): per-cell observed count, expected count and χ²
+    contribution — the categorical-drift / feature-correlation check of
+    a data-quality pipeline.
+
+    Plan: ONE tree-fold of per-batch contingency partials (the cell
+    domain is |status|×|priority| — constant-size driver state); margins
+    and per-cell doubles are computed once on the driver. Float
+    discipline: both engines evaluate the SAME IEEE sequence over the
+    SAME exact int64 counts — exp = (double(row)·double(col))/double(N),
+    contrib = (n−exp)²/exp — then quantize floor(10⁶·x), so the hash
+    matches without any cross-cell float summation (contributions are
+    reported per cell, never summed in float). Cells with zero observed
+    count are omitted (both engines build cells from observed rows)."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(
+            ["o_orderstatus", "o_orderpriority"], sort=False, as_index=False
+        )["n"].sum()
+
+    cells = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if cells is None or not len(cells):
+        return pd.DataFrame(
+            {"o_orderstatus": pd.Series([], dtype=object),
+             "o_orderpriority": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "exp_q": pd.Series([], dtype="int64"),
+             "contrib_q": pd.Series([], dtype="int64")}
+        )
+    cells = cells.sort_values(
+        ["o_orderstatus", "o_orderpriority"], ignore_index=True
+    )
+    row_t = cells.groupby("o_orderstatus")["n"].sum()
+    col_t = cells.groupby("o_orderpriority")["n"].sum()
+    total = float(cells["n"].sum())
+    r = cells["o_orderstatus"].map(row_t).to_numpy(np.float64)
+    c = cells["o_orderpriority"].map(col_t).to_numpy(np.float64)
+    n = cells["n"].to_numpy(np.float64)
+    exp = (r * c) / total
+    contrib = ((n - exp) * (n - exp)) / exp
+    cells["exp_q"] = np.floor(1_000_000 * exp).astype("int64")
+    cells["contrib_q"] = np.floor(1_000_000 * contrib).astype("int64")
+    return cells.astype({"n": "int64"})
+
+
 def q_rel_corr(sf_dir: str):
     """Per-group Pearson correlation (quantity vs price) from EXACT integer
     moments — the distributed-moments pattern: per-batch int64 partial sums
