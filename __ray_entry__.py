@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q.q_pagerank,
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_link_scores": q.q_link_scores,
+        "kg_adamic_adar": q.q_adamic_adar,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_truss_support": q.q_truss_support,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": oracle.sql_components(),
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_link_scores": oracle.sql_link_scores(),
+        "kg_adamic_adar": oracle.sql_adamic_adar(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_truss_support": oracle.sql_truss_support(),

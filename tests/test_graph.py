@@ -1544,3 +1544,58 @@ class TestNegativeSamples:
         b = negative_samples(_ds(df, blocks=6), k=2, num_partitions=8).to_pandas()
         key = lambda d: d.sort_values(["f", "h", "m"], ignore_index=True)
         pd.testing.assert_frame_equal(key(a), key(b))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdamicAdar:
+    @staticmethod
+    def _reference(e: pd.DataFrame, min_common: int) -> pd.DataFrame:
+        e = e.drop_duplicates()
+        tsz = e.groupby("b")["a"].nunique()
+        wq = np.floor(1_000_000 / np.log(tsz.astype(float))).where(tsz >= 2, 0)
+        j = e.merge(e, on="b")
+        j = j[j["a_x"] < j["a_y"]]
+        j["wq"] = j["b"].map(wq).astype("int64")
+        pairs = (
+            j.groupby(["a_x", "a_y"])
+            .agg(n_common=("b", "size"), aa_q=("wq", "sum"))
+            .reset_index()
+        )
+        pairs = pairs[pairs["n_common"] >= min_common]
+        return (
+            pairs.rename(columns={"a_x": "a1", "a_y": "a2"})
+            .sort_values(["a1", "a2"], ignore_index=True)
+            .astype({"n_common": "int64", "aa_q": "int64"})
+        )
+
+    def test_matches_pandas(self):
+        from tripsu_ray.stages.graph import adamic_adar_scores
+
+        rng = np.random.default_rng(43)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i}" for i in rng.integers(0, 30, 300)],
+                "b": [f"m{i}" for i in rng.integers(0, 12, 300)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        got = (
+            adamic_adar_scores(_ds(df, blocks=4), min_common=2, num_partitions=4)
+            .to_pandas()
+            .sort_values(["a1", "a2"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, self._reference(df, 2))
+
+    def test_rare_target_outweighs_hub(self):
+        """A pair sharing one rare target (s=2) must outscore a pair
+        sharing one huge hub, even though both have n_common=1."""
+        from tripsu_ray.stages.graph import adamic_adar_scores
+
+        rows = [("x", "rare"), ("y", "rare")]
+        rows += [(f"h{i}", "hub") for i in range(50)]
+        df = pd.DataFrame(rows, columns=["a", "b"])
+        got = adamic_adar_scores(
+            _ds(df, blocks=2), min_common=1, num_partitions=4
+        ).to_pandas()
+        rare = got[(got["a1"] == "x") & (got["a2"] == "y")]["aa_q"].iloc[0]
+        hub = got[got["a1"] == "h0"]["aa_q"].iloc[0]
+        assert rare > hub

@@ -566,6 +566,25 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_adamic_adar() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+tdeg AS (SELECT b, count(*) AS s FROM edges GROUP BY b)
+SELECT e1.a AS a1, e2.a AS a2, CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(CAST(floor(1000000 / ln(t.s)) AS BIGINT)) AS BIGINT) AS aa_q
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+JOIN tdeg t ON t.b = e1.b
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY a1, a2"""
+    )
+
+
 def sql_triangles() -> str:
     from ..stages.extract import NS
 

@@ -329,6 +329,17 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the entity graph: per candidate
+    pair (>=2 shared targets) the quantized hub-down-weighted score
+    aa_q = sum floor(1e6/ln(in-degree of shared target))
+    (stages/graph.py::adamic_adar_scores — weights computed locally in
+    the target-partitioned pair stage, summed as exact int64)."""
+    from ..stages.graph import adamic_adar_scores, entity_edges
+
+    return adamic_adar_scores(entity_edges(_extracted(sf_dir)), min_common=2)
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts over the DERIVED co-author graph (the
     CONSTRUCT output union-ed back in as edges): compact-forward

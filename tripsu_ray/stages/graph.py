@@ -1918,3 +1918,139 @@ def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
         .groupby("_part")
         .map_groups(sample_part, batch_format="pandas")
     )
+
+
+def adamic_adar_scores(
+    edges_ds,
+    *,
+    min_common: int = 2,
+    num_partitions: int = 32,
+    hub_cap: int | None = None,
+):
+    """Adamic–Adar link-prediction scores: for every unordered source
+    pair sharing ≥ ``min_common`` targets, ``aa_q = Σ_z floor(10⁶/ln s_z)``
+    over the shared targets z, where ``s_z`` is z's distinct in-degree —
+    the classic down-weighting of hub commonalities (a target half the
+    corpus links to carries near-zero signal; a rare shared target is
+    strong evidence).
+
+    Same physical plan as :func:`neighbor_overlap_scores` minus the
+    degree fold: stage 1 co-partitions all of a target's rows, so
+    ``s_z`` (the group's distinct-source count) and therefore the
+    per-target weight is PURELY LOCAL to the pair-enumeration stage —
+    the weight never ships, only per-pair partial sums do. The weight is
+    quantized BEFORE summation (int64), keeping the reduction
+    associative and oracle-hash-exact. ``hub_cap`` as elsewhere: groups
+    above the cap emit no pairs (documented skew policy).
+    """
+    import ray
+
+    P = num_partitions
+
+    def empty_out():
+        return pd.DataFrame(
+            {
+                "a1": pd.Series([], dtype=object),
+                "a2": pd.Series([], dtype=object),
+                "n_common": pd.Series([], dtype="int64"),
+                "aa_q": pd.Series([], dtype="int64"),
+            }
+        )
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty_out()
+    names = np.array(sorted(edges.unique("a")), dtype=object)
+    names_ref = ray.put(names)
+
+    def by_target(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        code = np.searchsorted(ray.get(_names), df["a"].to_numpy(dtype=object))
+        part = pd.util.hash_array(df["b"].to_numpy(dtype=object)) % P
+        return pd.DataFrame(
+            {
+                "key": df["b"].astype(object),
+                "acode": code.astype("int64"),
+                "_part": part.astype("int64"),
+            }
+        )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "wq": pd.Series([], dtype="int64"),
+                "_part2": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        kcode = pd.factorize(g["key"])[0].astype(np.int64)
+        packed = (kcode << 32) | g["acode"].to_numpy(dtype=np.int64)
+        uniq = np.unique(packed)
+        ks = (uniq >> 32).astype(np.int64)
+        asrt = (uniq & 0xFFFFFFFF).astype(np.int64)
+        sizes = np.bincount(ks)  # distinct in-degree s_z — GLOBAL (co-partitioned)
+        tot = sizes * sizes
+        if hub_cap is not None:
+            tot[sizes > hub_cap] = 0
+        n_out = int(tot.sum())
+        if not n_out:
+            return empty
+        # per-target quantized weight; only s ≥ 2 groups generate pairs
+        w = np.zeros(len(sizes), dtype=np.int64)
+        multi = sizes >= 2
+        w[multi] = np.floor(1_000_000 / np.log(sizes[multi].astype(np.float64))).astype(
+            np.int64
+        )
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        gid = np.repeat(np.arange(len(sizes)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]
+        width = sizes[gid]
+        left = asrt[gstarts[gid] + p // width]
+        right = asrt[gstarts[gid] + p % width]
+        keep = left < right
+        pair = (left[keep] << 32) | right[keep]
+        pw = w[gid[keep]]
+        order = np.argsort(pair, kind="stable")
+        pair, pw = pair[order], pw[order]
+        pkeys, idx = np.unique(pair, return_index=True)
+        pcnts = np.diff(np.append(idx, len(pair)))
+        wsums = np.add.reduceat(pw, idx) if len(pair) else np.array([], np.int64)
+        return pd.DataFrame(
+            {
+                "key": pkeys,
+                "cnt": pcnts.astype(np.int64),
+                "wq": wsums.astype(np.int64),
+                "_part2": (pd.util.hash_array(pkeys) % P).astype("int64"),
+            }
+        )
+
+    def score_part(g: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        if not len(g):
+            return empty_out()
+        s = g.groupby("key", sort=False)[["cnt", "wq"]].sum()
+        s = s[s["cnt"] >= min_common]
+        if not len(s):
+            return empty_out()
+        keys = s.index.to_numpy(dtype=np.int64)
+        names = ray.get(_names)
+        lo = (keys >> 32).astype(np.int64)
+        hi = (keys & 0xFFFFFFFF).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "a1": pd.Series(names[lo], dtype=object),
+                "a2": pd.Series(names[hi], dtype=object),
+                "n_common": s["cnt"].to_numpy(np.int64),
+                "aa_q": s["wq"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        edges.map_batches(by_target, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("_part2")
+        .map_groups(score_part, batch_format="pandas")
+    )
