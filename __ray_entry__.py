@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_link_scores": q.q_link_scores,
         "kg_adamic_adar": q.q_adamic_adar,
+        "kg_pmi": q.q_pmi,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_truss_support": q.q_truss_support,
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_attribution": docops.q_rel_attribution,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
+        "rel_ols": docops.q_rel_ols,
         "rel_lead_lag": docops.q_rel_lead_lag,
         "rel_sample": docops.q_rel_sample,
         "rel_group_quantiles": docops.q_rel_group_quantiles,
@@ -270,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_link_scores": oracle.sql_link_scores(),
         "kg_adamic_adar": oracle.sql_adamic_adar(),
+        "kg_pmi": oracle.sql_predicate_pmi(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_truss_support": oracle.sql_truss_support(),
@@ -349,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_attribution": d.sql_rel_attribution(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
+        "rel_ols": d.sql_rel_ols(),
         "rel_lead_lag": d.sql_rel_lead_lag(),
         "rel_sample": d.sql_rel_sample(),
         "rel_group_quantiles": d.sql_rel_group_quantiles(),

@@ -1599,3 +1599,44 @@ class TestAdamicAdar:
         rare = got[(got["a1"] == "x") & (got["a2"] == "y")]["aa_q"].iloc[0]
         hub = got[got["a1"] == "h0"]["aa_q"].iloc[0]
         assert rare > hub
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPredicatePMI:
+    def test_matches_pandas(self):
+        import math
+
+        from tripsu_ray.stages.graph import predicate_pmi
+
+        rng = np.random.default_rng(5)
+        preds = [f"p{i}" for i in range(6)]
+        rows = []
+        for s in range(40):
+            for p in rng.choice(preds, size=rng.integers(1, 5), replace=False):
+                rows.append((f"s{s}", p))
+        df = pd.DataFrame(rows, columns=["subject", "predicate"])
+        import ray.data as rd
+
+        got = (
+            predicate_pmi(rd.from_pandas(df).repartition(4), num_partitions=4)
+            .sort_values(["p1", "p2"], ignore_index=True)
+        )
+        sp = df.drop_duplicates()
+        n_p = sp.groupby("predicate").size()
+        N = sp["subject"].nunique()
+        m = sp.merge(sp, on="subject")
+        m = m[m["predicate_x"] < m["predicate_y"]]
+        pq = m.groupby(["predicate_x", "predicate_y"]).size().reset_index(name="n_pq")
+        pmi = [
+            int(math.floor(1e6 * (math.log(float(n)) + math.log(float(N))
+                                  - math.log(float(n_p[a]))
+                                  - math.log(float(n_p[b])))))
+            for a, b, n in zip(pq["predicate_x"], pq["predicate_y"], pq["n_pq"])
+        ]
+        want = pd.DataFrame(
+            {"p1": pq["predicate_x"].astype(object),
+             "p2": pq["predicate_y"].astype(object),
+             "n_pq": pq["n_pq"].astype("int64"),
+             "pmi_q": pd.Series(pmi, dtype="int64")}
+        ).sort_values(["p1", "p2"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)

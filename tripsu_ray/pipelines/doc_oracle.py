@@ -591,6 +591,32 @@ FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
 """.strip()
 
 
+def sql_rel_ols() -> str:
+    return """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM base GROUP BY 1, 2
+), f AS (
+  SELECT l_returnflag, l_linestatus, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         sx, sy
+  FROM m
+)
+SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+       CAST(floor(1000000 * slope) AS BIGINT) AS slope_q,
+       CAST(floor(1000000 * ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE))) AS BIGINT) AS intercept_q
+FROM f ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+
 def sql_rel_grouping_sets() -> str:
     return """
 WITH base AS (

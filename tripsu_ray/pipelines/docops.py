@@ -1187,6 +1187,85 @@ def q_rel_chi2(sf_dir: str):
     return cells.astype({"n": "int64"})
 
 
+def q_rel_ols(sf_dir: str):
+    """Per-group ordinary-least-squares fit (price ~ quantity) from the
+    SAME exact-integer moment machinery as :func:`q_rel_corr` — the
+    distributed-regression pattern: per-batch int64 partials, Python-int
+    tree-fold (overflow-free at any scale), closed-form slope/intercept
+    computed once per group on the driver. Both engines run the identical
+    IEEE sequence over identical exact integers before the single
+    floor(10⁶·x) quantization, so the hash matches."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].round().astype("int64")
+        y = (b["l_extendedprice"] * 100).round().astype("int64")
+        return (
+            pd.DataFrame(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "n": 1,
+                    "sx": x,
+                    "sy": y,
+                    "sxy": x * y,
+                    "sxx": x * x,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            df[c] = df[c].map(int)
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], sort=False, as_index=False
+        )[["n", "sx", "sy", "sxy", "sxx"]].sum()
+
+    m = tree_fold_tables(
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384), combine
+    )
+    if m is None:
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series([], dtype=object),
+             "l_linestatus": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "slope_q": pd.Series([], dtype="int64"),
+             "intercept_q": pd.Series([], dtype="int64")}
+        )
+
+    import math
+
+    def fit(row):
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxy, sxx = int(row["sxy"]), int(row["sxx"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if not den:
+            return pd.Series({"slope_q": 0, "intercept_q": 0})
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.Series(
+            {"slope_q": int(math.floor(1e6 * slope)),
+             "intercept_q": int(math.floor(1e6 * intercept))}
+        )
+
+    out = pd.concat([m, m.apply(fit, axis=1)], axis=1)
+    return (
+        out[["l_returnflag", "l_linestatus", "n", "slope_q", "intercept_q"]]
+        .sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+        .astype({"n": "int64", "slope_q": "int64", "intercept_q": "int64"})
+    )
+
+
 def q_rel_corr(sf_dir: str):
     """Per-group Pearson correlation (quantity vs price) from EXACT integer
     moments — the distributed-moments pattern: per-batch int64 partial sums

@@ -566,6 +566,26 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_predicate_pmi() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + """,
+sp AS (SELECT DISTINCT s, p FROM raw_triples),
+np AS (SELECT p, count(*) AS n FROM sp GROUP BY 1),
+tot AS (SELECT count(DISTINCT s) AS n FROM sp),
+pq AS (
+  SELECT a.p AS p1, b.p AS p2, count(*) AS n_pq
+  FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT pq.p1, pq.p2, CAST(pq.n_pq AS BIGINT) AS n_pq,
+       CAST(floor(1000000 * (ln(pq.n_pq) + ln(tot.n) - ln(n1.n) - ln(n2.n)))
+            AS BIGINT) AS pmi_q
+FROM pq JOIN np n1 ON n1.p = pq.p1 JOIN np n2 ON n2.p = pq.p2 CROSS JOIN tot
+ORDER BY p1, p2"""
+    )
+
+
 def sql_adamic_adar() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

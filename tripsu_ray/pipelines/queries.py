@@ -329,6 +329,16 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_pmi(sf_dir: str):
+    """Predicate co-occurrence PMI over subjects (schema-affinity census):
+    quantized floor(1e6*(ln n_pq + ln N - ln n_p - ln n_q)) from exact
+    distinct-subject counts (stages/graph.py::predicate_pmi — one
+    subject-hash exchange carrying pair, marginal and total partials)."""
+    from ..stages.graph import predicate_pmi
+
+    return predicate_pmi(_extracted(sf_dir))
+
+
 def q_adamic_adar(sf_dir: str):
     """Adamic-Adar link prediction over the entity graph: per candidate
     pair (>=2 shared targets) the quantized hub-down-weighted score

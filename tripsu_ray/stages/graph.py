@@ -2054,3 +2054,103 @@ def adamic_adar_scores(
         .groupby("_part2")
         .map_groups(score_part, batch_format="pandas")
     )
+
+
+def predicate_pmi(triples_ds, *, num_partitions: int = 32):
+    """Pointwise mutual information between predicate pairs co-occurring
+    on a subject — the schema-affinity census of a KG profiling pass
+    (which properties travel together; input to property clustering and
+    characteristic-set compression).
+
+    One subject-hash exchange; within a partition the per-subject
+    predicate self-merge is exact because a subject's distinct
+    (s, p) rows are co-partitioned. Per-predicate marginals and the
+    distinct-subject total ride the SAME exchange as fold partials
+    (a subject lives in exactly one partition). PMI is quantized on the
+    driver over exact integer counts with one shared IEEE sequence:
+    ``pmi_q = floor(10⁶·(ln n_pq + ln N − ln n_p − ln n_q))``.
+    """
+    import ray  # noqa: F401  (parity with sibling stages; no broadcast needed)
+
+    from .folds import tree_fold_tables
+
+    P = num_partitions
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"s": batch["subject"].astype(object), "p": batch["predicate"].astype(object)}
+        ).drop_duplicates()
+        df["_part"] = (
+            pd.util.hash_array(df["s"].to_numpy(dtype=object)) % P
+        ).astype("int64")
+        return df
+
+    def census_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"kind": pd.Series([], dtype="int8"),
+             "p1": pd.Series([], dtype=object),
+             "p2": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        sp = g[["s", "p"]].drop_duplicates()
+        marg = sp.groupby("p", sort=False).size().reset_index(name="n")
+        rows = [
+            pd.DataFrame(
+                {"kind": np.int8(0), "p1": marg["p"].astype(object), "p2": "",
+                 "n": marg["n"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": [np.int8(2)], "p1": [""], "p2": [""],
+                 "n": [np.int64(sp["s"].nunique())]}
+            ),
+        ]
+        m = sp.merge(sp, on="s")
+        m = m[m["p_x"] < m["p_y"]]
+        if len(m):
+            pq = m.groupby(["p_x", "p_y"], sort=False).size().reset_index(name="n")
+            rows.append(
+                pd.DataFrame(
+                    {"kind": np.int8(1), "p1": pq["p_x"].astype(object),
+                     "p2": pq["p_y"].astype(object), "n": pq["n"].astype("int64")}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["kind", "p1", "p2"], sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        triples_ds.map_batches(project, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census_part, batch_format="pandas"),
+        combine,
+    )
+    out_cols = {"p1": object, "p2": object, "n_pq": "int64", "pmi_q": "int64"}
+    if folded is None or not len(folded):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+    import math
+
+    n_p = dict(
+        zip(folded.loc[folded["kind"] == 0, "p1"],
+            folded.loc[folded["kind"] == 0, "n"].astype(int))
+    )
+    total = float(folded.loc[folded["kind"] == 2, "n"].sum())
+    pq = folded[folded["kind"] == 1]
+    ln_n = math.log(total)
+    pmi = [
+        int(math.floor(1_000_000 * (math.log(float(n)) + ln_n
+                                    - math.log(float(n_p[a]))
+                                    - math.log(float(n_p[b])))))
+        for a, b, n in zip(pq["p1"], pq["p2"], pq["n"].astype(int))
+    ]
+    return (
+        pd.DataFrame(
+            {"p1": pq["p1"].astype(object), "p2": pq["p2"].astype(object),
+             "n_pq": pq["n"].astype("int64"), "pmi_q": pd.Series(pmi, dtype="int64",
+                                                                 index=pq.index)}
+        )
+        .sort_values(["p1", "p2"], ignore_index=True)
+    )
