@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_scores": q.q_link_scores,
         "kg_adamic_adar": q.q_adamic_adar,
         "kg_pmi": q.q_pmi,
+        "kg_property_cardinality": q.q_property_cardinality,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_truss_support": q.q_truss_support,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_scores": oracle.sql_link_scores(),
         "kg_adamic_adar": oracle.sql_adamic_adar(),
         "kg_pmi": oracle.sql_predicate_pmi(),
+        "kg_property_cardinality": oracle.sql_property_cardinality(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_truss_support": oracle.sql_truss_support(),

@@ -1640,3 +1640,33 @@ class TestPredicatePMI:
              "pmi_q": pd.Series(pmi, dtype="int64")}
         ).sort_values(["p1", "p2"], ignore_index=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPropertyCardinality:
+    def test_hand_built(self):
+        from tripsu_ray.schema import RDF_TYPE
+        from tripsu_ray.stages.graph import property_cardinality
+
+        rows = [
+            ("a", RDF_TYPE, "T"), ("a", "p", "x"), ("a", "p", "y"),
+            ("b", RDF_TYPE, "T"), ("b", "p", "x"),
+            ("b", RDF_TYPE, "U"),  # multi-typed: counts under both types
+            ("c", RDF_TYPE, "U"), ("c", "q", "z"), ("c", "q", "z"),  # dup triple
+        ]
+        df = pd.DataFrame(rows, columns=["subject", "predicate", "object_value"])
+        df["subject_kind"] = np.int8(0)
+        df["object_kind"] = np.int8(0)
+        df["object_lang"] = pd.Series([None] * len(df), dtype="string")
+        df["object_datatype"] = pd.Series([None] * len(df), dtype="string")
+        got = property_cardinality(
+            _ds(df, blocks=3), num_partitions=4
+        ).set_index(["type", "predicate"])
+        assert got.loc[("T", "p"), "n_subjects"] == 2
+        assert got.loc[("T", "p"), "sum_c"] == 3
+        assert got.loc[("T", "p"), "min_c"] == 1
+        assert got.loc[("T", "p"), "max_c"] == 2
+        assert got.loc[("T", "p"), "avg_q"] == 1_500_000
+        assert got.loc[("U", "p"), "n_subjects"] == 1  # b under U too
+        # duplicate (c, q, z) rows count ONCE (distinct-triple semantics)
+        assert got.loc[("U", "q"), "sum_c"] == 1

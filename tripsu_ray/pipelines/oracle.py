@@ -566,6 +566,27 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_property_cardinality() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+dt AS (SELECT DISTINCT s, p, o, k FROM raw_triples),
+types AS (SELECT DISTINCT s, o AS type FROM dt WHERE p = {_q(RDF_TYPE)}),
+cnt AS (
+  SELECT s, p AS predicate, count(*) AS c
+  FROM dt WHERE p <> {_q(RDF_TYPE)} GROUP BY 1, 2
+)
+SELECT t.type, c.predicate,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(c.c) AS BIGINT) AS sum_c,
+       CAST(min(c.c) AS BIGINT) AS min_c,
+       CAST(max(c.c) AS BIGINT) AS max_c,
+       CAST((1000000 * sum(c.c)) // count(*) AS BIGINT) AS avg_q
+FROM types t JOIN cnt c USING (s)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+
+
 def sql_predicate_pmi() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

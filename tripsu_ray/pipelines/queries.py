@@ -329,6 +329,16 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_property_cardinality(sf_dir: str):
+    """Per-(type, predicate) object-cardinality profile: n_subjects,
+    sum/min/max objects per subject and the exact-integer mean
+    (stages/graph.py::property_cardinality — one subject-hash exchange,
+    associative (sum,min,max) fold over the tiny type-predicate domain)."""
+    from ..stages.graph import property_cardinality
+
+    return property_cardinality(_extracted(sf_dir))
+
+
 def q_pmi(sf_dir: str):
     """Predicate co-occurrence PMI over subjects (schema-affinity census):
     quantized floor(1e6*(ln n_pq + ln N - ln n_p - ln n_q)) from exact

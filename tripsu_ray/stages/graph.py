@@ -2154,3 +2154,81 @@ def predicate_pmi(triples_ds, *, num_partitions: int = 32):
         )
         .sort_values(["p1", "p2"], ignore_index=True)
     )
+
+
+def property_cardinality(triples, *, num_partitions: int = _HASH_PARTS):
+    """Per-(subject type, predicate) cardinality profile — the schema-
+    induction statistic (is ``imports`` one-per-file or many? does every
+    Repository carry exactly one license?): over the DISTINCT triples of
+    subjects typed T, the count of p-objects per subject, reduced to
+    (n_subjects, sum/min/max objects, exact-integer mean ``avg_q =
+    (10⁶·sum)//n``). rdf:type rows define the typing and are excluded
+    from the counted properties.
+
+    One subject-hash exchange (``_subject_partitioned_distinct``): a
+    subject's type rows AND property rows co-locate, so the per-subject
+    join and counts are partition-local; the cross-partition reduce is an
+    associative (sum, sum, min, max) fold over the tiny
+    (type × predicate) domain.
+    """
+    from .folds import tree_fold_tables
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        is_type = df["predicate"] == RDF_TYPE
+        types = df.loc[is_type, ["subject", "object_value"]].rename(
+            columns={"object_value": "type"}
+        ).drop_duplicates()
+        props = df.loc[~is_type]
+        if not len(types) or not len(props):
+            return pd.DataFrame(
+                {"type": pd.Series([], dtype=object),
+                 "predicate": pd.Series([], dtype=object),
+                 "n_subjects": pd.Series([], dtype="int64"),
+                 "sum_c": pd.Series([], dtype="int64"),
+                 "min_c": pd.Series([], dtype="int64"),
+                 "max_c": pd.Series([], dtype="int64")}
+            )
+        cnt = (
+            props.groupby(["subject", "predicate"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        j = types.merge(cnt, on="subject")
+        return (
+            j.groupby(["type", "predicate"], sort=False)
+            .agg(n_subjects=("c", "size"), sum_c=("c", "sum"),
+                 min_c=("c", "min"), max_c=("c", "max"))
+            .reset_index()
+            .astype({c: "int64" for c in ("n_subjects", "sum_c", "min_c", "max_c")})
+        )
+
+    partials = _subject_partitioned_distinct(
+        triples, finish, num_partitions=num_partitions
+    )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        if not len(df):
+            return df
+        return (
+            df.groupby(["type", "predicate"], sort=False)
+            .agg(n_subjects=("n_subjects", "sum"), sum_c=("sum_c", "sum"),
+                 min_c=("min_c", "min"), max_c=("max_c", "max"))
+            .reset_index()
+        )
+
+    folded = tree_fold_tables(partials, combine)
+    cols = ["type", "predicate", "n_subjects", "sum_c", "min_c", "max_c", "avg_q"]
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c in ("type", "predicate") else "int64")
+             for c in cols}
+        )
+    folded["avg_q"] = (
+        1_000_000 * folded["sum_c"].astype("int64")
+    ) // folded["n_subjects"].astype("int64")
+    return (
+        folded[cols]
+        .sort_values(["type", "predicate"], ignore_index=True)
+        .astype({c: "int64" for c in cols[2:]})
+    )
