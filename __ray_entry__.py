@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_cardinality": q.q_property_cardinality,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
+        "kg_clustering": q.q_clustering,
         "kg_truss_support": q.q_truss_support,
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_cardinality": oracle.sql_property_cardinality(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
+        "kg_clustering": oracle.sql_clustering(),
         "kg_truss_support": oracle.sql_truss_support(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),

@@ -1670,3 +1670,59 @@ class TestPropertyCardinality:
         assert got.loc[("U", "p"), "n_subjects"] == 1  # b under U too
         # duplicate (c, q, z) rows count ONCE (distinct-triple semantics)
         assert got.loc[("U", "q"), "sum_c"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusteringCoefficients:
+    def test_k4_with_pendant(self):
+        """K4 plus a pendant node: K4 members have cc=1 except the one
+        attached to the pendant (cc = 3/ (4*3/2) = 0.5)."""
+        import ray.data as rd
+
+        from tripsu_ray.stages.graph import clustering_coefficients
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        edges = pd.DataFrame(k4 + [("a", "p")], columns=["a", "b"])
+        got = clustering_coefficients(
+            rd.from_pandas(edges).repartition(3), num_partitions=4
+        ).set_index("node")
+        assert got.loc["b", "cc_q"] == 1_000_000
+        assert got.loc["a", "degree"] == 4
+        assert got.loc["a", "n_triangles"] == 3
+        assert got.loc["a", "cc_q"] == 500_000
+        assert got.loc["p", "degree"] == 1 and got.loc["p", "cc_q"] == 0
+
+    def test_matches_bruteforce(self):
+        import itertools
+
+        import ray.data as rd
+
+        from tripsu_ray.stages.graph import clustering_coefficients
+
+        rng = np.random.default_rng(17)
+        nodes = [f"n{i}" for i in range(14)]
+        edges = pd.DataFrame(
+            [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3],
+            columns=["a", "b"],
+        )
+        got = clustering_coefficients(
+            rd.from_pandas(edges).repartition(3), num_partitions=4
+        ).set_index("node")
+        adj = {n: set() for n in nodes}
+        for a, b in edges.itertuples(index=False):
+            adj[a].add(b)
+            adj[b].add(a)
+        for n in nodes:
+            d = len(adj[n])
+            if d == 0:
+                assert n not in got.index
+                continue
+            tri = sum(
+                1 for u, v in itertools.combinations(sorted(adj[n]), 2) if v in adj[u]
+            )
+            assert got.loc[n, "degree"] == d
+            assert got.loc[n, "n_triangles"] == tri
+            want = (
+                int(np.floor(1e6 * ((2.0 * tri) / (d * (d - 1.0))))) if d >= 2 else 0
+            )
+            assert got.loc[n, "cc_q"] == want

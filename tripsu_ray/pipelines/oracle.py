@@ -654,6 +654,46 @@ FROM mem GROUP BY node ORDER BY node"""
     )
 
 
+def sql_clustering() -> str:
+    from ..stages.extract import NS
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+ca AS (
+  SELECT DISTINCT t1.o AS a, t2.o AS b
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "author")} AND t1.o < t2.o
+  WHERE t1.p = {_q(NS + "author")}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ca e1
+  JOIN ca e2 ON e2.a = e1.b
+  JOIN ca e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+mem AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tric AS (SELECT node, count(*) AS t FROM mem GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM ca UNION ALL SELECT b AS node FROM ca)
+  GROUP BY 1
+)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tric.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(floor(1000000 * (CAST(2 * coalesce(tric.t, 0) AS DOUBLE)
+                                       / CAST(deg.d * (deg.d - 1) AS DOUBLE)))
+                 AS BIGINT)
+            ELSE 0 END AS cc_q
+FROM deg LEFT JOIN tric USING (node) ORDER BY node"""
+    )
+
+
 def sql_rdfs_domain_range() -> str:
     """rdfs2 + rdfs3 + recursive rdfs9 closure + census — the oracle
     anchor for stages/infer.py::rdfs_domain_range_census."""

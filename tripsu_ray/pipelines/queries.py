@@ -379,6 +379,25 @@ def q_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_clustering(sf_dir: str):
+    """Local clustering coefficients over the derived co-author graph:
+    exact distinct degrees + compact-forward triangles, cc quantized from
+    identical integers in both engines
+    (stages/graph.py::clustering_coefficients)."""
+    import pandas as pd
+
+    from ..stages.graph import clustering_coefficients
+    from .bgp import q_kg_construct
+
+    edges = q_kg_construct(sf_dir).map_batches(
+        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
+        if len(df)
+        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
+        batch_format="pandas",
+    )
+    return clustering_coefficients(edges)
+
+
 def q_rdfs_domain_range(sf_dir: str):
     """RDFS domain/range inference (rules rdfs2 + rdfs3) composed with the
     subclass closure (rdfs9): per-type distinct-node census after every

@@ -2232,3 +2232,85 @@ def property_cardinality(triples, *, num_partitions: int = _HASH_PARTS):
         .sort_values(["type", "predicate"], ignore_index=True)
         .astype({c: "int64" for c in cols[2:]})
     )
+
+
+def clustering_coefficients(edges_ds, *, num_partitions: int = 32):
+    """Local clustering coefficient per node over an undirected simple
+    graph given as canonical ``(a, b)`` edge rows: ``cc = 2·tri /
+    (d·(d−1))`` with d the DISTINCT-neighbor degree — the standard local
+    cohesion statistic on top of :func:`triangle_counts`.
+
+    Triangles reuse the compact-forward plan unchanged; exact degrees
+    need one extra canonical-pair exchange (pack (lo,hi) codes, distinct
+    within the pair-hash partition, endpoint bincount partials,
+    tree-fold) because the orientation fold's degrees are batch-local
+    only (documented there). cc_q = floor(10⁶·(2tri)/(d(d−1))) with both
+    engines running the identical IEEE divide over identical ints.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    P = num_partitions
+    empty = pd.DataFrame(
+        {"node": pd.Series([], dtype=object),
+         "degree": pd.Series([], dtype="int64"),
+         "n_triangles": pd.Series([], dtype="int64"),
+         "cc_q": pd.Series([], dtype="int64")}
+    )
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+    tri = triangle_counts(edges, num_partitions=P)
+    names = np.array(
+        sorted(set(edges.unique("a")) | set(edges.unique("b"))), dtype=object
+    )
+    names_ref = ray.put(names)
+
+    def pack(df: pd.DataFrame, _names=names_ref) -> pd.DataFrame:
+        nm = ray.get(_names)
+        d = df.drop_duplicates(["a", "b"])
+        ca = np.searchsorted(nm, d["a"].to_numpy(dtype=object)).astype(np.int64)
+        cb = np.searchsorted(nm, d["b"].to_numpy(dtype=object)).astype(np.int64)
+        pair = (np.minimum(ca, cb) << 32) | np.maximum(ca, cb)
+        return pd.DataFrame(
+            {"pair": pair, "_part": (pd.util.hash_array(pair) % P).astype("int64")}
+        )
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"c": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+            )
+        u = np.unique(g["pair"].to_numpy(dtype=np.int64))  # global distinct
+        cnt = np.bincount(np.concatenate([u >> 32, u & 0xFFFFFFFF]))
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"c": nz.astype("int64"), "n": cnt[nz].astype("int64")})
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("c", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        edges.map_batches(pack, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas"),
+        combine,
+    )
+    deg = np.zeros(len(names), dtype=np.int64)
+    if folded is not None and len(folded):
+        deg[folded["c"].to_numpy(dtype="int64")] = folded["n"].to_numpy(dtype="int64")
+    tmap = dict(zip(tri["node"], tri["n_triangles"].astype(int))) if len(tri) else {}
+    has = deg >= 1
+    nodes = names[has]
+    d = deg[has]
+    t = np.array([tmap.get(n, 0) for n in nodes], dtype=np.int64)
+    cc = np.zeros(len(nodes), dtype=np.int64)
+    m = d >= 2
+    cc[m] = np.floor(
+        1_000_000 * ((2.0 * t[m]) / (d[m] * (d[m] - 1.0)))
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {"node": pd.Series(nodes, dtype=object), "degree": d,
+         "n_triangles": t, "cc_q": cc}
+    ).sort_values("node", ignore_index=True)
