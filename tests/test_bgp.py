@@ -957,3 +957,33 @@ def test_bgp_topk_offset_paging():
         t, [("?s", "v", "?x")], order_by="?x", limit=5, offset=29, num_partitions=4
     ).to_pandas()
     assert list(tail["x"]) == ["129"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_subquery_top_module_per_repo():
+    """Inner aggregate subquery + per-repo winner vs a pandas replica of
+    the same (n DESC, module ASC) total order."""
+    from tripsu_ray.pipelines.bgp import bgp, q_kg_bgp_subquery
+    from tripsu_ray.sources.synth import read_source_files
+    from tripsu_ray.stages.extract import NS, extract_triples
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_kg_bgp_subquery(sf)
+        .to_pandas()
+        .sort_values("repo", ignore_index=True)
+    )
+    matches = bgp(
+        extract_triples(read_source_files(sf)).materialize(),
+        [("?f", f"{NS}imports", "?m"), ("?f", f"{NS}inRepo", "?r")],
+        num_partitions=4,
+    ).to_pandas()
+    agg = matches.groupby(["r", "m"]).size().reset_index(name="n")
+    agg = agg.sort_values(["r", "n", "m"], ascending=[True, False, True])
+    want = (
+        agg.groupby("r").head(1)
+        .rename(columns={"r": "repo", "m": "top_module", "n": "n_files"})
+        .sort_values("repo", ignore_index=True)
+        .astype({"n_files": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want[["repo", "top_module", "n_files"]])

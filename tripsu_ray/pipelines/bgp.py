@@ -897,6 +897,92 @@ GROUP BY 1 ORDER BY 1"""
     )
 
 
+def q_kg_bgp_subquery(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL subquery: an inner aggregate SELECT feeding an outer
+    per-group winner —
+
+        SELECT ?r ?m ?n WHERE {
+          { SELECT ?r ?m (COUNT(?f) AS ?n)
+            WHERE { ?f <imports> ?m . ?f <inRepo> ?r } GROUP BY ?r ?m }
+        }  # keep the (n DESC, ?m ASC) winner per ?r
+
+    ("each repository's most-imported module"). Plan: the BGP's distinct
+    match relation pre-reduces per batch to (r, m, n) count partials,
+    then ONE repo-hash exchange makes both the global (r, m) counts and
+    the per-repo rank partition-local — the subquery result never
+    materializes globally, only its winner rows leave the partition."""
+    from ..stages.extract import NS, extract_triples
+    from ..sources.synth import read_source_files
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [("?f", f"{NS}imports", "?m"), ("?f", f"{NS}inRepo", "?r")],
+        num_partitions=num_partitions,
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"r": pd.Series([], dtype=object), "m": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"), "_part": pd.Series([], dtype="int64")}
+        )
+        if not len(b) or "r" not in b.columns:
+            return empty
+        g = b.groupby(["r", "m"], sort=False).size().reset_index(name="n")
+        g["_part"] = (
+            pd.util.hash_pandas_object(g["r"], index=False) % num_partitions
+        ).astype("int64")
+        return g.astype({"n": "int64"})
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"repo": pd.Series([], dtype=object),
+             "top_module": pd.Series([], dtype=object),
+             "n_files": pd.Series([], dtype="int64")}
+        )
+        if not len(g) or "r" not in g.columns:
+            return empty
+        agg = g.groupby(["r", "m"], sort=False, as_index=False)["n"].sum()
+        agg = agg.sort_values(["r", "n", "m"], ascending=[True, False, True])
+        top = agg.groupby("r", sort=False).head(1)
+        return pd.DataFrame(
+            {"repo": top["r"].astype(object),
+             "top_module": top["m"].astype(object),
+             "n_files": top["n"].astype("int64")}
+        ).reset_index(drop=True)
+
+    return (
+        matches.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(winner, batch_format="pandas")
+    )
+
+
+def sql_kg_bgp_subquery() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+base AS (
+  SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  WHERE t1.p = {_q(NS + "imports")}
+),
+agg AS (SELECT r, m, count(*) AS n FROM base GROUP BY 1, 2),
+ranked AS (
+  SELECT r, m, n,
+         row_number() OVER (PARTITION BY r ORDER BY n DESC, m ASC) AS rnk
+  FROM agg
+)
+SELECT r AS repo, m AS top_module, CAST(n AS BIGINT) AS n_files
+FROM ranked WHERE rnk = 1 ORDER BY repo"""
+    )
+
+
 def q_kg_construct(sf_dir: str, *, num_partitions: int = _P):
     """SPARQL CONSTRUCT — materialize NEW triples from a pattern match
     (the graph-transformation half of SPARQL; tripsu-class pipelines use
