@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_adamic_adar": q.q_adamic_adar,
         "kg_pmi": q.q_pmi,
         "kg_property_cardinality": q.q_property_cardinality,
+        "kg_namespace_census": q.q_namespace_census,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_clustering": q.q_clustering,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adamic_adar": oracle.sql_adamic_adar(),
         "kg_pmi": oracle.sql_predicate_pmi(),
         "kg_property_cardinality": oracle.sql_property_cardinality(),
+        "kg_namespace_census": oracle.sql_namespace_census(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_clustering": oracle.sql_clustering(),

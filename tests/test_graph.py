@@ -1726,3 +1726,34 @@ class TestClusteringCoefficients:
                 int(np.floor(1e6 * ((2.0 * tri) / (d * (d - 1.0))))) if d >= 2 else 0
             )
             assert got.loc[n, "cc_q"] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNamespaceCensus:
+    def test_prefix_rule_and_counts(self):
+        from tripsu_ray.schema import KIND_IRI, KIND_LITERAL
+        from tripsu_ray.stages.graph import namespace_census
+
+        rows = [
+            # (subject, predicate, object_value, object_kind)
+            ("http://a/x#p1", "http://p/q", "http://a/x#p2", KIND_IRI),
+            ("http://a/x#p1", "http://p/q", "lit", KIND_LITERAL),
+            ("http://b/y/z", "http://p/q", "http://a/x#p1", KIND_IRI),
+            ("urnlike:noslashsafter", "http://p/q", "lit2", KIND_LITERAL),
+        ]
+        df = pd.DataFrame(
+            rows, columns=["subject", "predicate", "object_value", "object_kind"]
+        )
+        df["subject_kind"] = np.int8(KIND_IRI)
+        df["object_kind"] = df["object_kind"].astype(np.int8)
+        df["object_lang"] = pd.Series([None] * len(df), dtype="string")
+        df["object_datatype"] = pd.Series([None] * len(df), dtype="string")
+        got = namespace_census(_ds(df, blocks=2), num_partitions=4).set_index(
+            "namespace"
+        )
+        # prefix = up to LAST '#' or '/'
+        assert got.loc["http://a/x#", "n_entities"] == 2
+        assert got.loc["http://a/x#", "n_occurrences"] == 4  # p1 ×3 + p2 ×1
+        assert got.loc["http://b/y/", "n_entities"] == 1
+        # prefixless IRI buckets under '' (reference panics; documented policy)
+        assert got.loc["urnlike:noslashsafter"[:0], "n_entities"] == 1

@@ -566,6 +566,33 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_namespace_census() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + """,
+iris AS (
+  SELECT s AS iri FROM raw_triples
+  UNION ALL
+  SELECT o FROM raw_triples WHERE k = 'iri'
+),
+occ AS (
+  SELECT coalesce(regexp_extract(iri, '^(.*[#/])', 1), '') AS namespace,
+         count(*) AS n_occurrences
+  FROM iris GROUP BY 1
+),
+ent AS (
+  SELECT coalesce(regexp_extract(iri, '^(.*[#/])', 1), '') AS namespace,
+         count(*) AS n_entities
+  FROM (SELECT DISTINCT iri FROM iris) GROUP BY 1
+)
+SELECT occ.namespace,
+       CAST(coalesce(ent.n_entities, 0) AS BIGINT) AS n_entities,
+       CAST(occ.n_occurrences AS BIGINT) AS n_occurrences
+FROM occ LEFT JOIN ent USING (namespace)
+ORDER BY namespace"""
+    )
+
+
 def sql_property_cardinality() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

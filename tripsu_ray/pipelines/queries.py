@@ -329,6 +329,16 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_namespace_census(sf_dir: str):
+    """IRI namespace profile (prefix up to the LAST '#' or '/' — the
+    reference's pseudo_named_node prefix rule, src/crypto.rs:49-57):
+    distinct entities + occurrences per namespace
+    (stages/graph.py::namespace_census)."""
+    from ..stages.graph import namespace_census
+
+    return namespace_census(_extracted(sf_dir))
+
+
 def q_property_cardinality(sf_dir: str):
     """Per-(type, predicate) object-cardinality profile: n_subjects,
     sum/min/max objects per subject and the exact-integer mean

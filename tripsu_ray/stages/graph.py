@@ -2314,3 +2314,93 @@ def clustering_coefficients(edges_ds, *, num_partitions: int = 32):
         {"node": pd.Series(nodes, dtype=object), "degree": d,
          "n_triangles": t, "cc_q": cc}
     ).sort_values("node", ignore_index=True)
+
+
+def namespace_census(triples, *, num_partitions: int = _HASH_PARTS):
+    """IRI namespace census: every IRI entity bucketed by its namespace —
+    the prefix up to and including the LAST ``#`` or ``/`` (the same
+    prefix rule the reference's pseudonymizer preserves,
+    /root/reference/src/crypto.rs:49-57) — with distinct-entity and
+    occurrence counts per namespace. The profiling pass that sizes
+    rule scopes and link-map namespaces before a pseudonymization run;
+    prefixless IRIs (reference: panic) bucket under '' per the documented
+    policy.
+
+    Occurrence counts are pure per-batch census partials (no exchange);
+    distinct-entity counts take one entity-hash exchange of per-batch
+    deduped entities. Both reduce in a single tree-fold keyed by side.
+    """
+    from .folds import tree_fold_tables
+
+    pat = r"^(.*[#/])"
+
+    def occ_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = []
+        s = batch.loc[batch["subject_kind"] == KIND_IRI, "subject"]
+        o = batch.loc[batch["object_kind"] == KIND_IRI, "object_value"]
+        ns = pd.concat([s, o], ignore_index=True).str.extract(pat, expand=False)
+        vc = ns.fillna("").value_counts()
+        return pd.DataFrame(
+            {"side": np.int8(0), "namespace": vc.index.astype(object),
+             "n": vc.to_numpy().astype("int64"), "_part": np.int64(0)}
+        )
+
+    def ent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.loc[batch["subject_kind"] == KIND_IRI, "subject"]
+        o = batch.loc[batch["object_kind"] == KIND_IRI, "object_value"]
+        ent = pd.concat([s, o], ignore_index=True).drop_duplicates()
+        return pd.DataFrame(
+            {"side": np.int8(1), "namespace": ent.astype(object),  # entity, for now
+             "n": np.int64(0),
+             "_part": (pd.util.hash_pandas_object(ent, index=False)
+                       % num_partitions).astype("int64")}
+        )
+
+    def both(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([occ_partial(batch), ent_partial(batch)], ignore_index=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"side": pd.Series([], dtype="int8"),
+             "namespace": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        out = [g.loc[g["side"] == 0, ["side", "namespace", "n"]]]
+        ents = g.loc[g["side"] == 1, "namespace"].drop_duplicates()  # global distinct
+        if len(ents):
+            ns = ents.str.extract(pat, expand=False).fillna("")
+            vc = ns.value_counts()
+            out.append(
+                pd.DataFrame(
+                    {"side": np.int8(1), "namespace": vc.index.astype(object),
+                     "n": vc.to_numpy().astype("int64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["side", "namespace"], sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        triples.map_batches(both, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas"),
+        combine,
+    )
+    cols = ["namespace", "n_entities", "n_occurrences"]
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c == "namespace" else "int64")
+             for c in cols}
+        )
+    occ = folded[folded["side"] == 0].set_index("namespace")["n"]
+    ent = folded[folded["side"] == 1].set_index("namespace")["n"]
+    all_ns = sorted(set(occ.index) | set(ent.index))
+    return pd.DataFrame(
+        {"namespace": pd.Series(all_ns, dtype=object),
+         "n_entities": pd.Series([int(ent.get(x, 0)) for x in all_ns], dtype="int64"),
+         "n_occurrences": pd.Series([int(occ.get(x, 0)) for x in all_ns], dtype="int64")}
+    )
