@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_segments": docops.q_rel_distinct_segments,
         "rel_sessions": docops.q_rel_sessions,
         "rel_attribution": docops.q_rel_attribution,
+        "rel_window_dedup": docops.q_rel_window_dedup,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_distinct_segments": d.sql_rel_distinct_segments(),
         "rel_sessions": d.sql_rel_sessions(),
         "rel_attribution": d.sql_rel_attribution(),
+        "rel_window_dedup": d.sql_rel_window_dedup(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

@@ -1842,3 +1842,32 @@ def test_rel_grouping_sets_internal_consistency():
     s1 = got[got["gset"] == 1].groupby("o_orderstatus")[["price_cents", "n"]].sum()
     s3 = got[got["gset"] == 3].set_index("o_orderstatus")[["price_cents", "n"]]
     pd.testing.assert_frame_equal(s1.sort_index(), s3.sort_index())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_window_dedup_matches_pandas():
+    from tripsu_ray.pipelines import docops
+
+    got = (
+        docops.q_rel_window_dedup(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    ev["ts_s"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["bucket"] = ev["ts_s"] // 300
+    want = (
+        ev.sort_values(["ts_s", "event_id"])
+        .groupby(["user_id", "event_type", "bucket"], sort=False)
+        .head(1)[["event_id", "user_id", "event_type", "ts_s", "bucket"]]
+        .sort_values("event_id", ignore_index=True)
+        .astype({"event_id": "int64", "user_id": "int64",
+                 "ts_s": "int64", "bucket": "int64"})
+    )
+    want["event_type"] = want["event_type"].astype(object)
+    pd.testing.assert_frame_equal(got, want)
+    # sparse sf0.001 may have no in-bucket collisions; never MORE rows out
+    assert len(got) <= len(ev)

@@ -667,6 +667,23 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_window_dedup(window_s: int = 300) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), b AS (
+  SELECT *, ts_s // {window_s} AS bucket,
+         row_number() OVER (PARTITION BY user_id, event_type, ts_s // {window_s}
+                            ORDER BY ts_s, event_id) AS rnk
+  FROM e
+)
+SELECT event_id, user_id, event_type, ts_s, CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE rnk = 1 ORDER BY event_id
+""".strip()
+
+
 def sql_rel_attribution() -> str:
     return """
 WITH e AS (

@@ -1023,6 +1023,37 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def q_rel_window_dedup(sf_dir: str, *, window_s: int = 300):
+    """Tumbling-window event dedup: keep the FIRST event (ts, event_id
+    order) per (user, event_type, 5-minute bucket) — the
+    bot-retry / double-fire suppression op of an event pipeline.
+    One user-hash exchange; bucket arithmetic is exact integer epoch
+    division shared with the oracle."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        ts_s = g["ts"].astype("datetime64[s]").astype("int64")
+        g["ts_s"] = ts_s
+        g["bucket"] = ts_s // window_s
+        g = g.sort_values(["event_type", "bucket", "ts_s", "event_id"])
+        top = g.groupby(["event_type", "bucket"], sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "event_id": top["event_id"].astype("int64"),
+                "user_id": top["user_id"].astype("int64"),
+                "event_type": top["event_type"].astype(object),
+                "ts_s": top["ts_s"].astype("int64"),
+                "bucket": top["bucket"].astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(keep_first, batch_format="pandas")
+
+
 def q_rel_attribution(sf_dir: str):
     """Last-touch marketing attribution: each purchase is credited to the
     user's most recent PRECEDING touch event (click/view) in the user's
