@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmi": q.q_pmi,
         "kg_property_cardinality": q.q_property_cardinality,
         "kg_namespace_census": q.q_namespace_census,
+        "kg_void_stats": q.q_void_stats,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_clustering": q.q_clustering,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pmi": oracle.sql_predicate_pmi(),
         "kg_property_cardinality": oracle.sql_property_cardinality(),
         "kg_namespace_census": oracle.sql_namespace_census(),
+        "kg_void_stats": oracle.sql_void_stats(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_clustering": oracle.sql_clustering(),

@@ -1757,3 +1757,33 @@ class TestNamespaceCensus:
         assert got.loc["http://b/y/", "n_entities"] == 1
         # prefixless IRI buckets under '' (reference panics; documented policy)
         assert got.loc["urnlike:noslashsafter"[:0], "n_entities"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_void_stats_hand_built():
+    from tripsu_ray.schema import KIND_IRI, KIND_LITERAL, RDF_TYPE
+    from tripsu_ray.stages.graph import void_stats
+
+    rows = [
+        ("s1", RDF_TYPE, "C1", KIND_IRI),
+        ("s2", RDF_TYPE, "C1", KIND_IRI),
+        ("s1", "p1", "o1", KIND_IRI),
+        ("s1", "p1", "o1", KIND_IRI),  # duplicate row: counts once after dedup
+        ("s2", "p2", "litx", KIND_LITERAL),
+    ]
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object_value", "object_kind"])
+    df["subject_kind"] = np.int8(KIND_IRI)
+    df["object_kind"] = df["object_kind"].astype(np.int8)
+    df["object_lang"] = pd.Series([None] * len(df), dtype="string")
+    df["object_datatype"] = pd.Series([None] * len(df), dtype="string")
+    from tripsu_ray.stages.materialize import dedup_exact
+
+    got = void_stats(dedup_exact(_ds(df, blocks=2)), num_partitions=4).set_index("metric")[
+        "value"
+    ]
+    assert got["triples"] == 4
+    assert got["distinct_subjects"] == 2
+    assert got["properties"] == 3  # rdf:type, p1, p2
+    assert got["classes"] == 1
+    assert got["distinct_objects"] == 3  # C1, o1, litx
+    assert got["entities"] == 4  # s1, s2, C1, o1 (litx excluded)

@@ -566,6 +566,30 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_void_stats() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+dt AS (SELECT DISTINCT s, p, o, k FROM raw_triples)
+SELECT 'classes' AS metric,
+       CAST(count(DISTINCT o) AS BIGINT) AS value
+FROM dt WHERE p = {_q(RDF_TYPE)}
+UNION ALL
+SELECT 'distinct_objects', count(DISTINCT o) FROM dt
+UNION ALL
+SELECT 'distinct_subjects', count(DISTINCT s) FROM dt
+UNION ALL
+SELECT 'entities', count(DISTINCT iri) FROM (
+  SELECT s AS iri FROM dt UNION SELECT o FROM dt WHERE k = 'iri'
+)
+UNION ALL
+SELECT 'properties', count(DISTINCT p) FROM dt
+UNION ALL
+SELECT 'triples', count(*) FROM dt
+ORDER BY metric"""
+    )
+
+
 def sql_namespace_census() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

@@ -329,6 +329,17 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_void_stats(sf_dir: str):
+    """VoID dataset statistics (triples, distinct subjects/objects,
+    properties, classes, entities) over the DISTINCT extracted graph —
+    one union-tagged exchange + tree-fold
+    (stages/graph.py::void_stats)."""
+    from ..stages.graph import void_stats
+    from ..stages.materialize import dedup_exact
+
+    return void_stats(dedup_exact(_extracted(sf_dir)))
+
+
 def q_namespace_census(sf_dir: str):
     """IRI namespace profile (prefix up to the LAST '#' or '/' — the
     reference's pseudo_named_node prefix rule, src/crypto.rs:49-57):

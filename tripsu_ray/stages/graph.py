@@ -2404,3 +2404,81 @@ def namespace_census(triples, *, num_partitions: int = _HASH_PARTS):
          "n_entities": pd.Series([int(ent.get(x, 0)) for x in all_ns], dtype="int64"),
          "n_occurrences": pd.Series([int(occ.get(x, 0)) for x in all_ns], dtype="int64")}
     )
+
+
+def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
+    """VoID-style dataset description (the W3C Vocabulary of Interlinked
+    Datasets statistics: void:triples, void:entities, void:classes,
+    void:properties, void:distinctSubjects, void:distinctObjects) as one
+    (metric, value) table — the dataset card a KG publisher ships.
+
+    Every metric is either a pure per-batch count partial (triples) or a
+    distinct census over one hash exchange; all of them ride a SINGLE
+    union-tagged exchange (side = which domain the value belongs to) so
+    the whole profile costs one shuffle + one tree-fold.
+    """
+    from .folds import tree_fold_tables
+
+    SIDES = ("subject", "object", "predicate", "class", "entity")
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = [pd.DataFrame({"side": np.int8(-1), "v": "",
+                             "n": [np.int64(len(batch))], "_part": np.int64(0)})]
+        is_type = batch["predicate"] == RDF_TYPE
+        vals = {
+            0: batch["subject"],
+            1: batch["object_value"],
+            2: batch["predicate"],
+            3: batch.loc[is_type, "object_value"],
+            4: pd.concat(
+                [batch.loc[batch["subject_kind"] == KIND_IRI, "subject"],
+                 batch.loc[batch["object_kind"] == KIND_IRI, "object_value"]],
+                ignore_index=True,
+            ),
+        }
+        for side, col in vals.items():
+            u = col.drop_duplicates()
+            if not len(u):
+                continue
+            out.append(
+                pd.DataFrame(
+                    {"side": np.int8(side), "v": u.astype(object), "n": np.int64(0),
+                     "_part": (pd.util.hash_pandas_object(u, index=False)
+                               % num_partitions).astype("int64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"side": pd.Series([], dtype="int8"), "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        rows = [(np.int8(-1), np.int64(g.loc[g["side"] == -1, "n"].sum()))]
+        for side in range(5):
+            u = g.loc[g["side"] == side, "v"].nunique()  # global distinct
+            if u:
+                rows.append((np.int8(side), np.int64(u)))
+        return pd.DataFrame(rows, columns=["side", "n"])
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("side", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        triples.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas"),
+        combine,
+    )
+    names = {-1: "triples", 0: "distinct_subjects", 1: "distinct_objects",
+             2: "properties", 3: "classes", 4: "entities"}
+    vals = {v: 0 for v in names.values()}
+    if folded is not None:
+        for side, n in folded.itertuples(index=False):
+            vals[names[int(side)]] = int(n)
+    return pd.DataFrame(
+        {"metric": pd.Series(sorted(vals), dtype=object),
+         "value": pd.Series([vals[k] for k in sorted(vals)], dtype="int64")}
+    )
