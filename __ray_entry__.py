@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_terms": docops.q_text_top_terms,
         "text_tfidf": docops.q_text_tfidf,
         "text_naive_bayes": docops.q_text_naive_bayes,
+        "text_lang_divergence": docops.q_text_lang_divergence,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -200,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessions": docops.q_rel_sessions,
         "rel_attribution": docops.q_rel_attribution,
         "rel_window_dedup": docops.q_rel_window_dedup,
+        "rel_decay_sum": docops.q_rel_decay_sum,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_terms": d.sql_text_top_terms(),
         "text_tfidf": d.sql_text_tfidf(),
         "text_naive_bayes": d.sql_text_naive_bayes(),
+        "text_lang_divergence": d.sql_text_lang_divergence(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
@@ -362,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessions": d.sql_rel_sessions(),
         "rel_attribution": d.sql_rel_attribution(),
         "rel_window_dedup": d.sql_rel_window_dedup(),
+        "rel_decay_sum": d.sql_rel_decay_sum(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

@@ -1871,3 +1871,44 @@ def test_rel_window_dedup_matches_pandas():
     pd.testing.assert_frame_equal(got, want)
     # sparse sf0.001 may have no in-bucket collisions; never MORE rows out
     assert len(got) <= len(ev)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_decay_sum_matches_pandas():
+    import math
+
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_decay_sum(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    ts_s = ev["ts"].astype("datetime64[s]").astype("int64")
+    ref = int(ts_s.max())
+    day = (ref - ts_s) // 86400
+    w = day.map(lambda d: int(math.floor(1e6 * math.exp(-d / 30.0))))
+    contrib = (ev["value"] * 100).round().astype("int64") * w
+    want = (
+        pd.DataFrame({"user_id": ev["user_id"], "decayed_cents_q": contrib, "n_events": 1})
+        .groupby("user_id", as_index=False)
+        .sum()
+        .sort_values("user_id", ignore_index=True)
+        .astype({"user_id": "int64", "decayed_cents_q": "int64", "n_events": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_divergence_properties():
+    """JSD is symmetric by construction (pairs emitted once, l1 < l2),
+    bounded by ln 2, zero only for identical distributions; deterministic
+    across runs (integer contributions)."""
+    from tripsu_ray.stages import text as T
+
+    a = T.text_lang_divergence(SF)
+    assert len(a) == 10  # C(5 langs, 2)
+    assert (a["jsd_q"] >= 0).all()
+    assert (a["jsd_q"] <= int(np.log(2) * T.JSD_SCALE)).all()
+    assert (a["lang1"] < a["lang2"]).all()
+    b = T.text_lang_divergence(SF)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

@@ -240,6 +240,59 @@ WHERE b.r = 1 ORDER BY b.doc_id
 """.strip()
 
 
+def sql_text_lang_divergence() -> str:
+    from ..stages.text import JSD_SCALE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT d.lang, t.token, count(*) AS c
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+langs AS (SELECT DISTINCT lang FROM cnt),
+pairs AS (
+  SELECT a.lang AS lang1, b.lang AS lang2
+  FROM langs a JOIN langs b ON a.lang < b.lang
+),
+vocab AS (SELECT DISTINCT token FROM cnt),
+grid AS (
+  SELECT p.lang1, p.lang2,
+         coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2, t1.t AS t1, t2.t AS t2
+  FROM pairs p
+  CROSS JOIN vocab v
+  LEFT JOIN cnt c1 ON c1.lang = p.lang1 AND c1.token = v.token
+  LEFT JOIN cnt c2 ON c2.lang = p.lang2 AND c2.token = v.token
+  JOIN tot t1 ON t1.lang = p.lang1
+  JOIN tot t2 ON t2.lang = p.lang2
+  WHERE coalesce(c1.c, 0) + coalesce(c2.c, 0) > 0
+),
+contrib AS (
+  SELECT lang1, lang2,
+    CAST(floor({JSD_SCALE} * (
+      (CASE WHEN c1 = 0 THEN 0.0
+            ELSE 0.5 * (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                 * ln((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                      / (((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                          + (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))) / 2.0))
+       END)
+      + (CASE WHEN c2 = 0 THEN 0.0
+              ELSE 0.5 * (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                   * ln((CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                        / (((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                            + (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))) / 2.0))
+         END))) AS BIGINT) AS cq
+  FROM grid
+)
+SELECT lang1, lang2, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cq) AS BIGINT) AS jsd_q
+FROM contrib GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
 def sql_text_mixture() -> str:
     from ..stages.text import _MIX_DEFAULT_STRIDE, MIX_STRIDES
 
@@ -664,6 +717,26 @@ SELECT o_orderstatus, o_orderpriority, n,
                              * (CAST(n AS DOUBLE) - exp) / exp)) AS BIGINT)
          AS contrib_q
 FROM e ORDER BY o_orderstatus, o_orderpriority
+""".strip()
+
+
+def sql_rel_decay_sum(half_life_days: int = 30) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ref AS (SELECT max(ts_s) AS m FROM e),
+w AS (
+  SELECT e.user_id,
+         e.cents * CAST(floor(1000000 * exp(
+             -CAST((ref.m - e.ts_s) // 86400 AS DOUBLE)
+             / {float(half_life_days)})) AS BIGINT) AS contrib
+  FROM e CROSS JOIN ref
+)
+SELECT user_id, CAST(sum(contrib) AS BIGINT) AS decayed_cents_q,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1 ORDER BY 1
 """.strip()
 
 

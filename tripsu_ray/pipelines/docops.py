@@ -30,6 +30,7 @@ q_text_vocab = text.text_vocab
 q_text_top_terms = text.text_top_terms
 q_text_tfidf = text.text_tfidf
 q_text_naive_bayes = text.text_naive_bayes
+q_text_lang_divergence = text.text_lang_divergence
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -1021,6 +1022,93 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_decay_sum(sf_dir: str, *, half_life_days: int = 30):
+    """Exponentially time-decayed value per user (recency-weighted LTV):
+    each event contributes ``value_cents · w_q(age_days)`` with
+    ``w_q = floor(10⁶·exp(−age/half_life))``; age anchors at the table's
+    max timestamp so the result is a pure function of the data.
+
+    Float discipline: exp() is evaluated ONLY on the driver over the
+    tiny distinct-day domain (math.exp = C libm, the same library DuckDB
+    calls — numpy's SIMD exp may differ by 1 ulp, so it stays out of the
+    plan); the weight table broadcasts and the per-event contribution and
+    user sums are exact int64. Two passes: a max-ts fold, then one
+    user-hash exchange of per-batch (user, sum) partials."""
+    import math
+
+    import ray
+
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def ts_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"m": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"m": [b["ts"].astype("datetime64[s]").astype("int64").max()]}
+        )
+
+    def ts_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"m": [df["m"].max()]})
+
+    folded = tree_fold_tables(
+        ds.map_batches(ts_partial, batch_format="pandas"), ts_combine
+    )
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "decayed_cents_q": pd.Series([], dtype="int64"),
+         "n_events": pd.Series([], dtype="int64")}
+    )
+    if folded is None or not len(folded):
+        return empty
+    ref_ts = int(folded["m"].iloc[0])
+    # driver-side weight table over the distinct-day domain (≤ age range)
+    max_days = 4000
+    w = np.array(
+        [int(math.floor(1_000_000 * math.exp(-d / float(half_life_days))))
+         for d in range(max_days + 1)],
+        dtype=np.int64,
+    )
+    w_ref = ray.put(w)
+
+    def partial(b: pd.DataFrame, _w=w_ref) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        wt = ray.get(_w)
+        ts_s = b["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        day = np.minimum((ref_ts - ts_s) // 86400, len(wt) - 1)
+        cents = (b["value"] * 100).round().astype("int64").to_numpy()
+        contrib = cents * wt[day]
+        return (
+            pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                          "s": contrib, "n": 1})
+            .groupby("user_id", sort=False, as_index=False)
+            .sum()
+            .astype({"s": "int64", "n": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("user_id", sort=False, as_index=False)[["s", "n"]].sum()
+
+    out = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    if out is None or not len(out):
+        return empty
+    return (
+        out.rename(columns={"s": "decayed_cents_q", "n": "n_events"})
+        .sort_values("user_id", ignore_index=True)
+        .astype({"user_id": "int64", "decayed_cents_q": "int64", "n_events": "int64"})
+    )
 
 
 def q_rel_window_dedup(sf_dir: str, *, window_s: int = 300):

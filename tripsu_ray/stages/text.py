@@ -734,6 +734,82 @@ def text_naive_bayes(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+JSD_SCALE = 1_000_000_000_000  # contributions are tiny; 10¹² keeps signal
+
+
+def text_lang_divergence(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between per-language unigram
+    distributions — the corpus-drift / domain-shift monitor of a
+    training-data pipeline (which language slices have diverging token
+    mixes).
+
+    The distributed half is the (lang, token) count tree-fold (the same
+    vocabulary-class state as :func:`text_naive_bayes`); JSD itself runs
+    on the DRIVER over the folded table with ``math.log`` (C libm — the
+    library DuckDB's ``ln`` also binds; numpy's SIMD log may differ by an
+    ulp, so it stays out). Per-token contributions are quantized
+    ``floor(10¹²·x)`` BEFORE the cross-token sum, so the reduction is
+    exact-integer and order-independent in both engines."""
+    import math
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        lang = np.repeat(b["lang"].to_numpy(object), lens)
+        return (
+            pd.DataFrame({"lang": lang, "token": flat})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"c": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["lang", "token"], sort=False, as_index=False)["c"].sum()
+
+    folded = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    empty = pd.DataFrame(
+        {"lang1": pd.Series([], dtype=object), "lang2": pd.Series([], dtype=object),
+         "n_tokens": pd.Series([], dtype="int64"),
+         "jsd_q": pd.Series([], dtype="int64")}
+    )
+    if folded is None or not len(folded):
+        return empty
+    tot = folded.groupby("lang")["c"].sum().to_dict()
+    by_lang = {
+        L: dict(zip(g["token"], g["c"].astype(int)))
+        for L, g in folded.groupby("lang")
+    }
+    langs = sorted(by_lang)
+    rows = []
+    for i, l1 in enumerate(langs):
+        for l2 in langs[i + 1:]:
+            c1m, c2m = by_lang[l1], by_lang[l2]
+            t1, t2 = float(tot[l1]), float(tot[l2])
+            s = 0
+            n = 0
+            for tok in set(c1m) | set(c2m):
+                c1 = c1m.get(tok, 0)
+                c2 = c2m.get(tok, 0)
+                p = c1 / t1
+                q = c2 / t2
+                m = (p + q) / 2.0
+                term1 = 0.0 if c1 == 0 else 0.5 * p * math.log(p / m)
+                term2 = 0.0 if c2 == 0 else 0.5 * q * math.log(q / m)
+                s += int(math.floor(JSD_SCALE * (term1 + term2)))
+                n += 1
+            rows.append((l1, l2, n, s))
+    return pd.DataFrame(rows, columns=["lang1", "lang2", "n_tokens", "jsd_q"]).astype(
+        {"n_tokens": "int64", "jsd_q": "int64"}
+    )
+
+
 TFIDF_K = 5
 
 
