@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_cardinality": q.q_property_cardinality,
         "kg_namespace_census": q.q_namespace_census,
         "kg_void_stats": q.q_void_stats,
+        "kg_assortativity": q.q_assortativity,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_clustering": q.q_clustering,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_attribution": docops.q_rel_attribution,
         "rel_window_dedup": docops.q_rel_window_dedup,
         "rel_decay_sum": docops.q_rel_decay_sum,
+        "rel_lift": docops.q_rel_lift,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_property_cardinality": oracle.sql_property_cardinality(),
         "kg_namespace_census": oracle.sql_namespace_census(),
         "kg_void_stats": oracle.sql_void_stats(),
+        "kg_assortativity": oracle.sql_assortativity(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_clustering": oracle.sql_clustering(),
@@ -366,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_attribution": d.sql_rel_attribution(),
         "rel_window_dedup": d.sql_rel_window_dedup(),
         "rel_decay_sum": d.sql_rel_decay_sum(),
+        "rel_lift": d.sql_rel_lift(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

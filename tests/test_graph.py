@@ -1787,3 +1787,37 @@ def test_void_stats_hand_built():
     assert got["classes"] == 1
     assert got["distinct_objects"] == 3  # C1, o1, litx
     assert got["entities"] == 4  # s1, s2, C1, o1 (litx excluded)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAssortativity:
+    def test_matches_numpy_replica(self):
+        import math
+
+        import ray.data as rd
+
+        from tripsu_ray.stages.graph import degree_assortativity
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {"a": [f"s{i}" for i in rng.integers(0, 25, 400)],
+             "b": [f"t{i}" for i in rng.integers(0, 15, 400)]}
+        )
+        # duplicates across blocks must not bias moments or degrees
+        df = pd.concat([df, df.head(100)], ignore_index=True)
+        got = degree_assortativity(
+            rd.from_pandas(df).repartition(4), num_partitions=4
+        )
+        e = df.drop_duplicates(ignore_index=True)
+        od = e.groupby("a").size()
+        idg = e.groupby("b").size()
+        x = e["a"].map(od).to_numpy(np.int64)
+        y = e["b"].map(idg).to_numpy(np.int64)
+        n = len(e)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        d1 = n * int((x * x).sum()) - int(x.sum()) ** 2
+        d2 = n * int((y * y).sum()) - int(y.sum()) ** 2
+        den = math.sqrt(float(d1) * float(d2))
+        want = int(math.floor(1e6 * (float(num) / den))) if den else 0
+        assert got["n_edges"].iloc[0] == n
+        assert got["assortativity_q"].iloc[0] == want

@@ -720,6 +720,30 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_lift() -> str:
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+marg AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+tot AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+pq AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(floor(1000000 * (CAST(n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE)))
+            AS BIGINT) AS conf_q,
+       CAST(floor(1000000 * ((CAST(n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                             / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))))
+            AS BIGINT) AS lift_q
+FROM pq
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
+CROSS JOIN tot
+ORDER BY type_a, type_b
+""".strip()
+
+
 def sql_rel_decay_sum(half_life_days: int = 30) -> str:
     return f"""
 WITH e AS (

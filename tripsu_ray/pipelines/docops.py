@@ -1024,6 +1024,94 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def q_rel_lift(sf_dir: str):
+    """Market-basket association census over per-user event-type sets:
+    for every unordered event-type pair, support counts plus quantized
+    confidence and lift — the classic rules (A⇒B) statistic, with users
+    as baskets.
+
+    One user-hash exchange localizes each user's distinct type set; pair,
+    marginal and total partials ride the SAME exchange and reduce in one
+    tree-fold over the tiny type-pair domain. conf/lift quantize on the
+    driver from exact integers with one shared IEEE sequence:
+    ``lift = (n_ab·N)/(n_a·n_b)`` as doubles, floor(10⁶·x)."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        df = b.drop_duplicates()
+        df = df.assign(
+            _part=(pd.util.hash_pandas_object(df["user_id"], index=False) % 32).astype(
+                "int64"
+            )
+        )
+        return df
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"kind": pd.Series([], dtype="int8"),
+             "a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        ut = g[["user_id", "event_type"]].drop_duplicates()
+        marg = ut.groupby("event_type", sort=False).size().reset_index(name="n")
+        rows = [
+            pd.DataFrame({"kind": np.int8(0), "a": marg["event_type"].astype(object),
+                          "b": "", "n": marg["n"].astype("int64")}),
+            pd.DataFrame({"kind": [np.int8(2)], "a": [""], "b": [""],
+                          "n": [np.int64(ut["user_id"].nunique())]}),
+        ]
+        m = ut.merge(ut, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        if len(m):
+            pq = m.groupby(["event_type_x", "event_type_y"], sort=False).size()
+            pq = pq.reset_index(name="n")
+            rows.append(
+                pd.DataFrame({"kind": np.int8(1),
+                              "a": pq["event_type_x"].astype(object),
+                              "b": pq["event_type_y"].astype(object),
+                              "n": pq["n"].astype("int64")})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["kind", "a", "b"], sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas"),
+        combine,
+    )
+    cols = {"type_a": object, "type_b": object, "n_ab": "int64",
+            "conf_q": "int64", "lift_q": "int64"}
+    if folded is None or not len(folded):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    import math
+
+    marg = dict(zip(folded.loc[folded["kind"] == 0, "a"],
+                    folded.loc[folded["kind"] == 0, "n"].astype(int)))
+    total = float(folded.loc[folded["kind"] == 2, "n"].sum())
+    pq = folded[folded["kind"] == 1]
+    rows = []
+    for a, b, n in zip(pq["a"], pq["b"], pq["n"].astype(int)):
+        conf = float(n) / float(marg[a])  # P(B|A)
+        lift = (float(n) * total) / (float(marg[a]) * float(marg[b]))
+        rows.append((a, b, n, int(math.floor(1e6 * conf)),
+                     int(math.floor(1e6 * lift))))
+    return (
+        pd.DataFrame(rows, columns=list(cols))
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+        .astype({"n_ab": "int64", "conf_q": "int64", "lift_q": "int64"})
+    )
+
+
 def q_rel_decay_sum(sf_dir: str, *, half_life_days: int = 30):
     """Exponentially time-decayed value per user (recency-weighted LTV):
     each event contributes ``value_cents · w_q(age_days)`` with

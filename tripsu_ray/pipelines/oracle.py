@@ -566,6 +566,34 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_assortativity() -> str:
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+od AS (SELECT a, count(*) AS d FROM edges GROUP BY 1),
+idg AS (SELECT b, count(*) AS d FROM edges GROUP BY 1),
+xy AS (
+  SELECT od.d AS x, idg.d AS y
+  FROM edges JOIN od USING (a) JOIN idg USING (b)
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(floor(1000000 * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS assortativity_q
+FROM m"""
+    )
+
+
 def sql_void_stats() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

@@ -329,6 +329,15 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_assortativity(sf_dir: str):
+    """Directed out->in degree assortativity of the entity graph (one
+    quantized Pearson over exact degree moments;
+    stages/graph.py::degree_assortativity)."""
+    from ..stages.graph import degree_assortativity, entity_edges
+
+    return degree_assortativity(entity_edges(_extracted(sf_dir)))
+
+
 def q_void_stats(sf_dir: str):
     """VoID dataset statistics (triples, distinct subjects/objects,
     properties, classes, entities) over the DISTINCT extracted graph —

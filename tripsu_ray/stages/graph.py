@@ -2482,3 +2482,127 @@ def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
         {"metric": pd.Series(sorted(vals), dtype=object),
          "value": pd.Series([vals[k] for k in sorted(vals)], dtype="int64")}
     )
+
+
+def degree_assortativity(edges_ds, *, num_partitions: int = 32):
+    """Directed (out-degree → in-degree) assortativity of the entity
+    graph: the Pearson correlation of (out_deg(a), in_deg(b)) over
+    distinct edges — positive when prolific sources link to popular
+    targets (hub-hub wiring), negative for hub-to-leaf graphs. THE
+    one-number wiring diagnostic that decides hub-cap/salting policy for
+    every pair-enumeration operator in this repo.
+
+    Exact-moment discipline (the rel_corr machinery on a graph): global
+    distinct degrees per endpoint role (two folds over dense codes,
+    broadcast), then per-batch int64 moment partials over edges combined
+    in PYTHON ints; one floor(10⁶·num/sqrt(d1·d2)) quantization at the
+    end, IEEE-identical to the oracle."""
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    empty = pd.DataFrame(
+        {"n_edges": pd.Series([], dtype="int64"),
+         "assortativity_q": pd.Series([], dtype="int64")}
+    )
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+    a_names = np.array(sorted(edges.unique("a")), dtype=object)
+    b_names = np.array(sorted(edges.unique("b")), dtype=object)
+    a_ref, b_ref = ray.put(a_names), ray.put(b_names)
+
+    def deg_partial(df: pd.DataFrame, _a=a_ref, _b=b_ref) -> pd.DataFrame:
+        an, bn = ray.get(_a), ray.get(_b)
+        d = df.drop_duplicates(["a", "b"])
+        ca = np.searchsorted(an, d["a"].to_numpy(dtype=object)).astype(np.int64)
+        cb = np.searchsorted(bn, d["b"].to_numpy(dtype=object)).astype(np.int64)
+        pair = (ca << 32) | cb
+        return pd.DataFrame(
+            {"pair": pair,
+             "_part": (pd.util.hash_array(pair) % num_partitions).astype("int64")}
+        )
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"role": pd.Series([], dtype="int8"),
+                 "c": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        u = np.unique(g["pair"].to_numpy(dtype=np.int64))  # global distinct edges
+        out = []
+        for role, codes in ((np.int8(0), u >> 32), (np.int8(1), u & 0xFFFFFFFF)):
+            cnt = np.bincount(codes)
+            nz = np.nonzero(cnt)[0]
+            out.append(pd.DataFrame(
+                {"role": role, "c": nz.astype("int64"), "n": cnt[nz].astype("int64")}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["role", "c"], sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas"),
+        deg_combine,
+    )
+    if folded is None or not len(folded):
+        return empty
+    od = np.zeros(len(a_names), dtype=np.int64)
+    idg = np.zeros(len(b_names), dtype=np.int64)
+    f0 = folded[folded["role"] == 0]
+    f1 = folded[folded["role"] == 1]
+    od[f0["c"].to_numpy(dtype="int64")] = f0["n"].to_numpy(dtype="int64")
+    idg[f1["c"].to_numpy(dtype="int64")] = f1["n"].to_numpy(dtype="int64")
+    od_ref, idg_ref = ray.put(od), ray.put(idg)
+
+    def m_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        for c in df.columns:
+            df[c] = df[c].map(int)
+        return pd.DataFrame({c: [df[c].sum()] for c in df.columns})
+
+    # the moment pass routes through the SAME distinct exchange as the
+    # degree census (batch-local dedup alone would double-count edges)
+    def pairs_back(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"pair": np.unique(g["pair"].to_numpy(dtype=np.int64))})
+
+    def moments_packed(df: pd.DataFrame, _od=od_ref, _id=idg_ref):
+        cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        p = df["pair"].to_numpy(dtype=np.int64)
+        x = ray.get(_od)[p >> 32]
+        y = ray.get(_id)[p & 0xFFFFFFFF]
+        return pd.DataFrame(
+            {"n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+             "sxy": [int((x * y).sum())], "sxx": [int((x * x).sum())],
+             "syy": [int((y * y).sum())]}
+        )
+
+    m = tree_fold_tables(
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pairs_back, batch_format="pandas")
+        .map_batches(moments_packed, batch_format="pandas"),
+        m_combine,
+    )
+    if m is None or not len(m):
+        return empty
+    n = int(m["n"].iloc[0])
+    sx, sy = int(m["sx"].iloc[0]), int(m["sy"].iloc[0])
+    sxy, sxx, syy = int(m["sxy"].iloc[0]), int(m["sxx"].iloc[0]), int(m["syy"].iloc[0])
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    den = math.sqrt(float(d1) * float(d2))
+    aq = int(math.floor(1e6 * (float(num) / den))) if den else 0
+    return pd.DataFrame({"n_edges": [n], "assortativity_q": [aq]}).astype("int64")
