@@ -60,6 +60,12 @@ def _sql_ml_knn_classify() -> str:
     return knn_classify_sql()
 
 
+def _sql_ann_filtered() -> str:
+    from tripsu_ray.stages.similarity import ann_filtered_sql
+
+    return ann_filtered_sql()
+
+
 def _q_ml_dbscan(sf_dir: str) -> Any:
     from tripsu_ray.stages.cluster import dbscan
 
@@ -120,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_seq": paths.q_kg_path_seq,
         "kg_path_plus": paths.q_kg_path_plus,
         "kg_path_npred": paths.q_kg_path_npred,
+        "kg_path_range": paths.q_kg_path_range,
         "kg_bgp_topk": bgp.q_kg_bgp_topk,
         "kg_bgp_page": bgp.q_kg_bgp_page,
         "kg_bgp_bind": bgp.q_kg_bgp_bind,
@@ -127,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_exists": bgp.q_kg_bgp_exists,
         "kg_bgp_group_concat": bgp.q_kg_bgp_group_concat,
         "kg_bgp_subquery": bgp.q_kg_bgp_subquery,
+        "kg_bgp_coalesce": bgp.q_kg_bgp_coalesce,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
         "kg_rdfs_domain_range": q.q_rdfs_domain_range,
@@ -151,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": docops.q_text_tfidf,
         "text_naive_bayes": docops.q_text_naive_bayes,
         "text_lang_divergence": docops.q_text_lang_divergence,
+        "text_vocab_richness": docops.q_text_vocab_richness,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -169,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_lsh": docops.q_jaccard_pairs_lsh,
         # similarity search
         "ann_topk": docops.q_ann_topk,
+        "ann_filtered": docops.q_ann_filtered,
         "ann_lsh": docops.q_ann_lsh,
         "ann_ivf": docops.q_ann_ivf,
         "sim_threshold": docops.q_sim_threshold,
@@ -304,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_seq": paths.sql_kg_path_seq(),
         "kg_path_plus": paths.sql_kg_path_plus(),
         "kg_path_npred": paths.sql_kg_path_npred(),
+        "kg_path_range": paths.sql_kg_path_range(),
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_bgp_page": bgp.sql_kg_bgp_page(),
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),
@@ -311,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_exists": bgp.sql_kg_bgp_exists(),
         "kg_bgp_group_concat": bgp.sql_kg_bgp_group_concat(),
         "kg_bgp_subquery": bgp.sql_kg_bgp_subquery(),
+        "kg_bgp_coalesce": bgp.sql_kg_bgp_coalesce(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
         "kg_rdfs_domain_range": oracle.sql_rdfs_domain_range(),
@@ -332,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": d.sql_text_tfidf(),
         "text_naive_bayes": d.sql_text_naive_bayes(),
         "text_lang_divergence": d.sql_text_lang_divergence(),
+        "text_vocab_richness": d.sql_text_vocab_richness(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
@@ -343,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": d.sql_dedup_exact(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),
+        "ann_filtered": _sql_ann_filtered(),
         "sim_threshold": d.sql_sim_threshold(),
         "ann_knn_graph": d.sql_ann_knn_graph(),
         "multimodal_dims": d.sql_multimodal_dims(),

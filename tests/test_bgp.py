@@ -987,3 +987,65 @@ def test_bgp_subquery_top_module_per_repo():
         .astype({"n_files": "int64"})
     )
     pd.testing.assert_frame_equal(got, want[["repo", "top_module", "n_files"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_range_bounded_repetition():
+    """p{1,2} over a chain graph: exactly 1- and 2-hop pairs, no 3-hop."""
+    from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+    t = _triples(
+        [
+            ("a", "p", "b", KIND_IRI),
+            ("b", "p", "c", KIND_IRI),
+            ("c", "p", "d", KIND_IRI),
+            ("a", "q", "x", KIND_IRI),  # other predicate: never traversed
+        ]
+    )
+    got = path_distinct(
+        compile_path(t, ("range", ("pred", "p"), 1, 2), num_partitions=4),
+        num_partitions=4,
+    ).to_pandas()
+    pairs = set(map(tuple, got[["a", "b"]].values))
+    assert pairs == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")}
+    # lo=2 drops the 1-hop pairs
+    got2 = path_distinct(
+        compile_path(t, ("range", ("pred", "p"), 2, 2), num_partitions=4),
+        num_partitions=4,
+    ).to_pandas()
+    assert set(map(tuple, got2[["a", "b"]].values)) == {("a", "c"), ("b", "d")}
+    # inverse distributes over the bounded power
+    got3 = path_distinct(
+        compile_path(t, ("inv", ("range", ("pred", "p"), 1, 2)), num_partitions=4),
+        num_partitions=4,
+    ).to_pandas()
+    assert set(map(tuple, got3[["a", "b"]].values)) == {
+        ("b", "a"), ("c", "b"), ("d", "c"), ("c", "a"), ("d", "b")
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bgp_coalesce_unbound_rows_fold_into_sentinel():
+    """Repos without an author row land in the 'unknown' bucket; total
+    repo count is conserved across buckets."""
+    from tripsu_ray.pipelines.bgp import q_kg_bgp_coalesce
+    from tripsu_ray.sources.synth import read_source_files
+    from tripsu_ray.stages.extract import NS, extract_triples
+
+    sf = "/root/testdata/sf0.001"
+    got = q_kg_bgp_coalesce(sf).to_pandas()
+    triples = extract_triples(read_source_files(sf)).materialize().to_pandas()
+    repos = set(
+        triples.loc[
+            (triples["predicate"].str.endswith("#type")
+             | triples["predicate"].str.contains("rdf-syntax-ns#type"))
+            & (triples["object_value"] == NS + "Repository"),
+            "subject",
+        ]
+    )
+    authored = triples[triples["predicate"] == NS + "author"][["subject", "object_value"]]
+    authored = authored[authored["subject"].isin(repos)].drop_duplicates()
+    n_unknown = len(repos - set(authored["subject"]))
+    assert got["n_repos"].sum() == len(authored.groupby(["subject", "object_value"])) + n_unknown
+    if n_unknown:
+        assert got.set_index("author").loc["unknown", "n_repos"] == n_unknown

@@ -1912,3 +1912,52 @@ def test_lang_divergence_properties():
     assert (a["lang1"] < a["lang2"]).all()
     b = T.text_lang_divergence(SF)
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_vocab_richness_matches_pandas():
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = T.text_vocab_richness(SF).set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    for lang, g in docs.groupby("lang"):
+        counts: dict = {}
+        for t in g["text"]:
+            for tok in pat.findall(t.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        n_tokens = sum(counts.values())
+        vocab = len(counts)
+        hapax = sum(1 for c in counts.values() if c == 1)
+        row = got.loc[lang]
+        assert row["n_tokens"] == n_tokens
+        assert row["vocab"] == vocab
+        assert row["hapax"] == hapax
+        assert row["ttr_q"] == (1_000_000 * vocab) // n_tokens
+        assert row["hapax_ratio_q"] == (1_000_000 * hapax) // vocab
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_filtered_pre_filter_semantics():
+    """Every result shares the query's label; results equal brute-force
+    over the label slice."""
+    from tripsu_ray.stages import similarity as S
+
+    got = S.ann_filtered(SF, k=5, num_queries=3).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    vids = emb["vec_id"].to_numpy()
+    for qid in range(3):
+        sub = got[got["query_id"] == qid]
+        assert all(labels[v] == labels[qid] for v in sub["vec_id"])
+        mask = (emb["label"].to_numpy() == labels[qid]) & (vids != qid)
+        sims = X[qid] @ X[mask].T
+        simq = np.floor(sims * 1_000_000).astype(np.int64)
+        cand = vids[mask]
+        order = np.lexsort((cand, -simq))[:5]
+        assert list(sub["vec_id"]) == list(cand[order])
+        assert list(sub["simq"]) == list(simq[order])

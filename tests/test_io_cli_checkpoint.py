@@ -528,3 +528,41 @@ class TestNQuadsIO:
         for f in os.listdir(nt_out):
             lines += open(os.path.join(nt_out, f)).read().strip().splitlines()
         assert set(lines) == set(open(FIXTURE_NT).read().strip().splitlines())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pseudonymize_preserves_graph_column(tmp_path):
+    """Quad-aware pseudonymization: the N-Quads graph term rides through
+    the rule engine untouched (graph labels mirror predicates: never
+    rewritten), and rewritten subjects still land in their graph."""
+    import ray.data
+
+    from tripsu_ray.functions.rules import Rules
+    from tripsu_ray.sources.flatfiles import read_nquads
+    from tripsu_ray.stages.pseudo import broadcast_matcher, compile_matcher, pseudonymize_tasks
+
+    src = tmp_path / "g.nq"
+    src.write_text(
+        "<http://ex/Alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://ex/Person> <http://ex/g1> .\n"
+        '<http://ex/Alice> <http://ex/name> "alice" <http://ex/g1> .\n'
+        '<http://ex/Bob> <http://ex/name> "bob" .\n'
+    )
+    quads = read_nquads(str(src))
+    rules = Rules.from_dict({"nodes": {"of_type": ["<http://ex/Person>"]}})
+    from tripsu_ray.stages.index import collect_index_df, type_index_pairs
+
+    matcher_ref = broadcast_matcher(
+        compile_matcher(rules, collect_index_df(type_index_pairs(quads)))
+    )
+    out = pseudonymize_tasks(quads, matcher_ref, secret="quad-test-salt").to_pandas()
+    assert "graph" in out.columns
+    assert set(out["graph"].dropna()) == {"http://ex/g1"}
+    alice_rows = out[out["graph"] == "http://ex/g1"]
+    assert len(alice_rows) == 2
+    # Alice (typed Person) was rewritten, prefix preserved
+    assert (alice_rows["subject"].str.startswith("http://ex/")).all()
+    assert not (alice_rows["subject"] == "http://ex/Alice").any()
+    # Bob (untyped, default graph) untouched
+    bob = out[out["graph"].isna()]
+    assert list(bob["subject"]) == ["http://ex/Bob"]

@@ -166,18 +166,23 @@ def rewrite_batch(
         lang = pc.if_else(null_mask, pa.scalar(None, pa.string()), lang)
         dtype = pc.if_else(null_mask, pa.scalar(None, pa.string()), dtype)
 
-    return pa.table(
-        {
-            "subject": subj,
-            "subject_kind": batch["subject_kind"],
-            "predicate": batch["predicate"],
-            "object_value": obj,
-            "object_kind": batch["object_kind"],
-            "object_lang": lang,
-            "object_datatype": dtype,
-        },
-        schema=TRIPLES,
-    )
+    cols = {
+        "subject": subj,
+        "subject_kind": batch["subject_kind"],
+        "predicate": batch["predicate"],
+        "object_value": obj,
+        "object_kind": batch["object_kind"],
+        "object_lang": lang,
+        "object_datatype": dtype,
+    }
+    extras = [c for c in batch.column_names if c not in cols]
+    if not extras:
+        return pa.table(cols, schema=TRIPLES)
+    # pass-through any extra columns (e.g. the N-Quads ``graph`` term —
+    # graph labels are never pseudonymized, mirroring predicates)
+    for c in extras:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
 def node_rewrites_any_prefix(matcher: CompiledMatcher, prefixes) -> bool:

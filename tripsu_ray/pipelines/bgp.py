@@ -897,6 +897,85 @@ GROUP BY 1 ORDER BY 1"""
     )
 
 
+def q_kg_bgp_coalesce(sf_dir: str, *, num_partitions: int = _P):
+    """OPTIONAL + COALESCE projection with an aggregate — SPARQL's
+    bound-or-default idiom:
+
+        SELECT (COALESCE(?a, "unknown") AS ?author) (COUNT(*) AS ?n_repos)
+        WHERE { ?r rdf:type Repository . OPTIONAL { ?r <author> ?a } }
+        GROUP BY COALESCE(?a, "unknown")
+
+    Unbound OPTIONAL rows fold into the sentinel bucket instead of
+    vanishing (the difference vs a plain BGP join). One author-hash
+    exchange of per-batch count partials."""
+    from ..schema import RDF_TYPE
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [("?r", RDF_TYPE, NS + "Repository")],
+        optional=[([("?r", NS + "author", "?a")], [])],
+        num_partitions=num_partitions,
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"author": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if not len(b) or "r" not in b.columns:
+            return empty
+        a = b["a"] if "a" in b.columns else pd.Series([None] * len(b))
+        coal = a.where(a.notna(), "unknown").astype(object)
+        g = pd.DataFrame({"author": coal}).groupby("author", sort=False).size()
+        g = g.reset_index(name="n")
+        g["_part"] = (
+            pd.util.hash_pandas_object(g["author"], index=False) % num_partitions
+        ).astype("int64")
+        return g.astype({"n": "int64"})
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "author" not in g.columns:
+            return pd.DataFrame(
+                {"author": pd.Series([], dtype=object),
+                 "n_repos": pd.Series([], dtype="int64")}
+            )
+        out = g.groupby("author", sort=False, as_index=False)["n"].sum()
+        return out.rename(columns={"n": "n_repos"}).astype({"n_repos": "int64"})
+
+    return (
+        matches.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+    )
+
+
+def sql_kg_bgp_coalesce() -> str:
+    from ..schema import RDF_TYPE
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+repos AS (
+  SELECT DISTINCT s AS r FROM raw_triples
+  WHERE p = {_q(RDF_TYPE)} AND o = {_q(NS + "Repository")}
+),
+auth AS (
+  SELECT DISTINCT s AS r, o AS a FROM raw_triples WHERE p = {_q(NS + "author")}
+)
+SELECT coalesce(auth.a, 'unknown') AS author,
+       CAST(count(*) AS BIGINT) AS n_repos
+FROM repos LEFT JOIN auth USING (r)
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def q_kg_bgp_subquery(sf_dir: str, *, num_partitions: int = _P):
     """SPARQL subquery: an inner aggregate SELECT feeding an outer
     per-group winner —

@@ -240,6 +240,27 @@ WHERE b.r = 1 ORDER BY b.doc_id
 """.strip()
 
 
+def sql_text_vocab_richness() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT d.lang, t.token, count(*) AS c
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+       CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_q,
+       CAST((1000000 * count(*) FILTER (WHERE c = 1)) // count(*) AS BIGINT)
+         AS hapax_ratio_q
+FROM cnt GROUP BY lang ORDER BY lang
+""".strip()
+
+
 def sql_text_lang_divergence() -> str:
     from ..stages.text import JSD_SCALE
 

@@ -31,6 +31,7 @@ q_text_top_terms = text.text_top_terms
 q_text_tfidf = text.text_tfidf
 q_text_naive_bayes = text.text_naive_bayes
 q_text_lang_divergence = text.text_lang_divergence
+q_text_vocab_richness = text.text_vocab_richness
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -205,6 +206,7 @@ def q_jaccard_pairs_lsh(sf_dir: str):
 # --- similarity ------------------------------------------------------------
 
 q_ann_topk = similarity.ann_topk
+q_ann_filtered = similarity.ann_filtered
 q_ann_lsh = similarity.ann_lsh
 q_ann_ivf = similarity.ann_ivf
 q_sim_threshold = similarity.sim_threshold_join

@@ -10,6 +10,8 @@ expression here is a small nested-tuple AST:
     ("inv", expr)        inverse: swap direction
     ("alt", e1, e2, ...) alternation: union of the step relations
     ("seq", e1, e2)      sequence: relational join on the midpoint
+    ("range", e, lo, hi) bounded repetition e{lo,hi} (lo >= 1), powers
+                         composed from the DISTINCT base relation
 
 ``compile_path`` renders any inv/alt/seq composition to a DISTINCT edge
 Dataset ``(a, b)`` — each step is a map-only selection over the triples,
@@ -150,6 +152,31 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
         raise ValueError(
             "p+ must be evaluated anchored: use path_plus(triples, expr[1], seeds)"
         )
+    if op == "range":
+        # p{lo,hi} bounded repetition (lo >= 1; zero-length belongs to
+        # path_star): powers built by seq-joining the DISTINCT base —
+        # distinct-between-powers is the consumer's top-level exchange.
+        e, lo, hi = expr[1], int(expr[2]), int(expr[3])
+        if _inverse:  # ^(p{l,h}) ≡ (^p){l,h}
+            e = ("inv", e)
+        if not (1 <= lo <= hi):
+            raise ValueError(f"range bounds must satisfy 1 <= lo <= hi: {lo},{hi}")
+        base = path_distinct(
+            compile_path(triples, e, num_partitions=num_partitions),
+            num_partitions=num_partitions,
+        ).materialize()
+        powers = [base]
+        for _ in range(hi - 1):
+            powers.append(
+                path_distinct(
+                    _seq_join(powers[-1], base, num_partitions=num_partitions),
+                    num_partitions=num_partitions,
+                ).materialize()
+            )
+        out = powers[lo - 1]
+        for p in powers[lo:]:
+            out = out.union(p)
+        return out
     raise ValueError(f"unknown path op: {op!r}")
 
 
@@ -433,4 +460,52 @@ def sql_kg_path_npred() -> str:
 SELECT DISTINCT s AS x, o AS y
 FROM raw_triples WHERE p NOT IN ({excl})
 ORDER BY x, y"""
+    )
+
+
+def q_kg_path_range(sf_dir: str, *, num_partitions: int = _P):
+    """Bounded path repetition — SPARQL p{1,2}:
+
+        ?a (^<imports>/<imports>){1,2} ?b
+
+    module pairs within one or two co-import steps (modules sharing a
+    file, or linked through an intermediate module). The co-import base
+    relation is module-domain-sized (vocabulary class), so its bounded
+    powers stay small even when the file corpus is huge — the reason
+    {n,m} is evaluated relation-composed rather than anchored-BFS like
+    p+."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    edges = compile_path(
+        triples,
+        ("range",
+         ("seq", ("inv", ("pred", NS + "imports")), ("pred", NS + "imports")),
+         1, 2),
+        num_partitions=num_partitions,
+    )
+    return path_distinct(edges, num_partitions=num_partitions)
+
+
+def sql_kg_path_range() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+ie AS (
+  SELECT DISTINCT s AS f, o AS m FROM raw_triples WHERE p = {_q(NS + "imports")}
+),
+co AS (
+  SELECT DISTINCT i1.m AS a, i2.m AS b
+  FROM ie i1 JOIN ie i2 ON i1.f = i2.f
+),
+co2 AS (
+  SELECT DISTINCT c1.a, c2.b FROM co c1 JOIN co c2 ON c1.b = c2.a
+)
+SELECT a, b FROM (SELECT a, b FROM co UNION SELECT a, b FROM co2)
+ORDER BY a, b"""
     )

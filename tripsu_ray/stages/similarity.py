@@ -585,3 +585,79 @@ def ann_pq(
 
     partials = ds.map_batches(local, batch_format="pandas").to_pandas()
     return _global_topk(partials, k)
+
+
+def ann_filtered(sf_dir: str, *, k: int = 10, num_queries: int = 5):
+    """Filtered vector search (the RAG-with-metadata op): exact cosine
+    top-k restricted to corpus vectors sharing the query's ``label`` —
+    PRE-FILTER semantics (the filter shrinks the candidate set before
+    ranking, so a query always gets k results if its slice has k).
+
+    Same broadcast-queries / local-top-k / tiny-global-reduce plan as
+    :func:`ann_topk`; the filter is one vectorized label-equality mask
+    per (query, batch) — at scale the win is that label-partitioned
+    storage turns the mask into partition pruning."""
+    import pyarrow.compute as pc
+    import ray
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qdf = (
+        _read_parquet_clean(
+            path,
+            columns=["vec_id", "label", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    Q = _normalize_rows(np.stack(qdf["embedding"].to_numpy()))
+    q_ref = ray.put((qdf["vec_id"].to_numpy(np.int64),
+                     qdf["label"].to_numpy(np.int64), Q))
+
+    ds = _read_parquet_clean(path, columns=["vec_id", "label", "embedding"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "simq": []}
+        if len(batch):
+            q_ids, q_labels, Qm = ray.get(q_ref)
+            vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
+            sims = Qm @ vm.T
+            vids = batch["vec_id"].to_numpy(np.int64)
+            labs = batch["label"].to_numpy(np.int64)
+            for qi, (qid, qlab) in enumerate(zip(q_ids, q_labels)):
+                mask = (labs == qlab) & (vids != qid)
+                if not mask.any():
+                    continue
+                cand_ids = vids[mask]
+                simq = np.floor(sims[qi][mask] * QUANT).astype(np.int64)
+                order = np.lexsort((cand_ids, -simq))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["simq"].extend(simq[order])
+        return pd.DataFrame(out).astype("int64")
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return _global_topk(partials, k)
+
+
+def ann_filtered_sql(k: int = 10, num_queries: int = 5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, e AS qe
+  FROM v WHERE vec_id < {num_queries}
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, v.e) * 1000000) AS BIGINT)
+           AS simq
+  FROM q JOIN v ON v.label = q.qlabel AND v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()

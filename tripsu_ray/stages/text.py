@@ -734,6 +734,55 @@ def text_naive_bayes(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def text_vocab_richness(sf_dir: str):
+    """Per-language lexical-richness profile: token count, vocabulary
+    size, hapax legomena (count-1 types), type-token ratio and hapax
+    ratio — the slice-quality metrics a curation pipeline gates on (a
+    slice whose TTR collapses is template spam; one whose hapax ratio
+    explodes is OCR noise).
+
+    One (lang, token) count tree-fold (vocabulary-class driver state);
+    ratios are exact-integer floor divisions ``(10⁶·num)//den`` so both
+    engines agree bit-for-bit."""
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        lens = toks.str.len().to_numpy()
+        flat = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        lang = np.repeat(b["lang"].to_numpy(object), lens)
+        return (
+            pd.DataFrame({"lang": lang, "token": flat})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"c": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["lang", "token"], sort=False, as_index=False)["c"].sum()
+
+    folded = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    cols = ["lang", "n_tokens", "vocab", "hapax", "ttr_q", "hapax_ratio_q"]
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c == "lang" else "int64") for c in cols}
+        )
+    g = folded.groupby("lang")
+    out = pd.DataFrame(
+        {"lang": sorted(g.groups),
+         "n_tokens": [int(g.get_group(L)["c"].sum()) for L in sorted(g.groups)],
+         "vocab": [int(len(g.get_group(L))) for L in sorted(g.groups)],
+         "hapax": [int((g.get_group(L)["c"] == 1).sum()) for L in sorted(g.groups)]}
+    )
+    out["ttr_q"] = (1_000_000 * out["vocab"]) // out["n_tokens"]
+    out["hapax_ratio_q"] = (1_000_000 * out["hapax"]) // out["vocab"]
+    return out.astype({c: "int64" for c in cols[1:]})
+
+
 JSD_SCALE = 1_000_000_000_000  # contributions are tiny; 10¹² keeps signal
 
 
