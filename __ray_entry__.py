@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_group_concat": bgp.q_kg_bgp_group_concat,
         "kg_bgp_subquery": bgp.q_kg_bgp_subquery,
         "kg_bgp_coalesce": bgp.q_kg_bgp_coalesce,
+        "kg_bgp_agg_minmax": bgp.q_kg_bgp_agg_minmax,
         "kg_validate": q.q_validate,
         "kg_rdfs_types": q.q_rdfs_types,
         "kg_rdfs_domain_range": q.q_rdfs_domain_range,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_group_concat": bgp.sql_kg_bgp_group_concat(),
         "kg_bgp_subquery": bgp.sql_kg_bgp_subquery(),
         "kg_bgp_coalesce": bgp.sql_kg_bgp_coalesce(),
+        "kg_bgp_agg_minmax": bgp.sql_kg_bgp_agg_minmax(),
         "kg_validate": oracle.sql_validate(),
         "kg_rdfs_types": oracle.sql_rdfs_types(),
         "kg_rdfs_domain_range": oracle.sql_rdfs_domain_range(),

@@ -897,6 +897,102 @@ GROUP BY 1 ORDER BY 1"""
     )
 
 
+def q_kg_bgp_agg_minmax(sf_dir: str, *, num_partitions: int = _P):
+    """SPARQL MIN/MAX/AVG aggregates over a BGP (rounding out
+    :func:`q_kg_bgp_agg`'s COUNT family):
+
+        SELECT ?a (MIN(?m) AS ?first_module) (MAX(?m) AS ?last_module)
+                  (COUNT(*) AS ?n) (AVG(STRLEN(?m)) AS ?avg_len)
+        WHERE { ?f <imports> ?m . ?f <inRepo> ?r . ?r <author> ?a }
+        GROUP BY ?a
+
+    MIN/MAX are associative (per-batch partials pre-reduce before the
+    author exchange); AVG is the exact (sum, n) integer pair with ONE
+    floor division at the end — `avg_len_q = (10⁶·Σ strlen)//n`."""
+    from ..sources.synth import read_source_files
+    from ..stages.extract import NS, extract_triples
+
+    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    matches = bgp(
+        triples,
+        [
+            ("?f", f"{NS}imports", "?m"),
+            ("?f", f"{NS}inRepo", "?r"),
+            ("?r", f"{NS}author", "?a"),
+        ],
+        num_partitions=num_partitions,
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "mn": pd.Series([], dtype=object), "mx": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"), "s": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if not len(b) or "a" not in b.columns:
+            return empty
+        g = (
+            b.assign(_len=b["m"].str.len().astype("int64"))
+            .groupby("a", sort=False)
+            .agg(mn=("m", "min"), mx=("m", "max"), n=("m", "size"), s=("_len", "sum"))
+            .reset_index()
+        )
+        g["_part"] = (
+            pd.util.hash_pandas_object(g["a"], index=False) % num_partitions
+        ).astype("int64")
+        return g.astype({"n": "int64", "s": "int64"})
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"author": pd.Series([], dtype=object),
+             "first_module": pd.Series([], dtype=object),
+             "last_module": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "avg_len_q": pd.Series([], dtype="int64")}
+        )
+        if not len(g) or "a" not in g.columns:
+            return empty
+        out = g.groupby("a", sort=False).agg(
+            first_module=("mn", "min"), last_module=("mx", "max"),
+            n=("n", "sum"), s=("s", "sum"),
+        ).reset_index().rename(columns={"a": "author"})
+        out["avg_len_q"] = (1_000_000 * out["s"].astype("int64")) // out["n"].astype(
+            "int64"
+        )
+        return out[["author", "first_module", "last_module", "n", "avg_len_q"]].astype(
+            {"n": "int64", "avg_len_q": "int64"}
+        )
+
+    return (
+        matches.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(census, batch_format="pandas")
+    )
+
+
+def sql_kg_bgp_agg_minmax() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import NS
+    from .oracle import _q, _with, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+m AS (
+  SELECT DISTINCT t1.s AS f, t1.o AS m, t2.o AS r, t3.o AS a
+  FROM raw_triples t1
+  JOIN raw_triples t2 ON t2.s = t1.s AND t2.p = {_q(NS + "inRepo")}
+  JOIN raw_triples t3 ON t3.s = t2.o AND t3.p = {_q(NS + "author")}
+  WHERE t1.p = {_q(NS + "imports")}
+)
+SELECT a AS author, min(m) AS first_module, max(m) AS last_module,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((1000000 * sum(length(m))) // count(*) AS BIGINT) AS avg_len_q
+FROM m GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def q_kg_bgp_coalesce(sf_dir: str, *, num_partitions: int = _P):
     """OPTIONAL + COALESCE projection with an aggregate — SPARQL's
     bound-or-default idiom:
