@@ -566,3 +566,35 @@ def test_pseudonymize_preserves_graph_column(tmp_path):
     # Bob (untyped, default graph) untouched
     bob = out[out["graph"].isna()]
     assert list(bob["subject"]) == ["http://ex/Bob"]
+
+
+def test_cli_pseudo_nquads_end_to_end(tmp_path):
+    """pseudo over .nq input to .nq output: graph terms preserved, rules
+    applied (subprocess CLI — the real deployment path)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    src = tmp_path / "in.nq"
+    src.write_text(
+        "<http://example.org/Alice> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://xmlns.com/foaf/0.1/Person> <http://ex/g1> .\n"
+        "<http://example.org/Alice> <http://schema.org/name> "
+        '"Alice" <http://ex/g1> .\n'
+    )
+    out = str(tmp_path / "out.nq")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tripsu_ray.cli", "--num-cpus", "2",
+            "pseudo", "-i", str(src), "-o", out,
+            "-r", os.path.join(os.path.dirname(__file__), "data", "rules.yaml"),
+            "--salt", "cli-salt",
+        ],
+        capture_output=True, text=True, env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = []
+    for f in os.listdir(out):
+        lines += open(os.path.join(out, f)).read().strip().splitlines()
+    assert len(lines) == 2
+    assert all(line.rstrip(" .").endswith("<http://ex/g1>") for line in lines)
+    # Person name literal is hashed per the fixture rules
+    assert not any('"Alice"' in line for line in lines)
