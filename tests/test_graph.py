@@ -1776,9 +1776,7 @@ def test_void_stats_hand_built():
     df["object_kind"] = df["object_kind"].astype(np.int8)
     df["object_lang"] = pd.Series([None] * len(df), dtype="string")
     df["object_datatype"] = pd.Series([None] * len(df), dtype="string")
-    from tripsu_ray.stages.materialize import dedup_exact
-
-    got = void_stats(dedup_exact(_ds(df, blocks=2)), num_partitions=4).set_index("metric")[
+    got = void_stats(_ds(df, blocks=2), num_partitions=4).set_index("metric")[
         "value"
     ]
     assert got["triples"] == 4

@@ -339,14 +339,13 @@ def q_assortativity(sf_dir: str):
 
 
 def q_void_stats(sf_dir: str):
-    """VoID dataset statistics (triples, distinct subjects/objects,
-    properties, classes, entities) over the DISTINCT extracted graph —
-    one union-tagged exchange + tree-fold
+    """VoID dataset statistics (distinct triples, subjects, objects,
+    properties, classes, entities) — every metric a distinct census over
+    ONE union-tagged exchange on the raw extracted stream
     (stages/graph.py::void_stats)."""
     from ..stages.graph import void_stats
-    from ..stages.materialize import dedup_exact
 
-    return void_stats(dedup_exact(_extracted(sf_dir)))
+    return void_stats(_extracted(sf_dir))
 
 
 def q_namespace_census(sf_dir: str):

@@ -2412,19 +2412,27 @@ def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
     void:properties, void:distinctSubjects, void:distinctObjects) as one
     (metric, value) table — the dataset card a KG publisher ships.
 
-    Every metric is either a pure per-batch count partial (triples) or a
-    distinct census over one hash exchange; all of them ride a SINGLE
-    union-tagged exchange (side = which domain the value belongs to) so
-    the whole profile costs one shuffle + one tree-fold.
+    Every metric — including void:triples, via the triple identity key —
+    is a distinct census riding a SINGLE union-tagged exchange (side =
+    which domain the value belongs to), so the whole profile costs one
+    shuffle + one tree-fold on RAW (duplicate-tolerant) triples.
     """
     from .folds import tree_fold_tables
 
-    SIDES = ("subject", "object", "predicate", "class", "entity")
-
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        out = [pd.DataFrame({"side": np.int8(-1), "v": "",
-                             "n": [np.int64(len(batch))], "_part": np.int64(0)})]
+        out = []
         is_type = batch["predicate"] == RDF_TYPE
+        # side 5: the triple identity key — void:triples becomes a distinct
+        # census riding the SAME exchange (no prior global-dedup pass)
+        key = (
+            batch["subject"].astype(str) + "\x1f"
+            + batch["subject_kind"].astype(str) + "\x1f"
+            + batch["predicate"].astype(str) + "\x1f"
+            + batch["object_value"].astype(str) + "\x1f"
+            + batch["object_kind"].astype(str) + "\x1f"
+            + batch["object_lang"].fillna("\x00").astype(str) + "\x1f"
+            + batch["object_datatype"].fillna("\x00").astype(str)
+        )
         vals = {
             0: batch["subject"],
             1: batch["object_value"],
@@ -2435,6 +2443,7 @@ def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
                  batch.loc[batch["object_kind"] == KIND_IRI, "object_value"]],
                 ignore_index=True,
             ),
+            5: key,
         }
         for side, col in vals.items():
             u = col.drop_duplicates()
@@ -2455,8 +2464,8 @@ def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
         )
         if not len(g):
             return empty
-        rows = [(np.int8(-1), np.int64(g.loc[g["side"] == -1, "n"].sum()))]
-        for side in range(5):
+        rows = []
+        for side in range(6):
             u = g.loc[g["side"] == side, "v"].nunique()  # global distinct
             if u:
                 rows.append((np.int8(side), np.int64(u)))
@@ -2472,7 +2481,7 @@ def void_stats(triples, *, num_partitions: int = _HASH_PARTS):
         .map_groups(per_part, batch_format="pandas"),
         combine,
     )
-    names = {-1: "triples", 0: "distinct_subjects", 1: "distinct_objects",
+    names = {5: "triples", 0: "distinct_subjects", 1: "distinct_objects",
              2: "properties", 3: "classes", 4: "entities"}
     vals = {v: 0 for v in names.values()}
     if folded is not None:
