@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_namespace_census": q.q_namespace_census,
         "kg_void_stats": q.q_void_stats,
         "kg_assortativity": q.q_assortativity,
+        "kg_code_stats": q.q_code_stats,
         "kg_negative_samples": q.q_negative_samples,
         "kg_triangles": q.q_triangles,
         "kg_clustering": q.q_clustering,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_namespace_census": oracle.sql_namespace_census(),
         "kg_void_stats": oracle.sql_void_stats(),
         "kg_assortativity": oracle.sql_assortativity(),
+        "kg_code_stats": oracle.sql_code_stats(),
         "kg_negative_samples": oracle.sql_negative_samples(),
         "kg_triangles": oracle.sql_triangles(),
         "kg_clustering": oracle.sql_clustering(),

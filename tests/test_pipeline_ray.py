@@ -454,3 +454,34 @@ class TestIncremental:
         import pandas as pd
 
         pd.testing.assert_frame_equal(inc, full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_code_stats_comment_counting():
+    """Indented #-and-// comments count; a line lacking its trailing
+    newline is NOT counted as a line (n_lines = newline count — the
+    documented convention shared with the oracle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tripsu_ray.stages.extract import code_stats
+
+    df = pd.DataFrame(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["a.py", "b.py", "c.rs"],
+            "commit": ["x", "y", "z"],
+            "lang": ["py", "py", "rs"],
+            "content": [
+                "# top\ncode()\n    # indented\n",     # 3 lines, 2 comments
+                "code()\nmore()",                        # 1 newline, 0 comments
+                "// c\nfn x() {}\n",                    # 2 lines, 1 comment
+            ],
+        }
+    )
+    got = code_stats(rd.from_pandas(df).repartition(2)).set_index(["repo", "lang"])
+    assert got.loc[("r1", "py"), "n_files"] == 2
+    assert got.loc[("r1", "py"), "n_lines"] == 4
+    assert got.loc[("r1", "py"), "n_comment_lines"] == 2
+    assert got.loc[("r1", "py"), "comment_ratio_q"] == 500_000
+    assert got.loc[("r2", "rs"), "avg_lines_q"] == 2_000_000

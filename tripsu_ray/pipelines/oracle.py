@@ -566,6 +566,27 @@ ORDER BY a1, a2"""
     )
 
 
+def sql_code_stats() -> str:
+    from ..stages.extract import CODE_COMMENT_RE, CODE_NEWLINE_RE
+
+    return (
+        _with(SOURCE_FILES_SQL)
+        + f"""
+SELECT repo, lang,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}')))
+            AS BIGINT) AS n_lines,
+       CAST(sum(len(regexp_extract_all(content, '{CODE_COMMENT_RE}')))
+            AS BIGINT) AS n_comment_lines,
+       CAST((1000000 * sum(len(regexp_extract_all(content, '{CODE_COMMENT_RE}'))))
+            // sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}')))
+            AS BIGINT) AS comment_ratio_q,
+       CAST((1000000 * sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}'))))
+            // count(*) AS BIGINT) AS avg_lines_q
+FROM source_files GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+
+
 def sql_assortativity() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

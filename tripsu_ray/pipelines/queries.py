@@ -329,6 +329,15 @@ def q_link_scores(sf_dir: str):
     return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
 
 
+def q_code_stats(sf_dir: str):
+    """Per-(repo, lang) code-shape profile: files/lines/comment lines,
+    exact-integer comment ratio and mean file length
+    (stages/extract.py::code_stats)."""
+    from ..stages.extract import code_stats
+
+    return code_stats(read_source_files(sf_dir))
+
+
 def q_assortativity(sf_dir: str):
     """Directed out->in degree assortativity of the entity graph (one
     quantized Pearson over exact degree moments;

@@ -216,3 +216,71 @@ def extract_triples(source_files, *, batch_size=None):
     return source_files.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+CODE_COMMENT_RE = r"(?m)^\s*(?:#|//)"
+CODE_NEWLINE_RE = r"\n"
+
+
+def code_stats(files_ds):
+    """Per-(repo, lang) source-code shape profile: file/line/comment-line
+    counts, comment ratio and mean file length — the corpus-quality gate
+    for a code-training pipeline (a repo whose comment ratio collapses is
+    minified/generated code; one whose mean file length explodes is
+    vendored bundles).
+
+    Pure per-batch pandas-str partials (both regexes shared verbatim with
+    the RE2 oracle; ``re.ASCII`` pins \\s to the RE2 semantics) → one tiny
+    (repo, lang) tree-fold. Ratios are exact-integer floor divisions."""
+    import re as _re
+
+    from .folds import tree_fold_tables
+
+    comment_pat = _re.compile(CODE_COMMENT_RE, _re.ASCII)
+    newline_pat = _re.compile(CODE_NEWLINE_RE, _re.ASCII)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "repo": b["repo"],
+                    "lang": b["lang"],
+                    "n_files": 1,
+                    "n_lines": b["content"].str.count(newline_pat).astype("int64"),
+                    "n_comment_lines": b["content"]
+                    .str.count(comment_pat)
+                    .astype("int64"),
+                }
+            )
+            .groupby(["repo", "lang"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["repo", "lang"], sort=False, as_index=False)[
+            ["n_files", "n_lines", "n_comment_lines"]
+        ].sum()
+
+    folded = tree_fold_tables(
+        files_ds.map_batches(partial, batch_format="pandas"), combine
+    )
+    cols = ["repo", "lang", "n_files", "n_lines", "n_comment_lines",
+            "comment_ratio_q", "avg_lines_q"]
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c in ("repo", "lang") else "int64")
+             for c in cols}
+        )
+    folded["comment_ratio_q"] = (
+        1_000_000 * folded["n_comment_lines"].astype("int64")
+    ) // folded["n_lines"].astype("int64")
+    folded["avg_lines_q"] = (
+        1_000_000 * folded["n_lines"].astype("int64")
+    ) // folded["n_files"].astype("int64")
+    return (
+        folded[cols]
+        .sort_values(["repo", "lang"], ignore_index=True)
+        .astype({c: "int64" for c in cols[2:]})
+    )
