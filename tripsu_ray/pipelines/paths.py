@@ -166,13 +166,16 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
             num_partitions=num_partitions,
         ).materialize()
         powers = [base]
-        for _ in range(hi - 1):
-            powers.append(
-                path_distinct(
-                    _seq_join(powers[-1], base, num_partitions=num_partitions),
-                    num_partitions=num_partitions,
-                ).materialize()
-            )
+        for i in range(hi - 1):
+            nxt = _seq_join(powers[-1], base, num_partitions=num_partitions)
+            if i < hi - 2:
+                # intermediate powers are REUSED (joined with base next
+                # round): distinct+pin keeps the join input minimal. The
+                # last power feeds only the union — the consumer's
+                # top-level distinct covers it, so skip the extra
+                # exchange + materialization there.
+                nxt = path_distinct(nxt, num_partitions=num_partitions).materialize()
+            powers.append(nxt)
         out = powers[lo - 1]
         for p in powers[lo:]:
             out = out.union(p)
