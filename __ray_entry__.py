@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_naive_bayes": docops.q_text_naive_bayes,
         "text_lang_divergence": docops.q_text_lang_divergence,
         "text_vocab_richness": docops.q_text_vocab_richness,
+        "text_collocations": docops.q_text_collocations,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -216,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_window_dedup": docops.q_rel_window_dedup,
         "rel_decay_sum": docops.q_rel_decay_sum,
         "rel_lift": docops.q_rel_lift,
+        "rel_benford": docops.q_rel_benford,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "text_naive_bayes": d.sql_text_naive_bayes(),
         "text_lang_divergence": d.sql_text_lang_divergence(),
         "text_vocab_richness": d.sql_text_vocab_richness(),
+        "text_collocations": d.sql_text_collocations(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
@@ -388,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_window_dedup": d.sql_rel_window_dedup(),
         "rel_decay_sum": d.sql_rel_decay_sum(),
         "rel_lift": d.sql_rel_lift(),
+        "rel_benford": d.sql_rel_benford(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

@@ -1961,3 +1961,59 @@ def test_ann_filtered_pre_filter_semantics():
         order = np.lexsort((cand, -simq))[:5]
         assert list(sub["vec_id"]) == list(cand[order])
         assert list(sub["simq"]) == list(simq[order])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_collocations_matches_pandas():
+    import math
+    import re
+
+    from tripsu_ray.stages import text as T
+
+    got = T.text_collocations(SF).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    pat = re.compile(T.TOKEN_RE, re.ASCII)
+    w1, w2 = [], []
+    for t in docs["text"]:
+        ts = pat.findall(t.lower())
+        w1.extend(ts[:-1])
+        w2.extend(ts[1:])
+    bg = pd.DataFrame({"w1": w1, "w2": w2}).groupby(["w1", "w2"]).size()
+    bg = bg.reset_index(name="c")
+    cx = bg.groupby("w1")["c"].sum()
+    cy = bg.groupby("w2")["c"].sum()
+    total = float(bg["c"].sum())
+    sub = bg[bg["c"] >= T.COLLOC_MIN_COUNT].copy()
+    ln_n = math.log(total)
+    sub["pmi_q"] = [
+        int(math.floor(1e6 * (math.log(float(c)) + ln_n
+                              - math.log(float(cx[a])) - math.log(float(cy[b])))))
+        for a, b, c in zip(sub["w1"], sub["w2"], sub["c"].astype(int))
+    ]
+    want = (
+        sub.sort_values(["pmi_q", "w1", "w2"], ascending=[False, True, True])
+        .head(T.COLLOC_TOP_K)[["w1", "w2", "c", "pmi_q"]]
+        .reset_index(drop=True)
+        .astype({"c": "int64", "pmi_q": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_benford_counts_and_expectation():
+    import math
+
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_benford(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    cents = (ev["value"] * 100).round().astype("int64")
+    cents = cents[cents > 0]
+    want_n = cents.astype(str).str[0].astype(int).value_counts()
+    for d in range(1, 10):
+        row = got[got["digit"] == d].iloc[0]
+        assert row["n"] == int(want_n.get(d, 0))
+        assert row["benford_q"] == int(math.floor(1e6 * math.log10(1 + 1 / d)))
+    assert got["n"].sum() == len(cents)
+    # Benford expectations sum to ~1 (quantization loses < 9 millionths)
+    assert 999_990 <= got["benford_q"].sum() <= 1_000_000

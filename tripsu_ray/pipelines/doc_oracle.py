@@ -261,6 +261,32 @@ FROM cnt GROUP BY lang ORDER BY lang
 """.strip()
 
 
+def sql_text_collocations() -> str:
+    from ..stages.text import COLLOC_MIN_COUNT, COLLOC_TOP_K
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), grams AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c FROM grams GROUP BY w1, w2
+), cx AS (SELECT w1, sum(c) AS n FROM bg GROUP BY 1),
+   cy AS (SELECT w2, sum(c) AS n FROM bg GROUP BY 1),
+   tot AS (SELECT sum(c) AS n FROM bg),
+scored AS (
+  SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+         CAST(floor(1000000 * (ln(bg.c) + ln(tot.n) - ln(cx.n) - ln(cy.n)))
+              AS BIGINT) AS pmi_q
+  FROM bg JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tot
+  WHERE bg.c >= {COLLOC_MIN_COUNT}
+)
+SELECT w1, w2, c, pmi_q FROM scored
+ORDER BY pmi_q DESC, w1, w2 LIMIT {COLLOC_TOP_K}
+""".strip()
+
+
 def sql_text_lang_divergence() -> str:
     from ..stages.text import JSD_SCALE
 
@@ -738,6 +764,28 @@ SELECT o_orderstatus, o_orderpriority, n,
                              * (CAST(n AS DOUBLE) - exp) / exp)) AS BIGINT)
          AS contrib_q
 FROM e ORDER BY o_orderstatus, o_orderpriority
+""".strip()
+
+
+def sql_rel_benford() -> str:
+    return """
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM cents GROUP BY 1
+),
+digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+tot AS (SELECT sum(n) AS t FROM obs)
+SELECT d.digit,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       CAST((1000000 * coalesce(o.n, 0)) // tot.t AS BIGINT) AS observed_q,
+       CAST(floor(1000000 * log10(1.0 + 1.0 / d.digit)) AS BIGINT) AS benford_q
+FROM digits d LEFT JOIN obs o USING (digit) CROSS JOIN tot
+ORDER BY d.digit
 """.strip()
 
 

@@ -32,6 +32,7 @@ q_text_tfidf = text.text_tfidf
 q_text_naive_bayes = text.text_naive_bayes
 q_text_lang_divergence = text.text_lang_divergence
 q_text_vocab_richness = text.text_vocab_richness
+q_text_collocations = text.text_collocations
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -1024,6 +1025,51 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_benford(sf_dir: str):
+    """Benford first-digit census over event values (the classic
+    fabricated-data / instrumentation-bug detector): observed count per
+    leading digit vs the quantized Benford expectation
+    ``floor(10⁶·log10(1 + 1/d))``. Counts are one tiny tree-fold of
+    per-batch digit censuses; the expectation column is driver-side libm.
+    Zero/negative amounts are excluded (they have no Benford digit)."""
+    import math
+
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["value"] * 100).round().astype("int64")
+        cents = cents[cents > 0]
+        if not len(cents):
+            return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        digit = cents.astype(str).str[0].astype("int64")
+        vc = digit.value_counts()
+        return pd.DataFrame({"digit": vc.index.astype("int64"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("digit", sort=False, as_index=False)["n"].sum()
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    digits = list(range(1, 10))
+    n = {int(d): 0 for d in digits}
+    if folded is not None:
+        for d, c in folded.itertuples(index=False):
+            n[int(d)] = int(c)
+    total = sum(n.values())
+    out = pd.DataFrame(
+        {"digit": digits,
+         "n": [n[d] for d in digits],
+         "observed_q": [(1_000_000 * n[d]) // total if total else 0 for d in digits],
+         "benford_q": [int(math.floor(1_000_000 * math.log10(1.0 + 1.0 / d)))
+                       for d in digits]}
+    )
+    return out.astype("int64")
 
 
 def q_rel_lift(sf_dir: str):

@@ -783,6 +783,73 @@ def text_vocab_richness(sf_dir: str):
     return out.astype({c: "int64" for c in cols[1:]})
 
 
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+def text_collocations(sf_dir: str, *, min_count: int = COLLOC_MIN_COUNT,
+                      k: int = COLLOC_TOP_K):
+    """Collocation extraction: top-k adjacent-token bigrams by PMI over
+    the bigram stream's own margins — ``pmi = ln(c_xy·N/(c_x•·c_•y))``
+    with a ``min_count`` support floor (the classic multiword-expression
+    miner; rare-pair noise is exactly what the floor removes).
+
+    The distributed half is the bigram-count tree-fold (bigram vocab is
+    corpus-vocabulary class); margins, PMI quantization and the
+    (pmi DESC, w1, w2) top-k run on the driver over the folded table
+    with libm logs. Exact int64 counts → identical IEEE sequence in the
+    DuckDB oracle."""
+    import math
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w1, w2, _, _ = _batch_bigrams(b["text"])  # vectorized offset slicing
+        if not len(w1):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        return (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"c": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["w1", "w2"], sort=False, as_index=False)["c"].sum()
+
+    folded = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    cols = ["w1", "w2", "c", "pmi_q"]
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c in ("w1", "w2") else "int64")
+             for c in cols}
+        )
+    total = float(folded["c"].sum())
+    cx = folded.groupby("w1")["c"].sum()
+    cy = folded.groupby("w2")["c"].sum()
+    sub = folded[folded["c"] >= min_count].copy()
+    ln_n = math.log(total)
+    sub["pmi_q"] = [
+        int(math.floor(1_000_000 * (math.log(float(c)) + ln_n
+                                    - math.log(float(cx[a]))
+                                    - math.log(float(cy[b])))))
+        for a, b, c in zip(sub["w1"], sub["w2"], sub["c"].astype(int))
+    ]
+    return (
+        sub.sort_values(["pmi_q", "w1", "w2"], ascending=[False, True, True])
+        .head(k)[cols]
+        .reset_index(drop=True)
+        .astype({"c": "int64", "pmi_q": "int64"})
+    )
+
+
 JSD_SCALE = 1_000_000_000_000  # contributions are tiny; 10¹² keeps signal
 
 
