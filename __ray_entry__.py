@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": docops.q_multimodal_frames,
         "multimodal_audio": docops.q_multimodal_audio,
         "multimodal_phash_dedup": docops.q_multimodal_phash_dedup,
+        "multimodal_phash_near_dup": docops.q_multimodal_phash_near_dup,
         # relational engine showcase
         "rel_lineitem_agg": docops.q_rel_lineitem_agg,
         "rel_join_revenue": docops.q_rel_join_revenue,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_decay_sum": docops.q_rel_decay_sum,
         "rel_lift": docops.q_rel_lift,
         "rel_benford": docops.q_rel_benford,
+        "rel_scd2": docops.q_rel_scd2,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -392,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_decay_sum": d.sql_rel_decay_sum(),
         "rel_lift": d.sql_rel_lift(),
         "rel_benford": d.sql_rel_benford(),
+        "rel_scd2": d.sql_rel_scd2(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

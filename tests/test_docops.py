@@ -2017,3 +2017,49 @@ def test_rel_benford_counts_and_expectation():
     assert got["n"].sum() == len(cents)
     # Benford expectations sum to ~1 (quantization loses < 9 millionths)
     assert 999_990 <= got["benford_q"].sum() <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_near_dup_banded_join_exact_at_radius():
+    """Banded Hamming LSH + exact rerank: finds EXACTLY the brute-force
+    pairs within the radius (pigeonhole guarantees recall; the popcount
+    rerank guarantees precision)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tripsu_ray.stages.multimodal import phash_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, 20, dtype=np.int64).astype(np.uint64)
+    hashes = list(base)
+    # plant near-dups: flip 1..3 bits of some bases
+    for i, flips in ((0, 1), (1, 3), (2, 2)):
+        h = base[i]
+        for b in rng.choice(64, flips, replace=False):
+            h ^= np.uint64(1) << np.uint64(b)
+        hashes.append(h)
+    # and one too-far pair (4 flips > radius 3)
+    h = base[3]
+    for b in rng.choice(64, 4, replace=False):
+        h ^= np.uint64(1) << np.uint64(b)
+    hashes.append(h)
+    ids = np.arange(len(hashes), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids, "phash": np.array(hashes, dtype=np.uint64).astype(np.int64)})
+    ).repartition(3)
+    got = phash_near_dup_pairs(ds, max_hamming=3, num_partitions=4).to_pandas()
+    got_pairs = {(a, b): h for a, b, h in got[["a", "b", "hamming"]].values}
+
+    def pop(x):
+        return bin(int(x)).count("1")
+
+    want = {}
+    for i, j in itertools.combinations(range(len(hashes)), 2):
+        d = pop(np.uint64(hashes[i]) ^ np.uint64(hashes[j]))
+        if d <= 3:
+            want[(i, j)] = d
+    assert got_pairs == want
+    assert (0, 20) in want and want[(0, 20)] == 1  # the planted 1-flip pair
+    assert all(h <= 3 for h in got_pairs.values())

@@ -767,6 +767,35 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_scd2() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN event_type = lag(event_type)
+                      OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                 THEN 0 ELSE 1 END AS new_run
+  FROM e
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+), agg AS (
+  SELECT user_id, run, min(event_type) AS state,
+         min(ts_s) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, state,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run),
+                     -1) AS BIGINT) AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM agg ORDER BY user_id, valid_from
+""".strip()
+
+
 def sql_rel_benford() -> str:
     return """
 WITH cents AS (

@@ -1027,6 +1027,42 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def q_rel_scd2(sf_dir: str):
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event-type stream into validity intervals — one row per RUN of equal
+    consecutive states, (user_id, state, valid_from, valid_to, n_events),
+    open intervals closed at +∞ (sentinel -1) — the warehousing history
+    table every dimension load produces.
+
+    One user-hash exchange; runs are a vectorized shift-compare cumsum
+    inside the ts-sorted group (the sessions gaps-and-islands shape with
+    state-change boundaries instead of time gaps)."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def intervals(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], ignore_index=True)
+        ts_s = g["ts"].astype("datetime64[s]").astype("int64")
+        new_run = (g["event_type"] != g["event_type"].shift(1)).cumsum()
+        out = (
+            pd.DataFrame(
+                {"user_id": g["user_id"], "state": g["event_type"],
+                 "ts_s": ts_s, "run": new_run}
+            )
+            .groupby("run", sort=True)
+            .agg(user_id=("user_id", "first"), state=("state", "first"),
+                 valid_from=("ts_s", "min"), n_events=("ts_s", "size"))
+            .reset_index(drop=True)
+        )
+        out["valid_to"] = out["valid_from"].shift(-1).fillna(-1).astype("int64")
+        return out[["user_id", "state", "valid_from", "valid_to", "n_events"]].astype(
+            {"user_id": "int64", "valid_from": "int64", "n_events": "int64"}
+        )
+
+    return ds.groupby("user_id").map_groups(intervals, batch_format="pandas")
+
+
 def q_rel_benford(sf_dir: str):
     """Benford first-digit census over event values (the classic
     fabricated-data / instrumentation-bug detector): observed count per
@@ -3268,6 +3304,17 @@ def q_rel_key_skew(sf_dir: str):
             "gini_den": np.array([gini_den], dtype="int64"),
         }
     )
+
+
+def q_multimodal_phash_near_dup(sf_dir: str):
+    """Near-duplicate image PAIRS by banded perceptual-hash Hamming LSH
+    with exact popcount rerank (stages/multimodal.py::image_phash_near_dup
+    — exact recall at the radius by pigeonhole). Rows-only check (the
+    hash kernel is numpy, not SQL); recall/precision asserted in tests
+    against a brute-force popcount."""
+    from ..stages.multimodal import image_phash_near_dup
+
+    return image_phash_near_dup(sf_dir)
 
 
 def q_multimodal_phash_dedup(sf_dir: str):

@@ -478,3 +478,120 @@ def image_phash_dedup(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
         .groupby("_part")
         .map_groups(census, batch_format="pandas")
     )
+
+
+def image_phash_near_dup(
+    sf_dir: str,
+    *,
+    max_hamming: int = 3,
+    batch_size: int = 256,
+    concurrency=(1, 4),
+    num_partitions: int = 16,
+):
+    """NEAR-duplicate image pairs by perceptual-hash Hamming distance —
+    the banded-LSH scale plan for 64-bit aHashes: split each hash into
+    ``max_hamming + 1`` bands (pigeonhole: any pair within ``max_hamming``
+    bits shares at least one EXACT band), bucket-join per band, then
+    verify candidates with an exact popcount rerank. Exact recall at the
+    configured radius by construction; work is bucket-quadratic instead
+    of corpus-quadratic.
+
+    Output: (a, b, hamming) per unordered near-dup pair (a < b),
+    globally distinct (a candidate pair can surface in several bands —
+    deduped in the pair-keyed second exchange).
+    """
+    import pandas as pd
+
+    hashed = attach_content_payloads(sf_dir).map_batches(
+        PerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return phash_near_dup_pairs(
+        hashed, max_hamming=max_hamming, num_partitions=num_partitions
+    )
+
+
+def phash_near_dup_pairs(hashed, *, max_hamming: int = 3, num_partitions: int = 16):
+    """Core banded-Hamming join over a (doc_id, phash) Dataset — split out
+    so tests can drive it with planted hashes."""
+    import pandas as pd
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    def band_rows(batch: pa.Table) -> pd.DataFrame:
+        h = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for b in range(n_bands):
+            key = (h >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
+            rows.append(pd.DataFrame({"band": np.int64(b), "key": key.astype(np.int64),
+                                      "doc_id": d, "phash": h.astype(np.int64)}))
+        out = pd.concat(rows, ignore_index=True)
+        out["_part"] = (
+            (out["band"] * 1_000_003 + out["key"]) % num_partitions
+        ).astype("int64")
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64"),
+             "_p2": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        out = []
+        for (_, _), grp in g.groupby(["band", "key"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(np.int64)
+            hs = grp["phash"].to_numpy(np.int64).astype(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = hs[iu] ^ hs[ju]
+            # vectorized popcount: one unpackbits over the raw bytes
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+                if len(x)
+                else np.zeros(0, dtype=np.int64)
+            )
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame(
+                    {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]}
+                ))
+        if not out:
+            return empty
+        res = pd.concat(out, ignore_index=True)
+        res["_p2"] = (
+            (res["a"] * 1_000_003 + res["b"]) % num_partitions
+        ).astype("int64")
+        return res
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "a" not in g.columns:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return (
+            g[["a", "b", "hamming"]]
+            .drop_duplicates(["a", "b"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+
+    return (
+        hashed.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(dedup, batch_format="pandas")
+    )
