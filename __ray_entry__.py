@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lift": docops.q_rel_lift,
         "rel_benford": docops.q_rel_benford,
         "rel_scd2": docops.q_rel_scd2,
+        "rel_cusum": docops.q_rel_cusum,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_lift": d.sql_rel_lift(),
         "rel_benford": d.sql_rel_benford(),
         "rel_scd2": d.sql_rel_scd2(),
+        "rel_cusum": d.sql_rel_cusum(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

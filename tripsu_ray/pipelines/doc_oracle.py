@@ -767,6 +767,31 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_cusum() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (SELECT (1000000 * sum(cents)) // count(*) AS mean_s FROM e),
+w AS (
+  SELECT user_id, ts_s, event_id,
+         sum(1000000 * cents - m.mean_s)
+           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e CROSS JOIN m
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY abs(s) DESC, ts_s, event_id) AS rk
+  FROM w
+)
+SELECT user_id, CAST(ts_s AS BIGINT) AS peak_ts_s,
+       CAST(s AS BIGINT) AS peak_cusum, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rk = 1 ORDER BY user_id
+""".strip()
+
+
 def sql_rel_scd2() -> str:
     return """
 WITH e AS (

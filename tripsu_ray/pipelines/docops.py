@@ -1027,6 +1027,60 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def q_rel_cusum(sf_dir: str):
+    """CUSUM change-point detection per user: the event-time position
+    where the cumulative deviation from the GLOBAL mean value peaks —
+    the drift/regression detector of a metrics pipeline.
+
+    Two passes: a (Σ, n) global-moment fold fixes the scaled mean
+    ``mean_s = (10⁶·Σcents)//N`` ONCE as an exact integer, then one
+    user-hash exchange computes each user's integer cusum walk
+    ``s_i = Σ(10⁶·cents_j − mean_s)`` and reports argmax |s_i|
+    (ties → earliest). Everything int64-exact, shared with the
+    window-function oracle."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def mpart(b: pd.DataFrame) -> pd.DataFrame:
+        cents = (b["value"] * 100).round().astype("int64")
+        return pd.DataFrame({"s": [int(cents.sum())], "n": [len(b)]})
+
+    def mcombine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"s": [int(df["s"].map(int).sum())],
+                             "n": [int(df["n"].sum())]})
+
+    m = tree_fold_tables(ds.map_batches(mpart, batch_format="pandas"), mcombine)
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "peak_ts_s": pd.Series([], dtype="int64"),
+         "peak_cusum": pd.Series([], dtype="int64"),
+         "n_events": pd.Series([], dtype="int64")}
+    )
+    if m is None or not int(m["n"].iloc[0]):
+        return empty
+    mean_s = (1_000_000 * int(m["s"].iloc[0])) // int(m["n"].iloc[0])
+
+    def walk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], ignore_index=True)
+        cents = (g["value"] * 100).round().astype("int64").to_numpy()
+        dev = 1_000_000 * cents - mean_s
+        s = np.cumsum(dev)
+        i = int(np.argmax(np.abs(s)))  # first occurrence = earliest tie
+        ts_s = g["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])],
+             "peak_ts_s": [int(ts_s[i])],
+             "peak_cusum": [int(s[i])],
+             "n_events": [len(g)]}
+        ).astype("int64")
+
+    return ds.groupby("user_id").map_groups(walk, batch_format="pandas")
+
+
 def q_rel_scd2(sf_dir: str):
     """Type-2 slowly-changing-dimension build: collapse each user's
     event-type stream into validity intervals — one row per RUN of equal
