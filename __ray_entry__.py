@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_divergence": docops.q_text_lang_divergence,
         "text_vocab_richness": docops.q_text_vocab_richness,
         "text_collocations": docops.q_text_collocations,
+        "text_compressibility": docops.q_text_compressibility,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_benford": docops.q_rel_benford,
         "rel_scd2": docops.q_rel_scd2,
         "rel_cusum": docops.q_rel_cusum,
+        "rel_calendar_profile": docops.q_rel_calendar_profile,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -397,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_benford": d.sql_rel_benford(),
         "rel_scd2": d.sql_rel_scd2(),
         "rel_cusum": d.sql_rel_cusum(),
+        "rel_calendar_profile": d.sql_rel_calendar_profile(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

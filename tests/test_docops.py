@@ -2063,3 +2063,25 @@ def test_phash_near_dup_banded_join_exact_at_radius():
     assert got_pairs == want
     assert (0, 20) in want and want[(0, 20)] == 1  # the planted 1-flip pair
     assert all(h <= 3 for h in got_pairs.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_compressibility_deterministic_and_sane():
+    import zlib
+
+    from tripsu_ray.stages import text as T
+
+    a = T.text_compressibility(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.sort_values("doc_id", ignore_index=True)
+    # spot-check the kernel on a few rows
+    for i in (0, 100, 499):
+        raw = docs["text"].iloc[i].encode("utf-8")
+        assert a["raw_bytes"].iloc[i] == len(raw)
+        assert a["deflate_bytes"].iloc[i] == len(zlib.compress(raw, 6))
+    assert (a["compress_ratio_q"]
+            == (1_000_000 * a["deflate_bytes"]) // a["raw_bytes"].clip(lower=1)).all()
+    # the synthetic corpus is repetitive → compresses well below 1.0
+    assert a["compress_ratio_q"].median() < 1_000_000
+    b = T.text_compressibility(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # bit-stable across runs

@@ -767,6 +767,16 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_calendar_profile() -> str:
+    return """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
 def sql_rel_cusum() -> str:
     return """
 WITH e AS (

@@ -33,6 +33,7 @@ q_text_naive_bayes = text.text_naive_bayes
 q_text_lang_divergence = text.text_lang_divergence
 q_text_vocab_richness = text.text_vocab_richness
 q_text_collocations = text.text_collocations
+q_text_compressibility = text.text_compressibility
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -1025,6 +1026,44 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_calendar_profile(sf_dir: str):
+    """Day-of-week × hour-of-day activity profile (the ops-dashboard
+    heatmap): event count and revenue cents per (dow, hour) cell — one
+    constant-domain (≤168 cells) tree-fold of per-batch censuses.
+    ISO dow (Mon=1..Sun=7) shared with the oracle."""
+    from ..stages.folds import tree_fold_tables
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(b["ts"])
+        return (
+            pd.DataFrame(
+                {"dow": (ts.dt.dayofweek + 1).astype("int64"),  # ISO Mon=1
+                 "hour": ts.dt.hour.astype("int64"),
+                 "n": 1,
+                 "cents": (b["value"] * 100).round().astype("int64")}
+            )
+            .groupby(["dow", "hour"], sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["dow", "hour"], sort=False, as_index=False)[
+            ["n", "cents"]
+        ].sum()
+
+    folded = tree_fold_tables(ds.map_batches(partial, batch_format="pandas"), combine)
+    cols = ["dow", "hour", "n", "cents"]
+    if folded is None or not len(folded):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return (
+        folded[cols].sort_values(["dow", "hour"], ignore_index=True).astype("int64")
+    )
 
 
 def q_rel_cusum(sf_dir: str):

@@ -783,6 +783,33 @@ def text_vocab_richness(sf_dir: str):
     return out.astype({c: "int64" for c in cols[1:]})
 
 
+def text_compressibility(sf_dir: str):
+    """Per-document zlib compressibility — the Gopher-style repetitive-
+    junk signal (templated/boilerplate text compresses far below natural
+    prose): raw bytes, level-6 deflate bytes, and the exact-integer ratio
+    ``(10⁶·compressed)//raw``. Stateless map-only stage; zlib is
+    deterministic for a fixed level, so the column is bit-stable across
+    runs/partitionings (asserted in tests; no SQL oracle — DuckDB has no
+    deflate)."""
+    import zlib
+
+    docs = _docs(sf_dir)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        raw = b["text"].str.encode("utf-8")
+        comp = raw.map(lambda x: len(zlib.compress(x, 6)))
+        rawlen = raw.str.len().astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "raw_bytes": rawlen,
+             "deflate_bytes": comp.astype("int64"),
+             "compress_ratio_q": (1_000_000 * comp.astype("int64"))
+             // rawlen.clip(lower=1)}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 COLLOC_MIN_COUNT = 5
 COLLOC_TOP_K = 50
 
