@@ -3402,12 +3402,24 @@ def q_rel_key_skew(sf_dir: str):
 def q_multimodal_phash_near_dup(sf_dir: str):
     """Near-duplicate image PAIRS by banded perceptual-hash Hamming LSH
     with exact popcount rerank (stages/multimodal.py::image_phash_near_dup
-    — exact recall at the radius by pigeonhole). Rows-only check (the
-    hash kernel is numpy, not SQL); recall/precision asserted in tests
-    against a brute-force popcount."""
+    — exact recall at the radius by pigeonhole). Rows-only check: the
+    near-dup set is NOT SQL-expressible here — aHashes of the
+    sha-repeated fake payloads are structured, so genuine 1-3-bit
+    near-collisions occur between DISTINCT texts (measured: 52 pairs vs
+    8 same-text pairs at sf0.1); exactness is asserted in tests against
+    a brute-force popcount."""
+    import pandas as pd
+
     from ..stages.multimodal import image_phash_near_dup
 
-    return image_phash_near_dup(sf_dir)
+    out = image_phash_near_dup(sf_dir).materialize()
+    if out.count() == 0:
+        # Ray 2.49 drops the schema of an empty Dataset — hand back the
+        # typed empty frame so the comparison keeps its columns
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("a", "b", "hamming")}
+        )
+    return out
 
 
 def q_multimodal_phash_dedup(sf_dir: str):
