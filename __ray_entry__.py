@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_richness": docops.q_text_vocab_richness,
         "text_collocations": docops.q_text_collocations,
         "text_compressibility": docops.q_text_compressibility,
+        "text_boilerplate": docops.q_text_boilerplate,
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_scd2": docops.q_rel_scd2,
         "rel_cusum": docops.q_rel_cusum,
         "rel_calendar_profile": docops.q_rel_calendar_profile,
+        "rel_latest": docops.q_rel_latest,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -357,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_divergence": d.sql_text_lang_divergence(),
         "text_vocab_richness": d.sql_text_vocab_richness(),
         "text_collocations": d.sql_text_collocations(),
+        "text_boilerplate": d.sql_text_boilerplate(),
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
@@ -400,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_scd2": d.sql_rel_scd2(),
         "rel_cusum": d.sql_rel_cusum(),
         "rel_calendar_profile": d.sql_rel_calendar_profile(),
+        "rel_latest": d.sql_rel_latest(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

@@ -2085,3 +2085,51 @@ def test_text_compressibility_deterministic_and_sane():
     assert a["compress_ratio_q"].median() < 1_000_000
     b = T.text_compressibility(SF).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)  # bit-stable across runs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_latest_keeps_one_survivor_per_key():
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_latest(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts_s"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    want = (
+        ev.sort_values(["ts_s", "event_id"])
+        .groupby(["user_id", "event_type"], sort=False)
+        .tail(1)
+    )
+    assert len(got) == len(want)
+    g = got.set_index(["user_id", "event_type"])["event_id"]
+    w = want.set_index(["user_id", "event_type"])["event_id"]
+    assert g.sort_index().equals(w.sort_index())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_boilerplate_planted_lines(tmp_path):
+    """Lines planted in >= min_docs docs are flagged; unique lines are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from tripsu_ray.stages.text import text_boilerplate
+
+    docs = [
+        "COPYRIGHT HEADER\nunique one\n",
+        "COPYRIGHT HEADER\nunique two\n\n",
+        "COPYRIGHT HEADER\nunique three\nextra line\n",
+        "nothing shared here\n",
+    ]
+    pq_.write_table(
+        pa.table({"doc_id": list(range(4)),
+                  "text": docs,
+                  "lang": ["en"] * 4,
+                  "source": ["t"] * 4,
+                  "n_chars": [len(d) for d in docs]}),
+        tmp_path / "documents.parquet",
+    )
+    got = text_boilerplate(str(tmp_path), min_docs=3).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_lines"] == 2 and got.loc[0, "n_boilerplate"] == 1
+    assert got.loc[1, "n_lines"] == 2  # blank line ignored
+    assert got.loc[2, "n_boilerplate"] == 1 and got.loc[2, "n_lines"] == 3
+    assert got.loc[3, "n_boilerplate"] == 0
+    assert got.loc[0, "boiler_ratio_q"] == 500_000

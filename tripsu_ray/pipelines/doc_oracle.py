@@ -767,6 +767,52 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_latest() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_s DESC, event_id DESC) AS rk
+  FROM e
+)
+SELECT user_id, event_type, event_id, ts_s, value_cents
+FROM r WHERE rk = 1 ORDER BY user_id, event_type
+""".strip()
+
+
+def sql_text_boilerplate() -> str:
+    from ..stages.text import BOILERPLATE_MIN_DOCS
+
+    return f"""
+WITH nl AS (
+  SELECT doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  WHERE trim(line) <> ''
+),
+dfl AS (SELECT line, count(DISTINCT doc_id) AS df FROM nl GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE line IN
+           (SELECT line FROM dfl WHERE df >= {BOILERPLATE_MIN_DOCS}))
+           AS n_boilerplate
+  FROM nl GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(p.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       CAST((1000000 * coalesce(p.n_boilerplate, 0))
+            // greatest(coalesce(p.n_lines, 0), 1) AS BIGINT)
+         AS boiler_ratio_q
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_rel_calendar_profile() -> str:
     return """
 SELECT CAST(isodow(ts) AS BIGINT) AS dow,

@@ -34,6 +34,7 @@ q_text_lang_divergence = text.text_lang_divergence
 q_text_vocab_richness = text.text_vocab_richness
 q_text_collocations = text.text_collocations
 q_text_compressibility = text.text_compressibility
+q_text_boilerplate = text.text_boilerplate
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
@@ -1026,6 +1027,35 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_rel_latest(sf_dir: str):
+    """CDC keep-latest dedup: the most recent event per (user, type) by
+    (ts, event_id) — the snapshot-compaction op of a change-data stream
+    (distinct from the tumbling-window dedup: exactly ONE survivor per
+    key, however old). One user-hash exchange, vectorized tail-of-sorted
+    per group."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        # order on TRUNCATED seconds + event_id — the oracle's total order
+        # (full-precision ts would break ties differently within a second)
+        g["ts_s"] = g["ts"].astype("datetime64[s]").astype("int64")
+        g = g.sort_values(["event_type", "ts_s", "event_id"], ignore_index=True)
+        top = g.groupby("event_type", sort=False).tail(1)
+        return pd.DataFrame(
+            {"user_id": top["user_id"].astype("int64"),
+             "event_type": top["event_type"].astype(object),
+             "event_id": top["event_id"].astype("int64"),
+             "ts_s": top["ts_s"].astype("int64"),
+             "value_cents": (top["value"] * 100).round().astype("int64")}
+        ).reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
 
 
 def q_rel_calendar_profile(sf_dir: str):

@@ -783,6 +783,76 @@ def text_vocab_richness(sf_dir: str):
     return out.astype({c: "int64" for c in cols[1:]})
 
 
+BOILERPLATE_MIN_DOCS = 3
+
+
+def text_boilerplate(sf_dir: str, *, min_docs: int = BOILERPLATE_MIN_DOCS):
+    """CCNet-style line-level boilerplate census: a LINE is boilerplate
+    when it appears in ≥ ``min_docs`` distinct documents (headers,
+    footers, nav chrome); per doc report total/boilerplate line counts
+    and the exact-integer ratio — the pre-dedup cleaning signal.
+
+    Two passes sharing one tokenization: (1) per-batch distinct
+    (doc, line-hash) partials fold to the global line document-frequency
+    (line-vocab driver state, broadcast); (2) a map-only pass re-splits
+    each doc and counts its boilerplate lines. Empty lines are ignored
+    in both engines."""
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir)
+
+    def split_lines(series: pd.Series):
+        lines = series.str.split("\n")
+        lens = lines.str.len().to_numpy()
+        flat = (
+            np.concatenate(lines.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        return flat, lens
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = split_lines(b["text"])
+        did = np.repeat(np.arange(len(b)), lens)
+        df = pd.DataFrame({"d": did, "line": flat})
+        df = df[df["line"].str.strip() != ""].drop_duplicates()
+        vc = df["line"].value_counts()
+        return pd.DataFrame(
+            {"line": vc.index.astype(object), "df": vc.to_numpy().astype("int64")}
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("line", sort=False, as_index=False)["df"].sum()
+
+    folded = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
+    boiler = (
+        frozenset(folded.loc[folded["df"] >= min_docs, "line"])
+        if folded is not None and len(folded)
+        else frozenset()
+    )
+    ref = ray.put(boiler)
+
+    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        bset = ray.get(_ref)
+        flat, lens = split_lines(b["text"])
+        did = np.repeat(np.arange(len(b)), lens)
+        keep = pd.Series(flat).str.strip() != ""
+        flat, did = flat[keep.to_numpy()], did[keep.to_numpy()]
+        is_b = pd.Series(flat).isin(bset).to_numpy()
+        n_lines = np.bincount(did, minlength=len(b)).astype(np.int64)
+        n_boiler = np.bincount(did, weights=is_b, minlength=len(b)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "n_lines": n_lines,
+             "n_boilerplate": n_boiler,
+             "boiler_ratio_q": (1_000_000 * n_boiler)
+             // np.maximum(n_lines, 1)}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def text_compressibility(sf_dir: str):
     """Per-document zlib compressibility — the Gopher-style repetitive-
     junk signal (templated/boilerplate text compresses far below natural
