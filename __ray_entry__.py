@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cusum": docops.q_rel_cusum,
         "rel_calendar_profile": docops.q_rel_calendar_profile,
         "rel_latest": docops.q_rel_latest,
+        "rel_coverage": docops.q_rel_coverage,
         "rel_chi2": docops.q_rel_chi2,
         "rel_grouping_sets": docops.q_rel_grouping_sets,
         "rel_ols": docops.q_rel_ols,
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cusum": d.sql_rel_cusum(),
         "rel_calendar_profile": d.sql_rel_calendar_profile(),
         "rel_latest": d.sql_rel_latest(),
+        "rel_coverage": d.sql_rel_coverage(),
         "rel_chi2": d.sql_rel_chi2(),
         "rel_grouping_sets": d.sql_rel_grouping_sets(),
         "rel_ols": d.sql_rel_ols(),

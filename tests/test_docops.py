@@ -2133,3 +2133,29 @@ def test_text_boilerplate_planted_lines(tmp_path):
     assert got.loc[2, "n_boilerplate"] == 1 and got.loc[2, "n_lines"] == 3
     assert got.loc[3, "n_boilerplate"] == 0
     assert got.loc[0, "boiler_ratio_q"] == 500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rel_coverage_merges_overlaps():
+    """Union length never exceeds naive Σwindow and equals a sequential
+    merge replica."""
+    from tripsu_ray.pipelines import docops
+
+    got = docops.q_rel_coverage(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["s"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        ts = np.sort(g["s"].to_numpy())
+        covered, n_int = 0, 0
+        cur_s, cur_e = None, None
+        for t in ts:
+            if cur_e is None or t > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e, n_int = t, t + 300, n_int + 1
+            else:
+                cur_e = max(cur_e, t + 300)
+        covered += cur_e - cur_s
+        assert got.loc[uid, "covered_s"] == covered
+        assert got.loc[uid, "n_intervals"] == n_int
+        assert got.loc[uid, "covered_s"] <= 300 * len(ts)

@@ -767,6 +767,32 @@ FROM e ORDER BY o_orderstatus, o_orderpriority
 """.strip()
 
 
+def sql_rel_coverage(window_s: int = 300) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), iv AS (SELECT user_id, s, s + {window_s} AS e FROM e),
+m AS (
+  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max
+  FROM iv
+), isl AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+), agg AS (
+  SELECT user_id, island, max(e) - min(s) AS len, count(*) AS n
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_s,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM agg GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def sql_rel_latest() -> str:
     return """
 WITH e AS (

@@ -1029,6 +1029,39 @@ def q_rel_sessions(sf_dir: str, *, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def q_rel_coverage(sf_dir: str, *, window_s: int = 300):
+    """Interval-union coverage per user: each event opens a
+    ``[ts, ts+window)`` activity interval; report the user's TOTAL
+    covered seconds after merging overlaps (the billing / uptime /
+    engagement-minutes op — naive Σ window over-counts overlaps).
+
+    One user-hash exchange; merging is the gaps-and-islands cummax trick
+    on the ts-sorted group (an interval starts a new island when its
+    start exceeds the running max end), all exact integer seconds."""
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def cover(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(
+            group["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        )
+        start, end = ts, ts + window_s
+        run_end = np.maximum.accumulate(end)
+        new_island = np.ones(len(ts), dtype=bool)
+        new_island[1:] = start[1:] > run_end[:-1]
+        island = np.cumsum(new_island) - 1
+        first = np.flatnonzero(new_island)
+        last_end = np.maximum.reduceat(end, first)
+        covered = int((last_end - start[first]).sum())
+        return pd.DataFrame(
+            {"user_id": [int(group["user_id"].iloc[0])],
+             "covered_s": [covered],
+             "n_intervals": [int(island[-1]) + 1],
+             "n_events": [len(ts)]}
+        ).astype("int64")
+
+    return ds.groupby("user_id").map_groups(cover, batch_format="pandas")
+
+
 def q_rel_latest(sf_dir: str):
     """CDC keep-latest dedup: the most recent event per (user, type) by
     (ts, event_id) — the snapshot-compaction op of a change-data stream
