@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_terms": docops.q_text_top_terms,
         "text_tfidf": docops.q_text_tfidf,
         "text_naive_bayes": docops.q_text_naive_bayes,
+        "text_nb_confusion": docops.q_text_nb_confusion,
         "text_lang_divergence": docops.q_text_lang_divergence,
         "text_vocab_richness": docops.q_text_vocab_richness,
         "text_collocations": docops.q_text_collocations,
@@ -357,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_terms": d.sql_text_top_terms(),
         "text_tfidf": d.sql_text_tfidf(),
         "text_naive_bayes": d.sql_text_naive_bayes(),
+        "text_nb_confusion": d.sql_text_nb_confusion(),
         "text_lang_divergence": d.sql_text_lang_divergence(),
         "text_vocab_richness": d.sql_text_vocab_richness(),
         "text_collocations": d.sql_text_collocations(),

@@ -2159,3 +2159,17 @@ def test_rel_coverage_merges_overlaps():
         assert got.loc[uid, "covered_s"] == covered
         assert got.loc[uid, "n_intervals"] == n_int
         assert got.loc[uid, "covered_s"] <= 300 * len(ts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_confusion_sums_to_doc_count():
+    from tripsu_ray.stages import text as T
+
+    cm = T.text_nb_confusion(SF)
+    assert cm["n"].sum() == 500
+    scored = T.text_naive_bayes(SF).to_pandas()
+    want = scored.groupby(["true_lang", "pred_lang"]).size().reset_index(name="n")
+    want = want.sort_values(["true_lang", "pred_lang"], ignore_index=True).astype(
+        {"n": "int64"}
+    )
+    pd.testing.assert_frame_equal(cm.reset_index(drop=True), want)

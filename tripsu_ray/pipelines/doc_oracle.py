@@ -287,6 +287,15 @@ ORDER BY pmi_q DESC, w1, w2 LIMIT {COLLOC_TOP_K}
 """.strip()
 
 
+def sql_text_nb_confusion() -> str:
+    inner = sql_text_naive_bayes()
+    return f"""
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM ({inner})
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
+
+
 def sql_text_lang_divergence() -> str:
     from ..stages.text import JSD_SCALE
 

@@ -35,6 +35,7 @@ q_text_vocab_richness = text.text_vocab_richness
 q_text_collocations = text.text_collocations
 q_text_compressibility = text.text_compressibility
 q_text_boilerplate = text.text_boilerplate
+q_text_nb_confusion = text.text_nb_confusion
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob

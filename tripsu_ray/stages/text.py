@@ -783,6 +783,43 @@ def text_vocab_richness(sf_dir: str):
     return out.astype({c: "int64" for c in cols[1:]})
 
 
+def text_nb_confusion(sf_dir: str):
+    """Confusion matrix of the Naive-Bayes language classifier (composed
+    on :func:`text_naive_bayes`'s streamed output — the evaluation op
+    every labeling pipeline ends with): (true_lang, pred_lang, n) counts
+    via per-batch partials + one tiny fold."""
+    from .folds import tree_fold_tables
+
+    scored = text_naive_bayes(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["true_lang", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": "int64"})
+        )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["true_lang", "pred_lang"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+
+    folded = tree_fold_tables(
+        scored.map_batches(partial, batch_format="pandas"), combine
+    )
+    if folded is None or not len(folded):
+        return pd.DataFrame(
+            {"true_lang": pd.Series([], dtype=object),
+             "pred_lang": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
+    return folded.sort_values(
+        ["true_lang", "pred_lang"], ignore_index=True
+    ).astype({"n": "int64"})
+
+
 BOILERPLATE_MIN_DOCS = 3
 
 
