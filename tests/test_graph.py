@@ -871,7 +871,7 @@ class TestGraphReviewFixes:
         df = pd.DataFrame({"a": ["x", "y"], "b": ["t1", "t2"]})
         from tripsu_ray.stages.graph import co_neighbor_counts
 
-        out = co_neighbor_counts(_ds(df, blocks=1))
+        out = co_neighbor_counts(_ds(df, blocks=1)).to_pandas()
         assert len(out) == 0
 
     def test_components_self_loops_are_singletons(self):

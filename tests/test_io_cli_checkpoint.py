@@ -493,7 +493,8 @@ class TestNQuadsIO:
         rows = {tuple("" if v is None else v for v in r.values()) for r in ds.take_all()}
         assert len(rows) == 4
         graphs = {r["graph"] for r in ds.take_all()}
-        assert graphs == {"http://ex/g1", None, "http://ex/g2", "bg"}
+        # blank-node graph labels keep their _: prefix (kind survives)
+        assert graphs == {"http://ex/g1", None, "http://ex/g2", "_:bg"}
         out = str(tmp_path / "out_nq")
         write_nquads(ds, out)
         back = read_nquads(out)
@@ -501,6 +502,12 @@ class TestNQuadsIO:
             tuple("" if v is None else v for v in r.values()) for r in back.take_all()
         }
         assert rows2 == rows
+        # byte-level: the blank graph label serializes as _:bg, not <bg>
+        out_lines = []
+        for f in os.listdir(out):
+            out_lines += open(os.path.join(out, f)).read().strip().splitlines()
+        assert any(line.rstrip(" .").endswith("_:bg") for line in out_lines)
+        assert not any("<bg>" in line for line in out_lines)
 
     def test_malformed_policy(self, tmp_path):
         from tripsu_ray.sources.flatfiles import read_nquads
@@ -512,6 +519,48 @@ class TestNQuadsIO:
         with _pt.raises(Exception):
             read_nquads(str(src)).take_all()
         assert read_nquads(str(src), on_error="skip").count() == 0
+
+    def test_quads_survive_parquet_and_jsonl_sinks(self, tmp_path):
+        """convert .nq → parquet / jsonl keeps the graph column (those
+        sinks have a slot for it); only .nt/.tsv narrow, with a summary
+        note (ADVICE r2)."""
+        from tripsu_ray.cli import _read_triples, _write_triples
+        from tripsu_ray.sources.flatfiles import read_jsonl
+
+        src = tmp_path / "g.nq"
+        src.write_text(
+            "<http://ex/s> <http://ex/p> <http://ex/o> <http://ex/g1> .\n"
+            '_:b0 <http://ex/p> "x" _:bg .\n'
+        )
+        quads = _read_triples(str(src), "raise")
+        pq_out = str(tmp_path / "out_pq")
+        assert _write_triples(quads, pq_out) == []
+        back_pq = _read_triples(pq_out, "raise")
+        assert set(back_pq.to_pandas()["graph"]) == {"http://ex/g1", "_:bg"}
+        jl_out = str(tmp_path / "out_jl")
+        os.makedirs(jl_out)
+        jl_file = os.path.join(jl_out, "part.jsonl")
+        assert _write_triples(quads, jl_file) == []
+        back_jl = read_jsonl(jl_file)
+        assert set(back_jl.to_pandas()["graph"]) == {"http://ex/g1", "_:bg"}
+        nt_out = str(tmp_path / "out_nt.nt")
+        assert _write_triples(quads, nt_out) == ["graph"]
+
+    def test_nq_skip_counter_threading(self, tmp_path):
+        """convert --on-error skip over .nq wires malformed_lines through
+        the JobCounters handle, matching the .nt path (ADVICE r2)."""
+        from tripsu_ray.cli import _read_triples, _skip_counter
+
+        src = tmp_path / "bad.nq"
+        src.write_text(
+            "<http://ex/s> <http://ex/p> <http://ex/o> <http://ex/g> .\n"
+            "this line is junk\n"
+            "<http://ex/s> <http://ex/p> <http://ex/o2> .\n"
+        )
+        jc, handle = _skip_counter("skip")
+        ds = _read_triples(str(src), "skip", handle)
+        assert ds.count() == 2
+        assert jc.counts().get("malformed_lines") == 1
 
     def test_cli_dispatch_nq(self, tmp_path):
         """nt → nq → nt via the CLI dispatch helpers: the graph column is

@@ -485,3 +485,28 @@ def test_code_stats_comment_counting():
     assert got.loc[("r1", "py"), "n_comment_lines"] == 2
     assert got.loc[("r1", "py"), "comment_ratio_q"] == 500_000
     assert got.loc[("r2", "rs"), "avg_lines_q"] == 2_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_code_stats_zero_newline_group():
+    """A (repo, lang) group whose files all lack trailing newlines has
+    n_lines == 0; the ratio denominator is clipped to 1 (engine and the
+    greatest(...,1) oracle agree) instead of raising on int64 inf."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tripsu_ray.stages.extract import code_stats
+
+    df = pd.DataFrame(
+        {
+            "repo": ["r0"],
+            "path": ["a.py"],
+            "commit": ["x"],
+            "lang": ["py"],
+            "content": ["code_without_newline()"],
+        }
+    )
+    got = code_stats(rd.from_pandas(df)).set_index(["repo", "lang"])
+    assert got.loc[("r0", "py"), "n_lines"] == 0
+    assert got.loc[("r0", "py"), "comment_ratio_q"] == 0
+    assert got.loc[("r0", "py"), "avg_lines_q"] == 0

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+
 from .sources import read_parquet_clean as _read_parquet_clean
 
 
@@ -67,7 +69,7 @@ def _read_triples(path: str, on_error: str, counter=None):
     if path.endswith(".nq") or path.endswith(".nquads"):
         from .sources.flatfiles import read_nquads
 
-        return read_nquads(path, on_error=on_error)
+        return read_nquads(path, on_error=on_error, counter=counter)
     return _read_parquet_clean(path)
 
 
@@ -82,11 +84,21 @@ def _skip_counter(on_error: str):
     return jc, jc.handle()
 
 
-def _write_triples(ds, path: str):
+def _write_triples(ds, path: str) -> list[str]:
+    """Write to the sink chosen by extension; returns the columns that had
+    to be dropped (quads → a sink with no graph slot: .nt / .tsv only —
+    parquet and jsonl carry the 4th term through)."""
     is_nq = path.endswith(".nq") or path.endswith(".nquads")
-    if not is_nq and "graph" in (ds.schema().names or []):
-        # quads → triples sink: the graph term has no slot; drop it
+    keeps_graph = is_nq or not (
+        path.endswith(".nt") or path.endswith(".ntriples") or path.endswith(".tsv")
+    )
+    dropped: list[str] = []
+    if not keeps_graph and "graph" in (ds.schema().names or []):
+        # quads → triples-only sink: the graph term has no slot; drop it
         ds = ds.drop_columns(["graph"])
+        dropped.append("graph")
+        print("warning: quads narrowed to triples — graph column dropped "
+              f"(sink {path!r} has no graph slot)", file=sys.stderr)
     if is_nq:
         from .sources.flatfiles import write_nquads
 
@@ -105,6 +117,7 @@ def _write_triples(ds, path: str):
         write_tsv(ds, path)
     else:
         ds.write_parquet(path)
+    return dropped
 
 
 def cmd_convert(args):
@@ -113,8 +126,10 @@ def cmd_convert(args):
     output extension — one streaming pass, no driver materialization."""
     jc, handle = _skip_counter(args.on_error)
     ds = _read_triples(args.input, args.on_error, handle)
-    _write_triples(ds, args.output)
+    dropped = _write_triples(ds, args.output)
     summary = {"command": "convert", "input": args.input, "output": args.output}
+    if dropped:
+        summary["dropped_columns"] = dropped
     if jc is not None:
         summary["counters"] = jc.counts()
     print(json.dumps(summary))

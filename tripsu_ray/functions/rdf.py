@@ -255,7 +255,10 @@ def parse_nquads_lines(batch: pa.Table, *, on_error: str = "raise", counter=None
     subject_kind = np.where(subj_iri.notna(), KIND_IRI, KIND_BLANK).astype(np.int8)
     predicate = ext[2]
     obj_iri, obj_blank, lit, lang, dtype = ext[3], ext[4], ext[5], ext[6], ext[7]
-    graph = ext[8].where(ext[8].notna(), ext[9])
+    # Blank-node graph labels keep their ``_:`` prefix in the stored column so
+    # the term kind survives the round trip (an IRI label is stored bare);
+    # serialize_nquads branches on the prefix to emit ``_:label`` vs ``<iri>``.
+    graph = ext[8].where(ext[8].notna(), "_:" + ext[9])
     object_kind = np.where(
         obj_iri.notna(), KIND_IRI, np.where(obj_blank.notna(), KIND_BLANK, KIND_LITERAL)
     ).astype(np.int8)
@@ -301,6 +304,9 @@ def serialize_nquads(batch: pa.Table) -> pa.Table:
     if g is not None:
         gs = g.to_pandas()
         has = gs.notna()
-        base[has] = base[has] + " <" + gs[has] + ">"
+        blank = has & gs.str.startswith("_:", na=False)
+        iri = has & ~blank
+        base[iri] = base[iri] + " <" + gs[iri] + ">"
+        base[blank] = base[blank] + " " + gs[blank]
     line = (base + " .").to_numpy(dtype=object)
     return pa.table({"line": pa.array(line, pa.string())})

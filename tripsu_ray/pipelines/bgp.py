@@ -697,7 +697,9 @@ def q_kg_bgp(sf_dir: str):
 
     # pin the extracted stream: each pattern scans the SAME triples; a lazy
     # dataset would re-run synthesis+extraction once per pattern
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     out = bgp(
         triples,
         [
@@ -724,7 +726,9 @@ def q_kg_bgp_optional(sf_dir: str):
     from ..sources.synth import read_source_files
     from ..schema import RDF_TYPE
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp(
         triples,
         [
@@ -795,7 +799,9 @@ def q_kg_bgp_agg(sf_dir: str, *, num_partitions: int = _P):
     from ..stages.extract import NS, extract_triples
     from ..sources.synth import read_source_files
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [
@@ -912,7 +918,9 @@ def q_kg_bgp_agg_minmax(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [
@@ -1008,7 +1016,9 @@ def q_kg_bgp_coalesce(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [("?r", RDF_TYPE, NS + "Repository")],
@@ -1089,7 +1099,9 @@ def q_kg_bgp_subquery(sf_dir: str, *, num_partitions: int = _P):
     from ..stages.extract import NS, extract_triples
     from ..sources.synth import read_source_files
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [("?f", f"{NS}imports", "?m"), ("?f", f"{NS}inRepo", "?r")],
@@ -1174,7 +1186,9 @@ def q_kg_construct(sf_dir: str, *, num_partitions: int = _P):
     from ..stages.extract import NS, extract_triples
     from ..sources.synth import read_source_files
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [("?r", f"{NS}author", "?a1"), ("?r", f"{NS}author", "?a2")],
@@ -1245,7 +1259,9 @@ def q_kg_describe(sf_dir: str, *, license: str = "MIT", num_partitions: int = _P
     from ..sources.synth import read_source_files
     from ..stages.folds import tree_fold_tables
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
 
     def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
         m = (b["predicate"] == NS + "license") & (b["object_value"] == license)
@@ -1334,7 +1350,9 @@ def q_kg_bgp_union(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp_union(
         triples,
         [
@@ -1379,7 +1397,9 @@ def q_kg_bgp_minus(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp(
         triples,
         [
@@ -1423,7 +1443,9 @@ def q_kg_bgp_values(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp(
         triples,
         [
@@ -1524,7 +1546,9 @@ def q_kg_bgp_topk(sf_dir: str, *, limit: int = 25, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp_topk(
         triples,
         [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],
@@ -1566,7 +1590,9 @@ def q_kg_bgp_bind(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp(
         triples,
         [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],
@@ -1614,7 +1640,9 @@ def q_kg_bgp_ask(sf_dir: str, *, num_partitions: int = _P) -> pd.DataFrame:
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     probes = {
         "cobol_file": ([("?f", NS + "language", "cobol")], {}),
         "core_import_py": (
@@ -1670,7 +1698,9 @@ def q_kg_bgp_exists(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp(
         triples,
         [("?f", NS + "language", "?lang")],
@@ -1733,7 +1763,9 @@ def q_kg_bgp_group_concat(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     matches = bgp(
         triples,
         [
@@ -1809,7 +1841,9 @@ def q_kg_bgp_page(sf_dir: str, *, limit: int = 20, offset: int = 30, num_partiti
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return bgp_topk(
         triples,
         [("?f", NS + "imports", "?m"), ("?f", NS + "inRepo", "?r")],

@@ -271,9 +271,23 @@ edges AS (
   SELECT DISTINCT s AS a, o AS b FROM raw_triples
   WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
 ),
+-- degree-census hub cap, the engine's exact rank rule (graph.py::
+-- target_degree_cap): d_q = ascending distinct-target-degree list at
+-- 1-based rank ceil(0.99 n); cap = greatest(64, 4 * d_q)
+deg AS (SELECT b, count(*) AS d FROM edges GROUP BY b),
+cap AS (
+  SELECT greatest(64, 4 * max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+                              THEN d END)) AS c
+  FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+               count(*) OVER () AS cnt FROM deg)
+),
+pe AS (
+  SELECT e.a, e.b FROM edges e JOIN deg ON deg.b = e.b, cap
+  WHERE deg.d <= cap.c
+),
 codeg AS (
   SELECT e1.a AS u, e2.a AS v, count(*) AS c
-  FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+  FROM pe e1 JOIN pe e2 ON e1.b = e2.b AND e1.a < e2.a
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 per AS (
@@ -579,7 +593,7 @@ SELECT repo, lang,
        CAST(sum(len(regexp_extract_all(content, '{CODE_COMMENT_RE}')))
             AS BIGINT) AS n_comment_lines,
        CAST((1000000 * sum(len(regexp_extract_all(content, '{CODE_COMMENT_RE}'))))
-            // sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}')))
+            // greatest(sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}'))), 1)
             AS BIGINT) AS comment_ratio_q,
        CAST((1000000 * sum(len(regexp_extract_all(content, '{CODE_NEWLINE_RE}'))))
             // count(*) AS BIGINT) AS avg_lines_q

@@ -283,7 +283,9 @@ def q_kg_path_seq(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     edges = compile_path(
         triples,
         ("seq", ("inv", ("pred", NS + "inRepo")), ("pred", NS + "imports")),
@@ -328,7 +330,9 @@ def q_kg_path_plus(sf_dir: str, *, num_partitions: int = _P) -> pd.DataFrame:
     from ..sources.synth import read_source_files
     from ..stages.extract import MOD_NS, NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     return path_plus(
         triples,
         ("alt", ("pred", NS + "imports"), ("inv", ("pred", NS + "imports"))),
@@ -436,7 +440,9 @@ def q_kg_path_npred(sf_dir: str, *, num_partitions: int = _P):
     from ..schema import RDF_TYPE
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     edges = compile_path(
         triples,
         ("npred", RDF_TYPE, NS + "imports", NS + "inRepo"),
@@ -480,7 +486,9 @@ def q_kg_path_range(sf_dir: str, *, num_partitions: int = _P):
     from ..sources.synth import read_source_files
     from ..stages.extract import NS, extract_triples
 
-    triples = extract_triples(read_source_files(sf_dir)).materialize()
+    from .queries import _extracted
+
+    triples = _extracted(sf_dir)
     edges = compile_path(
         triples,
         ("range",

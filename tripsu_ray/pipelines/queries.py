@@ -65,8 +65,21 @@ def q_source_files(sf_dir: str):
     return read_source_files(sf_dir).map_batches(project, batch_format="pyarrow")
 
 
+_EXTRACT_CACHE: dict[str, object] = {}
+
+
 def _extracted(sf_dir: str):
-    return extract_triples(read_source_files(sf_dir))
+    """The extracted KG triple stream — the shared input of every kg_*
+    query. Within one driver session the MATERIALIZED stream is memoized
+    per sf_dir: the correctness gate runs ~80 kg queries back to back, and
+    a shared scan must not be re-paid per query (the blocks live in the
+    object store and are reused zero-copy). Flagship pipelines that want
+    scan fusion instead (bench.py) build their own stream."""
+    ds = _EXTRACT_CACHE.get(sf_dir)
+    if ds is None:
+        ds = extract_triples(read_source_files(sf_dir)).materialize()
+        _EXTRACT_CACHE[sf_dir] = ds
+    return ds
 
 
 def q_extract(sf_dir: str):
@@ -146,10 +159,13 @@ def q_co_neighbors(sf_dir: str):
 def q_butterflies(sf_dir: str):
     """Per-file butterfly counts (bipartite 4-cycles — pairs of files
     agreeing on ≥2 shared targets) over the entity graph
-    (stages/graph.py::butterfly_counts; exact, two int-keyed exchanges)."""
+    (stages/graph.py::butterfly_counts). The degree-census-derived hub
+    cap is the wired DEFAULT (exact-by-default was quadratic in hub
+    degree — VERDICT r2); the SQL oracle applies the identical rank rule,
+    so the capped statistic is still hash-checked."""
     from ..stages.graph import butterfly_counts, entity_edges
 
-    return butterfly_counts(entity_edges(_extracted(sf_dir)))
+    return butterfly_counts(entity_edges(_extracted(sf_dir)), hub_cap="auto")
 
 
 def q_core_numbers(sf_dir: str):

@@ -111,7 +111,11 @@ def _parse_jsonl_batch(batch: pa.Table) -> pa.Table:
         else:
             vals = col.astype(object).where(col.notna(), None)
             arrays.append(pa.array(vals, pa.string()))
-    return pa.table(dict(zip(_COLS, arrays)))
+    out = dict(zip(_COLS, arrays))
+    if "graph" in df.columns:  # quad-aware: the 4th term has a jsonl slot
+        g = df["graph"]
+        out["graph"] = pa.array(g.astype(object).where(g.notna(), None), pa.string())
+    return pa.table(out)
 
 
 def read_jsonl(paths, *, target_chunk_bytes: int | None = None):
@@ -135,7 +139,8 @@ def write_jsonl(triples, path: str) -> None:
 
         def write_block_to_file(self, block: BlockAccessor, file) -> None:
             df = block.to_pandas()
-            payload = df[_COLS].to_json(orient="records", lines=True)
+            cols = _COLS + ["graph"] if "graph" in df.columns else _COLS
+            payload = df[cols].to_json(orient="records", lines=True)
             if len(df) and not payload.endswith("\n"):
                 payload += "\n"
             file.write(payload.encode("utf-8"))
@@ -203,8 +208,13 @@ def write_tsv(triples, path: str) -> None:
 # --- N-Quads ----------------------------------------------------------------
 
 
-def read_nquads(paths, *, on_error: str = "raise", target_chunk_bytes: int | None = None):
-    """N-Quads → (TRIPLES + nullable graph) Dataset, byte-range split."""
+def read_nquads(
+    paths, *, on_error: str = "raise", counter=None, target_chunk_bytes: int | None = None
+):
+    """N-Quads → (TRIPLES + nullable graph) Dataset, byte-range split.
+
+    ``counter`` (a JobCounters handle) receives ``malformed_lines`` under the
+    skip policy, matching ``read_ntriples``."""
     import ray.data
 
     from ..functions.rdf import parse_nquads_lines
@@ -213,7 +223,9 @@ def read_nquads(paths, *, on_error: str = "raise", target_chunk_bytes: int | Non
     if lines is None:
         lines = ray.data.read_text(paths)
     return lines.map_batches(
-        parse_nquads_lines, fn_kwargs={"on_error": on_error}, batch_format="pyarrow"
+        parse_nquads_lines,
+        fn_kwargs={"on_error": on_error, "counter": counter},
+        batch_format="pyarrow",
     )
 
 

@@ -273,9 +273,11 @@ def code_stats(files_ds):
             {c: pd.Series([], dtype=object if c in ("repo", "lang") else "int64")
              for c in cols}
         )
+    # a group whose files all lack a trailing newline can have n_lines == 0;
+    # clip the denominator (mirrored as greatest(n_lines, 1) in the oracle)
     folded["comment_ratio_q"] = (
         1_000_000 * folded["n_comment_lines"].astype("int64")
-    ) // folded["n_lines"].astype("int64")
+    ) // folded["n_lines"].astype("int64").clip(lower=1)
     folded["avg_lines_q"] = (
         1_000_000 * folded["n_lines"].astype("int64")
     ) // folded["n_files"].astype("int64")

@@ -39,16 +39,21 @@ def _risk_count(batch: pa.Table, risk_predicates, risk_prefixes) -> int:
 
     if not risk_predicates or not risk_prefixes:
         return 0
-    m = pc.equal(batch["object_kind"], KIND_IRI)
-    obj = batch["object_value"].combine_chunks()
+    # cheap masks first (int8 equality + hash-set probe), then run the
+    # per-prefix starts_with string passes over only the surviving rows —
+    # risk-predicate IRI objects are typically a sliver of the stream, so
+    # this keeps the counter's cost proportional to candidates, not batch
+    m = pc.and_(
+        pc.equal(batch["object_kind"], KIND_IRI),
+        pc.is_in(batch["predicate"], value_set=pa.array(risk_predicates, pa.string())),
+    )
+    if not pc.any(m).as_py():
+        return 0
+    obj = batch["object_value"].filter(m).combine_chunks()
     pref = pc.starts_with(obj, risk_prefixes[0])
     for p in risk_prefixes[1:]:
         pref = pc.or_(pref, pc.starts_with(obj, p))
-    m = pc.and_(m, pref)
-    m = pc.and_(
-        m, pc.is_in(batch["predicate"], value_set=pa.array(risk_predicates, pa.string()))
-    )
-    return pc.sum(m).as_py() or 0
+    return pc.sum(pref).as_py() or 0
 
 
 def _fold_batch(
