@@ -521,6 +521,45 @@ def test_real_codec_is_stubbed():
         multimodal.RealImageCodec.decode(b"x")
 
 
+def test_pil_codec_decodes_real_png():
+    """The import-guarded Pillow adapter fills the real-codec slot: a real
+    PNG decodes to the (w, h, c, flat uint8) contract and drives
+    ImageFeaturizer end to end. Skipped where Pillow is absent (this
+    sandbox) — the adapter itself must still IMPORT cleanly there."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.arange(12 * 8 * 3, dtype=np.uint8) % 256).reshape(8, 12, 3)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    codec = multimodal.PILImageCodec()
+    w, h, c, pixels = codec.decode(buf.getvalue())
+    assert (w, h, c) == (12, 8, 3)
+    assert pixels.dtype == np.uint8 and len(pixels) == 12 * 8 * 3
+    feat = multimodal.ImageFeaturizer(codec=codec)
+    out = feat(pa.table({"doc_id": pa.array([1], pa.int64()),
+                         "payload": pa.array([buf.getvalue()], pa.binary())}))
+    assert out["width"][0].as_py() == 12 and out["height"][0].as_py() == 8
+
+
+def test_pil_codec_init_raises_cleanly_when_absent():
+    """Without Pillow, constructing the adapter raises ImportError (the
+    actor-__init__ failure mode), and the module import itself is clean."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present — covered by the decode test")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        multimodal.PILImageCodec()
+
+
 def test_fake_video_codec_roundtrip():
     payload = multimodal.FakePayloadCodec.encode_video(9, "hello")
     w, h, c, n, frames = multimodal.FakePayloadCodec.decode_video(payload)

@@ -421,6 +421,43 @@ class TestPagerankJoinVariant:
         assert np.allclose([b_map[k] for k in ks], [j_map[k] for k in ks],
                            rtol=1e-9, atol=1e-12)
 
+    def test_quantized_join_bit_equals_broadcast_and_gate(self):
+        """pagerank_quantized ≡ pagerank_quantized_join BIT-equal (all
+        integer arithmetic), and pagerank_auto's size gate dispatches to
+        the join plan above driver_max with an identical result."""
+        rng = np.random.default_rng(33)
+        pairs = list(
+            {
+                (f"w{a:02d}", f"w{b:02d}")
+                for a, b in zip(rng.integers(0, 25, 120), rng.integers(0, 25, 120))
+                if a != b
+            }
+        )
+        df = pd.DataFrame(pairs, columns=["a", "b"])
+        bc = graph.pagerank_quantized(_ds(df, blocks=3), n_iter=6)
+        jn = graph.pagerank_quantized_join(
+            _ds(df, blocks=3), n_iter=6, num_partitions=4
+        )
+        pd.testing.assert_frame_equal(bc, jn)
+        # gate: driver_max=0 forces the join plan; default takes broadcast
+        auto_join = graph.pagerank_auto(_ds(df, blocks=3), driver_max=0, n_iter=6,
+                                        num_partitions=4)
+        auto_bc = graph.pagerank_auto(_ds(df, blocks=3), n_iter=6)
+        pd.testing.assert_frame_equal(auto_join, bc)
+        pd.testing.assert_frame_equal(auto_bc, bc)
+
+    def test_quantized_tracks_float_ranks(self):
+        """Quantized integer ranks approximate the float iteration to
+        ~1/scale: rank ordering of the clear top node agrees."""
+        df = pd.DataFrame(
+            {"a": ["x", "y", "z", "w", "q"], "b": ["hub", "hub", "hub", "hub", "x"]}
+        )
+        fl = graph.pagerank(_ds(df, blocks=2), n_iter=8)
+        qz = graph.pagerank_quantized(_ds(df, blocks=2), n_iter=8)
+        assert fl.iloc[0]["node"] == qz.iloc[0]["node"] == "hub"
+        top = qz.iloc[0]
+        assert abs(top["rank_q"] / 1e12 - fl.iloc[0]["rank"]) < 1e-3
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRepetition:

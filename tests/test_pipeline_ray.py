@@ -87,6 +87,41 @@ class TestRayPipeline:
         assert "mod_10" in km
         assert km["mod_10"].startswith("http://kg.example/")
 
+    def test_canonicalize_join_bit_equals_broadcast(self):
+        """The hash-partitioned join apply (the beyond-broadcast plan the
+        link module documents) is BIT-equal to the broadcast map-side
+        apply, and link_and_canonicalize_auto's gate dispatches to it at
+        driver_max=0 with the same rows."""
+        import pandas as pd
+        import ray
+
+        from tripsu_ray.stages.link import (
+            build_link_map,
+            canonicalize_join,
+            canonicalize_tasks,
+            collect_link_map,
+            link_and_canonicalize_auto,
+        )
+
+        def triples():
+            return extract_triples(read_source_files(SF))
+
+        link_ds = build_link_map(triples()).materialize()
+        ref = ray.put(collect_link_map(link_ds))
+        bc = canonicalize_tasks(triples(), ref).to_pandas()
+        jn = canonicalize_join(triples(), link_ds, num_partitions=4).to_pandas()
+        key = list(bc.columns)
+        bc_s = bc.sort_values(key, ignore_index=True)
+        jn_s = jn.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(bc_s, jn_s)
+        auto = link_and_canonicalize_auto(triples, driver_max=0,
+                                          num_partitions=4).to_pandas()
+        pd.testing.assert_frame_equal(auto.sort_values(key, ignore_index=True), bc_s)
+        auto_bc = link_and_canonicalize_auto(triples).to_pandas()
+        pd.testing.assert_frame_equal(
+            auto_bc.sort_values(key, ignore_index=True), bc_s
+        )
+
     def test_mention_keys_case_insensitive_extension(self):
         import pandas as pd
 

@@ -300,6 +300,57 @@ FROM per GROUP BY node ORDER BY node"""
     )
 
 
+def sql_pagerank_q(*, n_iter: int = 8, scale: int = 10**12,
+                   damp_num: int = 85, damp_den: int = 100,
+                   top_k: int = 50) -> str:
+    """Quantized PageRank oracle — K UNROLLED round CTEs, each applying
+    the IDENTICAL integer update rule as
+    ``stages.graph.pagerank_quantized`` (see its docstring; integer
+    division is bit-identical across engines, closing the round-2
+    'kg_pagerank has no SQL oracle' gap). Standard SQL forbids GROUP BY
+    in a recursive term, so the fixed round count unrolls instead —
+    the oracle is generated Python, so K CTEs cost nothing."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        cur = f"r{k}"
+        # MATERIALIZED: each round references the previous twice (dangling
+        # sum + contribution join); inlining would expand the chain 2^K-fold
+        rounds.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT nd.node, nd.deg,
+         CAST({(damp_den - damp_num) * scale} // ({damp_den} * cnt.n)
+              + ({damp_num} * (coalesce(c.s, 0)
+                 + (SELECT coalesce(sum(q), 0) FROM {prev} WHERE deg = 0) // cnt.n))
+              // {damp_den} AS BIGINT) AS q
+  FROM nd CROSS JOIN cnt
+  LEFT JOIN (SELECT e.b AS node, sum(r.q // r.deg) AS s
+             FROM edges e JOIN {prev} r ON r.node = e.a AND r.deg > 0
+             GROUP BY e.b) c ON c.node = nd.node
+)""")
+        prev = cur
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS MATERIALIZED (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+odeg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY a),
+allnodes AS (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+nd AS MATERIALIZED (SELECT an.node, CAST(coalesce(odeg.deg, 0) AS BIGINT) AS deg
+       FROM allnodes an LEFT JOIN odeg USING (node)),
+cnt AS MATERIALIZED (SELECT count(*) AS n FROM nd),
+r0 AS MATERIALIZED (
+  SELECT node, deg, CAST({scale} // cnt.n AS BIGINT) AS q FROM nd, cnt)"""
+        + "".join(rounds)
+        + f"""
+SELECT node, q AS rank_q FROM {prev}
+ORDER BY rank_q DESC, node ASC LIMIT {top_k}"""
+    )
+
+
 def sql_bfs() -> str:
     # Capped recursive-CTE BFS walk: UNION-dedup on (node, dist) pairs;
     # min(dist) per node = hop distance. The dist < 64 cap bounds the

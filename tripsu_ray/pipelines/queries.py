@@ -255,18 +255,16 @@ def q_typo_candidates(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str, *, top_k: int = 50):
-    """Top-k PageRank entities of the KG (distributed power iteration —
-    stages/graph.py). Rows-only driver check (float ranks don't
-    hash-compare across engines); tests assert np.allclose vs a local
-    power iteration. Rank quantized to floor(rank·10^9) for display."""
-    import numpy as np
+    """Top-k PageRank entities of the KG — the QUANTIZED integer power
+    iteration (stages/graph.py::pagerank_quantized; 8 rounds), size-gated
+    to the co-partitioned join plan beyond driver memory
+    (pagerank_auto). Every per-round quantity is an integer, so the
+    unrolled-CTE SQL oracle (oracle.sql_pagerank_q) hash-matches exactly
+    — closing the round-2 'no SQL oracle' gap. The float variant
+    (graph.pagerank) remains for tolerance-based consumers."""
+    from ..stages.graph import entity_edges, pagerank_auto
 
-    from ..stages.graph import entity_edges, pagerank
-
-    out = pagerank(entity_edges(_extracted(sf_dir))).head(top_k)
-    out = out.assign(rank_q=np.floor(out["rank"] * 1e9).astype("int64")).drop(
-        columns=["rank"]
-    )
+    out = pagerank_auto(entity_edges(_extracted(sf_dir))).head(top_k)
     return out.reset_index(drop=True)
 
 

@@ -1486,6 +1486,272 @@ def pagerank_join(
     return out.sort_values(["rank", "node"], ascending=[False, True], ignore_index=True)
 
 
+_PAGERANK_SCALE = 10**12
+_PAGERANK_DRIVER_MAX = 1 << 21
+
+
+def pagerank_quantized(
+    edges_ds, *, n_iter: int = 8, scale: int = _PAGERANK_SCALE,
+    damp_num: int = 85, damp_den: int = 100,
+) -> pd.DataFrame:
+    """PageRank with EVERY per-round quantity held in integers — the
+    oracle-hash-exact rendering of :func:`pagerank` (float power
+    iteration can't hash-compare across engines; integer division is
+    bit-identical everywhere, so the SQL oracle unrolls the same K
+    rounds and agrees exactly — the repo's quantized-fold discipline,
+    cf. stages/text.py NB/TF-IDF).
+
+    Update rule (mirrored verbatim in ``oracle.sql_pagerank_q``):
+
+        r0(x)   = scale // n
+        dang_k  = Σ_{deg(x)=0} r_k(x)
+        c_k(y)  = Σ_{x→y} r_k(x) // deg(x)           (distinct edges)
+        r_{k+1}(y) = (den−num)·scale // (den·n)
+                     + num·(c_k(y) + dang_k // n) // den
+
+    All sums are integer (associative in any fold order). Broadcast
+    variant: the rank dict is node-class driver state (pagerank's
+    budget); :func:`pagerank_quantized_join` is the co-partitioned
+    beyond-driver plan and :func:`pagerank_auto` the size gate.
+
+    Returns (node, rank_q) sorted by rank_q desc, node asc.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=object),
+                          "rank_q": pd.Series([], dtype="int64")})
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["a"].value_counts()
+        out_deg = pd.DataFrame({"node": vc.index.astype(object), "deg": vc.to_numpy()})
+        nodes = pd.DataFrame(
+            {"node": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object)}
+        ).drop_duplicates()
+        return out_deg.merge(nodes, on="node", how="outer").fillna({"deg": 0})
+
+    def deg_combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["deg"].sum()
+
+    degs = tree_fold_tables(
+        edges.map_batches(deg_partial, batch_format="pandas"), deg_combine
+    )
+    nodes = degs["node"].to_numpy()
+    deg_map = {x: int(d) for x, d in zip(degs["node"], degs["deg"])}
+    n = len(nodes)
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    ranks = {x: scale // n for x in nodes}
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["c"].sum()
+
+    deg_ref = ray.put(deg_map)
+    for _ in range(n_iter):
+        rank_ref = ray.put(ranks)
+
+        def step(df: pd.DataFrame, _r=rank_ref, _d=deg_ref) -> pd.DataFrame:
+            r, d = ray.get(_r), ray.get(_d)
+            src = df["a"].astype(object)
+            rq = src.map(r).to_numpy(dtype=np.int64)
+            dq = src.map(d).to_numpy(dtype=np.int64)
+            part = pd.DataFrame(
+                {"node": df["b"].astype(object), "c": rq // dq}
+            )
+            return part.groupby("node", sort=False, as_index=False)["c"].sum()
+
+        folded = tree_fold_tables(edges.map_batches(step, batch_format="pandas"), combine)
+        inflow = dict(zip(folded["node"], (int(c) for c in folded["c"])))
+        dang = sum(q for x, q in ranks.items() if deg_map.get(x, 0) == 0)
+        ranks = {
+            x: base + (damp_num * (inflow.get(x, 0) + dang // n)) // damp_den
+            for x in nodes
+        }
+
+    out = pd.DataFrame(
+        {"node": nodes, "rank_q": np.array([ranks[x] for x in nodes], dtype=np.int64)}
+    )
+    return out.sort_values(
+        ["rank_q", "node"], ascending=[False, True], ignore_index=True
+    )
+
+
+def pagerank_quantized_join(
+    edges_ds, *, n_iter: int = 8, scale: int = _PAGERANK_SCALE,
+    damp_num: int = 85, damp_den: int = 100, num_partitions: int = 16,
+) -> pd.DataFrame:
+    """The co-partitioned (beyond-driver) plan for
+    :func:`pagerank_quantized` — same integer update rule, rank table
+    lives in a Dataset keyed by node-hash partition (pagerank_join's
+    shape); the only per-round driver scalar is the dangling mass.
+    Bit-equal to the broadcast variant (tested)."""
+    import ray
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=object),
+                          "rank_q": pd.Series([], dtype="int64")})
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+    P = num_partitions
+
+    def part_of(keys) -> np.ndarray:
+        return (pd.util.hash_array(np.asarray(keys, dtype=object)) % P).astype("int64")
+
+    # int sentinel union-tag rows: kind 0 = edge, 1 = rank, 2 = contrib
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": np.int8(0),
+             "key": df["a"].astype(object),
+             "dst": df["b"].astype(object),
+             "q": np.int64(0), "deg": np.int64(0),
+             "_part": part_of(df["a"])}
+        )
+
+    edges_p = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["a"].value_counts()
+        out = pd.DataFrame({"key": vc.index.astype(object),
+                            "deg": vc.to_numpy().astype(np.int64)})
+        sinks = pd.DataFrame({"key": df["b"].astype(object).drop_duplicates(),
+                              "deg": np.int64(0)})
+        both = pd.concat([out, sinks], ignore_index=True)
+        both = both.groupby("key", sort=False, as_index=False)["deg"].sum()
+        both["_part"] = part_of(both["key"])
+        return both
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", sort=False, as_index=False)["deg"].sum()
+        out["_part"] = g["_part"].iloc[0]
+        return out
+
+    nodes = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(sum_deg, batch_format="pandas")
+        .materialize()
+    )
+    n = nodes.count()
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    r0 = scale // n
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": np.int8(1), "key": df["key"].astype(object),
+             "dst": pd.Series([None] * len(df), dtype=object),
+             "q": np.int64(r0), "deg": df["deg"].to_numpy(dtype=np.int64),
+             "_part": df["_part"].to_numpy(dtype=np.int64)}
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pandas").materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": np.int8(1), "key": df["key"].astype(object),
+             "dst": pd.Series([None] * len(df), dtype=object),
+             "q": np.int64(0), "deg": df["deg"].to_numpy(dtype=np.int64),
+             "_part": df["_part"].to_numpy(dtype=np.int64)}
+        )
+
+    nodes_tagged = nodes.map_batches(node_rows, batch_format="pandas").materialize()
+
+    for _ in range(n_iter):
+        def dang_partial(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["kind"] == 1) & (df["deg"] == 0)
+            return pd.DataFrame({"s": [int(df.loc[m, "q"].sum())]})
+
+        dang = int(
+            ranks.map_batches(dang_partial, batch_format="pandas").to_pandas()["s"].sum()
+        )
+
+        def contrib(g: pd.DataFrame) -> pd.DataFrame:
+            empty_g = pd.DataFrame(
+                {"kind": pd.Series([], dtype="int8"),
+                 "key": pd.Series([], dtype=object),
+                 "dst": pd.Series([], dtype=object),
+                 "q": pd.Series([], dtype="int64"),
+                 "deg": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+            if "kind" not in g.columns or not len(g):
+                return empty_g
+            r = g[(g["kind"] == 1) & (g["deg"] > 0)][["key", "q", "deg"]]
+            e = g[g["kind"] == 0][["key", "dst"]]
+            m = e.merge(r, on="key")
+            if not len(m):
+                return empty_g
+            m["c"] = m["q"].to_numpy(dtype=np.int64) // m["deg"].to_numpy(dtype=np.int64)
+            out = m.groupby("dst", sort=False, as_index=False)["c"].sum()
+            return pd.DataFrame(
+                {"kind": np.int8(2), "key": out["dst"].astype(object),
+                 "dst": pd.Series([None] * len(out), dtype=object),
+                 "q": out["c"].to_numpy(dtype=np.int64), "deg": np.int64(0),
+                 "_part": part_of(out["dst"])}
+            )
+
+        contribs = (
+            edges_p.union(ranks)
+            .groupby("_part")
+            .map_groups(contrib, batch_format="pandas")
+        )
+
+        def apply_rank(g: pd.DataFrame, _dang=dang) -> pd.DataFrame:
+            empty_g = pd.DataFrame(
+                {"kind": pd.Series([], dtype="int8"),
+                 "key": pd.Series([], dtype=object),
+                 "dst": pd.Series([], dtype=object),
+                 "q": pd.Series([], dtype="int64"),
+                 "deg": pd.Series([], dtype="int64"),
+                 "_part": pd.Series([], dtype="int64")}
+            )
+            if "kind" not in g.columns or not len(g):
+                return empty_g
+            nd = g[g["kind"] == 1][["key", "deg", "_part"]]
+            cs = g[g["kind"] == 2].groupby("key", sort=False, as_index=False)["q"].sum()
+            m = nd.merge(cs, on="key", how="left").fillna({"q": 0})
+            q = (
+                base
+                + (damp_num * (m["q"].to_numpy(dtype=np.int64) + _dang // n))
+                // damp_den
+            )
+            return pd.DataFrame(
+                {"kind": np.int8(1), "key": m["key"].astype(object),
+                 "dst": pd.Series([None] * len(m), dtype=object),
+                 "q": q.astype(np.int64), "deg": m["deg"].to_numpy(dtype=np.int64),
+                 "_part": m["_part"].to_numpy(dtype=np.int64)}
+            )
+
+        ranks = (
+            contribs.union(nodes_tagged)
+            .groupby("_part")
+            .map_groups(apply_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    out = ranks.to_pandas()
+    out = out[out["kind"] == 1].rename(columns={"key": "node", "q": "rank_q"})
+    out = out[["node", "rank_q"]].astype({"rank_q": "int64"})
+    return out.sort_values(
+        ["rank_q", "node"], ascending=[False, True], ignore_index=True
+    )
+
+
+def pagerank_auto(edges_ds, *, driver_max: int = _PAGERANK_DRIVER_MAX, **kw):
+    """Size-gated quantized PageRank (VERDICT r2 #4): at or under
+    ``driver_max`` edges the broadcast plan runs (rank dict is node-class
+    driver state, ≤ edge count); above it the co-partitioned join plan —
+    bit-equal results (tested), so the gate is invisible to consumers."""
+    edges = edges_ds.materialize()
+    if edges.count() <= driver_max:
+        return pagerank_quantized(edges, **kw)
+    return pagerank_quantized_join(edges, **kw)
+
+
 def components_table(edges_ds) -> pd.DataFrame:
     """(node, component) DataFrame for every node incident to an edge,
     sorted — the driver-facing rendering of the label map."""

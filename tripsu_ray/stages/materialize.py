@@ -191,38 +191,45 @@ def dedup_split(
         return batch.filter(pa.array(mask)).drop_columns(["_h"])
 
     if output_path is not None:
-        # single-read split: cold rows → output Parquet directly; hot rows
-        # spill to side files from inside the same tasks (content is
-        # deterministic; file names need not be), then dedup + append
-        import os as _os
+        # single-read INVERTED split (VERDICT r2 #9 made multi-node-safe):
+        # the one pass over the checkpoint writes its COLD rows straight
+        # into the output through pyarrow's filesystem layer (resolved
+        # from the path/URI, so object stores work — the same contract
+        # write_parquet's own tasks rely on) and RETURNS the (few) hot
+        # rows as the mapped Dataset — nothing ever lands on task-local
+        # disk and the driver never globs (the previous plan's hot-side
+        # spill files were only visible on the driver's local fs).
         import uuid as _uuid
 
-        hot_dir = f"{work_dir}/hot"
-        _os.makedirs(hot_dir, exist_ok=True)
+        from pyarrow import fs as _pafs
+
+        out_fs, out_base = _pafs.FileSystem.from_uri(output_path) if "://" in str(
+            output_path
+        ) else (_pafs.LocalFileSystem(), str(output_path))
+        out_fs.create_dir(out_base, recursive=True)
 
         def split_route(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
 
             mask = _is_hot(batch)
-            if mask.any():
-                hot_part = batch.filter(pa.array(mask)).drop_columns(["_h"])
-                _pq.write_table(hot_part, f"{hot_dir}/{_uuid.uuid4().hex}.parquet")
-            return batch.filter(pa.array(~mask)).drop_columns(["_h"])
+            cold_part = batch.filter(pa.array(~mask)).drop_columns(["_h"])
+            if cold_part.num_rows:
+                with out_fs.open_output_stream(
+                    f"{out_base}/{_uuid.uuid4().hex}.parquet"
+                ) as f:
+                    _pq.write_table(cold_part, f)
+            return batch.filter(pa.array(mask)).drop_columns(["_h"])
 
-        T.map_batches(split_route, batch_format="pyarrow").write_parquet(output_path)
-        import glob as _g
-
-        hot_files = sorted(_g.glob(f"{hot_dir}/*.parquet"))
-        if hot_files:
-            hot_ds = _read_parquet_clean(hot_files)
-            if len(hot) < 100_000:
-                hot_tbl = pa.concat_tables(
-                    list(hot_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-                )
-                hot_dedup = ray.data.from_arrow(_dedup_batch(hot_tbl))
-            else:
-                hot_dedup = _global_dedup(hot_ds, num_buckets=num_buckets)
-            hot_dedup.write_parquet(output_path)  # appends unique file names
+        hot_side = T.map_batches(split_route, batch_format="pyarrow")
+        if len(hot) < 100_000:
+            # consuming the stream here IS what drives the cold writes
+            hot_tbl = pa.concat_tables(
+                list(hot_side.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            )
+            if hot_tbl.num_rows:
+                ray.data.from_arrow(_dedup_batch(hot_tbl)).write_parquet(output_path)
+        else:
+            _global_dedup(hot_side, num_buckets=num_buckets).write_parquet(output_path)
         return _read_parquet_clean(output_path)
 
     cold = T.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")

@@ -92,15 +92,46 @@ def resize_nearest(
 
 
 class RealImageCodec:
-    """The production codec slot — requires an image library."""
+    """The production codec slot — requires an image library.
+
+    :class:`PILImageCodec` is the shipped adapter (import-guarded; Pillow
+    is absent in this sandbox, so the synthetic :class:`FakePayloadCodec`
+    stays the tested default)."""
 
     @staticmethod
     def decode(payload: bytes):  # pragma: no cover - documented stub
         raise NotImplementedError(
             "real image decode needs PIL/opencv (not installed in this "
-            "sandbox); plug a codec with decode(bytes) -> (w, h, c, ndarray) "
-            "into ImageFeaturizer(codec=...)"
+            "sandbox); use PILImageCodec (when Pillow is available) or plug "
+            "a codec with decode(bytes) -> (w, h, c, ndarray) into "
+            "ImageFeaturizer(codec=...)"
         )
+
+
+class PILImageCodec:
+    """Import-guarded Pillow adapter for the real-codec slot: decodes any
+    PIL-supported byte format (PNG/JPEG/…) to the
+    ``(w, h, c, flat uint8 pixels)`` contract every downstream kernel
+    (histogram featurize, nearest resize, aHash) already consumes.
+
+    Constructing it RAISES ImportError when Pillow is absent — actor-pool
+    ``__init__`` is the right place for that failure (once per actor, not
+    per batch), and callers keep :class:`FakePayloadCodec` as the default
+    in environments without an image stack (this sandbox: the adapter is
+    exercised by a skipped-if-absent test)."""
+
+    def __init__(self):
+        from PIL import Image  # ImportError here = codec unavailable
+
+        self._Image = Image
+
+    def decode(self, payload: bytes):
+        import io
+
+        img = self._Image.open(io.BytesIO(payload)).convert("RGB")
+        w, h = img.size
+        arr = np.asarray(img, dtype=np.uint8)
+        return w, h, 3, arr.reshape(-1)
 
 
 def attach_fake_payloads(sf_dir: str):

@@ -420,9 +420,10 @@ def ann_knn_graph(sf_dir: str, *, k: int = 5, chunk: int = 1024):
     compute spreads across the cluster. Per batch the top-k is fully
     vectorized: batch rows pre-sorted by vec_id so a STABLE argsort of
     −simq yields (simq desc, vec_id asc) determinism without per-row
-    lexsorts. Per-chunk partials reduce to the global top-k on the
-    driver (n·k·#batches rows at this scale; at corpus scale the reduce
-    becomes a query_id-partitioned groupby — same partials).
+    lexsorts. Per-chunk partial Datasets UNION into one stream and the
+    global top-k reduces in a query_id-partitioned exchange — the n·k
+    result stays a Dataset end to end (VERDICT r2 #5: the driver never
+    accumulates the corpus-proportional neighbor rows).
     """
     import pyarrow.compute as pc
     import ray
@@ -473,11 +474,38 @@ def ann_knn_graph(sf_dir: str, *, k: int = 5, chunk: int = 1024):
                 }
             ).astype("int64")
 
-        outs.append(ds.map_batches(local_topk, batch_format="pandas").to_pandas())
+        outs.append(ds.map_batches(local_topk, batch_format="pandas"))
 
-    partials = pd.concat(outs, ignore_index=True)
-    partials = partials[partials["simq"] > -(1 << 62)]
-    return _global_topk(partials, k)
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.union(o)
+
+    P = 16
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["simq"] > -(1 << 62)].copy()
+        df["_part"] = (df["query_id"].to_numpy(dtype=np.int64) % P).astype("int64")
+        return df
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "vec_id", "simq", "rank"]
+        if "query_id" not in g.columns or not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        out = (
+            g.sort_values(["query_id", "simq", "vec_id"],
+                          ascending=[True, False, True])
+            .groupby("query_id", sort=True)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        return out[cols].astype("int64")
+
+    return (
+        unioned.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(topk_part, batch_format="pandas")
+    )
 
 
 def _train_pq_codebooks(
