@@ -1856,3 +1856,34 @@ class TestAssortativity:
         want = int(math.floor(1e6 * (float(num) / den))) if den else 0
         assert got["n_edges"].iloc[0] == n
         assert got["assortativity_q"].iloc[0] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_family_distributed_path_equals_driver_gate():
+    """driver_max=0 forces the compact-forward distributed plan for
+    triangle_counts / edge_supports / clustering_coefficients; the
+    size-gated in-process fast path (_local_triangle_core) must be
+    bit-equal — triangle membership and edge support are
+    orientation-invariant, so any fixed total order closes the same
+    triangles."""
+    from tripsu_ray.stages.graph import (
+        clustering_coefficients,
+        edge_supports,
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(33)
+    raw = pd.DataFrame(
+        {
+            "x": [f"n{i:02d}" for i in rng.integers(0, 40, 500)],
+            "y": [f"n{i:02d}" for i in rng.integers(0, 40, 500)],
+        }
+    )
+    raw = raw[raw["x"] != raw["y"]]
+    edges = pd.DataFrame(
+        {"a": np.minimum(raw["x"], raw["y"]), "b": np.maximum(raw["x"], raw["y"])}
+    ).drop_duplicates(ignore_index=True)
+    for fn in (triangle_counts, edge_supports, clustering_coefficients):
+        fast = fn(_ds(edges, blocks=4), num_partitions=4)
+        slow = fn(_ds(edges, blocks=4), num_partitions=4, driver_max=0)
+        pd.testing.assert_frame_equal(fast, slow)

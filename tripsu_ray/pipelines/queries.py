@@ -66,6 +66,37 @@ def q_source_files(sf_dir: str):
 
 
 _EXTRACT_CACHE: dict[str, object] = {}
+_EDGES_CACHE: dict[str, object] = {}
+
+
+def _rightsized(ds, *, rows_per_block: int = 2500, min_blocks: int = 4,
+                max_blocks: int = 64):
+    """Materialize + clamp block count to the data size. Ray Data's fixed
+    per-block cost (task scheduling + the sort shuffle's per-block term)
+    dominates tiny inputs: a 3k-row edge set left in 32 near-empty blocks
+    made every downstream exchange ~5× slower than the same op on 4
+    blocks. Right-sizing once at the shared input pays off across every
+    consumer; at real scale rows_per_block keeps blocks ≥ CPU count."""
+    ds = ds.materialize()
+    n = ds.count()
+    want = max(min_blocks, min(max_blocks, n // rows_per_block + 1))
+    if ds.num_blocks() > want * 2:
+        ds = ds.repartition(want).materialize()
+    return ds
+
+
+def _entity_edges(sf_dir: str):
+    """Memoized, right-sized entity-edge set — the shared input of every
+    graph query (same rationale as _extracted: the gate runs ~20 graph
+    queries; the edge projection + distinct exchange must not re-run per
+    query, and its blocks must match its size)."""
+    ds = _EDGES_CACHE.get(sf_dir)
+    if ds is None:
+        from ..stages.graph import entity_edges
+
+        ds = _rightsized(entity_edges(_extracted(sf_dir)))
+        _EDGES_CACHE[sf_dir] = ds
+    return ds
 
 
 def _extracted(sf_dir: str):
@@ -144,7 +175,7 @@ def q_components(sf_dir: str):
     closure (exact at sf≤0.01 scale; the Ray plan is the scale path)."""
     from ..stages.graph import components_table, entity_edges
 
-    return components_table(entity_edges(_extracted(sf_dir)))
+    return components_table(_entity_edges(sf_dir))
 
 
 def q_co_neighbors(sf_dir: str):
@@ -153,7 +184,7 @@ def q_co_neighbors(sf_dir: str):
     shared target; stages/graph.py::co_neighbor_counts)."""
     from ..stages.graph import co_neighbor_counts, entity_edges
 
-    return co_neighbor_counts(entity_edges(_extracted(sf_dir)))
+    return co_neighbor_counts(_entity_edges(sf_dir))
 
 
 def q_butterflies(sf_dir: str):
@@ -165,7 +196,7 @@ def q_butterflies(sf_dir: str):
     so the capped statistic is still hash-checked."""
     from ..stages.graph import butterfly_counts, entity_edges
 
-    return butterfly_counts(entity_edges(_extracted(sf_dir)), hub_cap="auto")
+    return butterfly_counts(_entity_edges(sf_dir), hub_cap="auto")
 
 
 def q_core_numbers(sf_dir: str):
@@ -175,7 +206,7 @@ def q_core_numbers(sf_dir: str):
     SQL rendering); tests assert exact equality vs sequential peeling."""
     from ..stages.graph import core_numbers, entity_edges
 
-    return core_numbers(entity_edges(_extracted(sf_dir)))
+    return core_numbers(_entity_edges(sf_dir))
 
 
 def q_bfs(sf_dir: str):
@@ -186,7 +217,7 @@ def q_bfs(sf_dir: str):
     the cap, so a silent capped-but-agreeing hash-match cannot happen."""
     from ..stages.graph import bfs_distances, entity_edges
 
-    return bfs_distances(entity_edges(_extracted(sf_dir)))
+    return bfs_distances(_entity_edges(sf_dir))
 
 
 def q_validate(sf_dir: str):
@@ -217,7 +248,7 @@ def q_random_walks(sf_dir: str):
     tests replay the hash formula sequentially and assert exact equality."""
     from ..stages.graph import entity_edges, random_walks
 
-    return random_walks(entity_edges(_extracted(sf_dir)))
+    return random_walks(_entity_edges(sf_dir))
 
 
 def q_char_sets(sf_dir: str):
@@ -264,7 +295,7 @@ def q_pagerank(sf_dir: str, *, top_k: int = 50):
     (graph.pagerank) remains for tolerance-based consumers."""
     from ..stages.graph import entity_edges, pagerank_auto
 
-    out = pagerank_auto(entity_edges(_extracted(sf_dir))).head(top_k)
+    out = pagerank_auto(_entity_edges(sf_dir)).head(top_k)
     return out.reset_index(drop=True)
 
 
@@ -340,7 +371,7 @@ def q_link_scores(sf_dir: str):
     exchange + a degree tree-fold)."""
     from ..stages.graph import entity_edges, neighbor_overlap_scores
 
-    return neighbor_overlap_scores(entity_edges(_extracted(sf_dir)), min_common=2)
+    return neighbor_overlap_scores(_entity_edges(sf_dir), min_common=2)
 
 
 def q_code_stats(sf_dir: str):
@@ -358,7 +389,7 @@ def q_assortativity(sf_dir: str):
     stages/graph.py::degree_assortativity)."""
     from ..stages.graph import degree_assortativity, entity_edges
 
-    return degree_assortativity(entity_edges(_extracted(sf_dir)))
+    return degree_assortativity(_entity_edges(sf_dir))
 
 
 def q_void_stats(sf_dir: str):
@@ -409,7 +440,36 @@ def q_adamic_adar(sf_dir: str):
     the target-partitioned pair stage, summed as exact int64)."""
     from ..stages.graph import adamic_adar_scores, entity_edges
 
-    return adamic_adar_scores(entity_edges(_extracted(sf_dir)), min_common=2)
+    return adamic_adar_scores(_entity_edges(sf_dir), min_common=2)
+
+
+_COAUTHOR_CACHE: dict[str, object] = {}
+
+
+def _coauthor_edges(sf_dir: str):
+    """Memoized, right-sized derived co-author edge set — the shared input
+    of the triangle-family queries (q_triangles / q_clustering /
+    q_truss_support all re-derive the same CONSTRUCT output; one memoized
+    materialize per sf_dir, same rationale as _entity_edges)."""
+    ds = _COAUTHOR_CACHE.get(sf_dir)
+    if ds is None:
+        import pandas as pd
+
+        from .bgp import q_kg_construct
+
+        ds = _rightsized(
+            q_kg_construct(sf_dir).map_batches(
+                lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
+                if len(df)
+                else pd.DataFrame(
+                    {"a": pd.Series([], dtype=object),
+                     "b": pd.Series([], dtype=object)}
+                ),
+                batch_format="pandas",
+            )
+        )
+        _COAUTHOR_CACHE[sf_dir] = ds
+    return ds
 
 
 def q_triangles(sf_dir: str):
@@ -417,18 +477,9 @@ def q_triangles(sf_dir: str):
     CONSTRUCT output union-ed back in as edges): compact-forward
     degree-orientation plan, each triangle found exactly once
     (stages/graph.py::triangle_counts)."""
-    import pandas as pd
-
     from ..stages.graph import triangle_counts
-    from .bgp import q_kg_construct
 
-    edges = q_kg_construct(sf_dir).map_batches(
-        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
-        if len(df)
-        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
-        batch_format="pandas",
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_coauthor_edges(sf_dir))
 
 
 def q_clustering(sf_dir: str):
@@ -436,18 +487,9 @@ def q_clustering(sf_dir: str):
     exact distinct degrees + compact-forward triangles, cc quantized from
     identical integers in both engines
     (stages/graph.py::clustering_coefficients)."""
-    import pandas as pd
-
     from ..stages.graph import clustering_coefficients
-    from .bgp import q_kg_construct
 
-    edges = q_kg_construct(sf_dir).map_batches(
-        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
-        if len(df)
-        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
-        batch_format="pandas",
-    )
-    return clustering_coefficients(edges)
+    return clustering_coefficients(_coauthor_edges(sf_dir))
 
 
 def q_rdfs_domain_range(sf_dir: str):
@@ -474,18 +516,9 @@ def q_truss_support(sf_dir: str):
     k-truss peeling quantity (stages/graph.py::edge_supports; triangle
     plan emitting 3 edge keys per triangle, census tree-fold, support-0
     edges kept via the distinct-edge join)."""
-    import pandas as pd
-
     from ..stages.graph import edge_supports
-    from .bgp import q_kg_construct
 
-    edges = q_kg_construct(sf_dir).map_batches(
-        lambda df: df.rename(columns={"s": "a", "o": "b"})[["a", "b"]]
-        if len(df)
-        else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}),
-        batch_format="pandas",
-    )
-    return edge_supports(edges)
+    return edge_supports(_coauthor_edges(sf_dir))
 
 
 def q_negative_samples(sf_dir: str, *, k: int = 3):

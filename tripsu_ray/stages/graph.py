@@ -36,6 +36,16 @@ from .materialize import _dedup_batch, _triple_key
 _HASH_PARTS = 64
 
 
+def _adaptive_parts(n_rows: int, requested: int) -> int:
+    """Clamp an exchange's partition count to the data size. Every result
+    in this module is partition-count-INVARIANT (hash routing and the
+    rank·P+part codes only affect placement), but the fixed per-partition
+    cost is not: a 3k-row edge set pushed through 32-way exchanges spends
+    ~5× its compute on scheduling. ``requested`` stays the scale-out
+    ceiling for real corpora."""
+    return max(4, min(requested, n_rows // 2500 + 1))
+
+
 def target_degree_cap(
     edges_ds, *, quantile: float = 0.99, mult: int = 4, floor: int = 64,
     num_partitions: int = 32,
@@ -704,6 +714,7 @@ def co_neighbor_counts(edges_ds, *, num_partitions: int = 32, hub_cap: int | Non
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    P = _adaptive_parts(edges.count(), P)
     # global int codes for SOURCE nodes WITHOUT a driver vocabulary: the
     # factorize exchange assigns codes per hash partition and its code rows
     # ride the downstream exchanges to decode in place (VERDICT r2 fix)
@@ -826,6 +837,7 @@ def butterfly_counts(edges_ds, *, num_partitions: int = 32, hub_cap=None):
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    P = _adaptive_parts(edges.count(), P)
     if hub_cap == "auto":
         # degree-census-derived default (VERDICT r2: exact-by-default was
         # quadratic in hub degree); one extra edge-stream exchange is the
@@ -1013,6 +1025,7 @@ def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    P = _adaptive_parts(edges.count(), P)
     fz = _factorized_edge_codes(edges, num_partitions=P).materialize()
     coded = _edge_rows_of(fz)
     n_code = int(fz.max("u") or 0) + 1  # codes are quasi-dense (rank·P+part)
@@ -2164,6 +2177,7 @@ def neighbor_overlap_scores(
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    P = _adaptive_parts(edges.count(), P)
     # int source codes WITHOUT a driver vocabulary (VERDICT r2 fix); the
     # broadcast degree VECTOR (flat int array over quasi-dense codes) is
     # the only node-class driver state — pagerank's budget class
@@ -2300,7 +2314,95 @@ def neighbor_overlap_scores(
     return out
 
 
-def triangle_counts(edges_ds, *, num_partitions: int = 32):
+_TRIANGLE_DRIVER_MAX = 1 << 20
+
+
+def _local_triangle_core(df: pd.DataFrame) -> dict:
+    """Exact in-process triangle machinery for the size-gated driver fast
+    path of :func:`triangle_counts` / :func:`edge_supports` /
+    :func:`clustering_coefficients` (the ``connected_components_str``
+    ``driver_max`` precedent — at or under the gate the OUTPUT is
+    driver-destined anyway, so the distributed exchanges buy nothing but
+    fixed per-stage cost). Same algorithm as the distributed plan —
+    canonical undirected dedup → (degree, id) orientation → index-
+    arithmetic wedge enumeration → closure against the edge-key set —
+    and triangle membership / edge support are orientation-INVARIANT, so
+    the results are bit-equal to the compact-forward plan (tested).
+
+    Wedges are enumerated in bounded slabs of source groups so peak
+    memory stays O(slab), not O(total wedges).
+
+    Returns ``names`` (factorize vocabulary, object), ``ekey`` (sorted
+    canonical packed edge keys), ``deg`` (distinct-neighbor degree per
+    code), ``tri`` (triangle membership count per code), ``sup``
+    (triangle support aligned with ``ekey``).
+    """
+    codes, uniques = pd.factorize(pd.concat([df["a"], df["b"]], ignore_index=True))
+    names = np.asarray(uniques, dtype=object)
+    n = len(names)
+    half = len(df)
+    ca = codes[:half].astype(np.int64)
+    cb = codes[half:].astype(np.int64)
+    ekey = np.unique((np.minimum(ca, cb) << 32) | np.maximum(ca, cb))
+    lo = (ekey >> 32).astype(np.int64)
+    hi = (ekey & 0xFFFFFFFF).astype(np.int64)
+    deg = np.bincount(np.concatenate([lo, hi]), minlength=n).astype(np.int64)
+    a_first = (deg[lo] < deg[hi]) | ((deg[lo] == deg[hi]) & (lo < hi))
+    u = np.where(a_first, lo, hi)
+    v = np.where(a_first, hi, lo)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    grp_u, sizes = np.unique(u, return_counts=True)
+    gstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    tri = np.zeros(n, dtype=np.int64)
+    sup = np.zeros(len(ekey), dtype=np.int64)
+    # slab the groups so Σ sizes² per slab stays bounded
+    budget = 1 << 25
+    cum = np.cumsum(sizes.astype(np.int64) ** 2)
+    bounds = [0]
+    while bounds[-1] < len(sizes):
+        base = cum[bounds[-1]] - sizes[bounds[-1]] ** 2
+        nxt = int(np.searchsorted(cum, base + budget, side="right"))
+        bounds.append(max(nxt, bounds[-1] + 1))
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        sz = sizes[s0:s1]
+        gs = gstarts[s0:s1]
+        tot = sz * sz
+        n_out = int(tot.sum())
+        if not n_out:
+            continue
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        gid = np.repeat(np.arange(len(sz)), tot)
+        p = np.arange(n_out, dtype=np.int64) - starts[gid]
+        width = sz[gid]
+        left = v[gs[gid] + p // width]
+        right = v[gs[gid] + p % width]
+        keep = left < right
+        apex = grp_u[s0:s1][gid][keep]
+        left, right = left[keep], right[keep]
+        wkey = (left << 32) | right
+        pos = np.searchsorted(ekey, wkey)
+        pos[pos >= len(ekey)] = 0
+        hit = ekey[pos] == wkey
+        if not hit.any():
+            continue
+        l_h, r_h, a_h = left[hit], right[hit], apex[hit]
+        tri += np.bincount(
+            np.concatenate([l_h, r_h, a_h]), minlength=n
+        ).astype(np.int64)
+        e1 = wkey[hit]
+        e2 = (np.minimum(a_h, l_h) << 32) | np.maximum(a_h, l_h)
+        e3 = (np.minimum(a_h, r_h) << 32) | np.maximum(a_h, r_h)
+        sup += np.bincount(
+            np.searchsorted(ekey, np.concatenate([e1, e2, e3])),
+            minlength=len(ekey),
+        ).astype(np.int64)
+    return {"names": names, "ekey": ekey, "deg": deg, "tri": tri, "sup": sup}
+
+
+def triangle_counts(
+    edges_ds, *, num_partitions: int = 32, driver_max: int = _TRIANGLE_DRIVER_MAX
+):
     """Per-node triangle counts over an undirected simple graph given as
     canonical ``(a, b)`` edge rows (``a < b``, duplicates tolerated) —
     the compact-forward / degree-orientation plan every distributed
@@ -2334,6 +2436,16 @@ def triangle_counts(edges_ds, *, num_partitions: int = 32):
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    if edges.count() <= driver_max:
+        core = _local_triangle_core(edges.to_pandas())
+        nz = np.nonzero(core["tri"])[0]
+        if not len(nz):
+            return empty_out()
+        return pd.DataFrame(
+            {"node": pd.Series(core["names"][nz], dtype=object),
+             "n_triangles": core["tri"][nz].astype("int64")}
+        ).sort_values("node", ignore_index=True)
+    P = _adaptive_parts(edges.count(), P)
     # int-coded endpoints WITHOUT a driver vocabulary (VERDICT r2 fix):
     # codes come from the factorize exchange; the degree VECTOR (flat int
     # array over quasi-dense codes) is the only node-class driver state,
@@ -2495,7 +2607,9 @@ def triangle_counts(edges_ds, *, num_partitions: int = 32):
     return out.sort_values("node", ignore_index=True).astype({"n_triangles": "int64"})
 
 
-def edge_supports(edges_ds, *, num_partitions: int = 32):
+def edge_supports(
+    edges_ds, *, num_partitions: int = 32, driver_max: int = _TRIANGLE_DRIVER_MAX
+):
     """Per-edge triangle SUPPORT over an undirected simple graph
     (canonical ``(a, b)``, ``a < b``): how many triangles contain each
     edge — the quantity k-truss decomposition peels on, and an edge-level
@@ -2525,6 +2639,21 @@ def edge_supports(edges_ds, *, num_partitions: int = 32):
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    if edges.count() <= driver_max:
+        core = _local_triangle_core(edges.to_pandas())
+        ek = core["ekey"]
+        if not len(ek):
+            return empty_out()
+        an = core["names"][(ek >> 32).astype(np.int64)]
+        bn = core["names"][(ek & 0xFFFFFFFF).astype(np.int64)]
+        # codes are factorize-ordered, not name-ordered: restore a < b
+        swap = an > bn
+        return pd.DataFrame(
+            {"a": pd.Series(np.where(swap, bn, an), dtype=object),
+             "b": pd.Series(np.where(swap, an, bn), dtype=object),
+             "support": core["sup"].astype("int64")}
+        ).sort_values(["a", "b"], ignore_index=True)
+    P = _adaptive_parts(edges.count(), P)
     fz = _factorized_edge_codes(edges, num_partitions=P).materialize()
     coded = _edge_rows_of(fz)
     n_code = int(fz.max("u") or 0) + 1
@@ -2902,6 +3031,7 @@ def adamic_adar_scores(
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty_out()
+    P = _adaptive_parts(edges.count(), P)
     # int source codes WITHOUT a driver vocabulary (VERDICT r2 fix)
     fz = _factorized_by_target(edges, num_partitions=P).materialize()
     codes_ds = _fbt_code_rows(fz).materialize()
@@ -3172,7 +3302,9 @@ def property_cardinality(triples, *, num_partitions: int = _HASH_PARTS):
     )
 
 
-def clustering_coefficients(edges_ds, *, num_partitions: int = 32):
+def clustering_coefficients(
+    edges_ds, *, num_partitions: int = 32, driver_max: int = _TRIANGLE_DRIVER_MAX
+):
     """Local clustering coefficient per node over an undirected simple
     graph given as canonical ``(a, b)`` edge rows: ``cc = 2·tri /
     (d·(d−1))`` with d the DISTINCT-neighbor degree — the standard local
@@ -3199,7 +3331,25 @@ def clustering_coefficients(edges_ds, *, num_partitions: int = 32):
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty
-    tri = triangle_counts(edges, num_partitions=P)
+    if edges.count() <= driver_max:
+        core = _local_triangle_core(edges.to_pandas())
+        nz = np.nonzero(core["deg"])[0]
+        if not len(nz):
+            return empty
+        d = core["deg"][nz]
+        t = core["tri"][nz]
+        cc = np.zeros(len(nz), dtype=np.int64)
+        m = d >= 2
+        cc[m] = np.floor(
+            1_000_000 * ((2.0 * t[m]) / (d[m] * (d[m] - 1.0)))
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"node": pd.Series(core["names"][nz], dtype=object),
+             "degree": d.astype("int64"), "n_triangles": t.astype("int64"),
+             "cc_q": cc}
+        ).sort_values("node", ignore_index=True)
+    P = _adaptive_parts(edges.count(), P)
+    tri = triangle_counts(edges, num_partitions=P, driver_max=0)
     # exact distinct degrees in CODE space (no driver vocabulary — VERDICT
     # r2 fix): canonical-pair exchange over factorize codes, endpoint
     # census per pair partition, decoded through the code-homed exchange.
@@ -3463,6 +3613,7 @@ def degree_assortativity(edges_ds, *, num_partitions: int = 32):
     edges = edges_ds.materialize()
     if edges.count() == 0:
         return empty
+    num_partitions = _adaptive_parts(edges.count(), num_partitions)
     fz = _factorized_edge_codes(edges, num_partitions=num_partitions).materialize()
     coded = _edge_rows_of(fz).materialize()
     n_code = int(fz.max("u") or 0) + 1
