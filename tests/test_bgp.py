@@ -1025,6 +1025,40 @@ def test_path_range_bounded_repetition():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_path_gated_local_equals_forced_distributed():
+    """The _PATH_DRIVER_MAX local fast path (seq join, range powers, global
+    distinct) must be bit-equal to the forced distributed exchanges
+    (driver_max=0 disables every gate)."""
+    from tripsu_ray.pipelines.paths import compile_path, path_distinct
+
+    t = _triples(
+        [
+            ("a", "p", "b", KIND_IRI),
+            ("b", "p", "c", KIND_IRI),
+            ("c", "p", "d", KIND_IRI),
+            ("d", "p", "a", KIND_IRI),
+            ("b", "q", "e", KIND_IRI),
+            ("c", "q", "e", KIND_IRI),
+            ("a", "p", "b", KIND_IRI),  # duplicate edge: distinct must fold it
+        ]
+    )
+    for expr in (
+        ("seq", ("pred", "p"), ("pred", "q")),
+        ("range", ("seq", ("inv", ("pred", "p")), ("pred", "p")), 1, 2),
+        ("inv", ("range", ("pred", "p"), 2, 3)),
+    ):
+        local = path_distinct(
+            compile_path(t, expr, num_partitions=4), num_partitions=4
+        ).to_pandas().sort_values(["a", "b"], ignore_index=True)
+        dist = path_distinct(
+            compile_path(t, expr, num_partitions=4, driver_max=0),
+            num_partitions=4, driver_max=0,
+        ).to_pandas().sort_values(["a", "b"], ignore_index=True)
+        pd.testing.assert_frame_equal(local, dist)
+        assert len(local) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bgp_coalesce_unbound_rows_fold_into_sentinel():
     """Repos without an author row land in the 'unknown' bucket; total
     repo count is conserved across buckets."""

@@ -60,6 +60,17 @@ def test_malformed_raises_and_skips():
     assert parse_ntriples_lines(bad, on_error="skip").num_rows == 0
 
 
+def test_rdf_star_explicit_reject():
+    # Reference panics specifically on quoted triples (src/rules.rs:170,209);
+    # both the subject and object position should surface the RDF-star cause.
+    subj = lines_table(['<< <s> <p> <o> >> <q> "v" .'])
+    obj = lines_table(['<s> <q> << <s2> <p2> <o2> >> .'])
+    for bad in (subj, obj):
+        with pytest.raises(ValueError, match="RDF-star"):
+            parse_ntriples_lines(bad)
+        assert parse_ntriples_lines(bad, on_error="skip").num_rows == 0
+
+
 def test_escape_literal():
     arr = pa.array(['a"b', "x\\y", "n\nl", "r\rl"])
     assert escape_literal(arr).to_pylist() == ['a\\"b', "x\\\\y", "n\\nl", "r\\rl"]

@@ -138,6 +138,22 @@ _NT_LINE = (
 _NT_LINE_RE = re.compile(_NT_LINE)
 
 
+def _malformed_error(fmt: str, line: str) -> ValueError:
+    """Error for an unparseable line, with an RDF-star-specific message.
+
+    The reference explicitly panics on quoted triples ("RDF-star is not
+    supported", src/rules.rs:170,209; src/rdf_types.rs:146); mirror that
+    specificity when the offending term is a ``<<...>>`` quoted triple
+    instead of reporting it as generically malformed.
+    """
+    stripped = line.lstrip()
+    if stripped.startswith("<<") or " <<" in line:
+        return ValueError(
+            f"RDF-star quoted triples are not supported ({fmt} line: {line!r})"
+        )
+    return ValueError(f"malformed {fmt} line: {line!r}")
+
+
 def parse_ntriples_lines(batch: pa.Table, *, on_error: str = "raise", counter=None) -> pa.Table:
     """Parse a batch of N-Triples lines (column ``text`` or ``line``) → TRIPLES.
 
@@ -162,7 +178,7 @@ def parse_ntriples_lines(batch: pa.Table, *, on_error: str = "raise", counter=No
     bad = ext[0].isna() & ext[1].isna()
     if bad.any():
         if on_error == "raise":
-            raise ValueError(f"malformed N-Triples line: {lines[bad].iloc[0]!r}")
+            raise _malformed_error("N-Triples", lines[bad].iloc[0])
         if counter is not None:
             counter.add.remote("malformed_lines", int(bad.sum()))
         ext = ext[~bad]
@@ -246,7 +262,7 @@ def parse_nquads_lines(batch: pa.Table, *, on_error: str = "raise", counter=None
     bad = ext[0].isna() & ext[1].isna()
     if bad.any():
         if on_error == "raise":
-            raise ValueError(f"malformed N-Quads line: {lines[bad].iloc[0]!r}")
+            raise _malformed_error("N-Quads", lines[bad].iloc[0])
         if counter is not None:
             counter.add.remote("malformed_lines", int(bad.sum()))
         ext = ext[~bad]

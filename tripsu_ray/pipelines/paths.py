@@ -16,7 +16,11 @@ expression here is a small nested-tuple AST:
 ``compile_path`` renders any inv/alt/seq composition to a DISTINCT edge
 Dataset ``(a, b)`` — each step is a map-only selection over the triples,
 alternation is a Dataset union, sequence is the union-tag hash exchange
-from the BGP engine (both sides stream; no driver materialization).
+from the BGP engine. Sequence joins and global DISTINCTs are size-gated
+(``_PATH_DRIVER_MAX``): at or under the gate they run as one in-process
+pandas pass (the stages/graph.py ``driver_max`` precedent — bit-equal,
+tested vs the forced distributed plan), above it both sides stream
+through a data-sized hash exchange.
 
 ``p+`` (``path_plus``) is evaluated ANCHORED at a seed set, the shape
 every distributed engine uses for transitive closure: level-synchronous
@@ -71,8 +75,38 @@ def _npred_edges(triples, preds, *, inverse: bool):
     return triples.map_batches(sel, batch_format="pyarrow")
 
 
-def _seq_join(e1, e2, *, num_partitions: int):
-    """(a→x) ⋈ (x→b): the union-tag midpoint exchange (both sides big)."""
+# Same driver-size gate as stages/graph.py (connected_components_str /
+# _local_triangle_core precedent): at or under the gate the edge relation is
+# driver-sized by definition, so the distributed exchange buys nothing but
+# fixed per-stage cost at the correctness gate's scale. Every gated local
+# path below computes the identical frame (bit-equality tested vs the
+# forced distributed plan); ``num_partitions`` stays the scale-out ceiling.
+_PATH_DRIVER_MAX = 1 << 20
+
+
+def _seq_join(e1, e2, *, num_partitions: int, driver_max: int = _PATH_DRIVER_MAX):
+    """(a→x) ⋈ (x→b): the union-tag midpoint exchange (both sides big).
+
+    Size-gated: both sides are pinned to count them (the join consumes
+    them either way); at or under ``driver_max`` combined rows the join
+    runs as one in-process merge, else the midpoint exchange runs with a
+    data-sized partition count."""
+    import ray
+    import ray.data
+
+    e1 = e1.materialize()
+    e2 = e2.materialize()
+    n = e1.count() + e2.count()
+    if n <= driver_max:
+        l = e1.to_pandas()
+        r = e2.to_pandas()
+        out = (
+            l.rename(columns={"b": "mid"})
+            .merge(r.rename(columns={"a": "mid"}), on="mid")[["a", "b"]]
+            .drop_duplicates(ignore_index=True)
+        )
+        return ray.data.from_pandas(out)
+    num_partitions = max(4, min(num_partitions, n // 2500 + 1))
 
     def tag(side):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -112,7 +146,8 @@ def _seq_join(e1, e2, *, num_partitions: int):
     return u.groupby("_part").map_groups(join_part, batch_format="pandas")
 
 
-def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = False):
+def compile_path(triples, expr, *, num_partitions: int = _P,
+                 driver_max: int = _PATH_DRIVER_MAX, _inverse: bool = False):
     """Path AST (inv/alt/seq over predicate steps) → edge Dataset (a, b).
 
     Dedup is batch-local; consumers do their own global DISTINCT
@@ -126,11 +161,11 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
         return _npred_edges(triples, expr[1:], inverse=_inverse)
     if op == "inv":
         return compile_path(
-            triples, expr[1], num_partitions=num_partitions, _inverse=not _inverse
+            triples, expr[1], num_partitions=num_partitions, driver_max=driver_max, _inverse=not _inverse
         )
     if op == "alt":
         parts = [
-            compile_path(triples, e, num_partitions=num_partitions, _inverse=_inverse)
+            compile_path(triples, e, num_partitions=num_partitions, driver_max=driver_max, _inverse=_inverse)
             for e in expr[1:]
         ]
         out = parts[0]
@@ -144,9 +179,9 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
             e1 = ("inv", e1)
             e2 = ("inv", e2)
         return _seq_join(
-            compile_path(triples, e1, num_partitions=num_partitions),
-            compile_path(triples, e2, num_partitions=num_partitions),
-            num_partitions=num_partitions,
+            compile_path(triples, e1, num_partitions=num_partitions, driver_max=driver_max),
+            compile_path(triples, e2, num_partitions=num_partitions, driver_max=driver_max),
+            num_partitions=num_partitions, driver_max=driver_max,
         )
     if op == "plus":
         raise ValueError(
@@ -162,19 +197,19 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
         if not (1 <= lo <= hi):
             raise ValueError(f"range bounds must satisfy 1 <= lo <= hi: {lo},{hi}")
         base = path_distinct(
-            compile_path(triples, e, num_partitions=num_partitions),
-            num_partitions=num_partitions,
+            compile_path(triples, e, num_partitions=num_partitions, driver_max=driver_max),
+            num_partitions=num_partitions, driver_max=driver_max,
         ).materialize()
         powers = [base]
         for i in range(hi - 1):
-            nxt = _seq_join(powers[-1], base, num_partitions=num_partitions)
+            nxt = _seq_join(powers[-1], base, num_partitions=num_partitions, driver_max=driver_max)
             if i < hi - 2:
                 # intermediate powers are REUSED (joined with base next
                 # round): distinct+pin keeps the join input minimal. The
                 # last power feeds only the union — the consumer's
                 # top-level distinct covers it, so skip the extra
                 # exchange + materialization there.
-                nxt = path_distinct(nxt, num_partitions=num_partitions).materialize()
+                nxt = path_distinct(nxt, num_partitions=num_partitions, driver_max=driver_max).materialize()
             powers.append(nxt)
         out = powers[lo - 1]
         for p in powers[lo:]:
@@ -183,8 +218,24 @@ def compile_path(triples, expr, *, num_partitions: int = _P, _inverse: bool = Fa
     raise ValueError(f"unknown path op: {op!r}")
 
 
-def path_distinct(edges, *, num_partitions: int = _P):
-    """Globally DISTINCT (a, b) — one row-hash exchange over the edges."""
+def path_distinct(edges, *, num_partitions: int = _P, driver_max: int = _PATH_DRIVER_MAX):
+    """Globally DISTINCT (a, b) — one row-hash exchange over the edges.
+
+    Size-gated like :func:`_seq_join`: a top-level path result at or
+    under ``driver_max`` rows is driver-destined anyway, so the local
+    drop_duplicates is exchange-free and bit-equal."""
+    import ray
+    import ray.data
+
+    edges = edges.materialize()
+    n = edges.count()
+    if n <= driver_max:
+        out = edges.to_pandas()
+        if not len(out):
+            out = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("a", "b")})
+        out = out[["a", "b"]].drop_duplicates(ignore_index=True)
+        return ray.data.from_pandas(out)
+    num_partitions = max(4, min(num_partitions, n // 2500 + 1))
 
     def redist(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(ignore_index=True)
