@@ -281,8 +281,7 @@ def oracle_sql() -> dict[str, str]:
     vs their exact anchors), multimodal_features (feature vector from
     binary payloads), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
-    kg_core_numbers (iterative H-index fixpoint — exact-equal to
-    sequential peeling in tests), ann_pq (PQ-compressed candidate scan — recall vs ann_topk
+    ann_pq (PQ-compressed candidate scan — recall vs ann_topk
     asserted in tests), text_bpe_train (iterative merge learning —
     sequential replay asserted in tests), kg_random_walks (deterministic
     hash-seeded walks — exact-equal to a sequential replay in tests, but
@@ -329,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_npred": paths.sql_kg_path_npred(),
         "kg_path_range": paths.sql_kg_path_range(),
         "kg_pagerank": oracle.sql_pagerank_q(),
+        "kg_core_numbers": oracle.sql_core_numbers(),
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_bgp_page": bgp.sql_kg_bgp_page(),
         "kg_bgp_bind": bgp.sql_kg_bgp_bind(),

@@ -1887,3 +1887,34 @@ def test_triangle_family_distributed_path_equals_driver_gate():
         fast = fn(_ds(edges, blocks=4), num_partitions=4)
         slow = fn(_ds(edges, blocks=4), num_partitions=4, driver_max=0)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_core_numbers_sql_oracle_matches_engine():
+    """The unrolled H-index SQL oracle (oracle.sql_core_numbers) must equal
+    the engine's q_core_numbers frame exactly — the H operator is
+    idempotent at the fixpoint, so the fixed SQL unroll past convergence
+    yields the same coreness the distributed fixpoint does."""
+    import duckdb
+
+    from tripsu_ray.pipelines.oracle import sql_core_numbers
+    from tripsu_ray.pipelines.queries import q_core_numbers
+
+    sf = "/root/testdata/sf0.001"
+    got = q_core_numbers(sf)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = got.sort_values("node", ignore_index=True).astype({"core": "int64"})
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = (
+        con.execute(sql_core_numbers())
+        .df()
+        .sort_values("node", ignore_index=True)
+        .astype({"core": "int64"})
+    )
+    pd.testing.assert_frame_equal(got[["node", "core"]], want[["node", "core"]])

@@ -381,6 +381,51 @@ FROM walk GROUP BY node ORDER BY node"""
     )
 
 
+def sql_core_numbers(*, n_iter: int = 64) -> str:
+    """Exact coreness oracle — K UNROLLED iterated-H-index rounds, same
+    update rule as ``stages.graph.core_numbers`` (Lü et al. 2016: init
+    est = distinct-neighbor degree; per round est[v] ← H-index of the
+    neighbors' estimates, where H = max_i min(i, c_(i)) over the
+    descending-sorted values). The H operator is IDEMPOTENT at the
+    fixpoint, so any K at or past the convergence round yields the exact
+    coreness — the engine converges in far fewer rounds at oracle scale
+    (its ``max_rounds`` raise is the witness), and extra SQL rounds are
+    no-ops. Standard SQL forbids GROUP BY in a recursive term, so the
+    fixed round count unrolls (generated Python; K CTEs cost nothing).
+    Closes the round-2 'kg_core_numbers has no SQL oracle' gap the same
+    way sql_pagerank_q closed PageRank's."""
+    rounds = []
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        cur = f"h{i}"
+        rounds.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT v, CAST(max(least(rn, c)) AS BIGINT) AS est FROM (
+    SELECT n.v, p.est AS c,
+           row_number() OVER (PARTITION BY n.v ORDER BY p.est DESC) AS rn
+    FROM sym n JOIN {prev} p ON p.v = n.u
+  ) GROUP BY v
+)""")
+        prev = cur
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS MATERIALIZED (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM edges UNION SELECT b AS v, a AS u FROM edges
+),
+h0 AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS est FROM sym GROUP BY v
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT v AS node, est AS core FROM {prev} ORDER BY node"""
+    )
+
+
 def sql_components() -> str:
     # Reachability-closure connected components (UNION-dedup recursive CTE):
     # exact but O(sum comp_size^2) rows — the sf0.01 oracle anchor for the

@@ -98,14 +98,17 @@ def _seq_join(e1, e2, *, num_partitions: int, driver_max: int = _PATH_DRIVER_MAX
     e2 = e2.materialize()
     n = e1.count() + e2.count()
     if n <= driver_max:
+        empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in ("a", "b")})
         l = e1.to_pandas()
         r = e2.to_pandas()
+        if "a" not in l.columns or "a" not in r.columns:  # empty side lost schema
+            return ray.data.from_pandas(empty)
         out = (
             l.rename(columns={"b": "mid"})
             .merge(r.rename(columns={"a": "mid"}), on="mid")[["a", "b"]]
             .drop_duplicates(ignore_index=True)
         )
-        return ray.data.from_pandas(out)
+        return ray.data.from_pandas(out if len(out) else empty)
     num_partitions = max(4, min(num_partitions, n // 2500 + 1))
 
     def tag(side):

@@ -202,8 +202,10 @@ def q_butterflies(sf_dir: str):
 def q_core_numbers(sf_dir: str):
     """Exact coreness of every entity-graph node via the iterated-H-index
     fixpoint (stages/graph.py::core_numbers — one adjacency shuffle, then
-    map-only rounds). Rows-only driver check (iterative fixpoint has no
-    SQL rendering); tests assert exact equality vs sequential peeling."""
+    map-only rounds). Oracle: unrolled H-index rounds in SQL
+    (oracle.sql_core_numbers — idempotent at the fixpoint, so a fixed
+    unroll count past convergence is exact); tests additionally assert
+    exact equality vs sequential peeling."""
     from ..stages.graph import core_numbers, entity_edges
 
     return core_numbers(_entity_edges(sf_dir))
