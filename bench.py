@@ -338,6 +338,13 @@ if __name__ == "__main__":
         # prints — min wall-time is the standard workload-cost estimator
         # under external interference (same policy as run_scaling)
         n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+        # one untimed warm-up run first: the very first pipeline execution
+        # after VM boot pays one-off costs (worker-process spawn, import and
+        # code-object page-in, object-store setup) that measured 3-4x the
+        # steady state and bleed into the next run or two; a full discarded
+        # run absorbs them so min-of-N measures the pipeline, not the boot
+        if os.environ.get("GRAFT_BENCH_WARMUP", "1") != "0":
+            run_bench()
         results = [run_bench() for _ in range(n_runs)]
         result = min(results, key=lambda r: r["value"])
         result["runs"] = n_runs

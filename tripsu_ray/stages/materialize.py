@@ -143,7 +143,13 @@ def dedup_split(
     import time as _time
 
     _t0 = _time.perf_counter()
-    triples.map_batches(dedup_and_hash, batch_format="pyarrow").write_parquet(t_path)
+    # lz4 for the checkpoint tier: measured ≈ snappy in wall time but the
+    # cheapest encode of the codecs tried (snappy/lz4/none interleaved A/B)
+    # and ~42% smaller than uncompressed — right trade for a RAM/odstore
+    # staging tier whose files are read back exactly once
+    triples.map_batches(dedup_and_hash, batch_format="pyarrow").write_parquet(
+        t_path, compression="lz4"
+    )
     T = _read_parquet_clean(t_path)
     if timings is not None:
         timings["ckpt_write"] = _time.perf_counter() - _t0
