@@ -92,13 +92,14 @@ _FLAGSHIP = (
     "kg_link_map", "kg_pipeline", "kg_incremental",
 )
 
-# Queries measured >2.5 s at the gate's sf0.01 (tools/time_queries.py):
-# sink to the back of their family bucket so a time-budget cutoff lands on
-# them last and cheap queries maximize checked coverage.
+# Most expensive queries at the gate's sf0.01 (tools/time_queries.py,
+# quiet-window sweep: total 111.7 s / 173 queries, max 2.96 s): sink to the
+# back of their family bucket so a time-budget cutoff lands on them last
+# and cheap queries maximize checked coverage.
 _COSTLY = {
-    "kg_bgp_agg", "kg_bgp_union", "kg_construct", "kg_describe",
-    "kg_bgp_optional", "kg_path_plus", "rel_q5_revenue", "rel_join_revenue",
-    "dedup_minhash", "dedup_simhash",
+    "ml_kmeans", "ml_semdedup", "rel_bloom_semi_join", "kg_random_walks",
+    "rel_shuffle_join", "dedup_minhash", "rel_merge_upsert", "rel_q5_revenue",
+    "kg_graph_diff", "dedup_simhash",
 }
 
 
