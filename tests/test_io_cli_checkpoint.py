@@ -647,3 +647,89 @@ def test_cli_pseudo_nquads_end_to_end(tmp_path):
     assert all(line.rstrip(" .").endswith("<http://ex/g1>") for line in lines)
     # Person name literal is hashed per the fixture rules
     assert not any('"Alice"' in line for line in lines)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGzipShards:
+    """gzip-compressed line shards: not byte-range splittable, so the
+    readers route each .gz file to one streaming decode task and union the
+    result with the byte-range stream from any plain siblings."""
+
+    def _triples(self, ds):
+        return {tuple(r.values()) for r in ds.take_all()}
+
+    def test_nt_gz_roundtrip_and_mixed_dir(self, tmp_path):
+        import gzip
+
+        ds = read_ntriples(FIXTURE_NT)
+        want = self._triples(ds)
+
+        # gzip-compressed write: every shard is a .nt.gz gzip stream
+        gz_out = str(tmp_path / "out_gz")
+        write_ntriples(ds, gz_out, compression="gzip")
+        shards = sorted(os.listdir(gz_out))
+        assert shards and all(s.endswith(".nt.gz") for s in shards)
+        with gzip.open(os.path.join(gz_out, shards[0]), "rt") as f:
+            assert f.readline().endswith(" .\n")
+        assert self._triples(read_ntriples(gz_out)) == want
+
+        # mixed directory: plain + gz shards together, each read once
+        mixed = tmp_path / "mixed"
+        mixed.mkdir()
+        lines = open(FIXTURE_NT).read().splitlines()
+        half = len(lines) // 2
+        (mixed / "a.nt").write_text("\n".join(lines[:half]) + "\n")
+        with gzip.open(mixed / "b.nt.gz", "wt") as f:
+            f.write("\n".join(lines[half:]) + "\n")
+        got = read_ntriples(str(mixed))
+        assert got.count() == len(lines)
+        assert self._triples(got) == want
+
+    def test_explicit_gz_file_path(self, tmp_path):
+        import gzip
+
+        gz = tmp_path / "g.nt.gz"
+        with gzip.open(gz, "wt") as f:
+            f.write(open(FIXTURE_NT).read())
+        assert read_ntriples(str(gz)).count() == 15
+
+    def test_nq_and_jsonl_gz(self, tmp_path):
+        import gzip
+
+        from tripsu_ray.sources.flatfiles import read_jsonl, read_nquads
+
+        nq = tmp_path / "q.nq.gz"
+        with gzip.open(nq, "wt") as f:
+            f.write('<http://e/s> <http://e/p> "v" <http://e/g> .\n')
+            f.write("<http://e/s2> <http://e/p> <http://e/o> .\n")
+        rows = read_nquads(str(nq)).take_all()
+        assert len(rows) == 2
+        assert {r.get("graph") for r in rows} == {"http://e/g", None}
+
+        jl = tmp_path / "d.jsonl.gz"
+        with gzip.open(jl, "wt") as f:
+            f.write(json.dumps({"subject": "http://e/s", "subject_kind": 0,
+                                "predicate": "http://e/p", "object_value": "v",
+                                "object_kind": 2, "object_lang": None,
+                                "object_datatype": None}) + "\n")
+        assert read_jsonl(str(jl)).count() == 1
+
+    def test_cli_convert_gz_to_gz(self, tmp_path):
+        import gzip
+
+        src = tmp_path / "in.nt.gz"
+        with gzip.open(src, "wt") as f:
+            f.write(open(FIXTURE_NT).read())
+        out = str(tmp_path / "out.nt.gz")
+        from tripsu_ray import cli
+
+        rc = cli.main(["convert", "-i", str(src), "-o", out])
+        assert rc in (0, None)
+        back = read_ntriples(out)
+        assert self._triples(back) == self._triples(read_ntriples(FIXTURE_NT))
+
+    def test_gz_output_rejected_for_non_nt(self, tmp_path):
+        from tripsu_ray.cli import _write_triples
+
+        with pytest.raises(SystemExit):
+            _write_triples(read_ntriples(FIXTURE_NT), str(tmp_path / "x.jsonl.gz"))

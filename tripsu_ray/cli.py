@@ -54,19 +54,22 @@ def _ray_session(num_cpus: int | None):
 def _read_triples(path: str, on_error: str, counter=None):
     import ray.data
 
-    if path.endswith(".nt") or path.endswith(".ntriples"):
+    # format detection sees through a trailing .gz (readers route compressed
+    # shards internally: one streaming decode task per .gz file)
+    base = path[: -len(".gz")] if path.endswith(".gz") else path
+    if base.endswith(".nt") or base.endswith(".ntriples"):
         from .sources.ntriples import read_ntriples
 
         return read_ntriples(path, on_error=on_error, counter=counter)
-    if path.endswith(".jsonl") or path.endswith(".ndjson"):
+    if base.endswith(".jsonl") or base.endswith(".ndjson"):
         from .sources.flatfiles import read_jsonl
 
         return read_jsonl(path)
-    if path.endswith(".tsv"):
+    if base.endswith(".tsv"):
         from .sources.flatfiles import read_tsv
 
         return read_tsv(path)
-    if path.endswith(".nq") or path.endswith(".nquads"):
+    if base.endswith(".nq") or base.endswith(".nquads"):
         from .sources.flatfiles import read_nquads
 
         return read_nquads(path, on_error=on_error, counter=counter)
@@ -88,9 +91,14 @@ def _write_triples(ds, path: str) -> list[str]:
     """Write to the sink chosen by extension; returns the columns that had
     to be dropped (quads → a sink with no graph slot: .nt / .tsv only —
     parquet and jsonl carry the 4th term through)."""
-    is_nq = path.endswith(".nq") or path.endswith(".nquads")
+    base = path[: -len(".gz")] if path.endswith(".gz") else path
+    is_nq = base.endswith(".nq") or base.endswith(".nquads")
+    if path.endswith(".gz") and not (base.endswith(".nt") or base.endswith(".ntriples")):
+        raise SystemExit(
+            f"compressed output is supported for .nt.gz only (got {path!r})"
+        )
     keeps_graph = is_nq or not (
-        path.endswith(".nt") or path.endswith(".ntriples") or path.endswith(".tsv")
+        base.endswith(".nt") or base.endswith(".ntriples") or base.endswith(".tsv")
     )
     dropped: list[str] = []
     if not keeps_graph and "graph" in (ds.schema().names or []):
@@ -103,15 +111,17 @@ def _write_triples(ds, path: str) -> list[str]:
         from .sources.flatfiles import write_nquads
 
         write_nquads(ds, path)
-    elif path.endswith(".nt") or path.endswith(".ntriples"):
+    elif base.endswith(".nt") or base.endswith(".ntriples"):
         from .sources.ntriples import write_ntriples
 
-        write_ntriples(ds, path)
-    elif path.endswith(".jsonl") or path.endswith(".ndjson"):
+        write_ntriples(
+            ds, path, compression="gzip" if path.endswith(".gz") else None
+        )
+    elif base.endswith(".jsonl") or base.endswith(".ndjson"):
         from .sources.flatfiles import write_jsonl
 
         write_jsonl(ds, path)
-    elif path.endswith(".tsv"):
+    elif base.endswith(".tsv"):
         from .sources.flatfiles import write_tsv
 
         write_tsv(ds, path)

@@ -37,7 +37,7 @@ from ..functions.rdf import (
     parse_ntriples_lines,
 )
 from ..schema import TRIPLES
-from .ntriples import _nt_chunk_specs, _read_nt_chunk
+from .ntriples import _expand_paths, _nt_chunk_specs, _read_nt_chunk
 
 _COLS = list(TRIPLES.names)
 
@@ -49,21 +49,27 @@ def _chunked_lines(paths, suffix: str, target_chunk_bytes: int | None):
     import ray.data
 
     try:
-        if target_chunk_bytes is None:
-            total = sum(
-                s[2] - s[1] for s in _nt_chunk_specs(paths, 1 << 62, suffix)
-            )
-            cpus = (
-                int(ray.cluster_resources().get("CPU", 8))
-                if ray.is_initialized()
-                else 8
-            )
-            target_chunk_bytes = min(64 << 20, max(4 << 20, total // (4 * cpus)))
-        specs = _nt_chunk_specs(paths, target_chunk_bytes, suffix)
+        plain, gz = _expand_paths(paths, suffix)
+        specs = []
+        if plain:
+            if target_chunk_bytes is None:
+                total = sum(
+                    s[2] - s[1] for s in _nt_chunk_specs(plain, 1 << 62, suffix)
+                )
+                cpus = (
+                    int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized()
+                    else 8
+                )
+                target_chunk_bytes = min(64 << 20, max(4 << 20, total // (4 * cpus)))
+            specs = _nt_chunk_specs(plain, target_chunk_bytes, suffix)
     except OSError:
         return None
+    # gz shards: one streaming decode per file (not range-splittable) — same
+    # contract as read_ntriples' gz branch
+    gz_ds = ray.data.read_text(gz) if gz else None
     if not specs:
-        return None
+        return gz_ds
 
     def read_chunk(batch: pa.Table) -> pa.Table:
         lines: list[str] = []
@@ -84,7 +90,8 @@ def _chunked_lines(paths, suffix: str, target_chunk_bytes: int | None):
             }
         )
     ).repartition(len(specs))
-    return specs_ds.map_batches(read_chunk, batch_size=1, batch_format="pyarrow")
+    lines = specs_ds.map_batches(read_chunk, batch_size=1, batch_format="pyarrow")
+    return lines.union(gz_ds) if gz_ds is not None else lines
 
 
 # --- JSONL -----------------------------------------------------------------

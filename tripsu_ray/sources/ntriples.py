@@ -48,6 +48,37 @@ def _nt_chunk_specs(
     return specs
 
 
+def _expand_paths(paths, suffix: str) -> tuple[list[str], list[str]]:
+    """paths → (plain_files, gz_files) for one line format.
+
+    Directories contribute their ``{suffix}`` members to the plain list and
+    ``{suffix}.gz`` members to the gz list (previously compressed shards in
+    a mixed directory were silently ignored). Explicit ``.gz`` paths go gz;
+    everything else plain. Raises OSError for non-stat-able paths (remote
+    URIs) — callers fall back to ``read_text`` on the raw input.
+    """
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    plain: list[str] = []
+    gz: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(suffix):
+                    plain.append(os.path.join(p, f))
+                elif f.endswith(suffix + ".gz"):
+                    gz.append(os.path.join(p, f))
+        elif str(p).endswith(".gz"):
+            os.stat(p)
+            gz.append(str(p))
+        else:
+            os.stat(p)
+            plain.append(str(p))
+    return plain, gz
+
+
 def _read_nt_chunk(file: str, start: int, end: int) -> list[str]:
     """Read [start, end) snapped to line boundaries.
 
@@ -110,17 +141,32 @@ def read_ntriples(
 
     kwargs = {"on_error": on_error, "counter": counter}
     try:
-        if target_chunk_bytes is None:
-            total = sum(s[2] - s[1] for s in _nt_chunk_specs(paths, 1 << 62))
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            target_chunk_bytes = min(64 << 20, max(4 << 20, total // (4 * cpus)))
-        specs = _nt_chunk_specs(paths, target_chunk_bytes)
-    except OSError:
+        plain, gz = _expand_paths(paths, ".nt")
         specs = []
-    if not specs:  # remote URIs etc. — read_text still shards by file
+        if plain:
+            if target_chunk_bytes is None:
+                total = sum(s[2] - s[1] for s in _nt_chunk_specs(plain, 1 << 62))
+                cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+                target_chunk_bytes = min(64 << 20, max(4 << 20, total // (4 * cpus)))
+            specs = _nt_chunk_specs(plain, target_chunk_bytes)
+    except OSError:
+        specs, gz = [], []
+    if not specs and not gz:  # remote URIs etc. — read_text still shards by file
         return ray.data.read_text(paths).map_batches(
             parse_ntriples_lines, fn_kwargs=kwargs, batch_format="pyarrow"
         )
+    # gzip shards are not byte-range splittable: one streaming decode task
+    # per file (read_text infers the codec from the extension). Parallelism
+    # on this branch = file count — shard compressed dumps at ingest.
+    gz_ds = (
+        ray.data.read_text(gz).map_batches(
+            parse_ntriples_lines, fn_kwargs=kwargs, batch_format="pyarrow"
+        )
+        if gz
+        else None
+    )
+    if not specs:
+        return gz_ds
 
     def parse_chunk(batch: pa.Table) -> pa.Table:
         out = []
@@ -144,19 +190,31 @@ def read_ntriples(
             }
         )
     ).repartition(len(specs))
-    return specs_ds.map_batches(parse_chunk, batch_size=1, batch_format="pyarrow")
+    chunked = specs_ds.map_batches(parse_chunk, batch_size=1, batch_format="pyarrow")
+    return chunked.union(gz_ds) if gz_ds is not None else chunked
 
 
-def write_ntriples(triples, path: str) -> None:
-    """triples Dataset → directory of .nt shard files."""
+def write_ntriples(triples, path: str, *, compression: str | None = None) -> None:
+    """triples Dataset → directory of .nt (or .nt.gz) shard files.
+
+    ``compression="gzip"`` emits one gzip stream per shard (the codec is
+    applied by the datasink's output stream, inferred from the ``.nt.gz``
+    file extension).
+    """
     from ray.data.datasource import BlockBasedFileDatasink
     from ray.data.block import BlockAccessor
 
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
+
     class NTriplesDatasink(BlockBasedFileDatasink):
         def __init__(self, p):
-            super().__init__(p, file_format="nt")
+            super().__init__(p, file_format="nt.gz" if compression else "nt")
 
         def write_block_to_file(self, block: BlockAccessor, file) -> None:
+            # the datasink's output stream already gzip-compresses when the
+            # file name ends .gz (codec inferred from the extension), so the
+            # payload is written plain on both paths
             table = block.to_arrow()
             lines = serialize_ntriples(table)["line"]
             payload = "\n".join(lines.to_pylist()) + "\n" if len(lines) else ""
