@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_census": q.q_pred_census,
         "kg_components": q.q_components,
         "kg_pagerank": q.q_pagerank,
+        "kg_hits": q.q_hits,
         "kg_co_neighbors": q.q_co_neighbors,
         "kg_link_scores": q.q_link_scores,
         "kg_adamic_adar": q.q_adamic_adar,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_npred": paths.sql_kg_path_npred(),
         "kg_path_range": paths.sql_kg_path_range(),
         "kg_pagerank": oracle.sql_pagerank_q(),
+        "kg_hits": oracle.sql_hits_q(),
         "kg_core_numbers": oracle.sql_core_numbers(),
         "kg_bgp_topk": bgp.sql_kg_bgp_topk(),
         "kg_bgp_page": bgp.sql_kg_bgp_page(),

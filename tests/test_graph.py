@@ -446,6 +446,63 @@ class TestPagerankJoinVariant:
         pd.testing.assert_frame_equal(auto_join, bc)
         pd.testing.assert_frame_equal(auto_bc, bc)
 
+    def test_hits_quantized_join_bit_equals_broadcast_and_gate(self):
+        """hits_quantized ≡ hits_quantized_join BIT-equal (all integer
+        arithmetic incl. the Python-int L1 norms), hits_auto's size gate
+        dispatches both ways, and both match a sequential big-int
+        reference of the documented update rule."""
+        rng = np.random.default_rng(55)
+        pairs = sorted(
+            {
+                (f"w{a:02d}", f"w{b:02d}")
+                for a, b in zip(rng.integers(0, 25, 120), rng.integers(0, 25, 120))
+                if a != b
+            }
+        )
+        df = pd.DataFrame(pairs, columns=["a", "b"])
+        bc = graph.hits_quantized(_ds(df, blocks=3), n_iter=4)
+        jn = graph.hits_quantized_join(_ds(df, blocks=3), n_iter=4, num_partitions=4)
+        pd.testing.assert_frame_equal(bc, jn)
+        auto_join = graph.hits_auto(_ds(df, blocks=3), driver_max=0, n_iter=4,
+                                    num_partitions=4)
+        auto_bc = graph.hits_auto(_ds(df, blocks=3), n_iter=4)
+        pd.testing.assert_frame_equal(auto_join, bc)
+        pd.testing.assert_frame_equal(auto_bc, bc)
+        # sequential arbitrary-precision reference (the docstring rule)
+        scale = 10**9
+        nodes = sorted({x for p in pairs for x in p})
+        h = {x: scale for x in nodes}
+        a: dict = {}
+        for _ in range(4):
+            araw: dict = {}
+            for s, t in pairs:
+                araw[t] = araw.get(t, 0) + h.get(s, 0)
+            tot = max(sum(araw.values()), 1)
+            a = {y: (v * scale) // tot for y, v in araw.items()}
+            hraw: dict = {}
+            for s, t in pairs:
+                hraw[s] = hraw.get(s, 0) + a.get(t, 0)
+            tot = max(sum(hraw.values()), 1)
+            h = {x: (v * scale) // tot for x, v in hraw.items()}
+        ref = (
+            pd.DataFrame(
+                {"node": nodes,
+                 "hub_q": [h.get(x, 0) for x in nodes],
+                 "auth_q": [a.get(x, 0) for x in nodes]}
+            )
+            .astype({"hub_q": "int64", "auth_q": "int64"})
+            .sort_values(["auth_q", "hub_q", "node"],
+                         ascending=[False, False, True], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(bc, ref)
+
+    def test_hits_empty_edges(self):
+        df = pd.DataFrame({"a": pd.Series([], dtype=object),
+                           "b": pd.Series([], dtype=object)})
+        out = graph.hits_quantized(_ds(df, blocks=1))
+        assert list(out.columns) == ["node", "hub_q", "auth_q"]
+        assert len(out) == 0
+
     def test_quantized_tracks_float_ranks(self):
         """Quantized integer ranks approximate the float iteration to
         ~1/scale: rank ordering of the clear top node agrees."""

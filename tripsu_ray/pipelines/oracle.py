@@ -351,6 +351,58 @@ ORDER BY rank_q DESC, node ASC LIMIT {top_k}"""
     )
 
 
+def sql_hits_q(*, n_iter: int = 4, scale: int = 10**9) -> str:
+    """Quantized HITS oracle — K UNROLLED round CTEs applying the
+    IDENTICAL integer update rule as ``stages.graph.hits_quantized``
+    (see its docstring: L1-normalized mutual reinforcement, all floor
+    divisions). The norm multiply runs in HUGEINT — araw·scale overflows
+    BIGINT exactly as it overflows int64, which is why the engine
+    normalizes in Python ints; the stored scores are ≤ scale and cast
+    back to BIGINT. Same unroll rationale as ``sql_pagerank_q``."""
+    rounds = []
+    prev_h = "h0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f""",
+araw{k} AS MATERIALIZED (
+  SELECT e.b AS node, sum(h.q) AS s
+  FROM edges e JOIN {prev_h} h ON h.node = e.a GROUP BY e.b
+),
+a{k} AS MATERIALIZED (
+  SELECT an.node,
+         CAST(CAST(coalesce(r.s, 0) AS HUGEINT) * {scale}
+              // greatest((SELECT sum(s) FROM araw{k}), 1) AS BIGINT) AS q
+  FROM allnodes an LEFT JOIN araw{k} r ON r.node = an.node
+),
+hraw{k} AS MATERIALIZED (
+  SELECT e.a AS node, sum(a.q) AS s
+  FROM edges e JOIN a{k} a ON a.node = e.b GROUP BY e.a
+),
+h{k} AS MATERIALIZED (
+  SELECT an.node,
+         CAST(CAST(coalesce(r.s, 0) AS HUGEINT) * {scale}
+              // greatest((SELECT sum(s) FROM hraw{k}), 1) AS BIGINT) AS q
+  FROM allnodes an LEFT JOIN hraw{k} r ON r.node = an.node
+)""")
+        prev_h = f"h{k}"
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS MATERIALIZED (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+allnodes AS MATERIALIZED (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS q FROM allnodes)"""
+        + "".join(rounds)
+        + f"""
+SELECT n.node AS node, h.q AS hub_q, a.q AS auth_q
+FROM allnodes n JOIN h{n_iter} h ON h.node = n.node
+JOIN a{n_iter} a ON a.node = n.node
+ORDER BY auth_q DESC, hub_q DESC, n.node ASC"""
+    )
+
+
 def sql_bfs() -> str:
     # Capped recursive-CTE BFS walk: UNION-dedup on (node, dist) pairs;
     # min(dist) per node = hop distance. The dist < 64 cap bounds the

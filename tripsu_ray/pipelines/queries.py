@@ -301,6 +301,19 @@ def q_pagerank(sf_dir: str, *, top_k: int = 50):
     return out.reset_index(drop=True)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the entity graph — the QUANTIZED
+    integer mutual reinforcement (stages/graph.py::hits_quantized;
+    4 rounds, L1-normalized), size-gated to the co-partitioned union-tag
+    plan beyond driver memory (hits_auto). Every per-round quantity is an
+    integer, so the unrolled-CTE SQL oracle (oracle.sql_hits_q)
+    hash-matches exactly — PageRank's sibling centrality, same quantized
+    discipline."""
+    from ..stages.graph import hits_auto
+
+    return hits_auto(_entity_edges(sf_dir))
+
+
 def q_rdfs_types(sf_dir: str):
     """RDFS subclass inference (rule rdfs9) over the extracted KG: the
     per-type distinct-subject census AFTER materializing inferred types

@@ -1765,6 +1765,319 @@ def pagerank_auto(edges_ds, *, driver_max: int = _PAGERANK_DRIVER_MAX, **kw):
     return pagerank_quantized_join(edges, **kw)
 
 
+_HITS_SCALE = 10**9
+
+
+def _hits_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"node": pd.Series([], dtype=object),
+         "hub_q": pd.Series([], dtype="int64"),
+         "auth_q": pd.Series([], dtype="int64")}
+    )
+
+
+def hits_quantized(
+    edges_ds, *, n_iter: int = 4, scale: int = _HITS_SCALE
+) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg) with EVERY per-round quantity
+    held in integers — the oracle-hash-exact rendering, same discipline
+    as :func:`pagerank_quantized` (float mutual reinforcement can't
+    hash-compare across engines; integer division is bit-identical).
+
+    Update rule (mirrored verbatim in ``oracle.sql_hits_q``):
+
+        h_0(x)    = scale                                 (all nodes)
+        araw_k(y) = Σ_{x→y} h_{k-1}(x)                    (distinct edges)
+        a_k(y)    = araw_k(y)·scale // max(Σ araw_k, 1)
+        hraw_k(x) = Σ_{x→y} a_k(y)
+        h_k(x)    = hraw_k(x)·scale // max(Σ hraw_k, 1)
+
+    L1 normalization replaces the classic L2 — the norm must stay
+    integer-exact, and any positive scaling preserves the HITS ranking.
+    Normalization runs in arbitrary-precision Python ints (araw·scale
+    overflows int64; the *stored* scores are ≤ scale so the distributed
+    folds stay int64). The hub/auth dicts are node-class driver state
+    (pagerank_quantized's documented budget); :func:`hits_quantized_join`
+    is the co-partitioned beyond-driver plan and :func:`hits_auto` the
+    size gate.
+
+    Returns (node, hub_q, auth_q) sorted by auth_q desc, hub_q desc,
+    node asc. No reference counterpart (the reference has no graph
+    analytics — SURVEY.md §2.4); sibling of the north rule's PageRank.
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return _hits_empty()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object)}
+        ).drop_duplicates()
+
+    def node_combine(frames):
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    nodes = np.sort(
+        tree_fold_tables(
+            edges.map_batches(node_partial, batch_format="pandas"), node_combine
+        )["node"].to_numpy()
+    )
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("node", sort=False, as_index=False)["s"].sum()
+
+    def norm(folded) -> dict:
+        # arbitrary-precision: v·scale exceeds int64 long before the
+        # folds themselves would; scores re-enter int64 range (≤ scale)
+        if folded is None or not len(folded):
+            return {}
+        vals = [int(v) for v in folded["s"]]
+        total = max(sum(vals), 1)
+        return {x: (v * scale) // total for x, v in zip(folded["node"], vals)}
+
+    hubs = {x: scale for x in nodes}
+    auths: dict = {}
+    for _ in range(n_iter):
+        h_ref = ray.put(hubs)
+
+        def astep(df: pd.DataFrame, _h=h_ref) -> pd.DataFrame:
+            h = ray.get(_h)
+            contrib = df["a"].astype(object).map(h).fillna(0)
+            part = pd.DataFrame(
+                {"node": df["b"].astype(object),
+                 "s": contrib.to_numpy(dtype=np.int64)}
+            )
+            return part.groupby("node", sort=False, as_index=False)["s"].sum()
+
+        auths = norm(
+            tree_fold_tables(edges.map_batches(astep, batch_format="pandas"), combine)
+        )
+        a_ref = ray.put(auths)
+
+        def hstep(df: pd.DataFrame, _a=a_ref) -> pd.DataFrame:
+            a = ray.get(_a)
+            contrib = df["b"].astype(object).map(a).fillna(0)
+            part = pd.DataFrame(
+                {"node": df["a"].astype(object),
+                 "s": contrib.to_numpy(dtype=np.int64)}
+            )
+            return part.groupby("node", sort=False, as_index=False)["s"].sum()
+
+        hubs = norm(
+            tree_fold_tables(edges.map_batches(hstep, batch_format="pandas"), combine)
+        )
+
+    out = pd.DataFrame(
+        {"node": nodes,
+         "hub_q": np.array([hubs.get(x, 0) for x in nodes], dtype=np.int64),
+         "auth_q": np.array([auths.get(x, 0) for x in nodes], dtype=np.int64)}
+    )
+    return out.sort_values(
+        ["auth_q", "hub_q", "node"], ascending=[False, False, True],
+        ignore_index=True,
+    )
+
+
+def hits_quantized_join(
+    edges_ds, *, n_iter: int = 4, scale: int = _HITS_SCALE,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """The co-partitioned (beyond-driver) plan for :func:`hits_quantized`
+    — same integer update rule, score tables live in Datasets keyed by
+    node-hash partition (pagerank_quantized_join's union-tag shape); the
+    only per-round driver scalars are the two L1 norms. Bit-equal to the
+    broadcast variant (tested).
+
+    Exactness note: contribution sums travel as object-dtype Python ints
+    through the apply merge so a NaN-fill can never round-trip large
+    sums through float64.
+    """
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return _hits_empty()
+    P = num_partitions
+
+    def part_of(keys) -> np.ndarray:
+        return (pd.util.hash_array(np.asarray(keys, dtype=object)) % P).astype("int64")
+
+    def _empty_tagged() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": pd.Series([], dtype="int8"),
+             "key": pd.Series([], dtype=object),
+             "dst": pd.Series([], dtype=object),
+             "q": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+
+    # kind 0 = edge keyed by source a (auth stage), kind 3 = edge keyed by
+    # target b (hub stage), kind 1 = score/node row, kind 2 = contribution
+    def tag_edges(df: pd.DataFrame, *, by_src: bool) -> pd.DataFrame:
+        key, dst = ("a", "b") if by_src else ("b", "a")
+        return pd.DataFrame(
+            {"kind": np.int8(0 if by_src else 3),
+             "key": df[key].to_numpy(dtype=object),
+             "dst": df[dst].to_numpy(dtype=object),
+             "q": np.int64(0),
+             "_part": part_of(df[key])}
+        )
+
+    edges_a = edges.map_batches(
+        tag_edges, fn_kwargs={"by_src": True}, batch_format="pandas"
+    ).materialize()
+    edges_b = edges.map_batches(
+        tag_edges, fn_kwargs={"by_src": False}, batch_format="pandas"
+    ).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"key": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object)}
+        ).drop_duplicates()
+        out["_part"] = part_of(out["key"])
+        return out
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns or not len(g):
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "_part": pd.Series([], dtype="int64")})
+        # reset_index: a non-contiguous index leaking into a downstream
+        # DataFrame constructor mis-aligns against fresh-index Series
+        return g.drop_duplicates("key").reset_index(drop=True)
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_rows(df: pd.DataFrame, q0: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": np.int8(1),
+             "key": df["key"].to_numpy(dtype=object),
+             "dst": pd.Series([None] * len(df), dtype=object),
+             "q": np.int64(q0),
+             "_part": df["_part"].to_numpy(dtype=np.int64)}
+        )
+
+    nodes_tagged = nodes.map_batches(
+        node_rows, fn_kwargs={"q0": 0}, batch_format="pandas"
+    ).materialize()
+    hub_rows = nodes.map_batches(
+        node_rows, fn_kwargs={"q0": scale}, batch_format="pandas"
+    ).materialize()
+    auth_rows = None
+
+    def contrib(g: pd.DataFrame, edge_kind: int) -> pd.DataFrame:
+        if "kind" not in g.columns or not len(g):
+            return _empty_tagged()
+        r = g[g["kind"] == 1][["key", "q"]]
+        e = g[g["kind"] == edge_kind][["key", "dst"]]
+        m = e.merge(r, on="key")
+        if not len(m):
+            return _empty_tagged()
+        out = m.groupby("dst", sort=False, as_index=False)["q"].sum()
+        return pd.DataFrame(
+            {"kind": np.int8(2), "key": out["dst"].astype(object),
+             "dst": pd.Series([None] * len(out), dtype=object),
+             "q": out["q"].to_numpy(dtype=np.int64),
+             "_part": part_of(out["dst"])}
+        )
+
+    import ray
+
+    def total_of(contribs) -> int:
+        def s_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"s": [int(df["q"].sum())] if len(df) else [0]})
+
+        parts = contribs.map_batches(s_partial, batch_format="pandas").to_pandas()
+        return int(parts["s"].sum())
+
+    def apply_scores(g: pd.DataFrame, total: int) -> pd.DataFrame:
+        if "kind" not in g.columns or not len(g):
+            return _empty_tagged()
+        nd = g[g["kind"] == 1][["key", "_part"]]
+        cs = g[g["kind"] == 2].groupby("key", sort=False, as_index=False)["q"].sum()
+        # map(int) yields TRUE Python ints (astype(object) would keep
+        # np.int64 cells, whose ·scale multiply wraps silently)
+        cs["q"] = cs["q"].map(int)
+        m = nd.merge(cs, on="key", how="left")
+        m["q"] = m["q"].where(m["q"].notna(), 0)
+        q = ((m["q"] * scale) // max(total, 1)).astype("int64")
+        return pd.DataFrame(
+            {"kind": np.int8(1), "key": m["key"].astype(object),
+             "dst": pd.Series([None] * len(m), dtype=object),
+             "q": q.to_numpy(dtype=np.int64),
+             "_part": m["_part"].to_numpy(dtype=np.int64)}
+        )
+
+    for _ in range(n_iter):
+        a_contribs = (
+            edges_a.union(hub_rows)
+            .groupby("_part")
+            .map_groups(lambda g: contrib(g, 0), batch_format="pandas")
+            .materialize()
+        )
+        s_a = total_of(a_contribs)
+        auth_rows = (
+            a_contribs.union(nodes_tagged)
+            .groupby("_part")
+            .map_groups(
+                lambda g, _t=s_a: apply_scores(g, _t), batch_format="pandas"
+            )
+            .materialize()
+        )
+        h_contribs = (
+            edges_b.union(auth_rows)
+            .groupby("_part")
+            .map_groups(lambda g: contrib(g, 3), batch_format="pandas")
+            .materialize()
+        )
+        s_h = total_of(h_contribs)
+        hub_rows = (
+            h_contribs.union(nodes_tagged)
+            .groupby("_part")
+            .map_groups(
+                lambda g, _t=s_h: apply_scores(g, _t), batch_format="pandas"
+            )
+            .materialize()
+        )
+
+    hubs = hub_rows.to_pandas()
+    auths = auth_rows.to_pandas()
+    out = (
+        hubs[hubs["kind"] == 1][["key", "q"]].rename(
+            columns={"key": "node", "q": "hub_q"}
+        )
+        .merge(
+            auths[auths["kind"] == 1][["key", "q"]].rename(
+                columns={"key": "node", "q": "auth_q"}
+            ),
+            on="node",
+        )
+        .astype({"hub_q": "int64", "auth_q": "int64"})
+    )
+    return out.sort_values(
+        ["auth_q", "hub_q", "node"], ascending=[False, False, True],
+        ignore_index=True,
+    )
+
+
+def hits_auto(edges_ds, *, driver_max: int = _PAGERANK_DRIVER_MAX, **kw):
+    """Size-gated quantized HITS (pagerank_auto's gate, same budget
+    class): at or under ``driver_max`` edges the broadcast plan runs
+    (score dicts are node-class driver state, ≤ edge count); above it the
+    co-partitioned join plan — bit-equal results (tested)."""
+    edges = edges_ds.materialize()
+    if edges.count() <= driver_max:
+        return hits_quantized(edges, **kw)
+    return hits_quantized_join(edges, **kw)
+
+
 def components_table(edges_ds) -> pd.DataFrame:
     """(node, component) DataFrame for every node incident to an edge,
     sorted — the driver-facing rendering of the label map."""
