@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values": bgp.q_kg_bgp_values,
         "kg_path_seq": paths.q_kg_path_seq,
         "kg_path_plus": paths.q_kg_path_plus,
+        "kg_path_star": paths.q_kg_path_star,
         "kg_path_npred": paths.q_kg_path_npred,
         "kg_path_range": paths.q_kg_path_range,
         "kg_bgp_topk": bgp.q_kg_bgp_topk,
@@ -217,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_mixture": docops.q_text_mixture,
         "text_decontaminate": docops.q_text_decontaminate,
         "text_unigram_logprob": docops.q_text_unigram_logprob,
+        "text_readability": docops.q_text_readability,
+        "text_dsir": docops.q_text_dsir,
         "text_bigram_logprob": docops.q_text_bigram_logprob,
         "text_shard_pack": docops.q_text_shard_pack,
         "text_repetition": docops.q_text_repetition,
@@ -375,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_values": bgp.sql_kg_bgp_values(),
         "kg_path_seq": paths.sql_kg_path_seq(),
         "kg_path_plus": paths.sql_kg_path_plus(),
+        "kg_path_star": paths.sql_kg_path_star(),
         "kg_path_npred": paths.sql_kg_path_npred(),
         "kg_path_range": paths.sql_kg_path_range(),
         "kg_pagerank": oracle.sql_pagerank_q(),
@@ -417,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "text_mixture": d.sql_text_mixture(),
         "text_decontaminate": d.sql_text_decontaminate(),
         "text_unigram_logprob": d.sql_text_unigram_logprob(),
+        "text_readability": d.sql_text_readability(),
+        "text_dsir": d.sql_text_dsir(),
         "text_bigram_logprob": d.sql_text_bigram_logprob(),
         "text_chunk": d.sql_text_chunk(),
         "text_shard_pack": d.sql_text_shard_pack(),

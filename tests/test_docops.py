@@ -110,6 +110,57 @@ def test_quality_kernel_gates():
     assert out.quality_score[3] < 5
 
 
+def test_readability_kernel():
+    # "See the cat. It sat!" → words=8? count by hand below
+    doc = "See the cat. It sat on a mat!"
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [doc, ""]})
+    out = text.readability_batch(df)
+    # tokens: see,the,cat,it,sat,on,a,mat = 8; sentences: '.', '!' = 2
+    # vowel groups: see(2:ee->1? 'ee' one group, e? see -> s[ee] =1)...
+    # compute against a transparent reference instead of hand counts:
+    import re as _re
+
+    n_w = len(_re.findall(r"[a-z0-9]+", doc.lower()))
+    n_s = len(_re.findall(r"[.!?]+", doc))
+    n_y = len(_re.findall(r"[aeiouy]+", doc.lower()))
+    assert out.loc[0, ["n_words", "n_sentences", "n_syllables"]].tolist() == [
+        n_w, n_s, n_y
+    ]
+    assert out.loc[0, "flesch_q"] == (
+        206_835 - (1015 * n_w) // max(n_s, 1) - (84_600 * n_y) // max(n_w, 1)
+    )
+    # empty doc: every count 0, score hits the clamped denominators
+    assert out.loc[1].tolist() == [2, 0, 0, 0, 206_835]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_prefers_target_like_docs(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # target docs share a distinctive vocabulary; one raw doc matches it,
+    # the other doesn't — DSIR must rank the matching doc higher
+    tgt = ["quantum flux capacitor alignment", "flux alignment of the capacitor"]
+    raw_like = "quantum capacitor flux"
+    raw_unlike = "banana smoothie recipe blender"
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": tgt + [raw_like, raw_unlike],
+         "lang": ["en", "en", "xx", "xx"],
+         "source": ["s"] * 4,
+         "n_chars": [len(t) for t in tgt] + [len(raw_like), len(raw_unlike)]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    out = (
+        text.text_dsir(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[3, "dsir_q"] > out.loc[4, "dsir_q"]
+    # weights are per-token sums: n_tokens matches the tokenizer
+    assert out.loc[3, "n_tokens"] == 3 and out.loc[4, "n_tokens"] == 4
+
+
 def test_pii_mask_kernel():
     import duckdb
     import hashlib

@@ -635,6 +635,64 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_text_readability() -> str:
+    # Mirror of stages/text.py::readability_batch — Flesch coefficients
+    # ×1000, all floor divisions over nonnegative ints.
+    from ..stages.text import SENT_RE, SYL_RE
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_words,
+    len(regexp_extract_all(text, '{SENT_RE.replace("'", "''")}')) AS n_sentences,
+    len(regexp_extract_all(lower(text), '{SYL_RE}')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+             - (84600 * n_syllables) // greatest(n_words, 1) AS BIGINT) AS flesch_q
+FROM sig ORDER BY doc_id
+""".strip()
+
+
+def sql_text_dsir() -> str:
+    # Mirror of stages/text.py::text_dsir — add-one-smoothed target-vs-raw
+    # unigram log-likelihood ratio, per-token quantities floor-quantized
+    # BEFORE subtraction/summation (same ln/floor trust as unigram LM).
+    from ..stages.text import DSIR_TARGET_LANG
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS n_all,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_tgt
+  FROM toks GROUP BY tok
+), consts AS (
+  SELECT count(*) AS v_sz, sum(n_all) AS na, sum(n_tgt) AS nt FROM vocab
+), delta AS (
+  SELECT tok,
+    CAST(floor(1000000 * (ln(CAST(n_tgt + 1 AS DOUBLE))
+                          - ln(CAST(nt + v_sz AS DOUBLE)))) AS BIGINT)
+  - CAST(floor(1000000 * (ln(CAST(n_all + 1 AS DOUBLE))
+                          - ln(CAST(na + v_sz AS DOUBLE)))) AS BIGINT) AS dq
+  FROM vocab, consts
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(d.dq) AS w
+  FROM toks t JOIN delta d USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.w, 0) AS BIGINT) AS dsir_q
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_repetition() -> str:
     from ..stages.text import REP_NGRAM as N
 

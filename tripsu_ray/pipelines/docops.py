@@ -39,6 +39,8 @@ q_text_nb_confusion = text.text_nb_confusion
 q_text_mixture = text.text_mixture
 q_text_decontaminate = text.text_decontaminate
 q_text_unigram_logprob = text.text_unigram_logprob
+q_text_readability = text.text_readability
+q_text_dsir = text.text_dsir
 q_text_shard_pack = text.text_shard_pack
 q_text_repetition = text.text_repetition
 q_text_curate = text.text_curate

@@ -439,6 +439,49 @@ def path_star(triples, expr, seeds, *, max_rounds: int = 64, num_partitions: int
     return out.astype({"dist": "int64"})
 
 
+def q_kg_path_star(sf_dir: str, *, num_partitions: int = _P) -> pd.DataFrame:
+    """Zero-or-more path showcase — ``mod/core (<imports>|^<imports>)* ?x``:
+    the hub module itself (dist 0, SPARQL ``p*`` reflexivity) plus its
+    full undirected import closure with min hop counts (the ``p+`` query's
+    result). Oracle: the path_plus recursive CTE seeded at dist 0."""
+    from ..stages.extract import MOD_NS, NS
+
+    from .queries import _extracted
+
+    return path_star(
+        _extracted(sf_dir),
+        ("alt", ("pred", NS + "imports"), ("inv", ("pred", NS + "imports"))),
+        [MOD_NS + "core"],
+        num_partitions=num_partitions,
+    )
+
+
+def sql_kg_path_star() -> str:
+    from ..sources.synth import SOURCE_FILES_SQL
+    from ..stages.extract import MOD_NS, NS
+    from .oracle import _q, build_raw_triples_cte, files_cte, syms_cte
+
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+ie AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples WHERE p = {_q(NS + "imports")}
+),
+sym AS (SELECT a, b FROM ie UNION SELECT b AS a, a AS b FROM ie),
+walk AS (
+  SELECT {_q(MOD_NS + "core")} AS node, 0 AS dist
+  UNION
+  SELECT s.b AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.a = w.node WHERE w.dist < 64
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node"""
+    )
+
+
 def path_opt(
     triples, expr, seeds, *, num_partitions: int = _P
 ) -> pd.DataFrame:

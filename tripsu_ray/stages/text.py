@@ -1389,6 +1389,131 @@ def text_unigram_logprob(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+# --- readability (Flesch-style, integer-quantized) ---------------------------
+
+SENT_RE = r"[.!?]+"
+SYL_RE = r"[aeiouy]+"
+
+
+def readability_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc Flesch-reading-ease surrogate, quantized to an int:
+
+        flesch_q = 206835 − (1015·words) // max(sentences,1)
+                          − (84600·syllables) // max(words,1)
+
+    (the classic 206.835/1.015/84.6 coefficients ×1000, floor-divided so
+    the score is bit-identical across engines). Sentences = ``[.!?]+``
+    runs; syllables = vowel-group count — the standard cheap heuristic.
+    All counts vectorized regex, no per-row Python."""
+    low = batch["text"].str.lower()
+    n_words = low.str.count(TOKEN_RE, flags=_RE_FLAGS).astype("int64")
+    n_sents = batch["text"].str.count(SENT_RE, flags=_RE_FLAGS).astype("int64")
+    n_syll = low.str.count(SYL_RE, flags=_RE_FLAGS).astype("int64")
+    flesch_q = (
+        206_835
+        - (1015 * n_words) // n_sents.clip(lower=1)
+        - (84_600 * n_syll) // n_words.clip(lower=1)
+    ).astype("int64")
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"].astype("int64"),
+         "n_words": n_words, "n_sentences": n_sents,
+         "n_syllables": n_syll, "flesch_q": flesch_q}
+    )
+
+
+def text_readability(sf_dir: str):
+    """Stateless vectorized readability scoring over the documents table
+    (doc_oracle.sql_text_readability mirrors the arithmetic)."""
+    return _docs(sf_dir).map_batches(readability_batch, batch_format="pandas")
+
+
+# --- DSIR-style importance weights -------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def text_dsir(sf_dir: str, *, target_lang: str = DSIR_TARGET_LANG):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per document, the quantized log-likelihood ratio between a TARGET
+    unigram LM (docs whose ``lang`` equals ``target_lang``) and the RAW
+    corpus LM — the score importance resampling draws against when
+    curating pretraining data toward a target distribution.
+
+    One fold builds BOTH censuses at once (per-batch ``value_counts``
+    over all tokens + over target-doc tokens → (token, n_all, n_tgt)
+    partials, tree-folded); both LMs are add-one smoothed over the
+    SHARED vocabulary so the ratio is defined for every corpus token.
+    Per-token log-probs quantize to ``floor(10⁶·(ln(n+1) − ln(N+V)))``
+    int64 BEFORE the subtraction and the per-doc sum, keeping the
+    reduction associative and the DuckDB oracle hash-exact
+    (text_unigram_logprob's discipline). The delta map is vocab-sized
+    driver state — the type-index broadcast budget."""
+    import math
+
+    import ray
+
+    from .folds import tree_fold_tables
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        flat_all = pd.Series(
+            np.concatenate(toks.to_numpy()) if len(toks) else [], dtype=object
+        )
+        va = flat_all.value_counts()
+        tmask = (b["lang"] == target_lang).to_numpy()
+        toks_t = toks[tmask]
+        flat_t = pd.Series(
+            np.concatenate(toks_t.to_numpy()) if tmask.any() else [], dtype=object
+        )
+        vt = flat_t.value_counts()
+        out = pd.DataFrame(
+            {"token": va.index.astype(object),
+             "n_all": va.to_numpy().astype("int64")}
+        )
+        out["n_tgt"] = out["token"].map(vt).fillna(0).astype("int64")
+        return out
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("token", sort=False, as_index=False)[
+            ["n_all", "n_tgt"]
+        ].sum()
+
+    vocab = tree_fold_tables(docs.map_batches(census, batch_format="pandas"), combine)
+    if vocab is None or not len(vocab):
+        delta: dict = {}
+    else:
+        v_sz = len(vocab)
+        ln_da = math.log(float(int(vocab["n_all"].sum()) + v_sz))
+        ln_dt = math.log(float(int(vocab["n_tgt"].sum()) + v_sz))
+        delta = {
+            t: int(math.floor(1_000_000 * (math.log(float(nt + 1)) - ln_dt)))
+            - int(math.floor(1_000_000 * (math.log(float(na + 1)) - ln_da)))
+            for t, na, nt in zip(vocab["token"], vocab["n_all"], vocab["n_tgt"])
+        }
+    ref = ray.put(delta)
+
+    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        d = ray.get(_ref)
+        toks = b["text"].str.lower().str.findall(_token_pat)
+        n_tokens = toks.str.len().astype("int64")
+        flat = toks.explode().dropna()
+        if len(flat):
+            w = flat.map(d).groupby(level=0).sum()
+        else:
+            w = pd.Series(dtype="int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "n_tokens": n_tokens,
+             "dsir_q": w.reindex(b.index).fillna(0).astype("int64")}
+        ).reset_index(drop=True)
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 # --- token-budget shard packing (distributed prefix sum) ---------------------
 
 SHARD_TOKEN_BUDGET = 4096
