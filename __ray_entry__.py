@@ -336,9 +336,7 @@ def oracle_sql() -> dict[str, str]:
     not SQL-reproducible; error <2% vs exact asserted in tests),
     ann_pq (PQ-compressed candidate scan — recall vs ann_topk
     asserted in tests), text_bpe_train (iterative merge learning —
-    sequential replay asserted in tests), kg_random_walks (deterministic
-    hash-seeded walks — exact-equal to a sequential replay in tests, but
-    the SipHash step choice has no SQL rendering).
+    sequential replay asserted in tests).
     """
     from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle, paths
 
@@ -368,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss_support": oracle.sql_truss_support(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
+        "kg_random_walks": oracle.sql_random_walks(),
         "kg_bgp": bgp.sql_kg_bgp(),
         "kg_bgp_optional": bgp.sql_kg_bgp_optional(),
         "kg_bgp_agg": bgp.sql_kg_bgp_agg(),

@@ -47,7 +47,9 @@ def test_text_patterns_cross_engine_hypothesis():
         _RE_FLAGS,
         BPE_RE,
         PUNCT_RE,
+        SENT_RE,
         STOP_RE,
+        SYL_RE,
         TOKEN_RE,
         WS_TOKEN_RE,
     )
@@ -58,7 +60,7 @@ def test_text_patterns_cross_engine_hypothesis():
     )
     texts = st.text(alphabet=alphabet, max_size=60)
 
-    pats = [TOKEN_RE, STOP_RE, BPE_RE, PUNCT_RE, WS_TOKEN_RE]
+    pats = [TOKEN_RE, STOP_RE, BPE_RE, PUNCT_RE, WS_TOKEN_RE, SENT_RE, SYL_RE]
     compiled = [_re.compile(p, _RE_FLAGS) for p in pats]
 
     @settings(max_examples=200, deadline=None)

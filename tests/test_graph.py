@@ -1238,7 +1238,11 @@ class TestRandomWalks:
 
     @staticmethod
     def _reference(edges, num_walks=2, walk_len=4):
-        # sequential replay of the exact same hash formula
+        # sequential replay of the exact same seed + step formula
+        import hashlib
+
+        from tripsu_ray.stages.graph import _WALK_STEP_C
+
         adj: dict[str, list[str]] = {}
         sym = set()
         for a, b in edges:
@@ -1249,14 +1253,13 @@ class TestRandomWalks:
         rows = []
         for start in sorted(adj):
             for wno in range(num_walks):
+                seed = int(
+                    hashlib.sha256(f"{start}\x1f{wno}".encode()).hexdigest()[:15], 16
+                )
                 cur, path = start, start
                 for step in range(1, walk_len + 1):
                     nbrs = adj[cur]
-                    key = f"{start}\x1f{wno}\x1f{step}\x1f{cur}"
-                    h = int(
-                        pd.util.hash_array(np.array([key], dtype=object))[0]
-                    ) % len(nbrs)
-                    cur = nbrs[h]
+                    cur = nbrs[(seed ^ (step * _WALK_STEP_C)) % len(nbrs)]
                     path += ">" + cur
                 rows.append((start, wno, path))
         return pd.DataFrame(rows, columns=["start", "walk_no", "walk"])

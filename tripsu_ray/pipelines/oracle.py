@@ -403,6 +403,57 @@ ORDER BY auth_q DESC, hub_q DESC, n.node ASC"""
     )
 
 
+def sql_random_walks(*, num_walks: int = 2, walk_len: int = 4) -> str:
+    """Walk-corpus oracle — K UNROLLED step CTEs replaying the IDENTICAL
+    seed + step formula as ``stages.graph.random_walks``: per-walk seed
+    ``('0x' || substr(sha256(start||US||walk_no), 1, 15))::BIGINT``
+    (bit-equal to Python's ``int(hexdigest[:15], 16)``, verified in
+    test), step k picks neighbor rank ``xor(seed, k·C) % degree`` into
+    the nbr-ascending ROW_NUMBER ranking — the closure that moved
+    kg_random_walks from rows-only to hash-checked."""
+    from ..stages.graph import _WALK_STEP_C
+
+    steps = []
+    prev = "w0"
+    for k in range(1, walk_len + 1):
+        cur = f"w{k}"
+        steps.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT w.start, w.walk_no, w.path || '>' || a.nbr AS path, a.nbr AS cur,
+         w.seed
+  FROM {prev} w JOIN adj a
+    ON a.node = w.cur AND a.rk = xor(w.seed, {k * _WALK_STEP_C}) % a.deg
+)""")
+        prev = cur
+    return (
+        _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        + f""",
+edges AS MATERIALIZED (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS (SELECT a AS node, b AS nbr FROM edges
+        UNION SELECT b AS node, a AS nbr FROM edges),
+adj AS MATERIALIZED (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rk,
+         count(*) OVER (PARTITION BY node) AS deg
+  FROM sym
+),
+w0 AS MATERIALIZED (
+  SELECT n.node AS start, wn.wn AS walk_no, n.node AS path, n.node AS cur,
+         ('0x' || substr(sha256(n.node || chr(31) || CAST(wn.wn AS VARCHAR)),
+                         1, 15))::BIGINT AS seed
+  FROM (SELECT DISTINCT node FROM sym) n
+  CROSS JOIN (SELECT unnest(generate_series(0, {num_walks - 1})) AS wn) wn
+)"""
+        + "".join(steps)
+        + f"""
+SELECT start, CAST(walk_no AS BIGINT) AS walk_no, path AS walk
+FROM {prev} ORDER BY start, walk_no"""
+    )
+
+
 def sql_bfs() -> str:
     # Capped recursive-CTE BFS walk: UNION-dedup on (node, dist) pairs;
     # min(dist) per node = hop distance. The dist < 64 cap bounds the

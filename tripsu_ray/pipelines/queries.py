@@ -245,9 +245,10 @@ def q_repo_profile(sf_dir: str):
 
 def q_random_walks(sf_dir: str):
     """Deterministic node2vec-style walk corpus over the entity graph
-    (stages/graph.py::random_walks — hash-seeded step choice, one exchange
-    per step). Rows-only driver check (walks have no SQL rendering);
-    tests replay the hash formula sequentially and assert exact equality."""
+    (stages/graph.py::random_walks — sha256-seeded walks, xor-hash step
+    choice, one exchange per step). Hash-checked: oracle.sql_random_walks
+    unrolls the identical seed + step formula (moved from rows-only in
+    round 3); tests additionally replay it sequentially."""
     from ..stages.graph import entity_edges, random_walks
 
     return random_walks(_entity_edges(sf_dir))

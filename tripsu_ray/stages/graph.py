@@ -2266,6 +2266,11 @@ def characteristic_sets(triples, *, num_partitions: int = _HASH_PARTS):
     )
 
 
+# 60-bit odd constant (golden-ratio word >> 4): k·C stays under 2^63 for
+# any realistic walk length, so the SQL BIGINT xor can't overflow
+_WALK_STEP_C = 0x09E3779B97F4A7C1
+
+
 def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
                  num_partitions: int = 32):
     """node2vec-style walk corpus over the (symmetrized) entity graph →
@@ -2273,11 +2278,17 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
     path of ``walk_len`` steps — the KG → embedding-training-data bridge
     (DeepWalk/node2vec input shape).
 
-    DETERMINISTIC by construction (reproducible shards, engine-testable):
-    step choice is ``hash(start, walk_no, step, cur) % degree`` into the
-    SORTED neighbor list (pd.util.hash_array's fixed-key SipHash — stable
-    across processes/partitionings), not an RNG. Tests replay the same
-    formula sequentially.
+    DETERMINISTIC by construction (reproducible shards, engine-testable,
+    and — unlike an in-process hash — SQL-RENDERABLE, so the walk corpus
+    is oracle-hash-checked): each walk draws ONE 60-bit seed
+    ``int(sha256(f"{start}\\x1f{walk_no}").hexdigest()[:15], 16)`` at
+    seed time, and step k chooses neighbor index
+    ``(seed XOR k·0x09E3779B97F4A7C1) % degree`` into the SORTED neighbor
+    list — pure int64 numpy per step (the sha256 is once per WALK, never
+    per step; DuckDB computes the identical seed via
+    ``('0x' || substr(sha256(...), 1, 15))::BIGINT`` and the identical
+    step via ``xor()``, see oracle.sql_random_walks). Tests replay the
+    same formula sequentially.
 
     Plan: adjacency is built once (one node-hash exchange, materialized —
     each round re-reads it, never re-extracts) and each of the
@@ -2288,7 +2299,6 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
     next round. Walk state lives in the frontier rows — the driver never
     holds walks or edges.
     """
-    _US = "\x1f"
 
     def sym_adj(df: pd.DataFrame) -> pd.DataFrame:
         if "a" not in df.columns or not len(df):
@@ -2323,22 +2333,31 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
         .materialize()
     )
 
+    import hashlib as _hl
+
     def seed(df: pd.DataFrame) -> pd.DataFrame:
         if "node" not in df.columns or not len(df):
             return pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in ("start", "path", "cur")}
-            ).assign(walk_no=pd.Series([], dtype="int64"))
+            ).assign(walk_no=pd.Series([], dtype="int64"),
+                     seed=pd.Series([], dtype="int64"))
         nodes = df["node"].unique()
         n = len(nodes)
         rep = np.repeat(nodes, num_walks)
         wno = np.tile(np.arange(num_walks, dtype=np.int64), n)
+        seeds = np.fromiter(
+            (int(_hl.sha256(f"{s}\x1f{w}".encode()).hexdigest()[:15], 16)
+             for s, w in zip(rep, wno)),
+            dtype=np.int64, count=len(rep),
+        )
         return pd.DataFrame(
-            {"start": rep, "walk_no": wno, "path": rep.copy(), "cur": rep}
+            {"start": rep, "walk_no": wno, "path": rep.copy(), "cur": rep,
+             "seed": seeds}
         )
 
     frontier = adjacency.map_batches(seed, batch_format="pandas").materialize()
 
-    _FCOLS = ["start", "walk_no", "path", "cur"]
+    _FCOLS = ["start", "walk_no", "path", "cur", "seed"]
 
     def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
         if "node" not in df.columns or not len(df):
@@ -2365,6 +2384,7 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
                 df = pd.DataFrame({c: pd.Series([], dtype=object) for c in _FCOLS})
             out = df[_FCOLS].copy()
             out["walk_no"] = out["walk_no"].astype(object)
+            out["seed"] = out["seed"].astype(object)
             out["node"] = pd.Series([None] * len(out), dtype=object)
             out["nbr"] = pd.Series([None] * len(out), dtype=object)
             out["_side"] = np.int8(1)
@@ -2380,6 +2400,7 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
                     "walk_no": pd.Series([], dtype="int64"),
                     "path": pd.Series([], dtype=object),
                     "cur": pd.Series([], dtype=object),
+                    "seed": pd.Series([], dtype="int64"),
                 }
             )
             if not len(g) or "_side" not in g.columns:
@@ -2400,13 +2421,8 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
             # symmetric graph: every frontier node was reached along an
             # edge, so its degree is ≥ 1 in its own partition
             assert (deg > 0).all(), "walk reached a node with no adjacency rows"
-            key = (
-                fr["start"].astype(str)
-                + _US + fr["walk_no"].astype(str)
-                + _US + str(_step)
-                + _US + fr["cur"].astype(str)
-            )
-            h = pd.util.hash_array(key.to_numpy(dtype=object)) % deg.astype("uint64")
+            seeds = fr["seed"].astype("int64").to_numpy().astype(np.uint64)
+            h = (seeds ^ np.uint64(_step * _WALK_STEP_C)) % deg.astype(np.uint64)
             nxt = nbrs_sorted[lo + h.astype(np.int64)]
             return pd.DataFrame(
                 {
@@ -2414,6 +2430,7 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
                     "walk_no": fr["walk_no"].astype("int64").to_numpy(),
                     "path": (fr["path"].astype(str) + ">" + nxt).to_numpy(dtype=object),
                     "cur": nxt,
+                    "seed": fr["seed"].astype("int64").to_numpy(),
                 }
             )
 
