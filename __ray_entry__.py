@@ -327,7 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """SQL oracles for every SQL-expressible query above.
 
-    Intentionally omitted (→ rows-only check): text_rolling_fp,
+    Intentionally omitted (→ rows-only check):
     dedup_minhash, dedup_simhash, dedup_embedding (probabilistic LSH /
     iterative components), ann_lsh, ann_ivf, jaccard_pairs_lsh, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
@@ -402,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": d.sql_text_stats(),
         "text_langid": d.sql_text_langid(),
         "text_fingerprint": d.sql_text_fingerprint(),
+        "text_rolling_fp": d.sql_text_rolling_fp(),
         "text_tokens": d.sql_text_tokens(),
         "text_quality": d.sql_text_quality(),
         "text_dup_spans": d.sql_text_dup_spans(),

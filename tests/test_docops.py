@@ -234,6 +234,27 @@ def test_fingerprint_normalizes_whitespace_and_case():
     assert out.fingerprint[0] == out.fingerprint[1]
 
 
+def test_rolling_fp_lanes_match_duckdb_sha_parse():
+    """The oracle's ('0x'||substr(sha256(tok),1,16))::UBIGINT % P must be
+    bit-equal to the engine's big-endian first-8-bytes parse — the trust
+    anchor of sql_text_rolling_fp (and of sql_random_walks' seed)."""
+    import duckdb
+    import hashlib
+
+    from tripsu_ray.stages.text import _FP_P, _token_lanes
+
+    toks = ["hello", "a", "0", "the", "zzz", "é".encode("utf-8").decode()]
+    l1, l2 = _token_lanes(toks)
+    con = duckdb.connect()
+    for t, a, b in zip(toks, l1, l2):
+        q1, q2 = con.execute(
+            "SELECT ('0x'||substr(sha256(?),1,16))::UBIGINT % ?,"
+            "       ('0x'||substr(sha256(?),17,16))::UBIGINT % ?",
+            [t, _FP_P, t, _FP_P],
+        ).fetchone()
+        assert (int(a), int(b)) == (q1, q2), t
+
+
 def test_rolling_fp_deterministic_and_order_sensitive():
     a = text.rolling_fingerprint_batch(
         pd.DataFrame({"doc_id": [1], "text": ["a b c d e f g h i j"]})

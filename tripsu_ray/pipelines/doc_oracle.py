@@ -635,6 +635,54 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_text_rolling_fp(window: int = 8) -> str:
+    """Winnowing-fingerprint oracle — the EXACT dual of
+    ``stages/text.py::rolling_fingerprint_batch``: per-token 31-bit lanes
+    from sha256 (DuckDB's ``('0x'||substr(sha256(tok),1,16))::UBIGINT``
+    is bit-equal to Python's big-endian first-8-bytes parse — verified in
+    test), window hash Σ lane·B^(w−1−m) mod P per lane via an inline
+    modpow lookup (w ≤ window, so the power table is constant-sized),
+    combined (lane1·2³¹ + lane2 ≡ lane1<<31 | lane2 — lanes < 2³¹ so the
+    OR is addition), min per doc; short docs use one full-length window,
+    empty docs → 0. Moves text_rolling_fp from rows-only to hash-checked.
+    """
+    from ..stages.text import _FP_B1, _FP_B2, _FP_P
+
+    pows = ", ".join(
+        f"({e}, {pow(_FP_B1, e, _FP_P)}::HUGEINT, {pow(_FP_B2, e, _FP_P)}::HUGEINT)"
+        for e in range(window)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts FROM documents
+), pows(e, p1, p2) AS (VALUES {pows}),
+wins AS (
+  SELECT doc_id, i, {window} AS w, ts
+  FROM toks, unnest(generate_series(1, len(ts) - {window} + 1)) t(i)
+  WHERE len(ts) >= {window}
+  UNION ALL
+  SELECT doc_id, 1 AS i, len(ts) AS w, ts FROM toks
+  WHERE len(ts) > 0 AND len(ts) < {window}
+), terms AS (
+  SELECT doc_id, i, w, m,
+    ('0x' || substr(sha256(ts[i + m]), 1, 16))::UBIGINT % {_FP_P} AS l1,
+    ('0x' || substr(sha256(ts[i + m]), 17, 16))::UBIGINT % {_FP_P} AS l2
+  FROM wins, unnest(generate_series(0, w - 1)) tt(m)
+), whash AS (
+  SELECT t.doc_id, t.i,
+    CAST(sum(CAST(t.l1 AS HUGEINT) * p.p1) % {_FP_P} AS BIGINT) AS lane1,
+    CAST(sum(CAST(t.l2 AS HUGEINT) * p.p2) % {_FP_P} AS BIGINT) AS lane2
+  FROM terms t JOIN pows p ON p.e = t.w - 1 - t.m
+  GROUP BY t.doc_id, t.i
+), perdoc AS (
+  SELECT doc_id, min(lane1 * 2147483648 + lane2) AS fp FROM whash GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.fp, 0) AS BIGINT) AS rolling_fp
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_readability() -> str:
     # Mirror of stages/text.py::readability_batch — Flesch coefficients
     # ×1000, all floor divisions over nonnegative ints.
