@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_butterflies": q.q_butterflies,
         "kg_core_numbers": q.q_core_numbers,
         "kg_bfs": q.q_bfs,
+        "kg_eccentricity": q.q_eccentricity,
         "kg_bgp": bgp.q_kg_bgp,
         "kg_bgp_optional": bgp.q_kg_bgp_optional,
         "kg_bgp_agg": bgp.q_kg_bgp_agg,
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss_support": oracle.sql_truss_support(),
         "kg_butterflies": oracle.sql_butterflies(),
         "kg_bfs": oracle.sql_bfs(),
+        "kg_eccentricity": oracle.sql_eccentricity(),
         "kg_random_walks": oracle.sql_random_walks(),
         "kg_bgp": bgp.sql_kg_bgp(),
         "kg_bgp_optional": bgp.sql_kg_bgp_optional(),

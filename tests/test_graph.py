@@ -1229,6 +1229,50 @@ class TestMovingSum:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestEccentricity:
+    def test_matches_sequential_bfs(self):
+        import collections
+
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        edges = sorted(
+            {(f"v{i:02d}", f"v{j:02d}") for i, j in rng.integers(0, 30, (90, 2)) if i != j}
+        )
+        ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"])).repartition(3)
+        got = graph.eccentricity_census(ds, num_seeds=3)
+
+        adj: dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seeds = sorted(adj)[:3]
+        rows = []
+        for s in seeds:
+            dist = {s: 0}
+            q = collections.deque([s])
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            rows.append((s, max(dist.values()), len(dist)))
+        want = pd.DataFrame(rows, columns=["seed", "ecc", "n_reached"]).astype(
+            {"ecc": "int64", "n_reached": "int64"}
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_edges(self):
+        import ray.data
+
+        df = pd.DataFrame({"a": pd.Series([], dtype=object),
+                           "b": pd.Series([], dtype=object)})
+        out = graph.eccentricity_census(ray.data.from_pandas(df))
+        assert list(out.columns) == ["seed", "ecc", "n_reached"] and len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRandomWalks:
     def _edges_ds(self, edges):
         import ray.data

@@ -484,6 +484,35 @@ FROM walk GROUP BY node ORDER BY node"""
     )
 
 
+def sql_eccentricity(*, num_seeds: int = 4) -> str:
+    """Seed-tagged BFS-walk oracle for ``stages.graph.eccentricity_census``
+    — sql_bfs's recursive CTE carrying a seed column, grouped twice
+    (min dist per (seed, node), then max/count per seed)."""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+seeds AS (SELECT x AS node FROM (SELECT a AS x FROM sym UNION SELECT b FROM sym)
+          ORDER BY x LIMIT {num_seeds}),
+walk AS (
+  SELECT node AS seed, node, 0 AS dist FROM seeds
+  UNION
+  SELECT w.seed, s.b AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.a = w.node WHERE w.dist < 64
+),
+mind AS (SELECT seed, node, min(dist) AS d FROM walk GROUP BY seed, node)
+SELECT seed, CAST(max(d) AS BIGINT) AS ecc, CAST(count(*) AS BIGINT) AS n_reached
+FROM mind GROUP BY seed ORDER BY seed"""
+    )
+
+
 def sql_core_numbers(*, n_iter: int = 64) -> str:
     """Exact coreness oracle — K UNROLLED iterated-H-index rounds, same
     update rule as ``stages.graph.core_numbers`` (Lü et al. 2016: init

@@ -222,6 +222,17 @@ def q_bfs(sf_dir: str):
     return bfs_distances(_entity_edges(sf_dir))
 
 
+def q_eccentricity(sf_dir: str):
+    """Per-seed eccentricity + reach census (diameter lower-bound probe)
+    from the 4 lexicographically smallest entity nodes — ONE shared
+    multi-source BFS frontier (stages/graph.py::eccentricity_census).
+    Oracle: seed-tagged capped recursive-CTE walk, max/count per seed
+    (same raise-past-cap honesty contract as kg_bfs)."""
+    from ..stages.graph import eccentricity_census
+
+    return eccentricity_census(_entity_edges(sf_dir))
+
+
 def q_validate(sf_dir: str):
     """SHACL-lite conformance census over the extracted KG: 8 shape
     constraints (cardinality, domain/range, datatype) judged in ONE

@@ -1124,6 +1124,110 @@ def core_numbers(edges_ds, *, max_rounds: int = 100) -> pd.DataFrame:
     return out.sort_values("node", ignore_index=True).astype({"core": "int64"})
 
 
+def eccentricity_census(
+    edges_ds, *, num_seeds: int = 4, max_rounds: int = 64
+) -> pd.DataFrame:
+    """Per-seed eccentricity + reach over the UNDIRECTED graph — the
+    multi-source rendering of :func:`bfs_distances` (all seeds share ONE
+    level-synchronous frontier, so the round count is the max seed
+    eccentricity, not the sum) and the standard diameter lower-bound
+    probe (max ecc over seeds ≤ diameter).
+
+    Seeds = the ``num_seeds`` lexicographically smallest nodes — fully
+    deterministic, no parameter, and SQL-renderable (ORDER BY node LIMIT
+    k). Frontier rows are (seed, node) pairs; driver state is the
+    per-seed distance map (num_seeds × node-class — pagerank's budget
+    times a small constant). RAISES past ``max_rounds`` (never a silent
+    cap), same policy as bfs_distances.
+
+    Returns (seed, ecc, n_reached) sorted by seed; n_reached counts the
+    seed itself (dist 0).
+    """
+    import ray
+
+    from .folds import tree_fold_tables
+
+    empty = pd.DataFrame(
+        {"seed": pd.Series([], dtype=object),
+         "ecc": pd.Series([], dtype="int64"),
+         "n_reached": pd.Series([], dtype="int64")}
+    )
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a"] != df["b"]]
+        return pd.DataFrame(
+            {"a": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object),
+             "b": pd.concat([df["b"], df["a"]], ignore_index=True).astype(object)}
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pandas").materialize()
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"]], ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"node": np.sort(nodes.to_numpy(dtype=object))[:num_seeds]})
+
+    def seed_combine(frames):
+        nodes = pd.concat(frames, ignore_index=True)["node"].drop_duplicates()
+        return pd.DataFrame({"node": np.sort(nodes.to_numpy(dtype=object))[:num_seeds]})
+
+    seeds = list(
+        tree_fold_tables(
+            sedges.map_batches(seed_partial, batch_format="pandas"), seed_combine
+        )["node"]
+    )
+
+    dist: dict = {(s, s): 0 for s in seeds}
+    frontier = {(s, s) for s in seeds}
+
+    def combine(frames):
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    for r in range(1, max_rounds + 1):
+        fr = pd.DataFrame(sorted(frontier), columns=["seed", "node"])
+        f_ref = ray.put((frozenset(fr["node"]), fr))
+
+        def probe(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            nodes, pairs = ray.get(_f)
+            hit = df[df["a"].isin(nodes)]
+            if not len(hit):
+                return pd.DataFrame({"seed": pd.Series([], dtype=object),
+                                     "b": pd.Series([], dtype=object)})
+            m = hit.merge(pairs, left_on="a", right_on="node")
+            return m[["seed", "b"]].drop_duplicates()
+
+        folded = tree_fold_tables(
+            sedges.map_batches(probe, batch_format="pandas"), combine
+        )
+        if folded is None or not len(folded):
+            break
+        frontier = {
+            (s, b) for s, b in zip(folded["seed"], folded["b"])
+            if (s, b) not in dist
+        }
+        if not frontier:
+            break
+        for key in frontier:
+            dist[key] = r
+    else:
+        raise RuntimeError(
+            f"eccentricity_census frontier still active after {max_rounds} "
+            f"rounds; raise max_rounds"
+        )
+
+    df = pd.DataFrame(
+        {"seed": [k[0] for k in dist], "d": list(dist.values())}
+    )
+    out = df.groupby("seed", as_index=False).agg(
+        ecc=("d", "max"), n_reached=("d", "size")
+    )
+    return out.sort_values("seed", ignore_index=True).astype(
+        {"ecc": "int64", "n_reached": "int64"}
+    )
+
+
 def bfs_distances(edges_ds, *, source: str | None = None, max_rounds: int = 64) -> pd.DataFrame:
     """Exact single-source hop distances over the UNDIRECTED graph of an
     edge Dataset (a, b) — level-synchronous frontier expansion.
