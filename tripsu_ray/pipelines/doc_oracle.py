@@ -635,6 +635,60 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_dedup_simhash(max_hamming: int = 3) -> str:
+    """SimHash near-dedup oracle — the EXACT dual of
+    ``stages/dedup.py::dedup_simhash`` end to end: per-doc 64-bit SimHash
+    from sha256 token hashes (same ('0x'||substr(sha256,1,16))::UBIGINT
+    lane parse as sql_text_rolling_fp; bit j = sign of Σ(2·bit_j−1) over
+    DISTINCT tokens, ties → 0, empty docs → signature 0), candidates via
+    the identical 4×16-bit block pigeonhole, Hamming ≤ max_hamming verify
+    via bit_count(xor(...)), then connected components by the
+    reachability-closure recursive CTE (sql_components' pattern) with
+    cluster_id = component min — matching label_propagation's fixpoint.
+    Singletons keep their own id. Moves dedup_simhash from rows-only to
+    hash-checked (the banding is pigeonhole-EXACT at this radius, so the
+    'approximate by construction' exemption never applied to simhash the
+    way it does to MinHash)."""
+    pow2 = ", ".join(f"({j}, CAST({1 << j} AS HUGEINT))" for j in range(64))
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h FROM toks
+), pow2(j, p) AS (VALUES {pow2}),
+bits AS (
+  SELECT t.doc_id, p.j,
+         sum(CASE WHEN (t.h >> p.j) & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS v
+  FROM th t CROSS JOIN pow2 p GROUP BY t.doc_id, p.j
+), sig AS (
+  SELECT b.doc_id,
+         CAST(coalesce(sum(CASE WHEN b.v > 0 THEN p.p END), 0) AS UBIGINT) AS s
+  FROM bits b JOIN pow2 p USING (j) GROUP BY b.doc_id
+), sig0 AS (
+  SELECT d.doc_id, coalesce(g.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig g USING (doc_id)
+), blk AS (
+  SELECT doc_id, s, bi, (s >> (16 * bi)) & 65535::UBIGINT AS bval
+  FROM sig0, unnest(generate_series(0, 3)) t(bi)
+), simedges AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM blk x JOIN blk y ON x.bi = y.bi AND x.bval = y.bval
+                        AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+), symp AS (SELECT a, b FROM simedges UNION SELECT b AS a, a AS b FROM simedges),
+reach AS (
+  SELECT a AS n, b AS m FROM symp
+  UNION
+  SELECT r.n, s.b AS m FROM reach r JOIN symp s ON r.m = s.a
+), lab AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lab l USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_text_rolling_fp(window: int = 8) -> str:
     """Winnowing-fingerprint oracle — the EXACT dual of
     ``stages/text.py::rolling_fingerprint_batch``: per-token 31-bit lanes
