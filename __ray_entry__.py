@@ -72,6 +72,18 @@ def _q_ml_dbscan(sf_dir: str) -> Any:
     return dbscan(sf_dir)
 
 
+def _q_ml_top_component(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import top_component
+
+    return top_component(sf_dir)
+
+
+def _sql_ml_top_component() -> str:
+    from tripsu_ray.stages.cluster import top_component_sql
+
+    return top_component_sql()
+
+
 def _q_ml_knn_classify(sf_dir: str) -> Any:
     from tripsu_ray.stages.cluster import knn_classify
 
@@ -312,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_kmeans": _q_ml_kmeans,
         "ml_semdedup": _q_ml_semdedup,
         "ml_dbscan": _q_ml_dbscan,
+        "ml_top_component": _q_ml_top_component,
         "ml_label_centroids": _q_ml_centroids,
         "ml_knn_classify": _q_ml_knn_classify,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -501,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_kmeans": _sql_ml_kmeans(),
         "ml_semdedup": _sql_ml_semdedup(),
         "ml_dbscan": _sql_ml_dbscan(),
+        "ml_top_component": _sql_ml_top_component(),
         "ml_label_centroids": _sql_ml_centroids(),
         "ml_knn_classify": _sql_ml_knn_classify(),
         "rel_asof_join": joins.sql_rel_asof_join(),

@@ -301,3 +301,46 @@ def test_knn_classify_matches_brute_force(tmp_path):
         assert row["true_label"] == labels[qi]
         assert row["pred_label"] == best
         assert row["votes"] == counts[vals == best][0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_component_matches_local_replica_and_eigvec():
+    got = C.top_component(SF)
+    # exact replay: quantized moment matrix + integer power iteration
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    a = np.floor(C.SCALE * (x[:, :, None] * x[:, None, :])).astype(np.int64).sum(
+        axis=0
+    )
+    d = a.shape[0]
+    v = [C.SCALE] * d
+    for _ in range(C.TOP_COMPONENT_ITERS):
+        w = [sum(int(a[i][j]) * v[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(q) for q in w), 1)
+        v = [-((-q) * C.SCALE // m) if q < 0 else (q * C.SCALE // m) for q in w]
+    want = pd.DataFrame(
+        {"dim": np.arange(d, dtype=np.int64), "v_q": np.array(v, dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # and the quantized iterate tracks the true dominant eigenvector
+    evals, evecs = np.linalg.eigh(a.astype(np.float64))
+    top = evecs[:, np.argmax(np.abs(evals))]
+    g = got["v_q"].to_numpy().astype(np.float64)
+    cos = abs(g @ top) / (np.linalg.norm(g) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_component_empty(tmp_path):
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32())),
+                  "label": pa.array([], pa.int32())}),
+        tmp_path / "embeddings.parquet",
+    )
+    out = C.top_component(str(tmp_path))
+    assert list(out.columns) == ["dim", "v_q"] and len(out) == 0

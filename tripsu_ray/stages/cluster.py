@@ -666,3 +666,119 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(votes AS BIGINT) AS votes
 FROM best WHERE r = 1 ORDER BY query_id
 """.strip()
+
+
+# --- dominant principal direction (quantized power iteration) ---------------
+
+# the synthetic corpus has a near-degenerate spectrum (λ1/λ2 ≈ 1.07), so
+# the iteration needs ~O(1/ln(λ1/λ2)) rounds: 96 reaches cosine ≥ 0.995
+# vs the true eigenvector at both test sfs (measured); each round is one
+# d×d integer mat-vec on the driver and one 64-row join CTE in the oracle
+TOP_COMPONENT_ITERS = 96
+
+
+def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
+                  chunk: int = 512):
+    """Dominant principal direction of the embedding corpus (uncentered —
+    the top eigenvector of the second-moment matrix Σ xxᵀ), the PCA-prep
+    primitive, computed with the repo's quantized-fold discipline so the
+    SQL oracle hash-matches exactly:
+
+    1. ONE map pass folds the d×d moment matrix in EXACT int64 — every
+       per-row product quantizes to ``floor(10⁶·x_i·x_j)`` BEFORE the
+       sum (association-free); a d²-entry partial leaves each batch, the
+       corpus never does. Rows are processed in ``chunk``-sized slices so
+       the (chunk, d, d) float intermediate stays small at any batch size.
+    2. The d×d integer matrix power-iterates ON THE DRIVER in
+       arbitrary-precision Python ints (d² is config-sized — the same
+       budget class as a rules table): w = A·v, then the L∞-normalized
+       ``v'_i = sign(w_i)·(|w_i|·10⁶ // max|w|)``. The |·| routing is
+       deliberate: DuckDB ``//`` truncates toward zero while Python
+       floors, so negative numerators would diverge — on nonnegative
+       operands the two agree (``cluster.top_component_sql`` mirrors the
+       CASE/abs form verbatim).
+
+    Returns (dim, v_q) with v_q ∈ [−10⁶, 10⁶], sorted by dim. Sign is the
+    iteration's own (deterministic; parity is what the oracle checks).
+    """
+    from .folds import tree_fold_tables
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "a": pd.Series([], dtype="int64")})
+        x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d = x.shape[1]
+        acc = np.zeros((d, d), dtype=np.int64)
+        for s in range(0, len(x), chunk):
+            c = x[s : s + chunk]
+            acc += np.floor(
+                SCALE * (c[:, :, None] * c[:, None, :])
+            ).astype(np.int64).sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pd.DataFrame({"i": ii.reshape(-1), "j": jj.reshape(-1),
+                             "a": acc.reshape(-1)})
+
+    def combine(frames):
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["i", "j"], sort=False, as_index=False)["a"].sum()
+
+    folded = tree_fold_tables(
+        ds.map_batches(moment_partial, batch_format="pandas"), combine
+    )
+    if folded is None or not len(folded):
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "v_q": pd.Series([], dtype="int64")})
+    d = int(folded["i"].max()) + 1
+    a = [[0] * d for _ in range(d)]
+    for i, j, v in zip(folded["i"], folded["j"], folded["a"]):
+        a[int(i)][int(j)] = int(v)
+
+    v = [SCALE] * d
+    for _ in range(n_iter):
+        w = [sum(a[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [
+            -((-x) * SCALE // m) if x < 0 else (x * SCALE // m)
+            for x in w
+        ]
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                         "v_q": np.array(v, dtype=np.int64)})
+
+
+def top_component_sql(*, n_iter: int = TOP_COMPONENT_ITERS, dim: int = 64) -> str:
+    """Unrolled-CTE oracle for :func:`top_component` — identical integer
+    update rule (see its docstring for the abs-routed division)."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, n_iter + 1):
+        rounds.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT m.i, sum(CAST(m.a AS HUGEINT) * v.q) AS w
+  FROM mom m JOIN {prev} v ON v.i = m.j GROUP BY m.i
+),
+v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN w < 0 THEN -((-w) * {SCALE} // mx.m)
+                 ELSE (w * {SCALE} // mx.m) END AS q
+  FROM w{k}, (SELECT greatest(max(abs(w)), 1) AS m FROM w{k}) mx
+)""")
+        prev = f"v{k}"
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS i),
+emb AS (
+  SELECT vec_id, d.i, embedding[d.i + 1]::DOUBLE AS x
+  FROM embeddings, dims d
+),
+mom AS MATERIALIZED (
+  SELECT xi.i AS i, xj.i AS j,
+         sum(CAST(floor({SCALE} * xi.x * xj.x) AS BIGINT)) AS a
+  FROM emb xi JOIN emb xj USING (vec_id) GROUP BY xi.i, xj.i
+),
+v0 AS (SELECT i, CAST({SCALE} AS HUGEINT) AS q FROM dims){"".join(rounds)}
+SELECT CAST(i AS BIGINT) AS dim, CAST(q AS BIGINT) AS v_q
+FROM {prev} ORDER BY dim
+""".strip()
