@@ -78,6 +78,18 @@ def _q_ml_top_component(sf_dir: str) -> Any:
     return top_component(sf_dir)
 
 
+def _q_ml_pca_scores(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import pca_scores
+
+    return pca_scores(sf_dir)
+
+
+def _sql_ml_pca_scores() -> str:
+    from tripsu_ray.stages.cluster import pca_scores_sql
+
+    return pca_scores_sql()
+
+
 def _sql_ml_top_component() -> str:
     from tripsu_ray.stages.cluster import top_component_sql
 
@@ -325,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_semdedup": _q_ml_semdedup,
         "ml_dbscan": _q_ml_dbscan,
         "ml_top_component": _q_ml_top_component,
+        "ml_pca_scores": _q_ml_pca_scores,
         "ml_label_centroids": _q_ml_centroids,
         "ml_knn_classify": _q_ml_knn_classify,
         # the join family Ray Data lacks (pipelines/joins.py)
@@ -515,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_semdedup": _sql_ml_semdedup(),
         "ml_dbscan": _sql_ml_dbscan(),
         "ml_top_component": _sql_ml_top_component(),
+        "ml_pca_scores": _sql_ml_pca_scores(),
         "ml_label_centroids": _sql_ml_centroids(),
         "ml_knn_classify": _sql_ml_knn_classify(),
         "rel_asof_join": joins.sql_rel_asof_join(),

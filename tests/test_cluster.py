@@ -344,3 +344,17 @@ def test_top_component_empty(tmp_path):
     )
     out = C.top_component(str(tmp_path))
     assert list(out.columns) == ["dim", "v_q"] and len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_scores_match_quantized_projection():
+    comp = C.top_component(SF)
+    got = C.pca_scores(SF).to_pandas().sort_values("vec_id", ignore_index=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    xq = np.floor(x * C.SCALE).astype(np.int64)
+    v = comp["v_q"].to_numpy(dtype=np.int64)
+    want = pd.DataFrame(
+        {"vec_id": t["vec_id"].to_numpy().astype(np.int64), "proj_q": xq @ v}
+    ).sort_values("vec_id", ignore_index=True).astype({"proj_q": "int64"})
+    pd.testing.assert_frame_equal(got, want)

@@ -782,3 +782,45 @@ v0 AS (SELECT i, CAST({SCALE} AS HUGEINT) AS q FROM dims){"".join(rounds)}
 SELECT CAST(i AS BIGINT) AS dim, CAST(q AS BIGINT) AS v_q
 FROM {prev} ORDER BY dim
 """.strip()
+
+
+def pca_scores(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS):
+    """Per-vector projection onto the corpus's dominant principal
+    direction — the apply step of :func:`top_component` (learn once on
+    the driver, broadcast the d-vector, ONE stateless map pass):
+    ``proj_q = Σ_i floor(10⁶·x_i) · v_i`` in exact int64 (|x_q| ≤ ~10⁶,
+    |v| ≤ 10⁶, d = 64 ⇒ far inside int64), the 1-D embedding a curation
+    pipeline sorts/buckets on. Oracle: the top_component CTE chain plus
+    one projection join (``cluster.pca_scores_sql``)."""
+    import ray
+
+    comp = top_component(sf_dir, n_iter=n_iter)
+    v = comp["v_q"].to_numpy(dtype=np.int64)
+    v_ref = ray.put(v)
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def project(b: pd.DataFrame, _v=v_ref) -> pd.DataFrame:
+        vq = ray.get(_v)
+        if not len(b):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "proj_q": pd.Series([], dtype="int64")})
+        xq = _quantize(b["embedding"])
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].astype("int64"),
+             "proj_q": (xq @ vq).astype("int64")}
+        )
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def pca_scores_sql(*, n_iter: int = TOP_COMPONENT_ITERS, dim: int = 64) -> str:
+    base = top_component_sql(n_iter=n_iter, dim=dim)
+    # swap the final projection of the component chain for the score join
+    head, _, _tail = base.rpartition("SELECT CAST(i AS BIGINT) AS dim")
+    return head + f"""SELECT e.vec_id,
+       CAST(sum(CAST(floor({SCALE} * e.x) AS BIGINT) * v.q) AS BIGINT) AS proj_q
+FROM emb e JOIN v{n_iter} v ON v.i = e.i
+GROUP BY e.vec_id ORDER BY e.vec_id
+""".strip()
