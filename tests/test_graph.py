@@ -496,6 +496,16 @@ class TestPagerankJoinVariant:
         )
         pd.testing.assert_frame_equal(bc, ref)
 
+    def test_hits_zero_iters_join_equals_broadcast(self):
+        """n_iter=0 must mirror across plans (hub=scale, auth=0) — the
+        join plan used to crash on its uninitialized auth table."""
+        df = pd.DataFrame([("a", "b"), ("b", "c")], columns=["a", "b"])
+        bc = graph.hits_quantized(_ds(df, blocks=2), n_iter=0)
+        jn = graph.hits_quantized_join(_ds(df, blocks=2), n_iter=0,
+                                       num_partitions=2)
+        pd.testing.assert_frame_equal(bc, jn)
+        assert (bc["hub_q"] == 10**9).all() and (bc["auth_q"] == 0).all()
+
     def test_hits_empty_edges(self):
         df = pd.DataFrame({"a": pd.Series([], dtype=object),
                            "b": pd.Series([], dtype=object)})
@@ -1328,6 +1338,17 @@ class TestRandomWalks:
         pd.testing.assert_frame_equal(
             got.astype({"walk_no": "int64"}), want.astype({"walk_no": "int64"})
         )
+
+    def test_walk_len_budget_guard(self):
+        """k·_WALK_STEP_C must fit BIGINT in both engines — walk_len > 12
+        refuses loudly instead of diverging/overflowing quietly."""
+        from tripsu_ray.pipelines.oracle import sql_random_walks
+
+        edges = [("a", "b"), ("b", "a")]
+        with pytest.raises(ValueError, match="walk_len"):
+            graph.random_walks(self._edges_ds(edges), walk_len=13)
+        with pytest.raises(ValueError, match="walk_len"):
+            sql_random_walks(walk_len=13)
 
     def test_walk_shape_and_determinism(self):
         edges = [("a", "b"), ("b", "c"), ("c", "a")]

@@ -413,6 +413,9 @@ def sql_random_walks(*, num_walks: int = 2, walk_len: int = 4) -> str:
     kg_random_walks from rows-only to hash-checked."""
     from ..stages.graph import _WALK_STEP_C
 
+    if walk_len > 12:  # same budget as random_walks' guard (k·C ≤ 2^63)
+        raise ValueError(f"walk_len={walk_len} exceeds the oracle's BIGINT "
+                         f"step-constant budget (max 12)")
     steps = []
     prev = "w0"
     for k in range(1, walk_len + 1):

@@ -677,6 +677,12 @@ FROM best WHERE r = 1 ORDER BY query_id
 TOP_COMPONENT_ITERS = 96
 
 
+# the moment fold + 96-round iteration is the family's priciest stage and
+# BOTH ml_top_component and ml_pca_scores need it in one gate run — memoize
+# per (sf_dir, n_iter), the _entity_edges/_extracted rationale
+_TOP_COMPONENT_CACHE: dict = {}
+
+
 def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
                   chunk: int = 512):
     """Dominant principal direction of the embedding corpus (uncentered —
@@ -702,6 +708,10 @@ def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
     iteration's own (deterministic; parity is what the oracle checks).
     """
     from .folds import tree_fold_tables
+
+    cached = _TOP_COMPONENT_CACHE.get((sf_dir, n_iter))
+    if cached is not None:
+        return cached.copy()
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["embedding"])
@@ -746,8 +756,10 @@ def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
             -((-x) * SCALE // m) if x < 0 else (x * SCALE // m)
             for x in w
         ]
-    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
-                         "v_q": np.array(v, dtype=np.int64)})
+    out = pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
+                        "v_q": np.array(v, dtype=np.int64)})
+    _TOP_COMPONENT_CACHE[(sf_dir, n_iter)] = out
+    return out.copy()
 
 
 def top_component_sql(*, n_iter: int = TOP_COMPONENT_ITERS, dim: int = 64) -> str:
@@ -774,8 +786,11 @@ emb AS (
   FROM embeddings, dims d
 ),
 mom AS MATERIALIZED (
+  -- parentheses are load-bearing: the engine computes SCALE * (x_i * x_j)
+  -- and left-assoc (SCALE * x_i) * x_j can floor to a DIFFERENT integer
+  -- (~1e-10 of products) — invisible at gate scale, divergent at corpus scale
   SELECT xi.i AS i, xj.i AS j,
-         sum(CAST(floor({SCALE} * xi.x * xj.x) AS BIGINT)) AS a
+         sum(CAST(floor({SCALE} * (xi.x * xj.x)) AS BIGINT)) AS a
   FROM emb xi JOIN emb xj USING (vec_id) GROUP BY xi.i, xj.i
 ),
 v0 AS (SELECT i, CAST({SCALE} AS HUGEINT) AS q FROM dims){"".join(rounds)}

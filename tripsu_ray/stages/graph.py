@@ -2074,7 +2074,8 @@ def hits_quantized_join(
     hub_rows = nodes.map_batches(
         node_rows, fn_kwargs={"q0": scale}, batch_format="pandas"
     ).materialize()
-    auth_rows = None
+    # n_iter=0 must mirror the broadcast plan (hub=scale, auth=0), not crash
+    auth_rows = nodes_tagged
 
     def contrib(g: pd.DataFrame, edge_kind: int) -> pd.DataFrame:
         if "kind" not in g.columns or not len(g):
@@ -2371,7 +2372,8 @@ def characteristic_sets(triples, *, num_partitions: int = _HASH_PARTS):
 
 
 # 60-bit odd constant (golden-ratio word >> 4): k·C stays under 2^63 for
-# any realistic walk length, so the SQL BIGINT xor can't overflow
+# k ≤ 12 (random_walks guards the bound), so the SQL BIGINT xor can't
+# overflow and the engine's uint64 product never wraps
 _WALK_STEP_C = 0x09E3779B97F4A7C1
 
 
@@ -2403,6 +2405,15 @@ def random_walks(edges_ds, *, num_walks: int = 2, walk_len: int = 4,
     next round. Walk state lives in the frontier rows — the driver never
     holds walks or edges.
     """
+    if walk_len > 12:
+        # k·C must stay under 2^63 for BOTH engines: the SQL oracle embeds
+        # k·_WALK_STEP_C as a BIGINT literal (overflows at k=13) and the
+        # engine's np.uint64(step·C) Python-int product raises at k≥26 —
+        # refuse loudly instead of diverging quietly
+        raise ValueError(
+            f"walk_len={walk_len} exceeds the 60-bit step-constant budget "
+            f"(max 12); shard longer walks into chained ≤12-step segments"
+        )
 
     def sym_adj(df: pd.DataFrame) -> pd.DataFrame:
         if "a" not in df.columns or not len(df):
