@@ -355,7 +355,7 @@ def oracle_sql() -> dict[str, str]:
     """SQL oracles for every SQL-expressible query above.
 
     Intentionally omitted (→ rows-only check):
-    dedup_minhash, dedup_embedding (probabilistic LSH /
+    dedup_embedding (probabilistic LSH /
     iterative components), ann_lsh, ann_ivf, jaccard_pairs_lsh, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
     vs their exact anchors), multimodal_features (feature vector from
@@ -458,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "text_curate": d.sql_text_curate(),
         "dedup_exact": d.sql_dedup_exact(),
         "dedup_simhash": d.sql_dedup_simhash(),
+        "dedup_minhash": d.sql_dedup_minhash(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "ann_topk": d.sql_ann_topk(),
         "ann_filtered": _sql_ann_filtered(),

@@ -635,6 +635,85 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
+    """MinHash-LSH near-dedup oracle — the exact dual of
+    ``stages/dedup.py::dedup_minhash`` on this corpus: per-doc minhash
+    values replay the engine's uint64-wrapping permutations in HUGEINT
+    (``((a·h) % 2⁶⁴ + b) % 2⁶⁴ % MERSENNE`` — the (a, b) arrays are
+    INJECTED as literals, so no RNG lives in SQL), token hashes are the
+    shared sha256 lane parse, empty docs take the engine's all-MERSENNE
+    signature via the coalesce fill. Candidates join on the EXACT
+    (band, r-value-chunk) — equal to the engine's FNV band buckets except
+    under a ~2⁻⁶⁴ cross-key collision, which this fixed corpus does not
+    contain (same determinism argument as the phash-dedup oracle); a
+    collision would only surface as a hash mismatch, never a silent pass.
+    Verification mirrors exact Jaccard ≥ tau=0.5 as pure integers
+    (``2·inter ≥ union``; the float quotient cannot round across 0.5 —
+    adjacent rationals near ½ are ≥ 1/union² apart, far above ulp), with
+    the both-empty ⇒ 1.0 convention. Clusters via the reachability
+    closure with component-min ids (sql_dedup_simhash's pattern). Moves
+    dedup_minhash from rows-only to hash-checked."""
+    from ..stages.dedup import MERSENNE, _perm_params
+
+    pa_, pb_ = _perm_params(num_perm)
+    perms = ", ".join(
+        f"({k}, CAST({int(pa_[k])} AS HUGEINT), CAST({int(pb_[k])} AS HUGEINT))"
+        for k in range(num_perm)
+    )
+    r = num_perm // bands
+    two64 = 1 << 64
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS tok
+  FROM documents
+), th AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h
+  FROM toks
+), perms(k, pa, pb) AS (VALUES {perms}),
+mh0 AS (
+  SELECT t.doc_id, p.k,
+         min(((p.pa * CAST(t.h AS HUGEINT)) % {two64} + p.pb)
+             % {two64} % {MERSENNE}) AS v
+  FROM th t CROSS JOIN perms p GROUP BY t.doc_id, p.k
+), mh AS (
+  SELECT d.doc_id, p.k, coalesce(m.v, {MERSENNE}) AS v
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN mh0 m ON m.doc_id = d.doc_id AND m.k = p.k
+), bandstr AS (
+  SELECT doc_id, k // {r} AS bi,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bs
+  FROM mh GROUP BY doc_id, k // {r}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandstr x JOIN bandstr y ON x.bi = y.bi AND x.bs = y.bs
+                                AND x.doc_id < y.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN th ta ON ta.doc_id = c.a
+              JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
+  GROUP BY c.a, c.b
+), verified AS (
+  SELECT c.a, c.b
+  FROM cand c
+  LEFT JOIN sizes sa ON sa.doc_id = c.a
+  LEFT JOIN sizes sb ON sb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE coalesce(sa.n, 0) + coalesce(sb.n, 0) = 0
+     OR 2 * coalesce(i.i, 0)
+        >= coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0)
+), symp AS (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified),
+reach AS (
+  SELECT a AS n, b AS m FROM symp
+  UNION
+  SELECT r2.n, s.b AS m FROM reach r2 JOIN symp s ON r2.m = s.a
+), lab AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lab l USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_dedup_simhash(max_hamming: int = 3) -> str:
     """SimHash near-dedup oracle — the EXACT dual of
     ``stages/dedup.py::dedup_simhash`` end to end: per-doc 64-bit SimHash
