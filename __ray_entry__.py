@@ -356,9 +356,11 @@ def oracle_sql() -> dict[str, str]:
 
     Intentionally omitted (→ rows-only check):
     dedup_embedding (probabilistic LSH /
-    iterative components), ann_lsh, ann_ivf, jaccard_pairs_lsh, sim_threshold_lsh
+    iterative components), ann_lsh, ann_ivf, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
-    vs their exact anchors), multimodal_features (feature vector from
+    vs their exact anchors; jaccard_pairs_lsh graduated to hash-checked
+    because its token-hash LSH replays exactly in SQL, unlike the
+    float-hyperplane plans), multimodal_features (feature vector from
     binary payloads), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
     ann_pq (PQ-compressed candidate scan — recall vs ann_topk
@@ -460,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": d.sql_dedup_simhash(),
         "dedup_minhash": d.sql_dedup_minhash(),
         "jaccard_pairs": d.sql_jaccard_pairs(),
+        "jaccard_pairs_lsh": d.sql_jaccard_pairs_lsh(),
         "ann_topk": d.sql_ann_topk(),
         "ann_filtered": _sql_ann_filtered(),
         "sim_threshold": d.sql_sim_threshold(),

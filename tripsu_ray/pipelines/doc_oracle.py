@@ -635,24 +635,10 @@ ORDER BY d.doc_id
 """.strip()
 
 
-def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
-    """MinHash-LSH near-dedup oracle — the exact dual of
-    ``stages/dedup.py::dedup_minhash`` on this corpus: per-doc minhash
-    values replay the engine's uint64-wrapping permutations in HUGEINT
-    (``((a·h) % 2⁶⁴ + b) % 2⁶⁴ % MERSENNE`` — the (a, b) arrays are
-    INJECTED as literals, so no RNG lives in SQL), token hashes are the
-    shared sha256 lane parse, empty docs take the engine's all-MERSENNE
-    signature via the coalesce fill. Candidates join on the EXACT
-    (band, r-value-chunk) — equal to the engine's FNV band buckets except
-    under a ~2⁻⁶⁴ cross-key collision, which this fixed corpus does not
-    contain (same determinism argument as the phash-dedup oracle); a
-    collision would only surface as a hash mismatch, never a silent pass.
-    Verification mirrors exact Jaccard ≥ tau=0.5 as pure integers
-    (``2·inter ≥ union``; the float quotient cannot round across 0.5 —
-    adjacent rationals near ½ are ≥ 1/union² apart, far above ulp), with
-    the both-empty ⇒ 1.0 convention. Clusters via the reachability
-    closure with component-min ids (sql_dedup_simhash's pattern). Moves
-    dedup_minhash from rows-only to hash-checked."""
+def _minhash_cand_ctes(num_perm: int, bands: int) -> str:
+    """Shared CTE chain: sha token hashes → HUGEINT permutation replay →
+    (band, r-chunk) candidate pairs → per-pair intersection/sizes. Used by
+    sql_dedup_minhash (clusters) and sql_jaccard_pairs_lsh (pairs)."""
     from ..stages.dedup import MERSENNE, _perm_params
 
     pa_, pb_ = _perm_params(num_perm)
@@ -662,8 +648,7 @@ def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
     )
     r = num_perm // bands
     two64 = 1 << 64
-    return f"""
-WITH RECURSIVE toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS tok
   FROM documents
 ), th AS (
@@ -693,7 +678,55 @@ inter AS (
   FROM cand c JOIN th ta ON ta.doc_id = c.a
               JOIN th tb ON tb.doc_id = c.b AND tb.h = ta.h
   GROUP BY c.a, c.b
-), verified AS (
+)"""
+
+
+def sql_jaccard_pairs_lsh(num_perm: int = 64, bands: int = 16) -> str:
+    """LSH-candidate verified-pair oracle — sql_dedup_minhash's candidate
+    chain with the pair projection instead of clustering: keep tau=0.8 as
+    the exact-integer ``5·inter ≥ 4·union`` (the float compare against
+    0.8 cannot flip — rationals near 4/5 are ≥ 1/(5·union) apart, far
+    above ulp), jacq replays the engine's two float ops verbatim
+    (correctly-rounded i/u then ×10⁶, truncated). Moves jaccard_pairs_lsh
+    from rows-only to hash-checked."""
+    return f"""
+WITH {_minhash_cand_ctes(num_perm, bands)}
+SELECT c.a, c.b,
+  CAST(CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) = 0 THEN 1000000
+       ELSE floor((CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                      - coalesce(i.i, 0))) * 1000000) END AS BIGINT) AS jacq
+FROM cand c
+LEFT JOIN sizes sa ON sa.doc_id = c.a
+LEFT JOIN sizes sb ON sb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE coalesce(sa.n, 0) + coalesce(sb.n, 0) = 0
+   OR 5 * coalesce(i.i, 0)
+      >= 4 * (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0))
+ORDER BY c.a, c.b
+""".strip()
+
+
+def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
+    """MinHash-LSH near-dedup oracle — the exact dual of
+    ``stages/dedup.py::dedup_minhash`` on this corpus: per-doc minhash
+    values replay the engine's uint64-wrapping permutations in HUGEINT
+    (``((a·h) % 2⁶⁴ + b) % 2⁶⁴ % MERSENNE`` — the (a, b) arrays are
+    INJECTED as literals, so no RNG lives in SQL), token hashes are the
+    shared sha256 lane parse, empty docs take the engine's all-MERSENNE
+    signature via the coalesce fill. Candidates join on the EXACT
+    (band, r-value-chunk) — equal to the engine's FNV band buckets except
+    under a ~2⁻⁶⁴ cross-key collision, which this fixed corpus does not
+    contain (same determinism argument as the phash-dedup oracle); a
+    collision would only surface as a hash mismatch, never a silent pass.
+    Verification mirrors exact Jaccard ≥ tau=0.5 as pure integers
+    (``2·inter ≥ union``; the float quotient cannot round across 0.5 —
+    adjacent rationals near ½ are ≥ 1/union² apart, far above ulp), with
+    the both-empty ⇒ 1.0 convention. Clusters via the reachability
+    closure with component-min ids (sql_dedup_simhash's pattern). Moves
+    dedup_minhash from rows-only to hash-checked."""
+    return f"""
+WITH RECURSIVE {_minhash_cand_ctes(num_perm, bands)}, verified AS (
   SELECT c.a, c.b
   FROM cand c
   LEFT JOIN sizes sa ON sa.doc_id = c.a
