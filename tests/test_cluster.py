@@ -50,6 +50,38 @@ def test_kmeans_census_matches_local_replica():
     assert int(got["n"].sum()) == n_vec
 
 
+def test_bottom_k_init_is_distributed_and_exact(monkeypatch):
+    """The init must never read the embeddings table onto the driver
+    (round-3 VERDICT item 1): ``pq.read_table`` is poisoned on the driver
+    for the duration and the distributed bottom-k fold must still produce
+    exactly the k lowest-vec_id vectors."""
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    order = np.argsort(vid)[:8]
+    want_ids = vid[order]
+    want_emb = np.stack(
+        [np.asarray(t["embedding"].to_pylist()[i], dtype=np.float64) for i in order]
+    )
+
+    def _poisoned(*a, **kw):  # driver-side table read = the bug we fixed
+        raise AssertionError("driver-side pq.read_table during kmeans init")
+
+    monkeypatch.setattr(pq, "read_table", _poisoned)
+    _, cen = C.kmeans_fit(SF, k=8, iters=0)
+    assert cen.shape == (8, want_emb.shape[1])
+    np.testing.assert_array_equal(
+        cen, np.floor(want_emb * C.SCALE).astype(np.int64)
+    )
+    # and the helper returns the rows in vec_id order
+    from tripsu_ray.sources import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    got = C._bottom_k_vectors(ds, 8)
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(), np.sort(want_ids))
+
+
 def test_kmeans_census_structure():
     """Structural invariants (the corpus labels are NOT embedding-derived,
     so no quality bound applies): ids in range, partition is non-trivial,

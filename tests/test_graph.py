@@ -1281,6 +1281,20 @@ class TestEccentricity:
         out = graph.eccentricity_census(ray.data.from_pandas(df))
         assert list(out.columns) == ["seed", "ecc", "n_reached"] and len(out) == 0
 
+    def test_ecc_exactly_max_rounds_succeeds(self):
+        """Round-3 ADVICE: a BFS whose final layer lands exactly at round
+        ``max_rounds`` is complete, not an overflow — only onward
+        expansion past max_rounds may raise."""
+        import ray.data
+
+        # path v0 - v1 - ... - v5: ecc(v0) == 5
+        edges = [(f"v{i}", f"v{i+1}") for i in range(5)]
+        ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+        out = graph.eccentricity_census(ds, num_seeds=1, max_rounds=5)
+        assert out.loc[0, "ecc"] == 5 and out.loc[0, "n_reached"] == 6
+        with pytest.raises(RuntimeError, match="frontier still active"):
+            graph.eccentricity_census(ds, num_seeds=1, max_rounds=4)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRandomWalks:

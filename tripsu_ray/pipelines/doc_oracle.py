@@ -707,6 +707,45 @@ ORDER BY c.a, c.b
 """.strip()
 
 
+def _min_label_cc_ctes(rounds: int = 16) -> str:
+    """Connected components over a ``symp`` (symmetrized-edges) CTE as an
+    UNROLLED iterated min-label chain — replaces the reachability-closure
+    recursive CTE (round-3 ADVICE): the closure materializes O(k²) rows
+    per near-dup cluster, while this keeps ONE (node, current-min) row per
+    node per round, exactly mirroring the engine's label-propagation
+    fixpoint (`stages/dedup.py::_cc_labels`).
+
+    Each round relaxes against (a) the neighbors' labels and (b) the
+    label OF the current label (pointer jumping), so convergence is
+    O(log diameter) rounds — 16 covers diameter 2¹⁶, far beyond any
+    corpus this oracle will see; under-convergence can only surface as a
+    hash MISMATCH vs the engine, never a silent pass. Emits
+    ``lab(n, cluster_id)``; nodes without a verified edge are absent
+    (callers coalesce to the singleton id). Every round CTE is
+    ``MATERIALIZED``: each references its predecessor three times, and
+    DuckDB's default inlining would expand the chain to 3^rounds copies
+    of lab0 (observed as an fd explosion)."""
+    parts = [
+        "nodes AS (SELECT DISTINCT a AS n FROM symp)",
+        "lab0 AS MATERIALIZED (SELECT x.n, least(x.n, min(s.b)) AS l"
+        " FROM nodes x JOIN symp s ON s.a = x.n GROUP BY x.n)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"lab{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT g.n,\n"
+            f"         least(min(g.l), coalesce(min(nl.l), min(g.l)),\n"
+            f"               coalesce(min(pl.l), min(g.l))) AS l\n"
+            f"  FROM lab{r} g\n"
+            f"  LEFT JOIN symp s ON s.a = g.n\n"
+            f"  LEFT JOIN lab{r} nl ON nl.n = s.b\n"
+            f"  LEFT JOIN lab{r} pl ON pl.n = g.l\n"
+            f"  GROUP BY g.n)"
+        )
+    parts.append(f"lab AS (SELECT n, l AS cluster_id FROM lab{rounds})")
+    return ",\n".join(parts)
+
+
 def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
     """MinHash-LSH near-dedup oracle — the exact dual of
     ``stages/dedup.py::dedup_minhash`` on this corpus: per-doc minhash
@@ -722,11 +761,11 @@ def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:
     Verification mirrors exact Jaccard ≥ tau=0.5 as pure integers
     (``2·inter ≥ union``; the float quotient cannot round across 0.5 —
     adjacent rationals near ½ are ≥ 1/union² apart, far above ulp), with
-    the both-empty ⇒ 1.0 convention. Clusters via the reachability
-    closure with component-min ids (sql_dedup_simhash's pattern). Moves
-    dedup_minhash from rows-only to hash-checked."""
+    the both-empty ⇒ 1.0 convention. Clusters via the unrolled min-label
+    propagation (`_min_label_cc_ctes` — linear rows per round, no O(k²)
+    closure). Moves dedup_minhash from rows-only to hash-checked."""
     return f"""
-WITH RECURSIVE {_minhash_cand_ctes(num_perm, bands)}, verified AS (
+WITH {_minhash_cand_ctes(num_perm, bands)}, verified AS (
   SELECT c.a, c.b
   FROM cand c
   LEFT JOIN sizes sa ON sa.doc_id = c.a
@@ -735,14 +774,10 @@ WITH RECURSIVE {_minhash_cand_ctes(num_perm, bands)}, verified AS (
   WHERE coalesce(sa.n, 0) + coalesce(sb.n, 0) = 0
      OR 2 * coalesce(i.i, 0)
         >= coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0)
-), symp AS (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified),
-reach AS (
-  SELECT a AS n, b AS m FROM symp
-  UNION
-  SELECT r2.n, s.b AS m FROM reach r2 JOIN symp s ON r2.m = s.a
-), lab AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+), symp AS MATERIALIZED (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified),
+{_min_label_cc_ctes()}
 SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-FROM documents d LEFT JOIN lab l USING (doc_id)
+FROM documents d LEFT JOIN lab l ON l.n = d.doc_id
 ORDER BY d.doc_id
 """.strip()
 
@@ -754,16 +789,16 @@ def sql_dedup_simhash(max_hamming: int = 3) -> str:
     lane parse as sql_text_rolling_fp; bit j = sign of Σ(2·bit_j−1) over
     DISTINCT tokens, ties → 0, empty docs → signature 0), candidates via
     the identical 4×16-bit block pigeonhole, Hamming ≤ max_hamming verify
-    via bit_count(xor(...)), then connected components by the
-    reachability-closure recursive CTE (sql_components' pattern) with
-    cluster_id = component min — matching label_propagation's fixpoint.
+    via bit_count(xor(...)), then connected components by the unrolled
+    min-label propagation (`_min_label_cc_ctes`) with cluster_id =
+    component min — matching label_propagation's fixpoint.
     Singletons keep their own id. Moves dedup_simhash from rows-only to
     hash-checked (the banding is pigeonhole-EXACT at this radius, so the
     'approximate by construction' exemption never applied to simhash the
     way it does to MinHash)."""
     pow2 = ", ".join(f"({j}, CAST({1 << j} AS HUGEINT))" for j in range(64))
     return f"""
-WITH RECURSIVE toks AS (
+WITH toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS tok
   FROM documents
 ), th AS (
@@ -789,14 +824,10 @@ bits AS (
   FROM blk x JOIN blk y ON x.bi = y.bi AND x.bval = y.bval
                         AND x.doc_id < y.doc_id
   WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
-), symp AS (SELECT a, b FROM simedges UNION SELECT b AS a, a AS b FROM simedges),
-reach AS (
-  SELECT a AS n, b AS m FROM symp
-  UNION
-  SELECT r.n, s.b AS m FROM reach r JOIN symp s ON r.m = s.a
-), lab AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+), symp AS MATERIALIZED (SELECT a, b FROM simedges UNION SELECT b AS a, a AS b FROM simedges),
+{_min_label_cc_ctes()}
 SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-FROM documents d LEFT JOIN lab l USING (doc_id)
+FROM documents d LEFT JOIN lab l ON l.n = d.doc_id
 ORDER BY d.doc_id
 """.strip()
 

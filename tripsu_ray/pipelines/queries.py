@@ -65,6 +65,11 @@ def q_source_files(sf_dir: str):
     return read_source_files(sf_dir).map_batches(project, batch_format="pyarrow")
 
 
+# Both caches key on sf_dir alone and therefore ASSUME the parquet under
+# sf_dir is immutable for the life of the process (true for the driver
+# gate and bench; tests that rewrite a tmp dir must use a fresh path —
+# cf. cluster._TOP_COMPONENT_CACHE which carries a file fingerprint
+# because its tmp-dir reuse risk is real).
 _EXTRACT_CACHE: dict[str, object] = {}
 _EDGES_CACHE: dict[str, object] = {}
 

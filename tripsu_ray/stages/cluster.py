@@ -95,6 +95,28 @@ def kmeans_census(
     )
 
 
+def _bottom_k_vectors(ds, k: int) -> pd.DataFrame:
+    """Global k lowest-``vec_id`` rows of ``ds`` without a driver table
+    read: per-batch bottom-k partials folded by re-selection. Returns a
+    (vec_id, embedding) DataFrame sorted ascending by vec_id."""
+    from .folds import tree_fold_tables
+
+    def bottom(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["vec_id", "embedding"]]
+        if len(b) <= k:
+            return b
+        return b.nsmallest(k, "vec_id")
+
+    def _combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
+        cat = pd.concat(frames, ignore_index=True)
+        return cat.nsmallest(min(k, len(cat)), "vec_id")
+
+    folded = tree_fold_tables(ds.map_batches(bottom, batch_format="pandas"), _combine)
+    if folded is None or not len(folded):
+        raise ValueError("k-means init: embeddings table is empty")
+    return folded.sort_values("vec_id", ignore_index=True)
+
+
 def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     """``iters`` exact Lloyd rounds; returns ``(dataset, centroids)`` with
     the int64 fixed-point centroid matrix after the final update."""
@@ -104,15 +126,16 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
-    # --- init: k lowest vec_ids (tiny: one pruned read of k rows) --------
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(t["vec_id"].to_numpy())[:k]
-    init = t.take(order)
+    # --- init: k lowest vec_ids, computed DISTRIBUTED ---------------------
+    # Per-batch bottom-k partials + tree fold (the rel_stratified_sample
+    # pattern): every batch keeps only its k lowest-vec_id rows, the fold
+    # re-selects the global bottom k — the driver only ever holds ≤ fanin·k
+    # candidate rows, never the table. Bottom-k is associative/commutative
+    # with unique vec_ids, so the selection is bit-identical to the old
+    # whole-table argsort at any partitioning.
+    init = _bottom_k_vectors(ds, k)
     cen = np.floor(
-        np.stack([np.asarray(e, dtype=np.float64) for e in init["embedding"].to_pylist()])
-        * SCALE
+        np.stack(init["embedding"].to_numpy()).astype(np.float64) * SCALE
     ).astype(np.int64)
     d = cen.shape[1]
     sum_cols = [f"s{j}" for j in range(d)]
@@ -679,8 +702,20 @@ TOP_COMPONENT_ITERS = 96
 
 # the moment fold + 96-round iteration is the family's priciest stage and
 # BOTH ml_top_component and ml_pca_scores need it in one gate run — memoize
-# per (sf_dir, n_iter), the _entity_edges/_extracted rationale
+# per (sf_dir, n_iter, file fingerprint), the _entity_edges/_extracted
+# rationale; the (mtime_ns, size) fingerprint invalidates the entry if the
+# parquet under sf_dir is rewritten within one process (reused tmp dirs)
 _TOP_COMPONENT_CACHE: dict = {}
+
+
+def _file_fingerprint(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
@@ -709,7 +744,10 @@ def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
     """
     from .folds import tree_fold_tables
 
-    cached = _TOP_COMPONENT_CACHE.get((sf_dir, n_iter))
+    cache_key = (
+        sf_dir, n_iter, _file_fingerprint(f"{sf_dir}/embeddings.parquet")
+    )
+    cached = _TOP_COMPONENT_CACHE.get(cache_key)
     if cached is not None:
         return cached.copy()
 
@@ -758,7 +796,7 @@ def top_component(sf_dir: str, *, n_iter: int = TOP_COMPONENT_ITERS,
         ]
     out = pd.DataFrame({"dim": np.arange(d, dtype=np.int64),
                         "v_q": np.array(v, dtype=np.int64)})
-    _TOP_COMPONENT_CACHE[(sf_dir, n_iter)] = out
+    _TOP_COMPONENT_CACHE[cache_key] = out
     return out.copy()
 
 

@@ -1185,7 +1185,11 @@ def eccentricity_census(
     def combine(frames):
         return pd.concat(frames, ignore_index=True).drop_duplicates()
 
-    for r in range(1, max_rounds + 1):
+    # One probe round PAST max_rounds: a layer assigned exactly at round
+    # max_rounds is a completed BFS iff that frontier has no onward
+    # expansion, so only genuinely-new pairs beyond max_rounds are an
+    # error (round-3 ADVICE: the SQL oracle handles ecc == max_rounds).
+    for r in range(1, max_rounds + 2):
         fr = pd.DataFrame(sorted(frontier), columns=["seed", "node"])
         f_ref = ray.put((frozenset(fr["node"]), fr))
 
@@ -1209,13 +1213,13 @@ def eccentricity_census(
         }
         if not frontier:
             break
+        if r > max_rounds:
+            raise RuntimeError(
+                f"eccentricity_census frontier still active after {max_rounds} "
+                f"rounds; raise max_rounds"
+            )
         for key in frontier:
             dist[key] = r
-    else:
-        raise RuntimeError(
-            f"eccentricity_census frontier still active after {max_rounds} "
-            f"rounds; raise max_rounds"
-        )
 
     df = pd.DataFrame(
         {"seed": [k[0] for k in dist], "d": list(dist.values())}

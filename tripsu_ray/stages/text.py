@@ -1,4 +1,4 @@
-"""Text analysis stages over the ``documents`` table (training-data ops).
+r"""Text analysis stages over the ``documents`` table (training-data ops).
 
 All stages are stateless, fully-vectorized ``map_batches`` transforms over
 pandas batches (string kernels) — at 100 TB these shard trivially since no
@@ -228,9 +228,11 @@ def rolling_fingerprint_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFr
 
     min over all token windows of width ``window`` of the 62-bit combined
     rolling hash (lane1 << 31 | lane2); docs shorter than the window use the
-    single window of their full length; empty docs → 0. Not SQL-expressible
-    → rows-only correctness check; vectorized path is cross-checked against
-    the scalar reference (_rolling_fp_scalar) in tests.
+    single window of their full length; empty docs → 0. Hash-checked:
+    ``doc_oracle.sql_text_rolling_fp`` renders the identical fingerprint in
+    DuckDB (sha256 lane parse + inline modpow window); the vectorized path
+    is also cross-checked against the scalar reference
+    (_rolling_fp_scalar) in tests.
     """
     tok_lists = batch["text"].str.lower().str.findall(_token_pat)
     counts = tok_lists.map(len).to_numpy(np.int64)
