@@ -1721,6 +1721,35 @@ class TestNegativeSamples:
         key = lambda d: d.sort_values(["f", "h", "m"], ignore_index=True)
         pd.testing.assert_frame_equal(key(a), key(b))
 
+    def test_distributed_rank_path_bit_equal(self):
+        """The beyond-driver source-rank exchange (driver_max=0) must be
+        bit-equal to the gated broadcast path (round-3 VERDICT item 2) —
+        the components/paths gate-test template."""
+        from tripsu_ray.stages.graph import _source_rank_exchange, negative_samples
+
+        rng = np.random.default_rng(33)
+        df = pd.DataFrame(
+            {
+                "a": [f"f{i:02d}" for i in rng.integers(0, 23, 200)],
+                "b": [f"m{i}" for i in rng.integers(0, 11, 200)],
+            }
+        ).drop_duplicates(ignore_index=True)
+        gated = negative_samples(_ds(df, blocks=3), k=3, num_partitions=4).to_pandas()
+        dist = negative_samples(
+            _ds(df, blocks=5), k=3, num_partitions=4, driver_max=0
+        ).to_pandas()
+        key = lambda d: d.sort_values(["f", "h", "m"], ignore_index=True)
+        pd.testing.assert_frame_equal(key(gated), key(dist))
+        # the rank exchange itself equals the sorted-unique rank array
+        ranked = (
+            _source_rank_exchange(_ds(df, blocks=4), num_partitions=4)
+            .to_pandas()
+            .sort_values("fcode", ignore_index=True)
+        )
+        files = sorted(df["a"].unique())
+        assert list(ranked["f"]) == files
+        assert list(ranked["fcode"]) == list(range(len(files)))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAdamicAdar:

@@ -1915,18 +1915,28 @@ def q_rel_moving_sum(sf_dir: str):
     )
 
 
-def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
+_Q5_CUSTOMER_BROADCAST_MAX = 5_000_000
+
+
+def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32,
+                     customer_broadcast_max: int = _Q5_CUSTOMER_BROADCAST_MAX):
     """TPC-H Q5-shaped 6-table join (region ⋈ nation ⋈ customer ⋈ orders ⋈
     lineitem ⋈ supplier, ASIA, revenue per nation) — the mixed
     broadcast+shuffle plan every warehouse query compiles to:
 
     - the two BIG tables (lineitem, orders) co-partition on orderkey via
       the union-tag exchange (one shuffle, `Dataset.join` avoided);
-    - the four SMALL tables collapse into dense int lookup arrays
-      (custkey→nationkey, suppkey→nationkey, nationkey→name/is-ASIA)
-      `ray.put` ONCE and probed vectorized inside each partition — at
-      true scale customer graduates to a second key exchange, which
-      `rel_shuffle_join` already demonstrates;
+    - the CONSTANT-SIZE tables (nation, region, supplier) collapse into
+      dense int lookup arrays (suppkey→nationkey, nationkey→name/is-ASIA)
+      `ray.put` ONCE and probed vectorized inside each partition;
+    - customer GROWS with the corpus, so it is size-gated (parquet
+      metadata row count, no data read): at or under
+      ``customer_broadcast_max`` rows it rides the same dense-array
+      broadcast (probed in tag_orders), above it a SECOND union-tag
+      exchange on custkey (the ``rel_shuffle_join`` plan) annotates each
+      order with its c_nationkey before the orderkey exchange — both
+      paths feed identical (orderkey, c_nationkey) rows downstream and
+      are bit-equality pytest-pinned;
     - the cross-dimension predicate c_nationkey = s_nationkey is applied
       INSIDE the partition right after the merge, so only matching rows
       reach the per-partition partial aggregate (≤ #nations rows leave
@@ -1937,9 +1947,6 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
 
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
@@ -1954,7 +1961,6 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
         arr[keys] = vals
         return arr
 
-    c_nat = dense(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
     s_nat = dense(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())
     nkeys = nat["n_nationkey"].to_numpy()
     n_name = dense(nkeys, np.array(nat["n_name"].to_pylist(), dtype=object), fill="")
@@ -1971,7 +1977,7 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
         ),
         fill=0,
     )
-    dims_ref = ray.put((c_nat, s_nat, n_name, is_asia))
+    dims_ref = ray.put((s_nat, n_name, is_asia))
 
     li = _read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -1984,6 +1990,65 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
     def part_of(keys: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(keys.astype(np.int64)) % num_partitions).astype(
             "int64"
+        )
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= customer_broadcast_max:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        c_nat = dense(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())
+        c_nat_ref = ray.put(c_nat)
+
+        def orders_cn_batch(b: pd.DataFrame, _c=c_nat_ref) -> pd.DataFrame:
+            cn_map = ray.get(_c)
+            ck = b["o_custkey"].to_numpy().astype(np.int64)
+            cn = np.where(ck < len(cn_map), cn_map[np.minimum(ck, len(cn_map) - 1)], -1)
+            return pd.DataFrame(
+                {"k": b["o_orderkey"].to_numpy().astype(np.int64),
+                 "cn": cn.astype(np.int64)}
+            )
+
+        orders_cn = orders.map_batches(orders_cn_batch, batch_format="pandas")
+    else:
+        # customer above the broadcast bound: co-partition it with orders
+        # on custkey (the rel_shuffle_join union-tag exchange) to annotate
+        # each order with c_nationkey — one extra shuffle, zero driver state
+        cust_ds = _read_parquet_clean(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+
+        def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {"ck": k, "v": b["c_nationkey"].to_numpy().astype(np.int64),
+                 "side": np.int8(0), "_part": part_of(k)}
+            )
+
+        def tag_ord(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["o_custkey"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {"ck": k, "v": b["o_orderkey"].to_numpy().astype(np.int64),
+                 "side": np.int8(1), "_part": part_of(k)}
+            )
+
+        def cust_join(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                  "cn": pd.Series([], dtype="int64")})
+            if not len(g) or "side" not in g.columns:
+                return empty
+            dim = g[g["side"] == 0][["ck", "v"]].rename(columns={"v": "cn"})
+            fact = g[g["side"] == 1][["ck", "v"]].rename(columns={"v": "k"})
+            if not len(dim) or not len(fact):
+                return empty
+            j = fact.merge(dim, on="ck")
+            return j[["k", "cn"]].astype({"k": "int64", "cn": "int64"})
+
+        orders_cn = (
+            cust_ds.map_batches(tag_cust, batch_format="pandas")
+            .union(orders.map_batches(tag_ord, batch_format="pandas"))
+            .groupby("_part")
+            .map_groups(cust_join, batch_format="pandas")
         )
 
     def tag_li(b: pd.DataFrame) -> pd.DataFrame:
@@ -2005,11 +2070,11 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
         )
 
     def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        k = b["k"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
                 "k": k,
-                "other": b["o_custkey"].to_numpy().astype(np.int64),
+                "other": b["cn"].to_numpy().astype(np.int64),
                 "rev": np.full(len(b), 0, dtype=np.int64),
                 "side": np.int8(1),
                 "_part": part_of(k),
@@ -2017,7 +2082,7 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
         )
 
     both = li.map_batches(tag_li, batch_format="pandas").union(
-        orders.map_batches(tag_orders, batch_format="pandas")
+        orders_cn.map_batches(tag_orders, batch_format="pandas")
     )
 
     def join_part(g: pd.DataFrame, _dims=dims_ref) -> pd.DataFrame:
@@ -2030,15 +2095,15 @@ def q_rel_q5_revenue(sf_dir: str, *, num_partitions: int = 32):
         )
         if not len(g) or "side" not in g.columns:
             return empty
-        c_nat, s_nat, n_name, is_asia = ray.get(_dims)
+        s_nat, n_name, is_asia = ray.get(_dims)
         fact = g[g["side"] == 0][["k", "other", "rev"]].rename(
             columns={"other": "suppkey"}
         )
-        dim = g[g["side"] == 1][["k", "other"]].rename(columns={"other": "custkey"})
+        dim = g[g["side"] == 1][["k", "other"]].rename(columns={"other": "cn"})
         if not len(fact) or not len(dim):
             return empty
         j = fact.merge(dim, on="k")
-        cn = c_nat[j["custkey"].to_numpy()].astype(np.int64)
+        cn = j["cn"].to_numpy().astype(np.int64)
         sn = s_nat[j["suppkey"].to_numpy()].astype(np.int64)
         m = (cn == sn) & (cn >= 0) & (is_asia[sn] == 1)
         if not m.any():

@@ -3366,7 +3366,85 @@ NEG_B = 2654435761
 NEG_P = 2147483647
 
 
-def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
+_NEG_DRIVER_MAX = 1 << 20
+
+
+def _source_rank_exchange(edges, *, num_partitions: int):
+    """Dense sorted rank of the DISTINCT source vocabulary WITHOUT a
+    driver node table — ``q_rel_row_number``'s range-partitioned rank
+    plan (pipelines/docops.py) applied to string keys:
+
+    1. per-batch sorted name samples tree-fold to ≤ P−1 quantile
+       boundary strings (driver state = the boundaries; skewed samples
+       only unbalance partitions, never change ranks);
+    2. each range partition dedups + sorts its names locally and emits
+       (f, _part, local index) — names in partition p all sort before
+       partition p+1 by construction, so between-partition order is free;
+    3. the per-partition distinct counts fold to P prefix offsets on the
+       driver, and one cheap map adds them: fcode = offset + local index,
+       equal to ``searchsorted(sorted distinct sources, f)`` under any
+       partitioning.
+
+    Returns a Dataset (f, fcode)."""
+    from .folds import tree_fold_tables
+
+    P = num_partitions
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["a"].to_numpy(dtype=object))
+        idx = np.linspace(0, len(u) - 1, num=min(len(u), 64)).astype(int)
+        return pd.DataFrame({"s": u[idx]})
+
+    samp = tree_fold_tables(edges.map_batches(sample, batch_format="pandas"),
+                            lambda fs: sample(pd.concat(fs, ignore_index=True)
+                                              .rename(columns={"s": "a"})))
+    u = np.unique(samp["s"].to_numpy(dtype=object))
+    if len(u) <= 1 or P <= 1:
+        bounds = np.array([], dtype=object)
+    else:
+        pos = np.linspace(0, len(u) - 1, num=min(P, len(u)) + 1)[1:-1]
+        bounds = np.unique(u[pos.astype(int)])
+
+    def part_tag(b: pd.DataFrame) -> pd.DataFrame:
+        names = np.unique(b["a"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"f": names,
+             "_part": np.searchsorted(bounds, names, side="right").astype("int64")}
+        )
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        names = np.unique(g["f"].to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"f": names,
+             "_part": np.full(len(names), int(g["_part"].iloc[0]), dtype=np.int64),
+             "_li": np.arange(len(names), dtype=np.int64)}
+        )
+
+    local = (
+        edges.map_batches(part_tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(local_rank, batch_format="pandas")
+        .materialize()
+    )
+    cens = local.map_batches(
+        lambda b: b.groupby("_part", as_index=False).agg(n=("_li", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    sizes = cens.groupby("_part")["n"].sum().sort_index()
+    offsets = sizes.cumsum().shift(fill_value=0).astype("int64").to_dict()
+
+    def add_off(b: pd.DataFrame) -> pd.DataFrame:
+        off = b["_part"].map(offsets).to_numpy("int64")
+        return pd.DataFrame(
+            {"f": b["f"].astype(object),
+             "fcode": off + b["_li"].to_numpy("int64")}
+        )
+
+    return local.map_batches(add_off, batch_format="pandas")
+
+
+def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32,
+                     driver_max: int = _NEG_DRIVER_MAX):
     """Deterministic negative sampling for link-prediction training: for
     every SOURCE node, the ``k`` smallest-hash TARGETS it has NO edge to
     (hash = ``(fc·A + mc·B) mod P`` over dense sorted-name codes, ties →
@@ -3378,12 +3456,13 @@ def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
     shipped once with its codes; sources CO-PARTITION with their edge
     lists in one exchange, so each partition excludes a source's true
     edges locally and scores its candidate row (|targets| hashes) fully
-    vectorized. Source codes come from the sorted distinct source array
-    (node-class, the type-index budget) — the DENSE SORTED rank is part
-    of the hash's oracle-mirrored semantics, the one operator in this
-    module whose codes must be rank-order (a beyond-driver node table
-    here means a sort-partitioned rank exchange, not the factorize
-    codes the other operators use). Returns (f, m, h).
+    vectorized. Source codes are the DENSE SORTED rank over distinct
+    sources — part of the hash's oracle-mirrored semantics. At or under
+    ``driver_max`` edges the rank array is a driver sorted-unique +
+    broadcast searchsorted; above it, :func:`_source_rank_exchange`
+    computes the identical ranks distributed and ONE union-tag exchange
+    on the source name joins each edge to its rank row (bit-equality of
+    the two paths is pytest-pinned). Returns (f, m, h).
     """
     import ray
 
@@ -3400,43 +3479,87 @@ def negative_samples(edges_ds, *, k: int = 3, num_partitions: int = 32):
 
     if edges.count() == 0:
         return empty_out()
-    files = np.array(sorted(edges.unique("a")), dtype=object)
     mods = np.array(sorted(edges.unique("b")), dtype=object)
-    state = ray.put((files, mods))
+    mods_ref = ray.put(mods)
     P = num_partitions
 
-    def tag(df: pd.DataFrame, _s=state) -> pd.DataFrame:
-        fl, _ = ray.get(_s)
-        code = np.searchsorted(fl, df["a"].to_numpy(dtype=object))
-        return pd.DataFrame(
-            {
-                "fcode": code.astype("int64"),
-                "m": df["b"].astype(object),
-                "_part": (code % P).astype("int64"),
-            }
-        )
-
-    def sample_part(g: pd.DataFrame, _s=state) -> pd.DataFrame:
+    def sample_part(g: pd.DataFrame, _md=mods_ref) -> pd.DataFrame:
         if not len(g):
             return empty_out()
-        fl, md = ray.get(_s)
+        md = ray.get(_md)
         mcode = np.arange(1, len(md) + 1, dtype=np.int64)
         rows = {"f": [], "m": [], "h": []}
-        for fc, grp in g.groupby("fcode", sort=False):
+        for (fc, fname), grp in g.groupby(["fcode", "f"], sort=False):
             h = ((int(fc) + 1) * NEG_A + mcode * NEG_B) % NEG_P
             mask = ~np.isin(md, grp["m"].to_numpy(dtype=object))
             cand_h = h[mask]
             cand_m = md[mask]
             order = np.lexsort((cand_m, cand_h))[:k]
-            rows["f"].extend([fl[int(fc)]] * len(order))
+            rows["f"].extend([fname] * len(order))
             rows["m"].extend(cand_m[order])
             rows["h"].extend(cand_h[order])
         return pd.DataFrame(rows).astype({"h": "int64"})
 
+    if edges.count() <= driver_max:
+        files = np.array(sorted(edges.unique("a")), dtype=object)
+        files_ref = ray.put(files)
+
+        def tag(df: pd.DataFrame, _f=files_ref) -> pd.DataFrame:
+            fl = ray.get(_f)
+            code = np.searchsorted(fl, df["a"].to_numpy(dtype=object))
+            return pd.DataFrame(
+                {
+                    "f": df["a"].astype(object),
+                    "fcode": code.astype("int64"),
+                    "m": df["b"].astype(object),
+                    "_part": (code % P).astype("int64"),
+                }
+            )
+
+        tagged = edges.map_batches(tag, batch_format="pandas")
+    else:
+        # union-tag join on the source name: kind 0 = rank row, 1 = edge
+        ranked = _source_rank_exchange(edges, num_partitions=P)
+
+        def rank_row(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": b["f"].astype(object), "kind": np.int8(0),
+                 "fcode": b["fcode"].astype("int64"), "m": None}
+            )
+
+        def edge_row(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": b["a"].astype(object), "kind": np.int8(1),
+                 "fcode": np.int64(-1), "m": b["b"].astype(object)}
+            )
+
+        def join_group(g: pd.DataFrame) -> pd.DataFrame:
+            fc = g.loc[g["kind"] == 0, "fcode"]
+            if not len(fc):  # unreachable: every source has a rank row
+                return pd.DataFrame(
+                    {"f": pd.Series([], dtype=object),
+                     "fcode": pd.Series([], dtype="int64"),
+                     "m": pd.Series([], dtype=object),
+                     "_part": pd.Series([], dtype="int64")}
+                )
+            code = int(fc.iloc[0])
+            e = g[g["kind"] == 1]
+            return pd.DataFrame(
+                {"f": e["key"].astype(object),
+                 "fcode": np.full(len(e), code, dtype=np.int64),
+                 "m": e["m"].astype(object),
+                 "_part": np.full(len(e), code % P, dtype=np.int64)}
+            )
+
+        tagged = (
+            ranked.map_batches(rank_row, batch_format="pandas")
+            .union(edges.map_batches(edge_row, batch_format="pandas"))
+            .groupby("key")
+            .map_groups(join_group, batch_format="pandas")
+        )
+
     return (
-        edges.map_batches(tag, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(sample_part, batch_format="pandas")
+        tagged.groupby("_part").map_groups(sample_part, batch_format="pandas")
     )
 
 
