@@ -355,12 +355,12 @@ def oracle_sql() -> dict[str, str]:
     """SQL oracles for every SQL-expressible query above.
 
     Intentionally omitted (→ rows-only check):
-    dedup_embedding (probabilistic LSH /
-    iterative components), ann_lsh, ann_ivf, sim_threshold_lsh
+    ann_ivf, sim_threshold_lsh
     (approximate by construction — precision 1.0, recall asserted in tests
-    vs their exact anchors; jaccard_pairs_lsh graduated to hash-checked
-    because its token-hash LSH replays exactly in SQL, unlike the
-    float-hyperplane plans), multimodal_features (feature vector from
+    vs their exact anchors; jaccard_pairs_lsh, dedup_embedding and
+    ann_lsh graduated to hash-checked — the latter two via
+    integer-quantized hyperplanes injected as SQL literals, the minhash
+    trick), multimodal_features (feature vector from
     binary payloads), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
     ann_pq (PQ-compressed candidate scan — recall vs ann_topk
@@ -464,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": d.sql_jaccard_pairs(),
         "jaccard_pairs_lsh": d.sql_jaccard_pairs_lsh(),
         "ann_topk": d.sql_ann_topk(),
+        "ann_lsh": d.sql_ann_lsh(),
+        "dedup_embedding": d.sql_dedup_embedding(),
         "ann_filtered": _sql_ann_filtered(),
         "sim_threshold": d.sql_sim_threshold(),
         "ann_knn_graph": d.sql_ann_knn_graph(),

@@ -2301,3 +2301,51 @@ def test_q5_customer_gate_both_sides_bit_equal():
     shuf = key(q_rel_q5_revenue(SF, customer_broadcast_max=0).to_pandas())
     pd.testing.assert_frame_equal(bcast, shuf)
     assert len(bcast) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_embedding_planted_dups_match_oracle(tmp_path):
+    """The corpus has no bucket-colliding near-dups at the default params,
+    so plant some: near-identical vectors share all 8 signature bits and
+    MUST cluster; engine output must hash-equal the DuckDB oracle
+    including the verify + components path (round-3 VERDICT item 4)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tripsu_ray.pipelines.doc_oracle import sql_dedup_embedding
+    from tripsu_ray.stages.dedup import dedup_embedding
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    # 0/20 and 1/21: near-identical (tiny perturbation keeps all signs)
+    vecs.append(base[0] + 1e-6)
+    vecs.append(base[1] + 1e-6)
+    emb = np.stack(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * len(emb), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = (
+        dedup_embedding(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(sql_dedup_embedding()).df().astype("int64")
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # the planted pairs actually clustered
+    assert got.loc[20, "cluster_id"] == 0 and got.loc[21, "cluster_id"] == 1
+    assert (got.groupby("cluster_id")["vec_id"].transform("size") > 1).sum() == 4

@@ -443,6 +443,57 @@ ORDER BY query_id, rank
 """.strip()
 
 
+def sql_ann_lsh(k: int = 10, num_queries: int = 5, num_planes: int = 4,
+                num_tables: int = 8, seed: int = 11, dim: int = 64) -> str:
+    """Multi-table hyperplane ANN oracle — the exact dual of
+    ``stages/similarity.py::ann_lsh`` now that its planes are
+    integer-quantized (round-3 VERDICT item 4): plane literals replay the
+    per-table integer sign signatures exactly, the ≤1-bit multiprobe is
+    ``bit_count(xor(...)) <= 1`` over any table, and the rerank is the
+    identical floor(10⁶·cos) scoring ``sql_ann_topk`` already
+    hash-matches. ``dim`` pins the corpus embedding width."""
+    from ..stages.dedup import lsh_planes_q
+
+    planes = lsh_planes_q(dim, num_tables * num_planes, seed)
+    vals = ", ".join(
+        f"({d}, {c // num_planes}, {c % num_planes}, {int(planes[d, c])})"
+        for d in range(dim) for c in range(num_tables * num_planes)
+    )
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+), planes(d, t, p, w) AS (VALUES {vals}),
+dots AS (
+  SELECT q.vec_id, pl.t, pl.p, sum(q.v * pl.w) AS dp
+  FROM qv q JOIN planes pl USING (d) GROUP BY q.vec_id, pl.t, pl.p
+), sig AS MATERIALIZED (
+  SELECT vec_id, t,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS s
+  FROM dots GROUP BY vec_id, t
+), cand AS (
+  SELECT qs.vec_id AS query_id, vs.vec_id
+  FROM sig qs JOIN sig vs ON qs.t = vs.t
+  WHERE qs.vec_id < {num_queries} AND vs.vec_id <> qs.vec_id
+    AND bit_count(xor(CAST(qs.s AS UBIGINT), CAST(vs.s AS UBIGINT))) <= 1
+  GROUP BY qs.vec_id, vs.vec_id
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q.e, w.e) * 1000000) AS BIGINT) AS simq
+  FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v w ON w.vec_id = c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
 def sql_sim_threshold(tau_q: int = 400_000) -> str:
     return f"""
 WITH v AS (
@@ -744,6 +795,66 @@ def _min_label_cc_ctes(rounds: int = 16) -> str:
         )
     parts.append(f"lab AS (SELECT n, l AS cluster_id FROM lab{rounds})")
     return ",\n".join(parts)
+
+
+def sql_dedup_embedding(tau_pct: int = 45, num_planes: int = 8, seed: int = 11,
+                        dim: int = 64) -> str:
+    """Hyperplane-LSH embedding-dedup oracle — the exact dual of
+    ``stages/dedup.py::dedup_embedding`` now that the planes are
+    integer-quantized (round-3 VERDICT item 4): the d×planes int64 plane
+    matrix is INJECTED as literals (the minhash (a,b)-array trick), so
+    bucket assignment is an exact integer sign test in both engines;
+    verification replays semdedup's exact algebra in HUGEINT
+    (``dot > 0 ∧ 10⁴·dot² ≥ tau_pct²·|a|²·|b|²`` — dot² ≤ ~7·10²⁴ and
+    the norm product ≤ ~7·10²⁴ both sit far inside HUGEINT); clusters
+    via the unrolled min-label propagation. ``dim`` pins the corpus
+    embedding width (64 for the test tables, cf. top_component_sql)."""
+    from ..stages.dedup import lsh_planes_q
+
+    planes = lsh_planes_q(dim, num_planes, seed)
+    vals = ", ".join(
+        f"({d}, {p}, {int(planes[d, p])})"
+        for d in range(dim) for p in range(num_planes)
+    )
+    t2 = tau_pct * tau_pct
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+), planes(d, p, w) AS (VALUES {vals}),
+dots AS (
+  SELECT q.vec_id, pl.p, sum(q.v * pl.w) AS dp
+  FROM qv q JOIN planes pl USING (d) GROUP BY q.vec_id, pl.p
+), sig AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+), n2 AS MATERIALIZED (
+  SELECT vec_id, sum(v * v) AS n2 FROM qv GROUP BY vec_id
+), pairs AS (
+  SELECT sa.vec_id AS a, sb.vec_id AS b
+  FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+), pdot AS (
+  SELECT p.a, p.b, sum(x.v * y.v) AS dot
+  FROM pairs p
+  JOIN qv x ON x.vec_id = p.a
+  JOIN qv y ON y.vec_id = p.b AND y.d = x.d
+  GROUP BY p.a, p.b
+), verified AS (
+  SELECT pd2.a, pd2.b
+  FROM pdot pd2
+  JOIN n2 na ON na.vec_id = pd2.a
+  JOIN n2 nb ON nb.vec_id = pd2.b
+  WHERE pd2.dot > 0
+    AND 10000 * CAST(pd2.dot AS HUGEINT) * CAST(pd2.dot AS HUGEINT)
+        >= {t2} * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+), symp AS MATERIALIZED (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified),
+{_min_label_cc_ctes()}
+SELECT e.vec_id, CAST(coalesce(l.cluster_id, e.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings e LEFT JOIN lab l ON l.n = e.vec_id
+ORDER BY e.vec_id
+""".strip()
 
 
 def sql_dedup_minhash(num_perm: int = 64, bands: int = 16) -> str:

@@ -784,22 +784,49 @@ def ngram_jaccard_pairs(sf_dir: str, *, tau: float = 0.8, num_perm: int = 64, ba
 # --------------------------------------------------------------------------
 
 
-def dedup_embedding(sf_dir: str, *, tau: float = 0.45, num_planes: int = 8, seed: int = 11):
-    """Embedding near-dedup: hyperplane LSH buckets → exact cosine → clusters."""
+EMB_SCALE = 1_000_000
+
+
+def lsh_planes_q(d: int, num_planes: int, seed: int) -> np.ndarray:
+    """Integer-quantized hyperplanes: ``floor(randn·10⁶)`` int64 from the
+    seeded RandomState — deterministic per (d, num_planes, seed), tiny
+    (d × planes), and INJECTABLE as SQL literals so DuckDB replays the
+    bucket assignment bit-exactly (the trick that graduated minhash)."""
+    rng = np.random.RandomState(seed)
+    return np.floor(rng.randn(d, num_planes) * EMB_SCALE).astype(np.int64)
+
+
+def dedup_embedding(sf_dir: str, *, tau_pct: int = 45, num_planes: int = 8, seed: int = 11):
+    """Embedding near-dedup: hyperplane LSH buckets → exact cosine →
+    clusters — EXACT-integer end to end (hash-checked, round-3 VERDICT
+    item 4):
+
+    - embeddings quantize once to ``floor(x·10⁶)`` int64; signature bit p
+      is the sign of the exact integer dot with quantized plane p
+      (≤ 64·10⁶·5·10⁶ ≈ 5·10¹³, far inside int64) — cosine-LSH signs are
+      scale-invariant, so quantized-raw signs equal normalized-float
+      signs except within quantization noise of the boundary, where the
+      integer rule is simply THE definition both engines share;
+    - within-bucket verification is semdedup's exact algebra:
+      cos ≥ tau ⇔ dot > 0 ∧ 10⁴·dot² ≥ tau_pct²·|a|²·|b|² (float64
+      prefilter, big-int re-judgment of ±10⁻⁹ boundary pairs);
+    - clusters via distributed label propagation (component-min ids),
+      same plan as dedup_minhash.
+    """
     import ray
     import ray.data
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tau = tau_pct / 100.0
 
-    def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(m.shape[1], num_planes)
-        sig = (m @ planes > 0) @ (1 << np.arange(num_planes))
+        q = np.floor(m * EMB_SCALE).astype(np.int64)
+        planes = lsh_planes_q(q.shape[1], num_planes, seed)
+        sig = (q @ planes > 0) @ (1 << np.arange(num_planes))
         return pd.DataFrame(
             {"vec_id": batch["vec_id"], "bucket": sig.astype("int64"),
-             "vec": [row.tobytes() for row in m]}
+             "q": [row.tobytes() for row in q]}
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -807,17 +834,27 @@ def dedup_embedding(sf_dir: str, *, tau: float = 0.45, num_planes: int = 8, seed
         ids = g["vec_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-        sims = m @ m.T
+        q = np.stack([np.frombuffer(v, dtype=np.int64) for v in g["q"]])
+        dots = q @ q.T  # exact int64
+        n2 = np.einsum("id,id->i", q, q)
+        nf = np.sqrt(n2.astype(np.float64))
+        sim = dots / (nf[:, None] * nf[None, :])
         ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sims[ai, bi] >= tau
+        keep = (sim[ai, bi] >= tau) & (dots[ai, bi] > 0)
+        border = (np.abs(sim[ai, bi] - tau) < 1e-9) & (dots[ai, bi] > 0)
+        for t in np.nonzero(border)[0]:
+            i, j = ai[t], bi[t]
+            d2 = int(dots[i, j])
+            keep[t] = d2 > 0 and 10_000 * d2 * d2 >= (
+                tau_pct * tau_pct * int(n2[i]) * int(n2[j])
+            )
         return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]]})
 
     # distributed components + map-side assignment — same plan as
     # dedup_minhash (duplicate edges from multi-bucket pairs are fine:
     # label propagation is idempotent over them)
     pairs = (
-        ds.map_batches(normalize, batch_format="pandas")
+        ds.map_batches(sig_batch, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

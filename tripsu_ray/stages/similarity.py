@@ -358,36 +358,59 @@ def ann_lsh(
     ANY table probes it, lifting recall the same way sim_threshold_lsh's
     banding does (round-1 single-table recall was ~0.3; banded ≈0.9).
     Corpus buckets are computed per batch INSIDE the map; the driver
-    touches only the pruned query rows. Approximate by construction →
-    rows-only correctness check; recall vs the exact baseline is asserted
-    in tests.
+    touches only the pruned query rows.
+
+    Hash-checked (round-3 VERDICT item 4): the planes are
+    integer-quantized (``dedup.lsh_planes_q``) and signature bits are
+    exact integer sign tests over ``floor(x·10⁶)`` embeddings, so DuckDB
+    replays the candidate set bit-exactly from plane literals; the rerank
+    is the same floor(10⁶·cos) scoring ann_topk already hash-matches.
+    Recall vs the exact baseline additionally asserted in tests.
     """
     import ray
     import ray.data
 
+    from .dedup import EMB_SCALE, lsh_planes_q
+
     q_ids, Q = _query_matrix(sf_dir, num_queries)
-    rng = np.random.RandomState(seed)
-    # plane count is d × (tables · planes) — derive d from the query rows
-    planes = rng.randn(Q.shape[1], num_tables * num_planes)
+    planes = lsh_planes_q(Q.shape[1], num_tables * num_planes, seed)
     w = 1 << np.arange(num_planes)
 
     def signatures(m: np.ndarray) -> np.ndarray:
-        """n × num_tables int signatures from the stacked plane bits."""
-        bits = m @ planes > 0
+        """n × num_tables int signatures: exact integer sign bits over the
+        quantized rows (sign is scale-invariant, so normalization is
+        irrelevant to the signature)."""
+        q = np.floor(m * EMB_SCALE).astype(np.int64)
+        bits = q @ planes > 0
         return np.stack(
             [bits[:, t * num_planes : (t + 1) * num_planes] @ w for t in range(num_tables)],
             axis=1,
         ).astype(np.int64)
 
-    q_sigs = signatures(Q)
-    ref = ray.put((q_ids, Q, q_sigs))
-
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    # signatures need the RAW (quantized) rows; rerank needs normalized —
+    # re-read the pruned query rows raw for the signature pass
+    import pyarrow.compute as pc
+
+    qdf = (
+        _read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    q_raw = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    q_sigs = signatures(q_raw)
+    ref = ray.put((q_ids, Q, q_sigs))
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_, qs_ = ray.get(ref)
-        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        vs = signatures(vm)  # n × tables
+        raw = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vm = _normalize_rows(raw)
+        vs = signatures(raw)  # n × tables
         vids = batch["vec_id"].to_numpy()
         rows = {"query_id": [], "vec_id": [], "simq": []}
         for qi, qid in enumerate(q_ids_):
