@@ -12,8 +12,11 @@ Reference commands (src/main.rs:84-103): ``tripsu index`` (pass 1) and
 - ``bench``   : delegate to bench.py
 
 stdin/stdout have no distributed analogue (a Dataset is read by many
-tasks), so paths replace tripsu's ``-`` defaults; directories of shards
-replace single files.
+tasks), so the distributed paths use files; directories of shards replace
+single files. The reference's piped workflow (``-`` operands,
+src/main.rs:34-63, docs/tutorial.md:10-16) IS supported for ``convert``
+and ``pseudo`` via a single-process chunked path that never boots Ray —
+byte-identical to the file-path run (pytest-pinned).
 
 This module OWNS its Ray session (guarded init + shutdown); library code
 never initializes Ray.
@@ -128,6 +131,157 @@ def _write_triples(ds, path: str) -> list[str]:
     else:
         ds.write_parquet(path)
     return dropped
+
+
+# --- single-process pipe mode (`-` operands) -------------------------------
+# The reference defaults input/output to stdin/stdout (src/main.rs:34-40,
+# 50-63; docs/tutorial.md:10-16 pipes `cat graph.nt | tripsu pseudo ...`).
+# A Dataset is read by many tasks, so the distributed engine uses paths —
+# but the piped small-file workflow is real CLI conformance, served by a
+# single-process chunked path that never boots Ray.
+
+_PIPE_CHUNK = 65536
+
+
+def _pipe_is_nt(path: str) -> bool:
+    return path == "-" or path.endswith(".nt") or path.endswith(".ntriples")
+
+
+def _pipe_in(path: str):
+    """Yield line-list chunks from stdin or an .nt file (bounded memory)."""
+    f = sys.stdin if path == "-" else open(path, "r", encoding="utf-8")
+    try:
+        while True:
+            lines = []
+            for line in f:
+                lines.append(line.rstrip("\n"))
+                if len(lines) >= _PIPE_CHUNK:
+                    break
+            if not lines:
+                break
+            yield lines
+            if len(lines) < _PIPE_CHUNK:
+                break
+    finally:
+        if path != "-":
+            f.close()
+
+
+def _pipe_out(path: str):
+    return sys.stdout if path == "-" else open(path, "w", encoding="utf-8")
+
+
+def _pipe_convert(args):
+    import pyarrow as pa
+
+    from .functions.rdf import parse_ntriples_lines, serialize_ntriples
+
+    if not (_pipe_is_nt(args.input) and _pipe_is_nt(args.output)):
+        raise SystemExit(
+            "pipe mode (`-`) converts N-Triples to N-Triples only; use file "
+            "paths for other formats"
+        )
+    out = _pipe_out(args.output)
+    n_in = n_ok = 0
+    try:
+        for lines in _pipe_in(args.input):
+            n_in += len(lines)
+            t = parse_ntriples_lines(
+                pa.table({"text": pa.array(lines, pa.string())}),
+                on_error=args.on_error,
+            )
+            n_ok += t.num_rows
+            for line in serialize_ntriples(t)["line"].to_pylist():
+                out.write(line + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    summary = {"command": "convert", "input": args.input, "output": args.output,
+               "mode": "pipe"}
+    if args.on_error == "skip":
+        summary["counters"] = {"parsed": n_ok, "skipped": n_in - n_ok}
+    print(json.dumps(summary), file=sys.stderr)
+
+
+def _pipe_pseudo(args):
+    import pyarrow as pa
+
+    from .functions.crypto import new_pseudonymizer, resolve_secret
+    from .functions.engine import pseudonymize_batch
+    from .functions.rdf import parse_ntriples_lines, serialize_ntriples
+    from .functions.rules import Rules
+
+    if not (_pipe_is_nt(args.input) and _pipe_is_nt(args.output)):
+        raise SystemExit("pipe mode (`-`) processes N-Triples only")
+    rules = Rules.from_yaml(args.rules) if args.rules else Rules.from_dict({})
+    if args.index and args.index.endswith(".json"):
+        from .functions.tripsu_index import HashIndexMatcher, TripsuIndex
+
+        matcher = HashIndexMatcher(rules, TripsuIndex.from_json(args.index))
+    elif args.index:
+        from .stages.pseudo import compile_matcher
+
+        matcher = compile_matcher(rules, _read_parquet_clean(args.index).to_pandas())
+    elif args.input == "-":
+        # mirrors the reference, where -x is required: a pipe cannot be
+        # re-read for the inline pass-1 index build
+        raise SystemExit(
+            "pseudo from stdin requires -x/--index (the stream cannot be "
+            "re-read to build the type index inline)"
+        )
+    else:
+        # file input with no prebuilt index: inline pass 1 by re-reading
+        # the file (the graceful degradation cmd_pseudo also offers)
+        import pandas as pd
+
+        from .stages.index import _typed_pairs
+        from .stages.pseudo import compile_matcher
+
+        pairs = []
+        for lines in _pipe_in(args.input):
+            t = parse_ntriples_lines(
+                pa.table({"text": pa.array(lines, pa.string())}),
+                on_error=args.on_error,
+            )
+            pairs.append(_typed_pairs(t).to_pandas())
+        cat = (pd.concat(pairs, ignore_index=True).drop_duplicates(ignore_index=True)
+               if pairs else pd.DataFrame({"subject": [], "type": []}))
+        matcher = compile_matcher(rules, cat)
+
+    generated = False
+    if args.secret_file:
+        secret = open(args.secret_file, "rb").read()
+        if len(secret) < 32:
+            raise SystemExit("Secret must be at least 32 bytes long")
+    elif args.salt is not None:
+        secret = args.salt
+    else:
+        secret = resolve_secret(None)
+        generated = True
+    pseudo = new_pseudonymizer(args.algorithm, secret)
+
+    out = _pipe_out(args.output)
+    n_in = n_ok = 0
+    try:
+        for lines in _pipe_in(args.input):
+            n_in += len(lines)
+            t = parse_ntriples_lines(
+                pa.table({"text": pa.array(lines, pa.string())}),
+                on_error=args.on_error,
+            )
+            n_ok += t.num_rows
+            rewritten = pseudonymize_batch(t, matcher, pseudo)
+            for line in serialize_ntriples(rewritten)["line"].to_pylist():
+                out.write(line + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    info = {"command": "pseudo", "output": args.output, "mode": "pipe"}
+    if generated:
+        info["generated_secret"] = secret
+    if args.on_error == "skip":
+        info["counters"] = {"parsed": n_ok, "skipped": n_in - n_ok}
+    print(json.dumps(info), file=sys.stderr)
 
 
 def cmd_convert(args):
@@ -492,6 +646,12 @@ def main(argv=None):
     pr.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
+    # `-` operands (reference stdin/stdout defaults, src/main.rs:34-63):
+    # single-process chunked path, no Ray session
+    if args.cmd == "convert" and "-" in (args.input, args.output):
+        return _pipe_convert(args)
+    if args.cmd == "pseudo" and "-" in (args.input, args.output):
+        return _pipe_pseudo(args)
     _ray_session(args.num_cpus)
     try:
         args.fn(args)

@@ -134,6 +134,20 @@ class PILImageCodec:
         return w, h, 3, arr.reshape(-1)
 
 
+def resolve_codec(codec):
+    """Codec slot resolution for every image actor: ``None``/``"fake"`` →
+    :class:`FakePayloadCodec`; ``"pil"`` → a :class:`PILImageCodec`
+    instance (constructed HERE, i.e. inside the actor ``__init__`` that
+    calls this — ImportError surfaces once per actor, not per batch);
+    anything else is taken as a duck-typed codec object with
+    ``decode(bytes) -> (w, h, c, flat uint8)``."""
+    if codec is None or codec == "fake":
+        return FakePayloadCodec
+    if codec == "pil":
+        return PILImageCodec()
+    return codec
+
+
 def attach_fake_payloads(sf_dir: str):
     """documents → (doc_id, payload: binary) — the synthetic media corpus."""
     import ray.data
@@ -160,7 +174,7 @@ class ImageFeaturizer:
     """
 
     def __init__(self, codec=None):
-        self.codec = codec or FakePayloadCodec
+        self.codec = resolve_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats = [], [], []
@@ -181,13 +195,17 @@ class ImageFeaturizer:
         )
 
 
-def image_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+def image_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
+                   codec=None):
     """Full multimodal pipeline: attach payloads → actor-pool featurize.
 
     Small batch_size on purpose: payload rows are wide; see module doc.
+    ``codec`` plumbs the actor codec slot (``"pil"`` for real images —
+    see :func:`resolve_codec`).
     """
     return attach_fake_payloads(sf_dir).map_batches(
         ImageFeaturizer,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -207,7 +225,7 @@ class ImageResizer:
     """
 
     def __init__(self, codec=None, max_side: int = RESIZE_MAX_SIDE):
-        self.codec = codec or FakePayloadCodec
+        self.codec = resolve_codec(codec)
         self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -236,9 +254,11 @@ class ImageResizer:
         )
 
 
-def image_resize(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+def image_resize(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
+                 codec=None):
     return attach_fake_payloads(sf_dir).map_batches(
         ImageResizer,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -275,7 +295,7 @@ class VideoFrameSampler:
     """
 
     def __init__(self, codec=None, stride: int = FRAME_STRIDE):
-        self.codec = codec or FakePayloadCodec
+        self.codec = resolve_codec(codec)
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -451,7 +471,7 @@ class PerceptualHasher:
     """Actor-pool stage: decode → aHash64 per image."""
 
     def __init__(self, codec=None):
-        self.codec = codec or FakePayloadCodec
+        self.codec = resolve_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = []
@@ -466,7 +486,7 @@ class PerceptualHasher:
         )
 
 
-def image_phash_dedup(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4), num_partitions: int = 16):
+def image_phash_dedup(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4), num_partitions: int = 16, codec=None):
     """Image-level exact near-dup dedup: perceptual hash per image (actor
     pool), then one phash-keyed integer exchange groups identical hashes
     — (group representative doc_id, n_images) per cluster. On this
@@ -478,6 +498,7 @@ def image_phash_dedup(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
 
     hashed = attach_content_payloads(sf_dir).map_batches(
         PerceptualHasher,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -518,6 +539,7 @@ def image_phash_near_dup(
     batch_size: int = 256,
     concurrency=(1, 4),
     num_partitions: int = 16,
+    codec=None,
 ):
     """NEAR-duplicate image pairs by perceptual-hash Hamming distance —
     the banded-LSH scale plan for 64-bit aHashes: split each hash into
@@ -535,6 +557,7 @@ def image_phash_near_dup(
 
     hashed = attach_content_payloads(sf_dir).map_batches(
         PerceptualHasher,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
