@@ -494,6 +494,49 @@ ORDER BY query_id, rank
 """.strip()
 
 
+def sql_sim_threshold_lsh(tau_q: int = 400_000, num_tables: int = 12,
+                          planes_per_table: int = 4, seed: int = 11,
+                          dim: int = 64) -> str:
+    """Banded-LSH threshold-join oracle — exact dual of
+    ``stages/similarity.py::sim_threshold_lsh`` (integer-quantized
+    planes, same graduation as sql_ann_lsh): candidates are pairs whose
+    per-table integer sign signatures collide in ANY table, verified with
+    sim_threshold's hash-matched floor(10⁶·cos) ≥ tau_q."""
+    from ..stages.dedup import lsh_planes_q
+
+    planes = lsh_planes_q(dim, num_tables * planes_per_table, seed)
+    vals = ", ".join(
+        f"({d}, {c // planes_per_table}, {c % planes_per_table}, {int(planes[d, c])})"
+        for d in range(dim) for c in range(num_tables * planes_per_table)
+    )
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+), planes(d, t, p, w) AS (VALUES {vals}),
+dots AS (
+  SELECT q.vec_id, pl.t, pl.p, sum(q.v * pl.w) AS dp
+  FROM qv q JOIN planes pl USING (d) GROUP BY q.vec_id, pl.t, pl.p
+), sig AS MATERIALIZED (
+  SELECT vec_id, t,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS s
+  FROM dots GROUP BY vec_id, t
+), cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM sig x JOIN sig y ON x.t = y.t AND x.s = y.s AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT c.a, c.b,
+       CAST(floor(list_cosine_similarity(va.e, vb.e) * 1000000) AS BIGINT) AS simq
+FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+WHERE floor(list_cosine_similarity(va.e, vb.e) * 1000000) >= {tau_q}
+ORDER BY c.a, c.b
+""".strip()
+
+
 def sql_sim_threshold(tau_q: int = 400_000) -> str:
     return f"""
 WITH v AS (

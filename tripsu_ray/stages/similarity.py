@@ -185,16 +185,23 @@ def sim_threshold_lsh(
     reranks inside each bucket, so precision is 1.0; the final tiny
     groupby dedups pairs found by several tables. Candidate volume stays
     linear-ish (per-table buckets ≈ n/2^k).
+
+    Hash-checked (round-4): integer-quantized planes (``lsh_planes_q``)
+    make the candidate set SQL-replayable from plane literals — the
+    ann_lsh graduation — and the rerank is sim_threshold's hash-matched
+    floor(10⁶·cos) verify.
     """
     import ray.data
+
+    from .dedup import EMB_SCALE, lsh_planes_q
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(m.shape[1], num_tables * planes_per_table)
-        bits = m @ planes > 0
+        raw = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = _normalize_rows(raw)
+        planes = lsh_planes_q(raw.shape[1], num_tables * planes_per_table, seed)
+        bits = np.floor(raw * EMB_SCALE).astype(np.int64) @ planes > 0
         n = len(batch)
         keys = np.empty((n, num_tables), dtype=np.int64)
         w = 1 << np.arange(planes_per_table)
