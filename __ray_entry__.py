@@ -30,6 +30,18 @@ def _sql_ml_kmeans() -> str:
     return kmeans_census_sql()
 
 
+def _q_ml_silhouette(sf_dir: str) -> Any:
+    from tripsu_ray.stages.cluster import silhouette_scores
+
+    return silhouette_scores(sf_dir)
+
+
+def _sql_ml_silhouette() -> str:
+    from tripsu_ray.stages.cluster import silhouette_sql
+
+    return silhouette_sql()
+
+
 def _q_ml_semdedup(sf_dir: str) -> Any:
     from tripsu_ray.stages.cluster import semdedup
 
@@ -320,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": docops.q_multimodal_features,
         "multimodal_resize": docops.q_multimodal_resize,
         "multimodal_frames": docops.q_multimodal_frames,
+        "multimodal_scene_cuts": docops.q_multimodal_scene_cuts,
         "multimodal_audio": docops.q_multimodal_audio,
         "multimodal_phash_dedup": docops.q_multimodal_phash_dedup,
         "multimodal_phash_near_dup": docops.q_multimodal_phash_near_dup,
@@ -382,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_listagg": docops.q_rel_listagg,
         "rel_json_extract": docops.q_rel_json_extract,
         "ml_kmeans": _q_ml_kmeans,
+        "ml_silhouette": _q_ml_silhouette,
         "ml_semdedup": _q_ml_semdedup,
         "ml_dbscan": _q_ml_dbscan,
         "ml_top_component": _q_ml_top_component,
@@ -521,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dims": d.sql_multimodal_dims(),
         "multimodal_resize": d.sql_multimodal_resize(),
         "multimodal_frames": d.sql_multimodal_frames(),
+        "multimodal_scene_cuts": d.sql_multimodal_scene_cuts(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),
@@ -580,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_listagg": d.sql_rel_listagg(),
         "rel_json_extract": d.sql_rel_json_extract(),
         "ml_kmeans": _sql_ml_kmeans(),
+        "ml_silhouette": _sql_ml_silhouette(),
         "ml_semdedup": _sql_ml_semdedup(),
         "ml_dbscan": _sql_ml_dbscan(),
         "ml_top_component": _sql_ml_top_component(),

@@ -390,3 +390,36 @@ def test_pca_scores_match_quantized_projection():
         {"vec_id": t["vec_id"].to_numpy().astype(np.int64), "proj_q": xq @ v}
     ).sort_values("vec_id", ignore_index=True).astype({"proj_q": "int64"})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_silhouette_matches_brute_force():
+    """Engine silhouette vs a single-process integer replica (full
+    distances against the kmeans_fit centroids)."""
+    got = (
+        C.silhouette_scores(SF)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+        .astype("int64")
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+    q = np.floor(emb * C.SCALE).astype(np.int64)
+    _, cen = C.kmeans_fit(SF, k=8, iters=4)
+    c2 = np.einsum("kd,kd->k", cen, cen)
+    q2 = np.einsum("nd,nd->n", q, q)
+    d2 = q2[:, None] - 2 * (q @ cen.T) + c2[None, :]
+    own = np.argmin(d2, axis=1)
+    rows = np.arange(len(q))
+    a = d2[rows, own].copy()
+    d2[rows, own] = np.iinfo(np.int64).max
+    bb = d2.min(axis=1)
+    sil = (C.SIL_SCALE * (bb - a)) // np.maximum(bb, 1)
+    want = (
+        pd.DataFrame({"vec_id": vid.astype("int64"),
+                      "cluster_id": own.astype("int64"),
+                      "sil_q": sil.astype("int64")})
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["sil_q"].between(0, C.SIL_SCALE).all()

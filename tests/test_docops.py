@@ -2409,3 +2409,37 @@ def test_pil_codec_through_whole_image_family():
         batch_format="pyarrow", concurrency=(1, 2),
     ).to_pandas()
     assert hashed["phash"].nunique() == 6  # random images: all distinct
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scene_cuts_match_brute_force_and_alignment():
+    """SceneCutDetector vs a sequential replay of the fake-video bytes;
+    the tiling property (frame_len % 32 == 0 → identical frames → no
+    cuts) must hold exactly."""
+    got = (
+        multimodal.video_scene_cuts(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+        .astype("int64")
+    )
+    assert len(got) == 500
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in list(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))[:40]:
+        payload = multimodal.FakePayloadCodec.encode_video(int(doc_id), text)
+        w, h, c, nf, frames = multimodal.FakePayloadCodec.decode_video(payload)
+        flat = frames.reshape(nf, -1).astype(np.int64)
+        fl = flat.shape[1]
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        assert row["n_frames"] == nf
+        if nf < 2:
+            assert row["n_cuts"] == 0 and row["max_diff_milli"] == 0
+            continue
+        sums = np.abs(flat[1:] - flat[:-1]).sum(axis=1)
+        assert row["n_cuts"] == int(
+            (1000 * sums >= multimodal.SCENE_CUT_TAU_MILLI * fl).sum()
+        )
+        assert row["max_diff_milli"] == int((1000 * sums.max()) // fl)
+        if fl % 32 == 0:  # digest tiles identically frame to frame
+            assert row["n_cuts"] == 0

@@ -598,6 +598,52 @@ FROM documents ORDER BY doc_id, frame_idx
 """.strip()
 
 
+def sql_multimodal_scene_cuts() -> str:
+    """Shot-boundary-census oracle — exact dual of
+    ``stages/multimodal.py::SceneCutDetector`` over the synthetic video
+    corpus: the payload body is the sha256(text) digest tiled to
+    n_frames×frame_len, so frame byte (f, i) = digest[(f·fl + i) % 32];
+    the oracle regenerates every boundary byte pair, sums |b1−b2| in
+    exact integers, and mirrors the division-free cut test
+    ``1000·sum ≥ tau·fl``. Docs whose frame_len ≡ 0 (mod 32) tile
+    identically → 0 cuts; the rest sit near the uniform-pair mean
+    (≈85/byte) — the two regimes the threshold separates."""
+    from ..stages.multimodal import SCENE_CUT_TAU_MILLI, VIDEO_MAX_FRAMES
+
+    return f"""
+WITH vid AS (
+  SELECT doc_id,
+         (8 + doc_id % 24) * (8 + doc_id % 16) * 3 AS fl,
+         1 + doc_id % {VIDEO_MAX_FRAMES} AS nf,
+         sha256(text) AS hx
+  FROM documents
+), dig AS MATERIALIZED (
+  SELECT doc_id, j, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT AS b
+  FROM vid, unnest(generate_series(0, 31)) t(j)
+), bounds AS (
+  SELECT doc_id, fl, f
+  FROM vid, unnest(generate_series(1, nf - 1)) t(f)
+  WHERE nf >= 2
+), diffs AS (
+  SELECT bo.doc_id, bo.f, bo.fl, sum(abs(d1.b - d2.b)) AS s
+  FROM bounds bo, unnest(generate_series(0, bo.fl - 1)) t(i)
+  JOIN dig d1 ON d1.doc_id = bo.doc_id AND d1.j = ((bo.f - 1) * bo.fl + i) % 32
+  JOIN dig d2 ON d2.doc_id = bo.doc_id AND d2.j = (bo.f * bo.fl + i) % 32
+  GROUP BY bo.doc_id, bo.f, bo.fl
+), census AS (
+  SELECT doc_id,
+         count(*) FILTER (1000 * s >= {SCENE_CUT_TAU_MILLI} * fl) AS n_cuts,
+         max(1000 * s // fl) AS max_diff_milli
+  FROM diffs GROUP BY doc_id
+)
+SELECT v.doc_id, CAST(v.nf AS BIGINT) AS n_frames,
+       CAST(coalesce(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CAST(coalesce(c.max_diff_milli, 0) AS BIGINT) AS max_diff_milli
+FROM vid v LEFT JOIN census c USING (doc_id)
+ORDER BY v.doc_id
+""".strip()
+
+
 def sql_rel_quantiles() -> str:
     return """
 SELECT quantile_disc(c, 0.5) AS p50,

@@ -240,6 +240,12 @@ def q_multimodal_frames(sf_dir: str):
     return multimodal.video_frame_sample(sf_dir).drop_columns(["payload"])
 
 
+def q_multimodal_scene_cuts(sf_dir: str):
+    """Shot-boundary census over the fake-video corpus (actor pool,
+    exact-integer cut test — stages/multimodal.py::SceneCutDetector)."""
+    return multimodal.video_scene_cuts(sf_dir)
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio meta projection (sample rate / sample count / duration /
     window count — SQL-checkable doc_id formulas; the RMS energy vector

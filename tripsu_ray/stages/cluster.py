@@ -188,6 +188,83 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     return ds, cen
 
 
+SIL_SCALE = 100_000
+
+
+def silhouette_scores(sf_dir: str, *, k: int = 8, iters: int = 4):
+    """Simplified (centroid-based) silhouette per vector — the standard
+    O(n·k) cluster-quality diagnostic (full silhouette is O(n²); the
+    centroid form is the one production pipelines run at scale):
+
+        a = |q − c_own|²,  b = min over other centroids |q − c|²,
+        sil_q = floor(10⁵·(b − a) / max(b, 1))  ∈ [0, 10⁵]
+
+    (b ≥ a always, because assignment IS nearest-centroid.) Exact-integer
+    end to end on the quantized corpus: distances are int64 sums
+    (≤ 64·(4·10⁵)² ≈ 10¹³), the numerator ≤ 10¹⁸ stays in int64, and
+    floor division on non-negative operands matches DuckDB's ``//`` —
+    so ``silhouette_sql`` hash-matches bit-for-bit. One map-only pass
+    against the broadcast centroids; no exchange at all.
+
+    Returns (vec_id, cluster_id, sil_q)."""
+    import ray
+
+    ds, cen = kmeans_fit(sf_dir, k=k, iters=iters)
+    cen_ref = ray.put(cen)
+
+    def score(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("vec_id", "cluster_id", "sil_q")}
+            )
+        c = ray.get(_c)
+        q = _quantize(b["embedding"])
+        c2 = np.einsum("kd,kd->k", c, c)
+        q2 = np.einsum("nd,nd->n", q, q)
+        d2 = q2[:, None] - 2 * (q @ c.T) + c2[None, :]  # exact int64
+        own = np.argmin(d2, axis=1)  # ties → lowest c, same as _assign
+        rows = np.arange(len(q))
+        a = d2[rows, own].copy()
+        d2[rows, own] = np.iinfo(np.int64).max
+        bb = d2.min(axis=1)
+        sil = (SIL_SCALE * (bb - a)) // np.maximum(bb, 1)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+                "cluster_id": own.astype(np.int64),
+                "sil_q": sil.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def silhouette_sql(*, k: int = 8, iters: int = 4) -> str:
+    """Unrolled-Lloyd oracle for :func:`silhouette_scores` — dist{N}.dd
+    is already the FULL |q−c|² (q² included), so own/other distances
+    fall straight out of the final assignment round."""
+    n = iters + 1
+    parts = _lloyd_ctes(k=k, iters=iters)
+    parts.append(
+        f""",
+own AS (
+  SELECT d.vec_id, a.c, d.dd AS da
+  FROM dist{n} d JOIN asg{n} a ON a.vec_id = d.vec_id AND a.c = d.c
+),
+oth AS (
+  SELECT d.vec_id, min(d.dd) AS db
+  FROM dist{n} d JOIN asg{n} a ON a.vec_id = d.vec_id AND a.c <> d.c
+  GROUP BY d.vec_id
+)
+SELECT o.vec_id, CAST(o.c AS BIGINT) AS cluster_id,
+       CAST(({SIL_SCALE} * (t.db - o.da)) // greatest(t.db, 1) AS BIGINT) AS sil_q
+FROM own o JOIN oth t USING (vec_id)
+ORDER BY o.vec_id"""
+    )
+    return "".join(parts).strip()
+
+
 def semdedup(sf_dir: str, *, k: int = 8, iters: int = 4, tau_pct: int = 45):
     """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN k-means
     clusters — the cluster assignment prunes the O(n²) pair space to

@@ -332,6 +332,72 @@ def video_frame_sample(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)
     )
 
 
+# threshold for a "cut": mean per-byte |diff| across a frame boundary, in
+# thousandths. Uniform-random byte pairs average ≈ 85.3/byte; identical
+# frames score 0 — 40/byte splits the two regimes with wide margin.
+SCENE_CUT_TAU_MILLI = 40_000
+
+
+class SceneCutDetector:
+    """Actor-pool stage: video payload → shot-boundary census.
+
+    The real video-curation primitive (PySceneDetect's content detector
+    shape): per consecutive-frame pair, the mean absolute per-byte
+    difference; a boundary is a CUT when that mean crosses a threshold.
+    All-integer — the per-pair sum of |b1−b2| is exact, and the threshold
+    test is ``1000·sum ≥ tau_milli·frame_len`` so no division happens —
+    which is what makes the DuckDB oracle replay bit-exact
+    (``doc_oracle.sql_multimodal_scene_cuts`` regenerates the payload
+    bytes from the sha256 formula and mirrors the integer test).
+
+    Output per doc: (doc_id, n_frames, n_cuts, max_diff_milli) where
+    max_diff_milli = max over boundaries of ``1000·sum // frame_len``
+    (0 for single-frame videos).
+    """
+
+    def __init__(self, codec=None, tau_milli: int = SCENE_CUT_TAU_MILLI):
+        self.codec = resolve_codec(codec)
+        self.tau_milli = tau_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, nf_col, cuts_col, maxd_col = [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, c, n_frames, frames = self.codec.decode_video(payload)
+            flat = frames.reshape(n_frames, -1).astype(np.int64)
+            frame_len = flat.shape[1]
+            if n_frames < 2:
+                n_cuts, max_d = 0, 0
+            else:
+                sums = np.abs(flat[1:] - flat[:-1]).sum(axis=1)  # exact int
+                n_cuts = int((1000 * sums >= self.tau_milli * frame_len).sum())
+                max_d = int((1000 * sums.max()) // frame_len)
+            doc_ids.append(doc_id)
+            nf_col.append(n_frames)
+            cuts_col.append(n_cuts)
+            maxd_col.append(max_d)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_frames": pa.array(nf_col, pa.int64()),
+                "n_cuts": pa.array(cuts_col, pa.int64()),
+                "max_diff_milli": pa.array(maxd_col, pa.int64()),
+            }
+        )
+
+
+def video_scene_cuts(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    """Shot-boundary census over the synthetic video corpus (actor pool —
+    see :class:`SceneCutDetector`)."""
+    return attach_fake_videos(sf_dir).map_batches(
+        SceneCutDetector,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # --- audio ------------------------------------------------------------------
 
 FORMAT_FAKE_AUDIO = 3
