@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q.q_degrees,
         "kg_pred_census": q.q_pred_census,
         "kg_components": q.q_components,
+        "kg_lpa_communities": q.q_lpa_communities,
         "kg_pagerank": q.q_pagerank,
         "kg_hits": q.q_hits,
         "kg_co_neighbors": q.q_co_neighbors,
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracle.sql_degrees(),
         "kg_pred_census": oracle.sql_pred_census(),
         "kg_components": oracle.sql_components(),
+        "kg_lpa_communities": oracle.sql_lpa_communities(),
         "kg_co_neighbors": oracle.sql_co_neighbors(),
         "kg_link_scores": oracle.sql_link_scores(),
         "kg_adamic_adar": oracle.sql_adamic_adar(),

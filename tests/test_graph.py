@@ -2086,3 +2086,64 @@ def test_core_numbers_sql_oracle_matches_engine():
         .astype({"core": "int64"})
     )
     pd.testing.assert_frame_equal(got[["node", "core"]], want[["node", "core"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLPACommunities:
+    def test_matches_sequential_reference(self):
+        import collections
+
+        import ray.data
+
+        from tripsu_ray.stages.graph import lpa_communities
+
+        rng = np.random.default_rng(17)
+        edges = sorted(
+            {(f"v{i:02d}", f"v{j:02d}")
+             for i, j in rng.integers(0, 24, (70, 2)) if i != j}
+        )
+        ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"])).repartition(3)
+        got = lpa_communities(ds, rounds=4)
+
+        adj: dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(4):
+            new = {}
+            for v in adj:
+                cnt = collections.Counter(lab[m] for m in adj[v])
+                best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+            lab = new
+        want = pd.DataFrame(
+            {"node": sorted(lab), "community": [lab[n] for n in sorted(lab)]}
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    def test_two_cliques_separate(self):
+        import ray.data
+
+        from tripsu_ray.stages.graph import lpa_communities
+
+        clique = lambda pre, n: [
+            (f"{pre}{i}", f"{pre}{j}") for i in range(n) for j in range(i + 1, n)
+        ]
+        edges = clique("x", 4) + clique("y", 4) + [("x0", "y0")]  # one bridge
+        ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+        out = lpa_communities(ds, rounds=4).set_index("node")["community"]
+        # each clique converges to its own min label
+        assert all(out[f"x{i}"] == out["x1"] for i in range(1, 4))
+        assert all(out[f"y{i}"] == out["y1"] for i in range(1, 4))
+        assert out["x1"] != out["y1"]
+
+    def test_empty(self):
+        import ray.data
+
+        from tripsu_ray.stages.graph import lpa_communities
+
+        df = pd.DataFrame({"a": pd.Series([], dtype=object),
+                           "b": pd.Series([], dtype=object)})
+        out = lpa_communities(ray.data.from_pandas(df))
+        assert list(out.columns) == ["node", "community"] and len(out) == 0

@@ -586,6 +586,44 @@ FROM reach GROUP BY n ORDER BY n"""
     )
 
 
+def sql_lpa_communities(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle — exact dual of
+    ``stages/graph.py::lpa_communities``: lab0(n)=n, then ``rounds``
+    simultaneous mode-of-neighbor-labels updates with (count desc, label
+    asc) tie-breaks rendered as a row_number window. Each lab CTE is
+    MATERIALIZED (referenced by the next round's join)."""
+    parts = [
+        ",\n".join(
+            (SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())
+        )
+        + f""",
+edges AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw_triples
+  WHERE k = 'iri' AND p <> {_q(RDF_TYPE)} AND s <> o
+),
+sym AS MATERIALIZED (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+lab0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM sym)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+lab{r + 1} AS MATERIALIZED (
+  SELECT n, lab FROM (
+    SELECT s.a AS n, l.lab, count(*) AS c,
+           row_number() OVER (PARTITION BY s.a
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM sym s JOIN lab{r} l ON l.n = s.b
+    GROUP BY s.a, l.lab
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n AS node, lab AS community FROM lab{rounds} ORDER BY n"""
+    )
+    return ("WITH " + "".join(parts)).strip()
+
+
 def sql_char_sets() -> str:
     return (
         _with(SOURCE_FILES_SQL, files_cte(), syms_cte(), build_raw_triples_cte())

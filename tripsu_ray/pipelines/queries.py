@@ -183,6 +183,15 @@ def q_components(sf_dir: str):
     return components_table(_entity_edges(sf_dir))
 
 
+def q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities over the
+    entity graph (stages/graph.py::lpa_communities, 4 unrolled rounds —
+    the community-detection family member beside components/pagerank)."""
+    from ..stages.graph import lpa_communities
+
+    return lpa_communities(_entity_edges(sf_dir))
+
+
 def q_co_neighbors(sf_dir: str):
     """Distinct co-neighbor counts over the entity graph — files sharing
     an import/call target (string-keyed distributed self-join on the

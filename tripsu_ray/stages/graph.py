@@ -2200,6 +2200,84 @@ def components_table(edges_ds) -> pd.DataFrame:
     )
 
 
+def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32):
+    """Deterministic synchronous label-propagation communities (Raghavan
+    et al. 2007, determinized): labels start as the node's own name; per
+    round EVERY node simultaneously takes the most frequent label among
+    its neighbors, ties → lexicographically smallest label. A FIXED round
+    count (no convergence test) keeps the schedule engine-independent and
+    the SQL oracle a finite unrolled chain.
+
+    Plan per round: the label map rides ``ray.put`` (node-class — the
+    pagerank rank-vector budget) while the symmetrized edge stream is
+    probed map-side, emitting per-batch partial (node, label, n) counts;
+    ONE node-hash exchange co-locates each node's counts and the mode
+    (count desc, label asc) is picked vectorized per partition. Nothing
+    edge-class ever folds to the driver — only the per-node label rows.
+
+    Returns a (node, community) DataFrame sorted by node.
+    """
+    import ray
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=object),
+                          "community": pd.Series([], dtype=object)})
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a"] != df["b"]]
+        return pd.DataFrame(
+            {"a": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object),
+             "b": pd.concat([df["b"], df["a"]], ignore_index=True).astype(object)}
+        ).drop_duplicates(ignore_index=True)
+
+    sedges = edges.map_batches(sym, batch_format="pandas").materialize()
+    P = num_partitions
+
+    labels: dict | None = None  # None = round 0 (label(n) == n)
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+
+        def tag(df: pd.DataFrame, _l=lab_ref) -> pd.DataFrame:
+            lab = ray.get(_l)
+            nb = df["b"].to_numpy(dtype=object)
+            lv = nb if lab is None else np.array(
+                [lab[x] for x in nb], dtype=object
+            )
+            out = pd.DataFrame({"n": df["a"].astype(object), "lab": lv})
+            out = out.groupby(["n", "lab"], sort=False, as_index=False).size()
+            out["_part"] = (
+                pd.util.hash_array(out["n"].to_numpy(dtype=object)) % P
+            ).astype("int64")
+            return out.rename(columns={"size": "c"})
+
+        def mode_part(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "n" not in g.columns:
+                return pd.DataFrame({"n": pd.Series([], dtype=object),
+                                     "lab": pd.Series([], dtype=object)})
+            agg = g.groupby(["n", "lab"], sort=False, as_index=False)["c"].sum()
+            agg = agg.sort_values(["n", "c", "lab"],
+                                  ascending=[True, False, True])
+            top = agg.drop_duplicates("n", keep="first")
+            return top[["n", "lab"]].reset_index(drop=True)
+
+        new = (
+            sedges.map_batches(tag, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(mode_part, batch_format="pandas")
+            .to_pandas()
+        )
+        labels = dict(zip(new["n"], new["lab"]))
+
+    nodes = sorted(labels or {})
+    return pd.DataFrame(
+        {"node": pd.Series(nodes, dtype=object),
+         "community": pd.Series([labels[n] for n in nodes], dtype=object)}
+    )
+
+
 def repo_profile(triples, *, num_partitions: int = _HASH_PARTS):
     """2-hop neighborhood aggregation (GNN-style feature prep): per-repo
     profile over its files' attributes → Dataset
