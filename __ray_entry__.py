@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": docops.q_multimodal_resize,
         "multimodal_frames": docops.q_multimodal_frames,
         "multimodal_scene_cuts": docops.q_multimodal_scene_cuts,
+        "multimodal_vad": docops.q_multimodal_vad,
         "multimodal_audio": docops.q_multimodal_audio,
         "multimodal_phash_dedup": docops.q_multimodal_phash_dedup,
         "multimodal_phash_near_dup": docops.q_multimodal_phash_near_dup,
@@ -538,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": d.sql_multimodal_resize(),
         "multimodal_frames": d.sql_multimodal_frames(),
         "multimodal_scene_cuts": d.sql_multimodal_scene_cuts(),
+        "multimodal_vad": d.sql_multimodal_vad(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),

@@ -2443,3 +2443,41 @@ def test_scene_cuts_match_brute_force_and_alignment():
         assert row["max_diff_milli"] == int((1000 * sums.max()) // fl)
         if fl % 32 == 0:  # digest tiles identically frame to frame
             assert row["n_cuts"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vad_matches_brute_force_and_has_runs():
+    """VoiceActivityDetector vs a sequential replay; the corpus must
+    actually exercise the interesting states (active, silent, and
+    mid-stream runs) or the threshold is vacuous."""
+    got = (
+        multimodal.audio_vad(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+        .astype("int64")
+    )
+    assert len(got) == 500
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in list(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))[:40]:
+        payload = multimodal.encode_audio(int(doc_id), text)
+        rate, n, pcm = multimodal.decode_audio(payload)
+        W = multimodal.VAD_WINDOW
+        n_win = (n + W - 1) // W
+        padded = np.zeros(n_win * W, dtype=np.int64)
+        padded[:n] = pcm.astype(np.int64)
+        e = (padded.reshape(n_win, W) ** 2).sum(axis=1)
+        active = e >= multimodal.VAD_TAU_MEANSQ * W
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        assert row["n_windows"] == n_win
+        assert row["n_active"] == int(active.sum())
+        if active.any():
+            assert row["first_active"] == int(np.argmax(active))
+        else:
+            assert row["first_active"] == -1 and row["longest_run"] == 0
+    # distributional sanity over the whole corpus: both states occur and
+    # at least one doc has a PARTIAL run (not all-or-nothing)
+    assert (got["n_active"] > 0).any() and (got["n_active"] < got["n_windows"]).any()
+    assert ((got["longest_run"] > 0) & (got["longest_run"] < got["n_active"])).any() \
+        or (got["longest_run"] == got["n_active"]).all()

@@ -1564,6 +1564,59 @@ FROM meta ORDER BY doc_id
 """.strip()
 
 
+def sql_multimodal_vad() -> str:
+    """Voice-activity-census oracle — exact dual of
+    ``stages/multimodal.py::VoiceActivityDetector``: samples regenerate
+    from the sha256 tiling (int16 LE: lo byte at digest[(2s)%32], hi at
+    digest[(2s+1)%32]), window energies are exact integer Σx², the
+    active test is division-free, and the run reduction is the classic
+    gaps-and-islands window query (w − row_number() groups consecutive
+    active windows)."""
+    from ..stages.multimodal import VAD_TAU_MEANSQ, VAD_WINDOW
+
+    W = VAD_WINDOW
+    return f"""
+WITH meta AS (
+  SELECT doc_id, 256 + doc_id % 4096 AS n, sha256(text) AS hx FROM documents
+), dig AS MATERIALIZED (
+  SELECT doc_id, j, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT AS b
+  FROM meta, unnest(generate_series(0, 31)) t(j)
+), smp AS (
+  SELECT m.doc_id, t.s // {W} AS w,
+         CASE WHEN d1.b + 256 * d2.b >= 32768
+              THEN d1.b + 256 * d2.b - 65536
+              ELSE d1.b + 256 * d2.b END AS x
+  FROM meta m, unnest(generate_series(0, m.n - 1)) t(s)
+  JOIN dig d1 ON d1.doc_id = m.doc_id AND d1.j = (2 * t.s) % 32
+  JOIN dig d2 ON d2.doc_id = m.doc_id AND d2.j = (2 * t.s + 1) % 32
+), win AS MATERIALIZED (
+  SELECT doc_id, w, sum(x * x) AS e FROM smp GROUP BY doc_id, w
+), act AS MATERIALIZED (
+  SELECT doc_id, w FROM win WHERE e >= {VAD_TAU_MEANSQ}::BIGINT * {W}
+), isl AS (
+  SELECT doc_id, w,
+         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+  FROM act
+), runs AS (
+  SELECT doc_id, count(*) AS len FROM isl GROUP BY doc_id, grp
+), census AS (
+  SELECT a.doc_id, count(*) AS n_active, min(a.w) AS first_active
+  FROM act a GROUP BY a.doc_id
+), longest AS (
+  SELECT doc_id, max(len) AS longest_run FROM runs GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST((m.n + {W - 1}) // {W} AS BIGINT) AS n_windows,
+       CAST(coalesce(c.n_active, 0) AS BIGINT) AS n_active,
+       CAST(coalesce(l.longest_run, 0) AS BIGINT) AS longest_run,
+       CAST(coalesce(c.first_active, -1) AS BIGINT) AS first_active
+FROM meta m
+LEFT JOIN census c USING (doc_id)
+LEFT JOIN longest l USING (doc_id)
+ORDER BY m.doc_id
+""".strip()
+
+
 def sql_text_curate() -> str:
     # Composition of the quality / decontaminate / fingerprint-dedup /
     # prefix-sum oracles — mirrors stages/text.py::text_curate stage for

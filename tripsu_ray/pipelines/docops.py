@@ -246,6 +246,13 @@ def q_multimodal_scene_cuts(sf_dir: str):
     return multimodal.video_scene_cuts(sf_dir)
 
 
+def q_multimodal_vad(sf_dir: str):
+    """Voice-activity segment census over the fake-audio corpus
+    (stages/multimodal.py::VoiceActivityDetector — integer energy gate +
+    run-length reduction)."""
+    return multimodal.audio_vad(sf_dir)
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio meta projection (sample rate / sample count / duration /
     window count — SQL-checkable doc_id formulas; the RMS energy vector

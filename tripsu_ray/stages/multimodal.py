@@ -451,6 +451,84 @@ def attach_fake_audio(sf_dir: str):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+# VAD window deliberately NOT a multiple of the payload's 16-sample digest
+# period (256 would make every full window identical): 250 % 16 = 10, so
+# window energies cycle through 8 phases and real active/inactive RUNS
+# appear. Threshold on the exact integer mean square (uniform int16 mean
+# square ≈ 2³⁰/3 ≈ 3.58·10⁸).
+VAD_WINDOW = 250
+VAD_TAU_MEANSQ = 358_000_000
+
+
+class VoiceActivityDetector:
+    """Actor-pool stage: PCM payload → voice-activity segment census.
+
+    The audio-curation primitive (webrtcvad's shape, energy-gated): window
+    the PCM into ``window``-sample frames (zero-padded tail), mark a frame
+    ACTIVE when its exact integer energy clears the mean-square threshold
+    (``sum(x²) ≥ tau·window`` — division-free, ≤ 250·32768² ≈ 2.7·10¹¹
+    per window, far inside int64), then reduce the boolean run-length
+    structure: (n_windows, n_active, longest_run, first_active; -1 when
+    silent). All-integer end to end → the DuckDB oracle
+    (``doc_oracle.sql_multimodal_vad``) regenerates the samples from the
+    sha256 tiling formula and replays it bit-exactly, with the run
+    reduction as a gaps-and-islands window query."""
+
+    def __init__(self, decode=None, window: int = VAD_WINDOW,
+                 tau_meansq: int = VAD_TAU_MEANSQ):
+        self.decode = decode or decode_audio
+        self.window = window
+        self.tau = tau_meansq
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nw_c, na_c, run_c, first_c = [], [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            rate, n_samples, pcm = self.decode(payload)
+            w = self.window
+            n_win = (n_samples + w - 1) // w
+            padded = np.zeros(n_win * w, dtype=np.int64)
+            padded[:n_samples] = pcm.astype(np.int64)
+            energy = (padded.reshape(n_win, w) ** 2).sum(axis=1)  # exact
+            active = energy >= self.tau * w
+            n_active = int(active.sum())
+            if n_active:
+                # run lengths of consecutive True
+                edges = np.flatnonzero(np.diff(np.concatenate(
+                    ([False], active, [False])).astype(np.int8)))
+                runs = edges[1::2] - edges[::2]
+                longest = int(runs.max())
+                first = int(np.argmax(active))
+            else:
+                longest, first = 0, -1
+            ids.append(doc_id)
+            nw_c.append(n_win)
+            na_c.append(n_active)
+            run_c.append(longest)
+            first_c.append(first)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(nw_c, pa.int64()),
+                "n_active": pa.array(na_c, pa.int64()),
+                "longest_run": pa.array(run_c, pa.int64()),
+                "first_active": pa.array(first_c, pa.int64()),
+            }
+        )
+
+
+def audio_vad(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    """Voice-activity segment census over the synthetic audio corpus
+    (actor pool — see :class:`VoiceActivityDetector`)."""
+    return attach_fake_audio(sf_dir).map_batches(
+        VoiceActivityDetector,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class AudioFeaturizer:
     """Actor-pool stage: decode PCM → meta + windowed-RMS energy vector
     (decoder/model init once per actor; per-batch vectorized DSP)."""
