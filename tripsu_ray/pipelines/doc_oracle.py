@@ -550,6 +550,35 @@ ORDER BY 1, 2
 """.strip()
 
 
+def sql_multimodal_features() -> str:
+    """Integer byte-histogram oracle — exact dual of
+    ``docops.q_multimodal_features``: the payload body is the sha256
+    digest tiled to w·h·3 bytes, so digest byte j appears
+    ``nbytes // 32 + (j < nbytes % 32)`` times; bin = byte // 16; bins
+    with no mass still emit a 0 row (the numpy histogram does)."""
+    return """
+WITH meta AS (
+  SELECT doc_id, 16 + (doc_id % 48) AS w, 16 + (doc_id % 32) AS h,
+         sha256(text) AS hx
+  FROM documents
+), m2 AS (SELECT doc_id, w, h, w * h * 3 AS nb, hx FROM meta),
+dig AS (
+  SELECT doc_id, nb,
+         ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT // 16 AS bin,
+         nb // 32 + CASE WHEN j < nb % 32 THEN 1 ELSE 0 END AS wgt
+  FROM m2, unnest(generate_series(0, 31)) t(j)
+), cnt AS (
+  SELECT doc_id, bin, sum(wgt) AS n FROM dig GROUP BY doc_id, bin
+)
+SELECT m.doc_id, CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       b.b AS bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM m2 m
+CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+LEFT JOIN cnt c ON c.doc_id = m.doc_id AND c.bin = b.b
+ORDER BY m.doc_id, b.b
+""".strip()
+
+
 def sql_multimodal_dims() -> str:
     # width/height are pure functions of doc_id (FakePayloadCodec.encode)
     return """

@@ -261,24 +261,37 @@ def q_multimodal_audio(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Full featurize output incl. histogram vector (rows-only check)."""
+    """Featurize output in the hash-checkable long format: the RAW
+    integer 16-bin byte histogram, one row per (doc, bin) — graduated
+    from rows-only (the float32 normalized vector has no stable SQL
+    rendering; its integer numerators do, and the DuckDB oracle
+    recomputes them from the sha256 tiling weights)."""
     import pyarrow as pa
 
     ds = multimodal.image_features(sf_dir)
 
-    def checksum(batch: pa.Table) -> pa.Table:
-        feats = batch["feature"].to_pylist()
-        qsum = [int(np.floor(np.sum(f) * 1_000_000)) for f in feats]
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        counts = np.array(
+            [c for c in batch["counts"].to_pylist()], dtype=np.int64
+        ).reshape(n, 16)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "width": batch["width"],
-                "height": batch["height"],
-                "feature_qsum": pa.array(qsum, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(batch["doc_id"].to_numpy(), 16), pa.int64()
+                ),
+                "width": pa.array(
+                    np.repeat(batch["width"].to_numpy(), 16), pa.int32()
+                ),
+                "height": pa.array(
+                    np.repeat(batch["height"].to_numpy(), 16), pa.int32()
+                ),
+                "bin": pa.array(np.tile(np.arange(16), n), pa.int64()),
+                "n": pa.array(counts.reshape(-1), pa.int64()),
             }
         )
 
-    return ds.map_batches(checksum, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 # --- relational engine showcase (core Dataset operators) -------------------

@@ -184,13 +184,22 @@ class ImageFeaturizer:
             total = max(1, hist.sum())
             widths.append(w)
             heights.append(h)
-            feats.append((hist / total).astype(np.float32))
+            feats.append(((hist / total).astype(np.float32), hist.astype(np.int64)))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
-                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+                "feature": pa.array(
+                    [f.tolist() for f, _ in feats], pa.list_(pa.float32())
+                ),
+                # raw integer bin counts (the pre-normalization histogram):
+                # the hash-checkable rendering of the same feature — the
+                # float32 vector is for ML consumers, the counts for the
+                # exact oracle (doc_oracle.sql_multimodal_features)
+                "counts": pa.array(
+                    [c.tolist() for _, c in feats], pa.list_(pa.int64())
+                ),
             }
         )
 
