@@ -425,7 +425,8 @@ def oracle_sql() -> dict[str, str]:
     sim_threshold_lsh graduated to hash-checked — the hyperplane plans
     via integer-quantized planes injected as SQL literals, the minhash
     trick; multimodal_features graduated via its integer histogram
-    numerators in long format), rel_approx_distinct (HLL sketch — deterministic but
+    numerators in long format; multimodal_phash_near_dup via the
+    exact-integer aHash compare), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
     ann_pq (PQ-compressed candidate scan — recall vs ann_topk
     asserted in tests), text_bpe_train (iterative merge learning —
@@ -541,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_scene_cuts": d.sql_multimodal_scene_cuts(),
         "multimodal_vad": d.sql_multimodal_vad(),
         "multimodal_features": d.sql_multimodal_features(),
+        "multimodal_phash_near_dup": d.sql_multimodal_phash_near_dup(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),

@@ -2227,11 +2227,73 @@ FROM ranked
 """.strip()
 
 
-def sql_multimodal_phash_dedup() -> str:
+def _phash_ctes() -> str:
+    """Shared WITH-chain rendering the exact-integer aHash64 of every
+    content payload (``stages/multimodal.py::ahash64``): the 64 grid
+    cells are SAMPLED pixels (nearest 8×8), so each bit replays from 3
+    digest-byte lookups and the integer compare ``64·s_i > Σ s_j``.
+    Emits ``ph(doc_id, phash UBIGINT)``."""
     return """
+meta AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+), dims AS MATERIALIZED (
+  SELECT doc_id, hx,
+         16 + ('0x' || substr(hx, 1, 2))::BIGINT % 48 AS w,
+         16 + ('0x' || substr(hx, 3, 2))::BIGINT % 32 AS h
+  FROM meta
+), dig AS MATERIALIZED (
+  SELECT doc_id, j, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT AS b
+  FROM dims, unnest(generate_series(0, 31)) t(j)
+), cells AS (
+  SELECT d.doc_id, k.k * 8 + l.l AS i, dg0.b + dg1.b + dg2.b AS s
+  FROM dims d,
+       unnest(generate_series(0, 7)) k(k),
+       unnest(generate_series(0, 7)) l(l)
+  JOIN dig dg0 ON dg0.doc_id = d.doc_id
+              AND dg0.j = (((k.k * d.h) // 8) * d.w * 3 + ((l.l * d.w) // 8) * 3) % 32
+  JOIN dig dg1 ON dg1.doc_id = d.doc_id
+              AND dg1.j = (((k.k * d.h) // 8) * d.w * 3 + ((l.l * d.w) // 8) * 3 + 1) % 32
+  JOIN dig dg2 ON dg2.doc_id = d.doc_id
+              AND dg2.j = (((k.k * d.h) // 8) * d.w * 3 + ((l.l * d.w) // 8) * 3 + 2) % 32
+), tot AS (
+  SELECT doc_id, sum(s) AS t FROM cells GROUP BY doc_id
+), ph AS MATERIALIZED (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN 64 * c.s > t.t
+                       THEN (1::UBIGINT << (63 - c.i)) ELSE 0 END) AS UBIGINT) AS phash
+  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)""".strip()
+
+
+def sql_multimodal_phash_near_dup(max_hamming: int = 3) -> str:
+    """Banded-Hamming near-dup-pairs oracle — exact dual of
+    ``stages/multimodal.py::image_phash_near_dup`` now that aHash is
+    exact-integer (`_phash_ctes`); the engine's band-join has EXACT
+    recall at the radius (pigeonhole), so the oracle can take the direct
+    all-pairs ``bit_count(xor) ≤ h`` form — same set by construction."""
+    return f"""
+WITH {_phash_ctes()}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.phash, y.phash)) <= {max_hamming}
+ORDER BY a, b
+""".strip()
+
+
+def sql_multimodal_phash_dedup() -> str:
+    """Groups by the COMPUTED exact-integer aHash (`_phash_ctes`) — the
+    true dual of the engine's phash-keyed exchange. (The former
+    group-by-text form assumed hash-equality ⟺ text-equality; the exact
+    compare surfaced a genuine 64-bit collision between two distinct
+    texts — the sampled cells touch ≤ 32 digest positions, so effective
+    hash entropy is far below 64 bits — and both engines must merge such
+    colliding docs identically.)"""
+    return f"""
+WITH {_phash_ctes()}
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_images
-FROM documents GROUP BY text ORDER BY doc_id
+FROM ph GROUP BY phash ORDER BY doc_id
 """.strip()
 
 

@@ -582,14 +582,17 @@ def audio_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
 
 def ahash64(pixels: np.ndarray, w: int, h: int, c: int) -> int:
     """64-bit average hash (aHash) — a REAL perceptual-hash kernel:
-    grayscale (channel mean) → fixed 8×8 nearest-neighbor grid → bit i =
-    (cell i > grid mean). Identical payloads hash identically; the byte
-    format is the only fake part (honesty contract of this module)."""
-    img = pixels.reshape(h, w, c).astype(np.float64).mean(axis=2)
+    grayscale (channel sum) → fixed 8×8 nearest-neighbor grid → bit i =
+    (cell i above the grid mean). The compare is EXACT integers
+    (``64·s_i > Σ s_j`` — equal to the grayscale-mean form with no float
+    division), so the DuckDB near-dup oracle replays every bit; identical
+    payloads hash identically (honesty contract: only the byte format is
+    fake)."""
+    img = pixels.reshape(h, w, c).astype(np.int64).sum(axis=2)
     yi = (np.arange(8) * h) // 8
     xi = (np.arange(8) * w) // 8
     grid = img[yi][:, xi]
-    bits = (grid > grid.mean()).reshape(-1)
+    bits = (64 * grid > grid.sum()).reshape(-1)
     return int(np.packbits(bits).view(">u8")[0])
 
 
