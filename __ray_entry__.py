@@ -543,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_vad": d.sql_multimodal_vad(),
         "multimodal_features": d.sql_multimodal_features(),
         "multimodal_phash_near_dup": d.sql_multimodal_phash_near_dup(),
+        "rel_approx_distinct": d.sql_rel_approx_distinct(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),

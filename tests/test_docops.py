@@ -2481,3 +2481,18 @@ def test_vad_matches_brute_force_and_has_runs():
     assert (got["n_active"] > 0).any() and (got["n_active"] < got["n_windows"]).any()
     assert ((got["longest_run"] > 0) & (got["longest_run"] < got["n_active"])).any() \
         or (got["longest_run"] == got["n_active"]).all()
+
+
+def test_pandas_int64_hash_is_splitmix64_finalizer():
+    """The HLL oracle (doc_oracle.sql_rel_approx_distinct) renders
+    pd.util.hash_array's int64 path as the splitmix64 finalizer — pin
+    the equivalence so a pandas upgrade that changes the mixer fails
+    loudly here instead of as a silent oracle mismatch."""
+    v = np.array([0, 1, -1, 2**63 - 1, -2**63, 123456789], dtype=np.int64)
+    x = v.view(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    np.testing.assert_array_equal(pd.util.hash_array(v), x)

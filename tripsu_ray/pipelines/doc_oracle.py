@@ -673,6 +673,68 @@ ORDER BY v.doc_id
 """.strip()
 
 
+def _wmul64(expr: str, mult: int) -> str:
+    """Wrapping 64-bit multiply ``(expr · mult) mod 2⁶⁴`` without INT128
+    overflow (the full product of two ~2⁶⁴ values exceeds HUGEINT):
+    split the multiplicand at 32 bits — every intermediate ≤ 2⁹⁶."""
+    TWO64, TWO32 = 1 << 64, 1 << 32
+    return (f"CAST(((((({expr}) >> 32)::HUGEINT * {mult}) % {TWO32}) * {TWO32}"
+            f" + ((({expr}) % {TWO32}::UBIGINT)::HUGEINT * {mult})) % {TWO64}"
+            f" AS UBIGINT)")
+
+
+def sql_rel_approx_distinct(p: int = 14) -> str:
+    """HyperLogLog oracle — exact dual of
+    ``stages/skew.py::approx_distinct``, graduating the last sketch from
+    rows-only: pandas' int64 hash is the splitmix64 FINALIZER (two
+    xor-shifts around two wrapping multiplies — verified value-equal in
+    test), rendered with `_wmul64`; register j = top p bits, rho = 1 +
+    clz of the low 64−p bits left-aligned (``low·2^p`` never wraps, so
+    no overflowing shift), clz via a 64-row msb powers table. The
+    estimator is the same float expression on both sides — every 2^−rho
+    term is an exact dyadic and the single scalar ln() in the
+    linear-counting branch hits the same libm; deterministic on the
+    fixed corpus (the phash-oracle determinism argument)."""
+    M1, M2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << p
+    maxrho = 64 - p + 1
+    pw = ", ".join(f"({e}, {1 << e}::UBIGINT)" for e in range(64))
+    return f"""
+WITH vals AS (SELECT DISTINCT CAST(l_orderkey AS UBIGINT) AS x FROM lineitem),
+h1 AS (SELECT {_wmul64('xor(x, x >> 30)', M1)} AS a FROM vals),
+h2 AS (SELECT {_wmul64('xor(a, a >> 27)', M2)} AS a FROM h1),
+h AS (SELECT xor(a, a >> 31) AS a FROM h2),
+parts AS (
+  SELECT CAST(a >> {64 - p} AS BIGINT) AS j,
+         (a % {1 << (64 - p)}::UBIGINT) * {1 << p}::UBIGINT AS rest
+  FROM h
+),
+pw(e, v) AS (VALUES {pw}),
+rho AS (
+  SELECT p2.j,
+         CASE WHEN p2.rest = 0::UBIGINT THEN {maxrho}
+              ELSE 64 - (SELECT max(e) FROM pw WHERE pw.v <= p2.rest) END AS r
+  FROM parts p2
+),
+regs AS (SELECT j, max(r) AS r FROM rho GROUP BY j),
+agg AS (
+  SELECT count(*) AS npres,
+         sum(1.0 / CAST(1::UBIGINT << r AS DOUBLE)) AS s_present
+  FROM regs
+),
+est AS (
+  SELECT (0.7213 / (1 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+         / (s_present + ({m} - npres) * 1.0) AS raw,
+         {m} - npres AS zeros
+  FROM agg
+)
+SELECT CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m}.0 * ln({m}.0 / zeros)
+                       ELSE raw END) AS BIGINT) AS approx_distinct_orders
+FROM est
+""".strip()
+
+
 def sql_rel_quantiles() -> str:
     return """
 SELECT quantile_disc(c, 0.5) AS p50,
