@@ -72,6 +72,12 @@ def _sql_ml_knn_classify() -> str:
     return knn_classify_sql()
 
 
+def _sql_ann_ivf() -> str:
+    from tripsu_ray.stages.similarity import ann_ivf_sql
+
+    return ann_ivf_sql()
+
+
 def _sql_ann_filtered() -> str:
     from tripsu_ray.stages.similarity import ann_filtered_sql
 
@@ -419,9 +425,7 @@ def oracle_sql() -> dict[str, str]:
     """SQL oracles for every SQL-expressible query above.
 
     Intentionally omitted (→ rows-only check):
-    ann_ivf
-    (approximate by construction — precision 1.0, recall asserted in tests
-    vs the exact anchor; jaccard_pairs_lsh, dedup_embedding, ann_lsh and
+    (jaccard_pairs_lsh, dedup_embedding, ann_lsh, ann_ivf and
     sim_threshold_lsh graduated to hash-checked — the hyperplane plans
     via integer-quantized planes injected as SQL literals, the minhash
     trick; multimodal_features graduated via its integer histogram
@@ -544,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": d.sql_multimodal_features(),
         "multimodal_phash_near_dup": d.sql_multimodal_phash_near_dup(),
         "rel_approx_distinct": d.sql_rel_approx_distinct(),
+        "ann_ivf": _sql_ann_ivf(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),

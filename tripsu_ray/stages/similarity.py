@@ -261,37 +261,6 @@ def sim_threshold_lsh(
     )
 
 
-def _train_centroids(
-    sf_dir: str, num_centroids: int, sample: int, iters: int, seed: int
-) -> np.ndarray:
-    """Coarse k-means on a PRUNED sample read (vec_id filter pushdown).
-
-    The sample (≤ ``sample`` rows × d) is the only thing the driver holds;
-    Lloyd iterations on it are trivial. Deterministic: fixed seed, fixed
-    sample, fixed iteration count — every worker/query sees one centroid
-    set via broadcast.
-    """
-    import pyarrow.compute as pc
-    import ray.data
-
-    df = _read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filter=pc.field("vec_id") < sample,
-    ).to_pandas()
-    X = _normalize_rows(np.stack(df["embedding"].to_numpy()))
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)  # cosine, rows normalized
-        for c in range(len(C)):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-        C = _normalize_rows(C)
-    return C
-
-
 def ann_ivf(
     sf_dir: str,
     *,
@@ -299,36 +268,59 @@ def ann_ivf(
     num_queries: int = 5,
     num_centroids: int = 64,
     nprobe: int = 8,
-    sample: int = 4096,
     iters: int = 5,
-    seed: int = 11,
 ):
     """IVF top-k: data-adaptive partitions instead of random hyperplanes.
 
-    Coarse centroids (k-means on a pruned sample) partition the corpus;
-    each query probes only its ``nprobe`` nearest partitions and reranks
-    those candidates exactly. One corpus pass, no shuffle: assignment
-    happens per batch map-side against the broadcast centroid matrix
-    (num_centroids × d — O(KB)); per-batch work is a slim double matmul.
-    On clustered corpora IVF recall beats hyperplane LSH at equal probe
-    cost because cell boundaries follow the data. Approximate → rows-only
-    correctness; recall vs ann_topk asserted in tests.
+    Coarse centroids partition the corpus; each query probes only its
+    ``nprobe`` nearest partitions and reranks those candidates exactly.
+    One corpus pass, no shuffle: assignment happens per batch map-side
+    against the broadcast centroid matrix (num_centroids × d — O(KB));
+    per-batch work is a slim matmul. On clustered corpora IVF recall
+    beats hyperplane LSH at equal probe cost because cell boundaries
+    follow the data.
+
+    Hash-checked (round-4): the coarse quantizer is the EXACT-integer
+    distributed Lloyd fit (``cluster.kmeans_fit`` — lowest-vec_id seeds,
+    quantized L2, bit-stable under any partitioning), so cell assignment
+    and the per-query probe ranking replay in DuckDB via the unrolled
+    ``_lloyd_ctes`` chain; the rerank is ann_topk's hash-matched
+    floor(10⁶·cos). Recall vs the exact baseline asserted in tests.
     """
     import ray
     import ray.data
 
+    from .cluster import _assign as _cell_assign, _quantize, kmeans_fit
+
     q_ids, Q = _query_matrix(sf_dir, num_queries)
-    C = _train_centroids(sf_dir, num_centroids, sample, iters, seed)
-    # per-query probe set: nprobe nearest centroids
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    _, C = kmeans_fit(sf_dir, k=num_centroids, iters=iters)
+    # per-query probe set: nprobe nearest centroids by the SAME integer
+    # metric as assignment (c² − 2·q·c; q² is constant per query), ties →
+    # lowest cell — the _lloyd_ctes dist/asg ordering exactly
+    import pyarrow.compute as pc
+
+    qdf = (
+        _read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    qq = _quantize(qdf["embedding"])
+    c2 = np.einsum("kd,kd->k", C, C)
+    qdist = c2[None, :] - 2 * (qq @ C.T)  # exact int64
+    probe = np.argsort(qdist, kind="stable", axis=1)[:, :nprobe]
     ref = ray.put((q_ids, Q, C, probe))
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         q_ids_, Q_, C_, probe_ = ray.get(ref)
-        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        assign = np.argmax(vm @ C_.T, axis=1)
+        raw = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vm = _normalize_rows(raw)
+        assign = _cell_assign(np.floor(raw * 1_000_000).astype(np.int64), C_)
         vids = batch["vec_id"].to_numpy()
         rows = {"query_id": [], "vec_id": [], "simq": []}
         for qi, qid in enumerate(q_ids_):
@@ -696,6 +688,49 @@ def ann_filtered(sf_dir: str, *, k: int = 10, num_queries: int = 5):
 
     partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
     return _global_topk(partials, k)
+
+
+def ann_ivf_sql(k: int = 10, num_queries: int = 5, num_centroids: int = 64,
+                nprobe: int = 8, iters: int = 5) -> str:
+    """IVF oracle — exact dual of :func:`ann_ivf` now that the coarse
+    quantizer is the integer Lloyd fit: the unrolled ``_lloyd_ctes``
+    chain reproduces cells and the final dist CTE ranks each query's
+    probe set (dd asc, cell asc — q² is constant per query so the full
+    distance orders identically to the engine's c²−2qc); candidates are
+    the probe cells' members, reranked with the hash-matched
+    floor(10⁶·cos)."""
+    from .cluster import _lloyd_ctes
+
+    n = iters + 1
+    parts = _lloyd_ctes(k=num_centroids, iters=iters)
+    parts.append(
+        f""",
+probe AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+    FROM dist{n} WHERE vec_id < {num_queries}) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN asg{n} a ON a.c = p.c
+  WHERE a.vec_id <> p.query_id
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q2.e, w.e) * 1000000) AS BIGINT) AS simq
+  FROM cand c JOIN v q2 ON q2.vec_id = c.query_id JOIN v w ON w.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts).strip()
 
 
 def ann_filtered_sql(k: int = 10, num_queries: int = 5) -> str:
