@@ -78,6 +78,12 @@ def _sql_ann_ivf() -> str:
     return ann_ivf_sql()
 
 
+def _sql_ann_pq() -> str:
+    from tripsu_ray.stages.similarity import ann_pq_sql
+
+    return ann_pq_sql()
+
+
 def _sql_ann_filtered() -> str:
     from tripsu_ray.stages.similarity import ann_filtered_sql
 
@@ -432,9 +438,10 @@ def oracle_sql() -> dict[str, str]:
     numerators in long format; multimodal_phash_near_dup via the
     exact-integer aHash compare), rel_approx_distinct (HLL sketch — deterministic but
     not SQL-reproducible; error <2% vs exact asserted in tests),
-    ann_pq (PQ-compressed candidate scan — recall vs ann_topk
-    asserted in tests), text_bpe_train (iterative merge learning —
-    sequential replay asserted in tests).
+    text_bpe_train (iterative merge learning — sequential replay
+    asserted in tests). ann_pq graduated in round 4: integer per-slice
+    Lloyd codebooks + a partition-independent global top-k·rerank
+    candidate rule made the whole plan SQL-replayable.
     """
     from tripsu_ray.pipelines import bgp, doc_oracle as d, joins, oracle, paths
 
@@ -549,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_near_dup": d.sql_multimodal_phash_near_dup(),
         "rel_approx_distinct": d.sql_rel_approx_distinct(),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_pq": _sql_ann_pq(),
         "multimodal_audio": d.sql_multimodal_audio(),
         "multimodal_phash_dedup": d.sql_multimodal_phash_dedup(),
         "rel_lineitem_agg": d.sql_rel_lineitem_agg(),

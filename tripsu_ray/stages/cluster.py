@@ -125,16 +125,20 @@ def _bottom_k_vectors(ds, k: int) -> pd.DataFrame:
 _KMEANS_CACHE: dict = {}
 
 
-def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
+def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4,
+               dims: tuple[int, int] | None = None):
     """``iters`` exact Lloyd rounds; returns ``(dataset, centroids)`` with
-    the int64 fixed-point centroid matrix after the final update."""
+    the int64 fixed-point centroid matrix after the final update.
+    ``dims=(lo, hi)`` clusters only that embedding slice (the PQ
+    per-subspace trainer) — same seeds, same integer algebra, so the
+    sliced oracle (`_lloyd_ctes(lo=, hi=)`) replays it."""
     import ray
 
     ds = _read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
     cache_key = (
-        sf_dir, k, iters, _file_fingerprint(f"{sf_dir}/embeddings.parquet")
+        sf_dir, k, iters, dims, _file_fingerprint(f"{sf_dir}/embeddings.parquet")
     )
     cached = _KMEANS_CACHE.get(cache_key)
     if cached is not None:
@@ -151,6 +155,8 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
     cen = np.floor(
         np.stack(init["embedding"].to_numpy()).astype(np.float64) * SCALE
     ).astype(np.int64)
+    if dims is not None:
+        cen = cen[:, dims[0] : dims[1]].copy()
     d = cen.shape[1]
     sum_cols = [f"s{j}" for j in range(d)]
 
@@ -164,6 +170,8 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 4):
                 )
             c = ray.get(_c)
             q = _quantize(b["embedding"])
+            if dims is not None:
+                q = q[:, dims[0] : dims[1]]
             a = _assign(q, c)
             n = np.bincount(a, minlength=len(c)).astype(np.int64)
             sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
@@ -360,22 +368,40 @@ def semdedup(sf_dir: str, *, k: int = 8, iters: int = 4, tau_pct: int = 45):
     )
 
 
-def _lloyd_ctes(*, k: int, iters: int) -> list[str]:
+def _lloyd_ctes(*, k: int, iters: int, lo: int | None = None,
+                hi: int | None = None, prefix: str = "") -> list[str]:
     """Shared WITH-chain: quantized corpus, seeded centroids, ``iters``
-    unrolled Lloyd rounds, and the closing assignment ``asg{iters+1}``."""
-    parts = [
-        f"""
-WITH q AS (
+    unrolled Lloyd rounds, and the closing assignment ``asg{iters+1}``.
+
+    ``lo``/``hi`` restrict to an embedding slice (dim index rebased to 0
+    — the PQ per-subspace trainer's dual) and ``prefix`` namespaces every
+    CTE so several chains coexist in one WITH; defaults render the
+    original full-dim chain byte-identically."""
+    x = prefix
+    if lo is None:
+        q_cte = f"""{x}q AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          unnest(range(len(embedding))) AS d,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SCALE}) AS BIGINT) AS v
   FROM embeddings
-),
-seed AS (
+)"""
+    else:
+        q_cte = f"""{x}q AS (
+  SELECT vec_id, label, d - {lo} AS d, v FROM (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           unnest(range(len(embedding))) AS d,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SCALE}) AS BIGINT) AS v
+    FROM embeddings
+  ) WHERE d >= {lo} AND d < {hi}
+)"""
+    parts = [
+        f"""
+WITH {q_cte},
+{x}seed AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
   FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
-cen0 AS (SELECT s.c, q.d, q.v FROM seed s JOIN q ON q.vec_id = s.vec_id)"""
+{x}cen0 AS (SELECT s.c, q.d, q.v FROM {x}seed s JOIN {x}q q ON q.vec_id = s.vec_id)"""
     ]
     # asg{t} assigns with cen{t-1}; cen{t} is the t-th update. The census
     # is the FINAL assignment under cen{iters}, i.e. asg{iters+1} — one
@@ -385,26 +411,26 @@ cen0 AS (SELECT s.c, q.d, q.v FROM seed s JOIN q ON q.vec_id = s.vec_id)"""
         p = t - 1
         parts.append(
             f""",
-dist{t} AS (
+{x}dist{t} AS (
   SELECT q.vec_id, c.c, sum((q.v - c.v) * (q.v - c.v)) AS dd
-  FROM q JOIN cen{p} c ON q.d = c.d GROUP BY 1, 2
+  FROM {x}q q JOIN {x}cen{p} c ON q.d = c.d GROUP BY 1, 2
 ),
-asg{t} AS (
+{x}asg{t} AS (
   SELECT vec_id, c FROM (
     SELECT vec_id, c,
            row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
-    FROM dist{t}) WHERE rn = 1
+    FROM {x}dist{t}) WHERE rn = 1
 )"""
         )
         if t <= iters:
             parts.append(
                 f""",
-cen{t} AS (
+{x}cen{t} AS (
   SELECT prev.c, prev.d, COALESCE(u.v, prev.v) AS v
-  FROM cen{p} prev LEFT JOIN (
+  FROM {x}cen{p} prev LEFT JOIN (
     SELECT a.c, q.d,
            CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-    FROM asg{t} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2
+    FROM {x}asg{t} a JOIN {x}q q ON q.vec_id = a.vec_id GROUP BY 1, 2
   ) u ON u.c = prev.c AND u.d = prev.d
 )"""
             )

@@ -530,43 +530,6 @@ def ann_knn_graph(sf_dir: str, *, k: int = 5, chunk: int = 1024):
     )
 
 
-def _train_pq_codebooks(
-    sf_dir: str, m: int, ksub: int, sample: int, iters: int, seed: int
-) -> np.ndarray:
-    """Per-subspace k-means codebooks (m, ksub, d/m) on a pruned sample
-    read — the PQ training step. Vectors are L2-normalized FIRST (cosine
-    ≡ dot on normalized rows), then each d/m-dim slice clusters
-    independently. Deterministic: fixed seed/sample/iterations."""
-    import pyarrow.compute as pc
-
-    df = _read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filter=pc.field("vec_id") < sample,
-    ).to_pandas()
-    X = _normalize_rows(np.stack(df["embedding"].to_numpy()))
-    d = X.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, ksub, dsub), dtype=np.float64)
-    for j in range(m):
-        S = X[:, j * dsub : (j + 1) * dsub]
-        C = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
-        for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(len(C)):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[j, : len(C)] = C
-        if len(C) < ksub:  # degenerate tiny sample: pad with copies
-            books[j, len(C) :] = C[0]
-    return books
-
-
 def ann_pq(
     sf_dir: str,
     *,
@@ -574,67 +537,181 @@ def ann_pq(
     num_queries: int = 5,
     m: int = 4,
     ksub: int = 16,
-    sample: int = 4096,
-    iters: int = 8,
-    seed: int = 13,
+    iters: int = 4,
     rerank: int = 4,
 ):
     """Product-quantization top-k — the ANN memory-scale path: each
-    vector compresses to ``m`` uint8 codes (×32–64 smaller than float32),
-    so at 100 TB the candidate scan touches codes, not vectors.
+    vector compresses to ``m`` small codes (×32–64 smaller than
+    float32), so at 100 TB the candidate scan touches codes, not
+    vectors.
 
-    Plan: codebooks train on a pruned sample (driver, deterministic) and
-    broadcast with the per-query ADC lookup tables (num_queries × m ×
-    ksub dot-product partials — the asymmetric distance computation);
-    ONE corpus pass encodes each batch and scores candidates via m table
-    lookups + a sum (no float matmul against the corpus); the per-batch
-    top ``k·rerank`` ADC candidates are re-scored EXACTLY against the
-    batch's own (still in-hand) vectors, so the fold re-selects by exact
-    quantized cosine — the PQ approximation only affects which
-    candidates survive the per-batch cut (recall, asserted in tests),
-    never the reported similarity values. Approximate → rows-only."""
+    Hash-checked (round-4): the per-subspace codebooks are EXACT-integer
+    distributed Lloyd fits over each embedding slice
+    (``cluster.kmeans_fit(dims=...)`` — lowest-vec_id seeds, bit-stable),
+    ADC scores are exact integer dot products against the quantized
+    query slices, and the candidate rule is PARTITION-INDEPENDENT: the
+    global top ``k·rerank`` by (ADC desc, vec_id asc) per query — folded
+    from per-batch partial top-keeps, which is exactly the global
+    top-keep — then ONE pruned read re-scores those ≤ k·rerank·queries
+    vectors exactly (floor(10⁶·cos), the hash-matched rerank). The PQ
+    approximation affects only which candidates reach the rerank
+    (recall, asserted in tests), never the reported similarity values —
+    and the whole plan replays in DuckDB (``ann_pq_sql``)."""
+    import pyarrow.compute as pc
     import ray
+    import ray.data as rd
+
+    from .cluster import _assign as _cell_assign, kmeans_fit
 
     q_ids, Q = _query_matrix(sf_dir, num_queries)
-    books = _train_pq_codebooks(sf_dir, m, ksub, sample, iters, seed)
-    dsub = books.shape[2]
-    # ADC tables: T[q, j, c] = <Q[q] slice j, books[j, c]>
-    T = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
-    ref = ray.put((q_ids, Q, books, T))
+    d = Q.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack([
+        kmeans_fit(sf_dir, k=ksub, iters=iters, dims=(j * dsub, (j + 1) * dsub))[1]
+        for j in range(m)
+    ])  # (m, ksub, dsub) int64 quantized space
 
-    ds = _read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    path = f"{sf_dir}/embeddings.parquet"
+    qdf = (
+        _read_parquet_clean(
+            path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < num_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
     )
+    qq = np.floor(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    # ADC tables: T[q, j, c] = <quantized query slice j, book[j, c]> —
+    # exact int64 (≤ dsub · (10⁶)² ≈ 10¹³ per entry)
+    T = np.einsum("qjd,jcd->qjc", qq.reshape(len(qq), m, dsub), books)
+    ref = ray.put((q_ids, books, T))
     keep = k * rerank
 
-    def local(batch: pd.DataFrame) -> pd.DataFrame:
-        q_ids_, Q_, books_, T_ = ray.get(ref)
-        vm = _normalize_rows(np.stack(batch["embedding"].to_numpy()))
-        n = len(vm)
-        S = vm.reshape(n, m, dsub)
-        # encode: per subspace argmin L2 to the codebook
+    ds = _read_parquet_clean(path, columns=["vec_id", "embedding"])
+
+    def adc_local(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, books_, T_ = ray.get(ref)
+        raw = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        qv = np.floor(raw * 1_000_000).astype(np.int64)
+        n = len(qv)
         codes = np.empty((n, m), dtype=np.int64)
         for j in range(m):
-            d2 = ((S[:, j, None, :] - books_[None, j]) ** 2).sum(axis=2)
-            codes[:, j] = np.argmin(d2, axis=1)
-        vids = batch["vec_id"].to_numpy()
-        rows = {"query_id": [], "vec_id": [], "simq": []}
+            codes[:, j] = _cell_assign(qv[:, j * dsub : (j + 1) * dsub], books_[j])
+        vids = batch["vec_id"].to_numpy().astype(np.int64)
+        rows = {"query_id": [], "vec_id": [], "adc": []}
         for qi, qid in enumerate(q_ids_):
             approx = T_[qi, np.arange(m)[None, :], codes].sum(axis=1)
             mask = vids != qid
-            cand = np.flatnonzero(mask)
-            order = cand[np.argsort(-approx[cand], kind="stable")[:keep]]
-            # exact rerank of the ADC survivors against in-hand vectors
-            exact = vm[order] @ Q_[qi]
-            simq = np.floor(exact * QUANT).astype(np.int64)
-            sel = np.lexsort((vids[order], -simq))[:k]
-            rows["query_id"].extend([qid] * len(sel))
-            rows["vec_id"].extend(vids[order][sel])
-            rows["simq"].extend(simq[sel])
+            cand_ids, cand_adc = vids[mask], approx[mask]
+            order = np.lexsort((cand_ids, -cand_adc))[:keep]
+            rows["query_id"].extend([qid] * len(order))
+            rows["vec_id"].extend(cand_ids[order])
+            rows["adc"].extend(cand_adc[order])
         return pd.DataFrame(rows).astype("int64")
 
-    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
-    return _global_topk(partials, k)
+    partials = ds.map_batches(adc_local, batch_format="pandas").to_pandas()
+    # global top-keep per query — top-keep of per-batch top-keeps is the
+    # global top-keep, so the candidate SET is partition-independent
+    cand = (
+        partials.sort_values(["query_id", "adc", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(keep)
+    )
+    cand_ids = sorted(set(cand["vec_id"]))
+    cdf = (
+        _read_parquet_clean(
+            path, columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(cand_ids),
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    V = _normalize_rows(np.stack(cdf["embedding"].to_numpy()))
+    vid_pos = {int(v): i for i, v in enumerate(cdf["vec_id"])}
+    rows = {"query_id": [], "vec_id": [], "simq": []}
+    for qi, qid in enumerate(q_ids):
+        sub = cand[cand["query_id"] == qid]
+        ids = sub["vec_id"].to_numpy(np.int64)
+        ex = V[[vid_pos[int(v)] for v in ids]] @ Q[qi]
+        simq = np.floor(ex * QUANT).astype(np.int64)
+        sel = np.lexsort((ids, -simq))[:k]
+        rows["query_id"].extend([qid] * len(sel))
+        rows["vec_id"].extend(ids[sel])
+        rows["simq"].extend(simq[sel])
+    return _global_topk(pd.DataFrame(rows).astype("int64"), k)
+
+
+def ann_pq_sql(k: int = 10, num_queries: int = 5, m: int = 4, ksub: int = 16,
+               iters: int = 4, rerank: int = 4, dim: int = 64) -> str:
+    """PQ oracle — exact dual of :func:`ann_pq`: one prefixed sliced
+    Lloyd chain per subspace reproduces codebooks and code assignment;
+    ADC = Σ_j integer dot of the query's quantized slice with its
+    assigned centroid; candidates = global top k·rerank by (ADC desc,
+    vec_id asc); rerank with the hash-matched floor(10⁶·cos)."""
+    from .cluster import _lloyd_ctes
+
+    dsub = dim // m
+    n = iters + 1
+    chains = []
+    for j in range(m):
+        chain = "".join(
+            _lloyd_ctes(k=ksub, iters=iters, lo=j * dsub, hi=(j + 1) * dsub,
+                        prefix=f"s{j}_")
+        )
+        if j:
+            chain = chain.replace("\nWITH ", ",\n", 1)
+        chains.append(chain)
+    code_joins = " ".join(
+        f"JOIN s{j}_asg{n} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    t_ctes = ",\n".join(
+        f"""t{j} AS (
+  SELECT q.vec_id AS query_id, c.c, sum(q.v * c.v) AS t
+  FROM s{j}_q q JOIN s{j}_cen{iters} c USING (d)
+  WHERE q.vec_id < {num_queries} GROUP BY 1, 2
+)""" for j in range(m)
+    )
+    adc_joins = " ".join(
+        f"JOIN t{j} ON t{j}.c = cd.c{j} AND t{j}.query_id = t0.query_id"
+        for j in range(1, m)
+    )
+    adc_sum = " + ".join(f"t{j}.t" for j in range(m))
+    return f"""{chains[0]}{"".join(chains[1:])},
+codes AS (
+  SELECT a0.vec_id, {", ".join(f"a{j}.c AS c{j}" for j in range(m))}
+  FROM s0_asg{n} a0 {code_joins}
+),
+{t_ctes},
+adc AS (
+  SELECT t0.query_id, cd.vec_id, {adc_sum} AS adc
+  FROM codes cd
+  JOIN t0 ON t0.c = cd.c0 {adc_joins}
+  WHERE cd.vec_id <> t0.query_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {k * rerank}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q2.e, w.e) * 1000000) AS BIGINT) AS simq
+  FROM cand c JOIN v q2 ON q2.vec_id = c.query_id JOIN v w ON w.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, simq,
+         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, simq, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank""".strip()
 
 
 def ann_filtered(sf_dir: str, *, k: int = 10, num_queries: int = 5):
