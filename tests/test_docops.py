@@ -2496,3 +2496,78 @@ def test_pandas_int64_hash_is_splitmix64_finalizer():
     x *= np.uint64(0x94D049BB133111EB)
     x ^= x >> np.uint64(31)
     np.testing.assert_array_equal(pd.util.hash_array(v), x)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wav_codec_real_roundtrip_through_audio_actors():
+    """WavAudioCodec is a REAL byte-format decoder (stdlib wave — no
+    external dependency), so unlike the PIL/PyAV slots it is exercised
+    unconditionally: synthesize real WAV bytes, drive AudioFeaturizer
+    AND VoiceActivityDetector actor pools with decode="wav", and check
+    the DSP outputs against the raw PCM."""
+    import pyarrow as pa
+    import ray.data
+
+    rows = []
+    pcms = []
+    for i in range(5):
+        n = 600 + 97 * i
+        # loud square wave (mean square ≈ 1.0e9, far above the VAD
+        # threshold of 3.58e8; uniform ±30k noise would sit BELOW it)
+        pcm = np.where(np.arange(n) % 2 == 0, 32000, -32000).astype(np.int16)
+        if i == 0:
+            pcm[:] = 0  # silent doc: VAD must report nothing active
+        pcms.append(pcm)
+        rows.append(multimodal.WavAudioCodec.encode(8000, pcm))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "payload": pa.array(rows, pa.binary())})
+    )
+    feats = ds.map_batches(
+        multimodal.AudioFeaturizer, fn_constructor_kwargs={"decode": "wav"},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert (feats["sample_rate"] == 8000).all()
+    assert list(feats["n_samples"]) == [600 + 97 * i for i in range(5)]
+
+    vad = ds.map_batches(
+        multimodal.VoiceActivityDetector, fn_constructor_kwargs={"decode": "wav"},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert vad.loc[0, "n_active"] == 0 and vad.loc[0, "first_active"] == -1
+    # loud random PCM: every full window is active
+    W = multimodal.VAD_WINDOW
+    for i in range(1, 5):
+        n = 600 + 97 * i
+        n_win = (n + W - 1) // W
+        assert vad.loc[i, "n_windows"] == n_win
+        assert vad.loc[i, "n_active"] >= n_win - 1  # tail may pad quiet
+
+    # stereo downmix: exact integer mean of channels
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        inter = np.empty(8, dtype=np.int16)
+        inter[0::2] = [100, -100, 31000, 7]
+        inter[1::2] = [200, -300, 31000, 8]
+        w.writeframes(inter.tobytes())
+    rate, n, pcm = multimodal.WavAudioCodec().decode(buf.getvalue())
+    assert rate == 16000 and n == 4
+    np.testing.assert_array_equal(pcm, [150, -200, 31000, 7])
+
+
+def test_pyav_codec_init_raises_cleanly_when_absent():
+    try:
+        import av  # noqa: F401
+        pytest.skip("PyAV present — would be covered by a decode test")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        multimodal.PyAVVideoCodec()
+    with pytest.raises(ImportError):
+        multimodal.resolve_codec("pyav")

@@ -7,13 +7,15 @@ wider than text rows — batch_size × payload × concurrency must fit the
 worker heap; these stages stay in ``batch_format="pyarrow"`` end to end
 because binary columns don't round-trip pandas cleanly).
 
-No image/audio libraries exist in this environment, so the DECODE step is
-stubbed: ``FakePayloadCodec`` implements a deterministic synthetic format
-(8-byte header: width/height/channels/format-tag as uint16 LE + raw bytes);
-``RealImageCodec.decode`` raises NotImplementedError with the dependency it
-would use. The Ray-side plumbing — schemas, actor signature, batch sizing,
-output layout — is real and tested, so swapping in a real codec is a
-one-class change.
+Real byte formats: AUDIO is fully real via the stdlib ``wave`` module
+(:class:`WavAudioCodec` — decode slot ``decode="wav"``, exercised
+unconditionally in tests); IMAGES decode real PNG/JPEG through the
+import-guarded :class:`PILImageCodec` (``codec="pil"``); VIDEO has the
+import-guarded :class:`PyAVVideoCodec` (``codec="pyav"``). Where the
+libraries are absent (this sandbox: no Pillow/PyAV) the deterministic
+:class:`FakePayloadCodec` synthetic format stays the tested default —
+the Ray-side plumbing (schemas, actor signatures, batch sizing, output
+layout) is identical either way.
 """
 
 from __future__ import annotations
@@ -145,6 +147,8 @@ def resolve_codec(codec):
         return FakePayloadCodec
     if codec == "pil":
         return PILImageCodec()
+    if codec == "pyav":
+        return PyAVVideoCodec()
     return codec
 
 
@@ -485,7 +489,7 @@ class VoiceActivityDetector:
 
     def __init__(self, decode=None, window: int = VAD_WINDOW,
                  tau_meansq: int = VAD_TAU_MEANSQ):
-        self.decode = decode or decode_audio
+        self.decode = resolve_audio_decode(decode)
         self.window = window
         self.tau = tau_meansq
 
@@ -527,15 +531,98 @@ class VoiceActivityDetector:
         )
 
 
-def audio_vad(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+def audio_vad(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
+              decode=None):
     """Voice-activity segment census over the synthetic audio corpus
     (actor pool — see :class:`VoiceActivityDetector`)."""
     return attach_fake_audio(sf_dir).map_batches(
         VoiceActivityDetector,
+        fn_constructor_kwargs={"decode": decode},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WavAudioCodec:
+    """REAL audio byte-format support via the stdlib ``wave`` module — no
+    external dependency, so unlike the PIL/PyAV slots this adapter WORKS
+    in the sandbox and is exercised unconditionally in tests. Decodes
+    mono or multi-channel 16-bit PCM WAV bytes to the
+    ``(rate, n_samples, int16 pcm)`` contract every audio kernel
+    (windowed RMS, VAD energy gate) already consumes; multi-channel
+    input is downmixed by exact integer-mean (sum // n_channels)."""
+
+    def decode(self, payload: bytes):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"WavAudioCodec supports 16-bit PCM only "
+                    f"(got sampwidth={w.getsampwidth()})"
+                )
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            n = w.getnframes()
+            pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+        if nch > 1:
+            pcm = (pcm.reshape(-1, nch).astype(np.int64).sum(axis=1)
+                   // nch).astype("<i2")
+        return rate, len(pcm), pcm
+
+    @staticmethod
+    def encode(rate: int, pcm: np.ndarray) -> bytes:
+        """Mono 16-bit WAV bytes (test/round-trip helper)."""
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+
+class PyAVVideoCodec:
+    """Import-guarded PyAV adapter for the real-video slot (the PIL
+    pattern): decodes any container/codec PyAV supports to the
+    ``(w, h, c, n_frames, frames uint8[n,h,w,c])`` contract
+    :class:`VideoFrameSampler` / :class:`SceneCutDetector` consume.
+    Constructing it RAISES ImportError when PyAV is absent (this
+    sandbox) — once per actor in ``__init__``, never per batch."""
+
+    def __init__(self):
+        import av  # ImportError here = codec unavailable
+
+        self._av = av
+
+    def decode_video(self, payload: bytes):
+        import io
+
+        frames = []
+        with self._av.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        if not frames:
+            raise ValueError("no video frames decoded")
+        arr = np.stack(frames)  # (n, h, w, 3)
+        n, h, w, c = arr.shape
+        return w, h, c, n, arr
+
+
+def resolve_audio_decode(decode):
+    """Audio decode-slot resolution: ``None``/``"fake"`` → the synthetic
+    payload decoder; ``"wav"`` → a stdlib :class:`WavAudioCodec` bound
+    method; callables pass through."""
+    if decode is None or decode == "fake":
+        return decode_audio
+    if decode == "wav":
+        return WavAudioCodec().decode
+    return decode
 
 
 class AudioFeaturizer:
@@ -543,7 +630,7 @@ class AudioFeaturizer:
     (decoder/model init once per actor; per-batch vectorized DSP)."""
 
     def __init__(self, decode=None, window: int = AUDIO_WINDOW):
-        self.decode = decode or decode_audio
+        self.decode = resolve_audio_decode(decode)
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -568,9 +655,11 @@ class AudioFeaturizer:
         )
 
 
-def audio_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+def audio_features(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4),
+                   decode=None):
     return attach_fake_audio(sf_dir).map_batches(
         AudioFeaturizer,
+        fn_constructor_kwargs={"decode": decode},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
