@@ -2147,3 +2147,25 @@ class TestLPACommunities:
                            "b": pd.Series([], dtype=object)})
         out = lpa_communities(ray.data.from_pandas(df))
         assert list(out.columns) == ["node", "community"] and len(out) == 0
+
+    def test_join_impl_bit_equal(self):
+        """The beyond-driver join-per-round plan must be bit-equal to the
+        broadcast plan (the pagerank_auto gate-test template)."""
+        import ray.data
+
+        from tripsu_ray.stages.graph import lpa_communities
+
+        rng = np.random.default_rng(23)
+        edges = sorted(
+            {(f"v{i:02d}", f"v{j:02d}")
+             for i, j in rng.integers(0, 30, (110, 2)) if i != j}
+        )
+        ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"])).repartition(4)
+        bc = lpa_communities(ds, rounds=4, impl="broadcast")
+        jn = lpa_communities(ds, rounds=4, impl="join")
+        pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                      jn.reset_index(drop=True))
+        # driver_max=0 routes auto to join
+        auto = lpa_communities(ds, rounds=4, driver_max=0)
+        pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                      auto.reset_index(drop=True))

@@ -2200,7 +2200,9 @@ def components_table(edges_ds) -> pd.DataFrame:
     )
 
 
-def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32):
+def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32,
+                    impl: str = "auto",
+                    driver_max: int = _PAGERANK_DRIVER_MAX):
     """Deterministic synchronous label-propagation communities (Raghavan
     et al. 2007, determinized): labels start as the node's own name; per
     round EVERY node simultaneously takes the most frequent label among
@@ -2208,15 +2210,67 @@ def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32):
     count (no convergence test) keeps the schedule engine-independent and
     the SQL oracle a finite unrolled chain.
 
-    Plan per round: the label map rides ``ray.put`` (node-class — the
-    pagerank rank-vector budget) while the symmetrized edge stream is
-    probed map-side, emitting per-batch partial (node, label, n) counts;
-    ONE node-hash exchange co-locates each node's counts and the mode
-    (count desc, label asc) is picked vectorized per partition. Nothing
-    edge-class ever folds to the driver — only the per-node label rows.
+    Broadcast plan (at or under ``driver_max`` edges, or ``impl=
+    "broadcast"``): the label map rides ``ray.put`` per round (node-class
+    — the pagerank rank-vector budget) while the symmetrized edge stream
+    is probed map-side, emitting per-batch partial (node, label, n)
+    counts; ONE node-hash exchange co-locates each node's counts and the
+    mode (count desc, label asc) is picked vectorized per partition.
+
+    Join plan (above the gate, or ``impl="join"`` — the pagerank_auto
+    dual, bit-equality pytest-pinned): labels live as a DATASET; per
+    round a union-tag exchange on the label-owner node stamps each edge
+    with its neighbor's current label, and a second node-hash exchange
+    folds the mode — NO per-round driver state at all; the driver sees
+    only the final (node, community) table, which is the result anyway.
 
     Returns a (node, community) DataFrame sorted by node.
     """
+    if impl == "auto":
+        impl = "broadcast" if edges_ds.materialize().count() <= driver_max else "join"
+    if impl == "join":
+        return _lpa_communities_join(
+            edges_ds, rounds=rounds, num_partitions=num_partitions
+        )
+    return _lpa_communities_broadcast(
+        edges_ds, rounds=rounds, num_partitions=num_partitions
+    )
+
+
+def _lpa_sym_distinct(edges, *, num_partitions: int):
+    """GLOBALLY distinct symmetrized edges — LPA counts label
+    frequencies, so a duplicate (a, b) row (possible when the input holds
+    both directions of an edge split across batches) would double-count
+    a neighbor's vote; one node-hash exchange dedups exactly, matching
+    the oracle's DISTINCT sym."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a"] != df["b"]]
+        out = pd.DataFrame(
+            {"a": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object),
+             "b": pd.concat([df["b"], df["a"]], ignore_index=True).astype(object)}
+        ).drop_duplicates(ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_array(out["a"].to_numpy(dtype=object))
+            % num_partitions
+        ).astype("int64")
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "a" not in g.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        return g[["a", "b"]].drop_duplicates(ignore_index=True)
+
+    return (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+
+
+def _lpa_communities_broadcast(edges_ds, *, rounds: int, num_partitions: int):
     import ray
 
     empty = pd.DataFrame({"node": pd.Series([], dtype=object),
@@ -2225,15 +2279,8 @@ def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32):
     if edges.count() == 0:
         return empty
 
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["a"] != df["b"]]
-        return pd.DataFrame(
-            {"a": pd.concat([df["a"], df["b"]], ignore_index=True).astype(object),
-             "b": pd.concat([df["b"], df["a"]], ignore_index=True).astype(object)}
-        ).drop_duplicates(ignore_index=True)
-
-    sedges = edges.map_batches(sym, batch_format="pandas").materialize()
     P = num_partitions
+    sedges = _lpa_sym_distinct(edges, num_partitions=P)
 
     labels: dict | None = None  # None = round 0 (label(n) == n)
 
@@ -2276,6 +2323,91 @@ def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32):
         {"node": pd.Series(nodes, dtype=object),
          "community": pd.Series([labels[n] for n in nodes], dtype=object)}
     )
+
+
+def _lpa_communities_join(edges_ds, *, rounds: int, num_partitions: int):
+    """Join-per-round LPA (see :func:`lpa_communities`): labels stay a
+    Dataset; two exchanges per round (label-stamp on the owner node, mode
+    fold on the target node); zero per-round driver state."""
+    empty = pd.DataFrame({"node": pd.Series([], dtype=object),
+                          "community": pd.Series([], dtype=object)})
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        return empty
+
+    P = num_partitions
+    sedges = _lpa_sym_distinct(edges, num_partitions=P)
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["a"].drop_duplicates()
+        return pd.DataFrame({"n": u.astype(object), "lab": u.astype(object)})
+
+    # batch-local distinct is enough: the stamp exchange groups by n, and
+    # mode counting ignores duplicate label ROWS (one label row per group
+    # wins below via head(1))
+    labels = sedges.map_batches(init_labels, batch_format="pandas").materialize()
+
+    def lab_row(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b["n"].astype(object), "kind": np.int8(0),
+             "lab": b["lab"].astype(object), "a": None}
+        )
+
+    def edge_row(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b["b"].astype(object), "kind": np.int8(1),
+             "lab": None, "a": b["a"].astype(object)}
+        )
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"n": pd.Series([], dtype=object),
+                                  "lab": pd.Series([], dtype=object)})
+        if not len(g) or "kind" not in g.columns:
+            return out_empty
+        labs = g.loc[g["kind"] == 0, "lab"]
+        if not len(labs):  # unreachable: every node has a label row
+            return out_empty
+        lab = labs.iloc[0]
+        e = g[g["kind"] == 1]
+        # numpy, not Series: two Series with different indexes would
+        # ALIGN in the DataFrame constructor (NaN-padded row union)
+        return pd.DataFrame(
+            {"n": e["a"].to_numpy(dtype=object),
+             "lab": np.array([lab] * len(e), dtype=object)}
+        )
+
+    def mode_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "n" not in g.columns:
+            return pd.DataFrame({"n": pd.Series([], dtype=object),
+                                 "lab": pd.Series([], dtype=object)})
+        agg = g.groupby(["n", "lab"], sort=False, as_index=False)["c"].sum()
+        agg = agg.sort_values(["n", "c", "lab"], ascending=[True, False, True])
+        return agg.drop_duplicates("n", keep="first")[["n", "lab"]].reset_index(drop=True)
+
+    for _ in range(rounds):
+        stamped = (
+            labels.map_batches(lab_row, batch_format="pandas")
+            .union(sedges.map_batches(edge_row, batch_format="pandas"))
+            .groupby("key")
+            .map_groups(stamp, batch_format="pandas")
+        )
+
+        def count_tag(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(["n", "lab"], sort=False, as_index=False).size()
+            out["_part"] = (
+                pd.util.hash_array(out["n"].to_numpy(dtype=object)) % P
+            ).astype("int64")
+            return out.rename(columns={"size": "c"})
+
+        labels = (
+            stamped.map_batches(count_tag, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(mode_part, batch_format="pandas")
+            .materialize()
+        )
+
+    out = labels.to_pandas().sort_values("n", ignore_index=True)
+    return out.rename(columns={"n": "node", "lab": "community"})
 
 
 def repo_profile(triples, *, num_partitions: int = _HASH_PARTS):
