@@ -147,6 +147,15 @@ def _pipe_is_nt(path: str) -> bool:
     return path == "-" or path.endswith(".nt") or path.endswith(".ntriples")
 
 
+def _substantive(lines: list[str]) -> int:
+    """Lines the parser actually attempts (blank/comment lines are LEGAL
+    N-Triples and dropped silently) — so pipe-mode "skipped" counts only
+    MALFORMED lines, same semantics as the distributed JobCounters."""
+    return sum(
+        1 for l in lines if l.strip() and not l.strip().startswith("#")
+    )
+
+
 def _pipe_in(path: str):
     """Yield line-list chunks from stdin or an .nt file (bounded memory)."""
     f = sys.stdin if path == "-" else open(path, "r", encoding="utf-8")
@@ -185,7 +194,7 @@ def _pipe_convert(args):
     n_in = n_ok = 0
     try:
         for lines in _pipe_in(args.input):
-            n_in += len(lines)
+            n_in += _substantive(lines)
             t = parse_ntriples_lines(
                 pa.table({"text": pa.array(lines, pa.string())}),
                 on_error=args.on_error,
@@ -199,7 +208,7 @@ def _pipe_convert(args):
     summary = {"command": "convert", "input": args.input, "output": args.output,
                "mode": "pipe"}
     if args.on_error == "skip":
-        summary["counters"] = {"parsed": n_ok, "skipped": n_in - n_ok}
+        summary["counters"] = {"parsed": n_ok, "malformed_lines": n_in - n_ok}
     print(json.dumps(summary), file=sys.stderr)
 
 
@@ -219,9 +228,14 @@ def _pipe_pseudo(args):
 
         matcher = HashIndexMatcher(rules, TripsuIndex.from_json(args.index))
     elif args.index:
+        # pyarrow direct read, NOT a Ray Dataset: pipe mode must never
+        # boot a (silently unconfigured) Ray session; the index is
+        # driver-size by contract
+        import pyarrow.parquet as _pq
+
         from .stages.pseudo import compile_matcher
 
-        matcher = compile_matcher(rules, _read_parquet_clean(args.index).to_pandas())
+        matcher = compile_matcher(rules, _pq.read_table(args.index).to_pandas())
     elif args.input == "-":
         # mirrors the reference, where -x is required: a pipe cannot be
         # re-read for the inline pass-1 index build
@@ -264,7 +278,7 @@ def _pipe_pseudo(args):
     n_in = n_ok = 0
     try:
         for lines in _pipe_in(args.input):
-            n_in += len(lines)
+            n_in += _substantive(lines)
             t = parse_ntriples_lines(
                 pa.table({"text": pa.array(lines, pa.string())}),
                 on_error=args.on_error,
@@ -280,7 +294,7 @@ def _pipe_pseudo(args):
     if generated:
         info["generated_secret"] = secret
     if args.on_error == "skip":
-        info["counters"] = {"parsed": n_ok, "skipped": n_in - n_ok}
+        info["counters"] = {"parsed": n_ok, "malformed_lines": n_in - n_ok}
     print(json.dumps(info), file=sys.stderr)
 
 

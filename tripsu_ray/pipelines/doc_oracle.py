@@ -718,13 +718,18 @@ rho AS (
 ),
 regs AS (SELECT j, max(r) AS r FROM rho GROUP BY j),
 agg AS (
+  -- EXACT integer harmonic numerator S = Σ 2^(R−rho): absent registers
+  -- (rho 0) contribute 2^R each; ONE int→double conversion of S is the
+  -- only rounding, mirroring hll_estimate — a float Σ of 2^−rho terms
+  -- would be summation-order-dependent past rho ≈ 39
   SELECT count(*) AS npres,
-         sum(1.0 / CAST(1::UBIGINT << r AS DOUBLE)) AS s_present
-  FROM regs
+         sum(CAST(p3.v AS HUGEINT)) AS s_present
+  FROM regs JOIN pw p3 ON p3.e = {maxrho} - regs.r
 ),
 est AS (
   SELECT (0.7213 / (1 + 1.079 / {m}.0)) * {m}.0 * {m}.0
-         / (s_present + ({m} - npres) * 1.0) AS raw,
+         / (CAST(s_present + ({m} - npres) * CAST({1 << maxrho} AS HUGEINT)
+                 AS DOUBLE) / {float(1 << maxrho)}) AS raw,
          {m} - npres AS zeros
   FROM agg
 )

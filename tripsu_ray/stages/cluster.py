@@ -232,6 +232,12 @@ def silhouette_scores(sf_dir: str, *, k: int = 8, iters: int = 4):
     Returns (vec_id, cluster_id, sil_q)."""
     import ray
 
+    if k < 2:
+        # b = "nearest OTHER centroid" needs one to exist; the engine's
+        # int64-max sentinel would silently overflow and the SQL oracle's
+        # inner join would return zero rows — raise loudly instead (the
+        # repo's no-silent-caps convention)
+        raise ValueError(f"silhouette needs k >= 2 clusters (got k={k})")
     ds, cen = kmeans_fit(sf_dir, k=k, iters=iters)
     cen_ref = ray.put(cen)
 

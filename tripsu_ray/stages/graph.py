@@ -2226,8 +2226,9 @@ def lpa_communities(edges_ds, *, rounds: int = 4, num_partitions: int = 32,
 
     Returns a (node, community) DataFrame sorted by node.
     """
+    edges_ds = edges_ds.materialize()  # once — the gate and both impls share it
     if impl == "auto":
-        impl = "broadcast" if edges_ds.materialize().count() <= driver_max else "join"
+        impl = "broadcast" if edges_ds.count() <= driver_max else "join"
     if impl == "join":
         return _lpa_communities_join(
             edges_ds, rounds=rounds, num_partitions=num_partitions

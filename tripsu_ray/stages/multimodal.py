@@ -136,20 +136,30 @@ class PILImageCodec:
         return w, h, 3, arr.reshape(-1)
 
 
-def resolve_codec(codec):
-    """Codec slot resolution for every image actor: ``None``/``"fake"`` →
-    :class:`FakePayloadCodec`; ``"pil"`` → a :class:`PILImageCodec`
-    instance (constructed HERE, i.e. inside the actor ``__init__`` that
-    calls this — ImportError surfaces once per actor, not per batch);
-    anything else is taken as a duck-typed codec object with
-    ``decode(bytes) -> (w, h, c, flat uint8)``."""
+def resolve_codec(codec, *, need: str = "decode"):
+    """Codec slot resolution for every media actor: ``None``/``"fake"`` →
+    :class:`FakePayloadCodec`; ``"pil"`` → :class:`PILImageCodec`;
+    ``"pyav"`` → :class:`PyAVVideoCodec` (each constructed HERE, i.e.
+    inside the actor ``__init__`` that calls this — ImportError surfaces
+    once per actor, not per batch); anything else is a duck-typed codec
+    object. ``need`` names the method the calling slot requires
+    ("decode" for image actors, "decode_video" for video actors) and is
+    validated at construction — a wrong-slot codec (e.g. "pyav" in an
+    image actor) must fail at actor init, never on the first batch."""
     if codec is None or codec == "fake":
         return FakePayloadCodec
     if codec == "pil":
-        return PILImageCodec()
-    if codec == "pyav":
-        return PyAVVideoCodec()
-    return codec
+        out = PILImageCodec()
+    elif codec == "pyav":
+        out = PyAVVideoCodec()
+    else:
+        out = codec
+    if not callable(getattr(out, need, None)):
+        raise TypeError(
+            f"codec {codec!r} has no {need}() — wrong slot (image actors "
+            f"need decode, video actors need decode_video)"
+        )
+    return out
 
 
 def attach_fake_payloads(sf_dir: str):
@@ -308,7 +318,7 @@ class VideoFrameSampler:
     """
 
     def __init__(self, codec=None, stride: int = FRAME_STRIDE):
-        self.codec = resolve_codec(codec)
+        self.codec = resolve_codec(codec, need="decode_video")
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -369,7 +379,7 @@ class SceneCutDetector:
     """
 
     def __init__(self, codec=None, tau_milli: int = SCENE_CUT_TAU_MILLI):
-        self.codec = resolve_codec(codec)
+        self.codec = resolve_codec(codec, need="decode_video")
         self.tau_milli = tau_milli
 
     def __call__(self, batch: pa.Table) -> pa.Table:

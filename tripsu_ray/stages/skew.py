@@ -259,10 +259,23 @@ def hll_partial(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Standard HLL estimator with linear-counting small-range correction."""
+    """Standard HLL estimator with linear-counting small-range correction.
+
+    The harmonic sum is computed EXACTLY as the integer
+    ``S = Σ 2^(R−rho)`` (R = max rho) and converted to float once —
+    ``Σ 2^−rho = S / 2^R`` with a power-of-two divisor, so the only
+    rounding is the single int→double conversion of S, identical in
+    numpy and DuckDB. A float Σ of 2^−rho terms would be
+    summation-ORDER-dependent once max rho exceeds ~39 (the 53-bit
+    mantissa), which breaks the oracle hash at large cardinalities."""
     m = float(len(regs))
+    p = int(len(regs)).bit_length() - 1
+    R = 64 - p + 1  # max rho
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    counts = np.bincount(regs, minlength=R + 1)
+    S = sum(int(c) << (R - r) for r, c in enumerate(counts))  # exact int
+    denom = float(S) / float(1 << R)  # one rounding; 2^R divisor is exact
+    est = alpha * m * m / denom
     zeros = int(np.sum(regs == 0))
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
