@@ -2357,8 +2357,19 @@ def test_resolve_codec_slot():
     is absent — the actor-__init__ failure mode), object → itself."""
     assert multimodal.resolve_codec(None) is multimodal.FakePayloadCodec
     assert multimodal.resolve_codec("fake") is multimodal.FakePayloadCodec
-    sentinel = object()
-    assert multimodal.resolve_codec(sentinel) is sentinel
+
+    class Duck:
+        def decode(self, payload):
+            return 0, 0, 0, None
+
+    duck = Duck()
+    assert multimodal.resolve_codec(duck) is duck
+    # wrong-slot codecs are rejected at resolution (actor init), not on
+    # the first batch: an image-slot duck has no decode_video
+    with pytest.raises(TypeError, match="decode_video"):
+        multimodal.resolve_codec(duck, need="decode_video")
+    with pytest.raises(TypeError, match="wrong slot"):
+        multimodal.resolve_codec(object())
     try:
         import PIL  # noqa: F401
         assert isinstance(multimodal.resolve_codec("pil"), multimodal.PILImageCodec)
