@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": docops.q_multimodal_frames,
         "multimodal_scene_cuts": docops.q_multimodal_scene_cuts,
         "multimodal_vad": docops.q_multimodal_vad,
+        "multimodal_curate": docops.q_multimodal_curate,
         "multimodal_audio": docops.q_multimodal_audio,
         "multimodal_phash_dedup": docops.q_multimodal_phash_dedup,
         "multimodal_phash_near_dup": docops.q_multimodal_phash_near_dup,
@@ -552,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": d.sql_multimodal_frames(),
         "multimodal_scene_cuts": d.sql_multimodal_scene_cuts(),
         "multimodal_vad": d.sql_multimodal_vad(),
+        "multimodal_curate": d.sql_multimodal_curate(),
         "multimodal_features": d.sql_multimodal_features(),
         "multimodal_phash_near_dup": d.sql_multimodal_phash_near_dup(),
         "rel_approx_distinct": d.sql_rel_approx_distinct(),

@@ -2582,3 +2582,31 @@ def test_pyav_codec_init_raises_cleanly_when_absent():
         multimodal.PyAVVideoCodec()
     with pytest.raises(ImportError):
         multimodal.resolve_codec("pyav")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_curate_composes_its_gates():
+    """keep must equal the conjunction of the three per-modality gates,
+    each re-derived independently from the family's own queries."""
+    got = (
+        multimodal.media_curate(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+        .astype("int64")
+    )
+    assert len(got) == 500
+    cuts = multimodal.video_scene_cuts(SF).to_pandas().set_index("doc_id")
+    vad = multimodal.audio_vad(SF).to_pandas().set_index("doc_id")
+    dedup = multimodal.image_phash_dedup(SF).to_pandas()
+    winners = set(dedup["doc_id"])
+    for _, r in got.sample(60, random_state=5).iterrows():
+        d = r["doc_id"]
+        assert r["static_video"] == int(cuts.loc[d, "n_cuts"] == 0)
+        assert r["silent_audio"] == int(vad.loc[d, "n_active"] == 0)
+        assert r["dup_image"] == int(d not in winners)
+        assert r["keep"] == int(
+            r["dup_image"] == 0 and r["static_video"] == 0
+            and r["silent_audio"] == 0
+        )
+    # the gates actually bite on this corpus (static fl%32==0 docs exist)
+    assert (got["keep"] == 0).any() and (got["keep"] == 1).any()

@@ -579,6 +579,88 @@ ORDER BY m.doc_id, b.b
 """.strip()
 
 
+def sql_multimodal_curate() -> str:
+    """Media-curation-capstone oracle — composes the three byte-exact
+    media renderings this module already ships: `_phash_ctes` (dup =
+    not the min-doc representative of the aHash cluster), the scene-cut
+    census (static = 0 cuts), and the VAD census (silent = 0 active
+    windows); keep = none fire."""
+    from ..stages.multimodal import (
+        SCENE_CUT_TAU_MILLI,
+        VAD_TAU_MEANSQ,
+        VAD_WINDOW,
+        VIDEO_MAX_FRAMES,
+    )
+
+    W = VAD_WINDOW
+    return f"""
+WITH {_phash_ctes()},
+dup AS (
+  SELECT p.doc_id,
+         CASE WHEN p.doc_id = min(p.doc_id) OVER (PARTITION BY p.phash)
+              THEN 0 ELSE 1 END AS dup_image
+  FROM ph p
+),
+vid AS (
+  SELECT doc_id,
+         (8 + doc_id % 24) * (8 + doc_id % 16) * 3 AS fl,
+         1 + doc_id % {VIDEO_MAX_FRAMES} AS nf,
+         sha256(text) AS hx
+  FROM documents
+), vdig AS MATERIALIZED (
+  SELECT doc_id, j, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT AS b
+  FROM vid, unnest(generate_series(0, 31)) t(j)
+), bounds AS (
+  SELECT doc_id, fl, f
+  FROM vid, unnest(generate_series(1, nf - 1)) t(f)
+  WHERE nf >= 2
+), diffs AS (
+  SELECT bo.doc_id, bo.f, bo.fl, sum(abs(d1.b - d2.b)) AS s
+  FROM bounds bo, unnest(generate_series(0, bo.fl - 1)) t(i)
+  JOIN vdig d1 ON d1.doc_id = bo.doc_id AND d1.j = ((bo.f - 1) * bo.fl + i) % 32
+  JOIN vdig d2 ON d2.doc_id = bo.doc_id AND d2.j = (bo.f * bo.fl + i) % 32
+  GROUP BY bo.doc_id, bo.f, bo.fl
+), cut_census AS (
+  SELECT doc_id,
+         count(*) FILTER (1000 * s >= {SCENE_CUT_TAU_MILLI} * fl) AS n_cuts
+  FROM diffs GROUP BY doc_id
+),
+au AS (
+  SELECT doc_id, 256 + doc_id % 4096 AS n, sha256(text) AS hx FROM documents
+), adig AS MATERIALIZED (
+  SELECT doc_id, j, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT AS b
+  FROM au, unnest(generate_series(0, 31)) t(j)
+), smp AS (
+  SELECT m.doc_id, t.s // {W} AS w,
+         CASE WHEN d1.b + 256 * d2.b >= 32768
+              THEN d1.b + 256 * d2.b - 65536
+              ELSE d1.b + 256 * d2.b END AS x
+  FROM au m, unnest(generate_series(0, m.n - 1)) t(s)
+  JOIN adig d1 ON d1.doc_id = m.doc_id AND d1.j = (2 * t.s) % 32
+  JOIN adig d2 ON d2.doc_id = m.doc_id AND d2.j = (2 * t.s + 1) % 32
+), win AS (
+  SELECT doc_id, w, sum(x * x) AS e FROM smp GROUP BY doc_id, w
+), vad_census AS (
+  SELECT doc_id, count(*) AS n_active
+  FROM win WHERE e >= {VAD_TAU_MEANSQ}::BIGINT * {W} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(du.dup_image AS BIGINT) AS dup_image,
+       CAST(CASE WHEN coalesce(cc.n_cuts, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS static_video,
+       CAST(CASE WHEN coalesce(vc.n_active, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS silent_audio,
+       CAST(CASE WHEN du.dup_image = 0 AND coalesce(cc.n_cuts, 0) > 0
+                  AND coalesce(vc.n_active, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM documents d
+JOIN dup du USING (doc_id)
+LEFT JOIN cut_census cc USING (doc_id)
+LEFT JOIN vad_census vc USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
 def sql_multimodal_dims() -> str:
     # width/height are pure functions of doc_id (FakePayloadCodec.encode)
     return """

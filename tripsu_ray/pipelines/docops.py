@@ -246,6 +246,13 @@ def q_multimodal_scene_cuts(sf_dir: str):
     return multimodal.video_scene_cuts(sf_dir)
 
 
+def q_multimodal_curate(sf_dir: str):
+    """Media-curation capstone (stages/multimodal.py::media_curate —
+    phash-dup + static-video + silent-audio gates composed into one
+    keep decision per doc)."""
+    return multimodal.media_curate(sf_dir)
+
+
 def q_multimodal_vad(sf_dir: str):
     """Voice-activity segment census over the fake-audio corpus
     (stages/multimodal.py::VoiceActivityDetector — integer energy gate +

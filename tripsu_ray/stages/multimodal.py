@@ -904,3 +904,125 @@ def phash_near_dup_pairs(hashed, *, max_hamming: int = 3, num_partitions: int = 
         .groupby("_p2")
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+def _phash_dup_flags(sf_dir: str, *, batch_size: int, concurrency,
+                     num_partitions: int = 16):
+    """(doc_id, dup_image) for EVERY doc via one phash-keyed exchange —
+    dup = not the min-doc_id representative of its aHash cluster. Fully
+    distributed: the cluster table never lands on the driver (distinct
+    images are corpus-class at scale)."""
+    import pandas as pd
+
+    hashed = attach_content_payloads(sf_dir).map_batches(
+        PerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = batch["phash"].to_numpy(zero_copy_only=False) % num_partitions
+        return batch.append_column("_part", pa.array(part.astype(np.int64)))
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "dup_image": pd.Series([], dtype="int64")})
+        if not len(g) or "phash" not in g.columns:
+            return empty
+        rep = g.groupby("phash")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64").to_numpy(),
+             "dup_image": (g["doc_id"] != rep).astype("int64").to_numpy()}
+        )
+
+    return (
+        hashed.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(flags, batch_format="pandas")
+    )
+
+
+def media_curate(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
+    """Multimodal curation capstone — the media analogue of
+    ``text.text_curate``: one decision row per document composing the
+    three media gates this module already computes, each a real
+    curation criterion at 100 TB:
+
+    - ``dup_image``   : the doc's image is a perceptual-hash duplicate
+                        and NOT its cluster's representative (min doc_id
+                        per aHash — the phash_dedup winner rule),
+                        computed in a phash-keyed exchange (the cluster
+                        table never lands on the driver);
+    - ``static_video``: zero scene cuts (a multi-frame video whose
+                        frames never change — stills masquerading as
+                        video; single-frame videos are static by
+                        definition);
+    - ``silent_audio``: zero VAD-active windows.
+
+    ``keep = 1`` iff none of the three flags fire. Three actor-pool map
+    passes over the payload streams plus the phash exchange; the flag
+    streams union-tag into ONE doc_id exchange that folds the decision
+    row — everything integer, so the DuckDB oracle
+    (``doc_oracle.sql_multimodal_curate``) composes the three existing
+    byte-exact renderings and hash-matches end to end.
+
+    Returns (doc_id, dup_image, static_video, silent_audio, keep).
+    """
+    import pandas as pd
+
+    dup = _phash_dup_flags(sf_dir, batch_size=batch_size, concurrency=concurrency)
+    cuts = video_scene_cuts(sf_dir, batch_size=batch_size, concurrency=concurrency)
+    vad = audio_vad(sf_dir, batch_size=batch_size, concurrency=concurrency)
+
+    def dup_row(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64").to_numpy(),
+             "dup_image": b["dup_image"].astype("int64").to_numpy(),
+             "static_video": np.full(len(b), -1, dtype=np.int64),
+             "silent_audio": np.full(len(b), -1, dtype=np.int64)}
+        )
+
+    def cut_row(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "dup_image": np.full(len(df), -1, dtype=np.int64),
+             "static_video": (df["n_cuts"] == 0).astype("int64").to_numpy(),
+             "silent_audio": np.full(len(df), -1, dtype=np.int64)}
+        )
+
+    def vad_row(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+             "dup_image": np.full(len(df), -1, dtype=np.int64),
+             "static_video": np.full(len(df), -1, dtype=np.int64),
+             "silent_audio": (df["n_active"] == 0).astype("int64").to_numpy()}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "dup_image", "static_video",
+                       "silent_audio", "keep")}
+        )
+        if not len(g) or "doc_id" not in g.columns:
+            return empty
+        agg = g.groupby("doc_id", as_index=False).max()  # -1 sentinels lose
+        keep = ((agg["dup_image"] == 0) & (agg["static_video"] == 0)
+                & (agg["silent_audio"] == 0)).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": agg["doc_id"].astype("int64").to_numpy(),
+             "dup_image": agg["dup_image"].astype("int64").to_numpy(),
+             "static_video": agg["static_video"].astype("int64").to_numpy(),
+             "silent_audio": agg["silent_audio"].astype("int64").to_numpy(),
+             "keep": keep.to_numpy()}
+        )
+
+    flagged = (
+        dup.map_batches(dup_row, batch_format="pandas")
+        .union(cuts.map_batches(cut_row, batch_format="pyarrow"))
+        .union(vad.map_batches(vad_row, batch_format="pyarrow"))
+    )
+    return flagged.groupby("doc_id").map_groups(fold, batch_format="pandas")
