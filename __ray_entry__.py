@@ -147,7 +147,7 @@ _FLAGSHIP = (
 _COSTLY = {
     "ml_kmeans", "ml_semdedup", "rel_bloom_semi_join", "kg_random_walks",
     "rel_shuffle_join", "dedup_minhash", "rel_merge_upsert", "rel_q5_revenue",
-    "kg_graph_diff", "dedup_simhash", "ann_ivf", "ml_silhouette",
+    "kg_graph_diff", "dedup_simhash", "ann_ivf", "ml_silhouette", "ann_pq",
 }
 
 

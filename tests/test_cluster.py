@@ -423,3 +423,14 @@ def test_silhouette_matches_brute_force():
     )
     pd.testing.assert_frame_equal(got, want)
     assert got["sil_q"].between(0, C.SIL_SCALE).all()
+
+
+def test_fused_slice_fit_bit_equal_to_separate_fits():
+    """kmeans_fit_slices (one scan per round for all m subspaces) must be
+    bit-identical to m separate kmeans_fit(dims=...) calls."""
+    C._KMEANS_CACHE.clear()
+    fused = C.kmeans_fit_slices(SF, k=16, iters=2, m=4)
+    C._KMEANS_CACHE.clear()
+    for j, cen in enumerate(fused):
+        _, want = C.kmeans_fit(SF, k=16, iters=2, dims=(j * 16, (j + 1) * 16))
+        np.testing.assert_array_equal(cen, want)

@@ -294,6 +294,93 @@ ORDER BY o.vec_id"""
     return "".join(parts).strip()
 
 
+def kmeans_fit_slices(sf_dir: str, *, k: int, iters: int, m: int):
+    """The m per-subspace Lloyd fits of :func:`kmeans_fit(dims=...)`
+    computed JOINTLY — one corpus pass per round instead of m (the PQ
+    trainer made m·iters full scans; a full scan is the unit of cost).
+    Each slice's rounds are the independent sliced Lloyd by construction
+    (per-slice assign + per-slice sums share only the scan), so results
+    are bit-identical to m separate ``kmeans_fit(dims=(j·dsub,(j+1)·
+    dsub))`` calls — pytest-pinned — and the per-slice `_lloyd_ctes`
+    oracles still replay them. Returns a list of m centroid matrices."""
+    import ray
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    fp = _file_fingerprint(f"{sf_dir}/embeddings.parquet")
+    keys = []
+    dims_list = None  # resolved after we know d
+    # serve everything from the per-slice cache when possible
+    init = _bottom_k_vectors(ds, k)
+    cen_full = np.floor(
+        np.stack(init["embedding"].to_numpy()).astype(np.float64) * SCALE
+    ).astype(np.int64)
+    d = cen_full.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    dims_list = [(j * dsub, (j + 1) * dsub) for j in range(m)]
+    keys = [(sf_dir, k, iters, dims, fp) for dims in dims_list]
+    if all(key in _KMEANS_CACHE for key in keys):
+        return [_KMEANS_CACHE[key].copy() for key in keys]
+
+    cens = [cen_full[:, lo:hi].copy() for lo, hi in dims_list]
+    sum_cols = [f"s{j}" for j in range(dsub)]
+
+    from .folds import tree_fold_tables
+
+    for _ in range(iters):
+        cen_ref = ray.put(cens)
+
+        def partials(b: pd.DataFrame, _c=cen_ref) -> pd.DataFrame:
+            cols = ["slice", "cluster_id", "n", *sum_cols]
+            if not len(b):
+                return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+            cs = ray.get(_c)
+            q = _quantize(b["embedding"])
+            frames = []
+            for j, (lo, hi) in enumerate(dims_list):
+                qs = q[:, lo:hi]
+                a = _assign(qs, cs[j])
+                n = np.bincount(a, minlength=k).astype(np.int64)
+                sums = np.zeros((k, dsub), dtype=np.int64)
+                np.add.at(sums, a, qs)
+                out = pd.DataFrame(sums, columns=sum_cols)
+                out.insert(0, "n", n)
+                out.insert(0, "cluster_id", np.arange(k, dtype=np.int64))
+                out.insert(0, "slice", np.int64(j))
+                frames.append(out[out["n"] > 0])
+            return pd.concat(frames, ignore_index=True)
+
+        def _combine(frames: list[pd.DataFrame]) -> pd.DataFrame:
+            return (
+                pd.concat(frames, ignore_index=True)
+                .groupby(["slice", "cluster_id"], sort=False, as_index=False)
+                .sum()
+            )
+
+        folded = tree_fold_tables(
+            ds.map_batches(partials, batch_format="pandas"), _combine
+        )
+        if folded is None or not len(folded):
+            break
+        for j in range(m):
+            part = folded[folded["slice"] == j]
+            if not len(part):
+                continue
+            new = cens[j].copy()
+            cids = part["cluster_id"].to_numpy().astype(np.int64)
+            counts = part["n"].to_numpy().astype(np.int64)
+            sums = part[sum_cols].to_numpy().astype(np.int64)
+            new[cids] = sums // counts[:, None]
+            cens[j] = new
+
+    for key, cen in zip(keys, cens):
+        _KMEANS_CACHE[key] = cen.copy()
+    return [c.copy() for c in cens]
+
+
 def semdedup(sf_dir: str, *, k: int = 8, iters: int = 4, tau_pct: int = 45):
     """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN k-means
     clusters — the cluster assignment prunes the O(n²) pair space to

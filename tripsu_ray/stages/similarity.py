@@ -561,17 +561,15 @@ def ann_pq(
     import ray
     import ray.data as rd
 
-    from .cluster import _assign as _cell_assign, kmeans_fit
+    from .cluster import _assign as _cell_assign, kmeans_fit_slices
 
     q_ids, Q = _query_matrix(sf_dir, num_queries)
     d = Q.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    books = np.stack([
-        kmeans_fit(sf_dir, k=ksub, iters=iters, dims=(j * dsub, (j + 1) * dsub))[1]
-        for j in range(m)
-    ])  # (m, ksub, dsub) int64 quantized space
+    # all m sliced Lloyd fits in ONE corpus pass per round (was m passes)
+    books = np.stack(kmeans_fit_slices(sf_dir, k=ksub, iters=iters, m=m))
 
     path = f"{sf_dir}/embeddings.parquet"
     qdf = (
