@@ -1676,6 +1676,28 @@ def test_components_distributed_path_equals_driver_gate():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_components_ds_path_equals_driver_gate():
+    """connected_components_ds (factorize + join-LPA + decode, zero
+    node-class driver state) must agree exactly with the union-find gate
+    — including identity rows for component minima and no singleton
+    rows (self-loop-only nodes)."""
+    rng = np.random.default_rng(17)
+    a = [f"n{i:03d}" for i in rng.integers(0, 120, 300)]
+    b = [f"n{i:03d}" for i in rng.integers(0, 120, 300)]
+    df = pd.DataFrame({"a": a, "b": b})
+    # a guaranteed self-loop-only node: must not appear in either result
+    df = pd.concat(
+        [df, pd.DataFrame({"a": ["zzz_solo"], "b": ["zzz_solo"]})],
+        ignore_index=True,
+    )
+    gate = graph.connected_components_str(_ds(df, blocks=4))
+    got = graph.connected_components_ds(_ds(df, blocks=4), num_partitions=4).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == gate
+    assert len(got) == len(gate)  # one row per node, no dupes
+    assert "zzz_solo" not in gate
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNegativeSamples:
     def test_no_true_edges_and_exact_formula(self):
         from tripsu_ray.stages.graph import NEG_A, NEG_B, NEG_P, negative_samples

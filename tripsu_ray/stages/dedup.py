@@ -403,8 +403,19 @@ def label_propagation(
         labels = merged
 
 
-def _label_propagation_join(pairs_ds, *, num_partitions: int = 8) -> dict:
-    """Join-per-round min-label propagation (see :func:`label_propagation`)."""
+def _label_propagation_join(
+    pairs_ds, *, num_partitions: int = 8, as_dataset: bool = False
+):
+    """Join-per-round min-label propagation (see :func:`label_propagation`).
+
+    ``as_dataset=True`` returns the final (node, label) label table as a
+    DATASET — one row per node incident to an edge, identity rows
+    included — instead of folding the non-identity entries into a driver
+    dict. This is the beyond-driver contract
+    :func:`stages.graph.connected_components_ds` builds on: no step of
+    the computation (and no part of the result) is node-class driver
+    state.
+    """
     import pandas as pd
     from ray.data.aggregate import Min
 
@@ -418,6 +429,15 @@ def _label_propagation_join(pairs_ds, *, num_partitions: int = 8) -> dict:
 
     edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
     if edges.count() == 0:
+        if as_dataset:
+            import ray
+
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "label": pd.Series([], dtype="int64")}
+                )
+            )
         return {}
     # round 0: label(node) = min(node, min over neighbors) in one groupby
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
@@ -443,6 +463,8 @@ def _label_propagation_join(pairs_ds, *, num_partitions: int = 8) -> dict:
         if new_total == total:
             break
         total = new_total
+    if as_dataset:
+        return labels
     out: dict = {}
     for b in labels.iter_batches(batch_size=1 << 16, batch_format="pandas"):
         nz = b[b["node"] != b["label"]]  # identity labels need no broadcast

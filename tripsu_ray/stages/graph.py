@@ -1318,14 +1318,144 @@ def bfs_distances(edges_ds, *, source: str | None = None, max_rounds: int = 64) 
 _COMPONENTS_DRIVER_MAX = 1 << 20
 
 
+def connected_components_ds(edges_ds, *, num_partitions: int = 32):
+    """Edge Dataset (a, b) of STRING node ids → (node, component) DATASET
+    where the component label is the lexicographically smallest node id
+    in the component — the fully-relational, beyond-driver plan: at no
+    point does any node-class table (vocabulary, per-round label map, or
+    result) materialize on the driver.
+
+    Plan (every step a Dataset op):
+
+    1. :func:`_factorized_edge_codes` int-codes both endpoints with no
+       driver vocabulary (codes ``rank·P + part``, so ``code % P``
+       recovers the owning partition — the decode-routing invariant).
+    2. ``dedup._label_propagation_join(as_dataset=True)`` runs the
+       join-per-round min-label rounds over the int edges; labels live
+       as a DATASET between rounds (the pagerank_join/hits_join dual
+       shape). Min over codes is component membership only — code order
+       is NOT name order, which step 4 repairs.
+    3. One code-homed exchange (labels tagged ``node % P`` union the
+       factorize's code rows at ``code % P``) decodes each node code to
+       its name with a partition-local LUT.
+    4. One exchange on ``label_code % P`` folds the lexicographic min
+       NAME per component (vectorized groupby-transform) and stamps it
+       on every member row.
+
+    Self-loops drop up front, so rows cover exactly the nodes of
+    components of size ≥ 2 (identity rows for the minima included) —
+    the same contract as :func:`connected_components_str`, which this
+    function backs above its driver gate (bit-equality pytest-pinned).
+    """
+    import ray
+
+    from .dedup import _label_propagation_join
+
+    def drop_self(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["a"] != df["b"]]
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "component": pd.Series([], dtype=object)}
+        )
+
+    clean = edges_ds.map_batches(drop_self, batch_format="pandas").materialize()
+    n = clean.count()
+    if n == 0:
+        return ray.data.from_pandas(empty_out())
+    P = _adaptive_parts(n, num_partitions)
+    fz = _factorized_edge_codes(clean, num_partitions=P).materialize()
+
+    def as_ab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": df["u"].to_numpy(dtype=np.int64) if len(df) else
+             pd.Series([], dtype="int64"),
+             "b": df["v"].to_numpy(dtype=np.int64) if len(df) else
+             pd.Series([], dtype="int64")}
+        )
+
+    labels = _label_propagation_join(
+        _edge_rows_of(fz).map_batches(as_ab, batch_format="pandas"),
+        num_partitions=P,
+        as_dataset=True,
+    )
+
+    # exchange 3: decode node codes to names, re-keying rows by label code
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        code = (df["node"].to_numpy(dtype=np.int64) if len(df) else
+                np.array([], dtype=np.int64))
+        return pd.DataFrame(
+            {"code": code,
+             "lcode": df["label"].to_numpy(dtype=np.int64) if len(df) else
+             pd.Series([], dtype="int64"),
+             "name": pd.Series([None] * len(df), dtype=object),
+             "_part": (code % P).astype("int64")}
+        )
+
+    def tag_codes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"code": df["code"].to_numpy(dtype=np.int64) if len(df) else
+             pd.Series([], dtype="int64"),
+             "lcode": np.full(len(df), -1, dtype=np.int64),
+             "name": df["name"].astype(object).to_numpy() if len(df) else
+             pd.Series([], dtype=object),
+             "_part": df["_part"].to_numpy(dtype=np.int64) if len(df) else
+             pd.Series([], dtype="int64")}
+        )
+
+    def decode_node(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"name": pd.Series([], dtype=object),
+             "lcode": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if "code" not in g.columns or not len(g):
+            return empty
+        is_code = g["name"].notna().to_numpy()
+        lut_codes = g.loc[is_code, "code"].to_numpy(dtype=np.int64)
+        lut_names = g.loc[is_code, "name"].to_numpy(dtype=object)
+        order = np.argsort(lut_codes)
+        lut_codes, lut_names = lut_codes[order], lut_names[order]
+        w = g[~is_code]
+        if not len(w):
+            return empty
+        lcode = w["lcode"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"name": pd.Series(
+                _decode(lut_codes, lut_names, w["code"].to_numpy(dtype=np.int64)),
+                dtype=object,
+            ),
+             "lcode": lcode,
+             "_part": (lcode % P).astype("int64")}
+        )
+
+    named = (
+        labels.map_batches(tag_labels, batch_format="pandas")
+        .union(_code_rows_of(fz).map_batches(tag_codes, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(decode_node, batch_format="pandas")
+    )
+
+    # exchange 4: lexicographic-min name per component, stamped per member
+    def min_name(g: pd.DataFrame) -> pd.DataFrame:
+        if "name" not in g.columns or not len(g):
+            return empty_out()
+        comp = g.groupby("lcode")["name"].transform("min")
+        return pd.DataFrame(
+            {"node": g["name"].astype(object).to_numpy(),
+             "component": comp.astype(object).to_numpy()}
+        )
+
+    return named.groupby("_part").map_groups(min_name, batch_format="pandas")
+
+
 def connected_components_str(
     edges_ds, *, max_rounds: int = 64, driver_max: int = _COMPONENTS_DRIVER_MAX
 ) -> dict:
     """Edge Dataset (a, b) of STRING node ids → {node: component label}
     where the label is the lexicographically smallest node id in the
-    component — ``dedup.label_propagation(dtype="object")`` (one shared
-    implementation; min = lexicographic) plus identity entries for the
-    component minima.
+    component.
 
     Self-loop edges are dropped up front: a node incident ONLY to a
     self-loop is a singleton and, like all singletons, gets no entry —
@@ -1333,12 +1463,17 @@ def connected_components_str(
 
     Size-gated plan: at or under ``driver_max`` edges the (already
     driver-destined) result comes from an in-process union-find over the
-    collected distinct edges; above it, the distributed min-label
-    propagation rounds run — same answer, tested equal.
+    collected distinct edges; above it,
+    :func:`connected_components_ds` runs the fully-relational
+    factorize + join-LPA + decode plan — NO per-round driver label map —
+    and only the final (node, component) table folds into the returned
+    dict (node-class, but so is this function's contract; Dataset
+    consumers call :func:`connected_components_ds` directly). Same
+    answer, tested equal.
     """
     import pandas as pd
 
-    from .dedup import _components, label_propagation
+    from .dedup import _components
 
     def drop_self(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["a"] != df["b"]]
@@ -1347,12 +1482,11 @@ def connected_components_str(
     if clean.count() <= driver_max:
         df = clean.to_pandas() if clean.count() else pd.DataFrame({"a": [], "b": []})
         return _components(list(map(tuple, df.to_numpy()))) if len(df) else {}
-    labels = label_propagation(clean, dtype="object")
-    # identity entries for component minima so every node of a ≥2-sized
-    # component appears in the result (label_propagation returns only
-    # the non-minimum nodes)
-    for l in set(labels.values()) - set(labels):
-        labels[l] = l
+    labels: dict = {}
+    for b in connected_components_ds(clean).iter_batches(
+        batch_size=1 << 16, batch_format="pandas"
+    ):
+        labels.update(zip(b["node"], b["component"]))
     return labels
 
 
