@@ -1524,6 +1524,34 @@ class TestBigramLM:
         assert pos.tolist() == [0, 1]
         assert nbg.tolist() == [1, 1, 0, 0]
 
+    def test_probe_join_plan_equals_broadcast(self):
+        """broadcast_max=0 forces the co-partitioned probe join; the
+        broadcast gate path must agree bit-exactly (integer scores)."""
+        import ray
+
+        from tripsu_ray.stages.text import bigram_logprob
+
+        rng = np.random.default_rng(23)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [
+            " ".join(rng.choice(vocab, size=int(n)))
+            for n in rng.integers(0, 30, 80)
+        ]
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        ds = ray.data.from_pandas(docs).repartition(5)
+        bc = (
+            bigram_logprob(ds)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        jn = (
+            bigram_logprob(ds, broadcast_max=0, num_partitions=4)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(jn, bc)
+        assert len(bc) == len(docs)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestTriangles:

@@ -1945,21 +1945,43 @@ def _batch_bigrams(texts: pd.Series):
     return w1, w2, pos, np.maximum(lens - 1, 0)
 
 
-def text_bigram_logprob(sf_dir: str):
+#: batch-local-distinct bigram partial rows at or under which the bigram
+#: LM table folds to the driver and broadcasts (type-index size class);
+#: above it the co-partitioned probe join runs — bigram vocabulary grows
+#: far faster than unigram (~tokens^0.8 empirically), so a 100-TB corpus
+#: WILL cross this where the unigram table never does
+_BIGRAM_BROADCAST_MAX = 1 << 22
+
+
+def bigram_logprob(docs, *, broadcast_max: int = _BIGRAM_BROADCAST_MAX,
+                   num_partitions: int = 32):
     """Per-document log-probability under the corpus bigram LM (the
     order-2 extension of :func:`text_unigram_logprob`): for every
     adjacent token pair, ``ln c(w1,w2) − ln c(w1,·)`` with ``c(w1,·)`` =
     bigrams starting with ``w1`` — corpus-MLE conditionals, well-defined
     for every in-corpus document (its own bigrams are observed by
-    construction).
+    construction). Conditional log-probs quantize to
+    ``floor(10^6·(ln c − ln cw))`` int64 BEFORE summing, so per-doc
+    scores are integer sums the DuckDB oracle reproduces exactly.
 
-    Pass 1 folds per-batch bigram count partials (shuffle ≤ batch-local
-    distinct bigrams per batch) to the driver; the conditional log-probs
-    quantize to ``floor(10^6·(ln c − ln cw))`` int64 BEFORE summing, so
-    per-doc scores are integer sums the DuckDB oracle reproduces exactly.
-    The bigram map broadcasts like the type index (vocabulary size class,
-    ≪ corpus); past broadcast size the same score pass becomes a
-    co-partitioned probe join (the ``pseudonymize_join`` shape).
+    Size-gated duals (bit-equal, pytest-pinned):
+
+    - **Broadcast** (partial rows ≤ ``broadcast_max``): pass 1 folds
+      per-batch bigram count partials to the driver (shuffle ≤
+      batch-local distinct bigrams per batch); the quantized table rides
+      ``ray.put`` into a map-side score pass — the type-index pattern.
+    - **Co-partitioned probe join** (above the gate — the
+      ``pseudonymize_join`` shape, no driver bigram table): the SAME
+      materialized partials hash-exchange on ``w1`` so each partition
+      owns every count for its first-words and emits exact quantized
+      (key, logq) rows; a second union-tag exchange on ``hash(key)``
+      co-locates them with per-doc probe rows (pre-aggregated per batch
+      to (doc_id, key, cnt)); a third exchange on ``doc_id`` sums the
+      per-doc partials and attaches the map-side n_bigrams rows. Three
+      bounded shuffles, zero node/vocab-class driver state.
+
+    Returns a Dataset of (doc_id, n_bigrams, logprob_q) — one row per
+    doc; zero-bigram docs score 0.
     """
     import math
 
@@ -1967,7 +1989,7 @@ def text_bigram_logprob(sf_dir: str):
 
     from .folds import tree_fold_tables
 
-    docs = _docs(sf_dir)
+    P = num_partitions
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         w1, w2, _, _ = _batch_bigrams(b["text"])
@@ -1983,42 +2005,226 @@ def text_bigram_logprob(sf_dir: str):
         out = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
         return out.astype({"n": "int64"})
 
-    def combine(frames):
-        df = pd.concat(frames, ignore_index=True)
-        return df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+    partials = docs.map_batches(partial, batch_format="pandas").materialize()
 
-    bg = tree_fold_tables(docs.map_batches(partial, batch_format="pandas"), combine)
-    logq: dict = {}
-    if bg is not None and len(bg):
-        cw = bg.groupby("w1", sort=False)["n"].sum()
-        firsts = bg["w1"].map(cw).to_numpy(dtype="float64")
-        logq = {
-            f"{a}\x1f{b_}": int(
-                math.floor(1_000_000 * (math.log(float(n)) - math.log(float(t))))
-            )
-            for a, b_, n, t in zip(bg["w1"], bg["w2"], bg["n"], firsts)
-        }
-    ref = ray.put(logq)
+    if partials.count() <= broadcast_max:
+        def combine(frames):
+            df = pd.concat(frames, ignore_index=True)
+            return df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
 
-    def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-        lq = ray.get(_ref)
-        w1, w2, pos, nbg = _batch_bigrams(b["text"])
-        lp = np.zeros(len(b), dtype=np.int64)
-        if len(w1):
-            # NB: np.char.add truncates at NUL bytes — pandas concat with a
-            # unit separator keeps keys exact
-            keys = pd.Series(w1, dtype=object) + "\x1f" + pd.Series(w2, dtype=object)
-            vals = keys.map(lq).to_numpy(dtype="int64")
-            np.add.at(lp, pos, vals)
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].astype("int64").to_numpy(),
-                "n_bigrams": nbg.astype("int64"),
-                "logprob_q": lp,
+        bg = tree_fold_tables(partials, combine)
+        logq: dict = {}
+        if bg is not None and len(bg):
+            cw = bg.groupby("w1", sort=False)["n"].sum()
+            firsts = bg["w1"].map(cw).to_numpy(dtype="float64")
+            logq = {
+                f"{a}\x1f{b_}": int(
+                    math.floor(1_000_000 * (math.log(float(n)) - math.log(float(t))))
+                )
+                for a, b_, n, t in zip(bg["w1"], bg["w2"], bg["n"], firsts)
             }
+        ref = ray.put(logq)
+
+        def score(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            lq = ray.get(_ref)
+            w1, w2, pos, nbg = _batch_bigrams(b["text"])
+            lp = np.zeros(len(b), dtype=np.int64)
+            if len(w1):
+                # NB: np.char.add truncates at NUL bytes — pandas concat with
+                # a unit separator keeps keys exact
+                keys = pd.Series(w1, dtype=object) + "\x1f" + pd.Series(w2, dtype=object)
+                vals = keys.map(lq).to_numpy(dtype="int64")
+                np.add.at(lp, pos, vals)
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64").to_numpy(),
+                    "n_bigrams": nbg.astype("int64"),
+                    "logprob_q": lp,
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    # ---- co-partitioned probe join (above the broadcast gate) ----
+
+    # exchange 1 (on hash(w1)): every count for a first-word lands in one
+    # partition → exact c(w1,w2) / c(w1,·) and the quantized conditional
+    def tag_w1(b: pd.DataFrame) -> pd.DataFrame:
+        w1 = b["w1"].to_numpy(dtype=object) if len(b) else np.empty(0, dtype=object)
+        return pd.DataFrame(
+            {"w1": pd.Series(w1, dtype=object),
+             "w2": b["w2"].astype(object) if len(b) else pd.Series([], dtype=object),
+             "n": b["n"].astype("int64") if len(b) else pd.Series([], dtype="int64"),
+             "_part": (pd.util.hash_array(w1) % P).astype("int64")}
         )
 
-    return docs.map_batches(score, batch_format="pandas")
+    def logq_rows(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"key": pd.Series([], dtype=object),
+             "logq": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if "w1" not in g.columns or not len(g):
+            return empty
+        agg = g.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+        cw = agg.groupby("w1", sort=False)["n"].transform("sum").to_numpy(dtype="int64")
+        n = agg["n"].to_numpy(dtype="int64")
+
+        # libm log via math.log over UNIQUE integer counts — np.log's SIMD
+        # path can differ from libm by 1 ULP, which would flip floors vs
+        # the broadcast plan / the oracle's ln()
+        def log_int(a: np.ndarray) -> np.ndarray:
+            u, inv = np.unique(a, return_inverse=True)
+            lg = np.array([math.log(float(x)) for x in u], dtype=np.float64)
+            return lg[inv]
+
+        lq = np.floor(1_000_000 * (log_int(n) - log_int(cw))).astype(np.int64)
+        key = (agg["w1"].astype(object) + "\x1f" + agg["w2"].astype(object)).to_numpy(
+            dtype=object
+        )
+        return pd.DataFrame(
+            {"key": pd.Series(key, dtype=object),
+             "logq": lq,
+             "_part": (pd.util.hash_array(key) % P).astype("int64")}
+        )
+
+    lm = (
+        partials.map_batches(tag_w1, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(logq_rows, batch_format="pandas")
+    )
+
+    # probe rows (doc_id, key, cnt) pre-aggregated per batch, plus one
+    # map-side (doc_id, n_bigrams) row per doc (kind=1) that skips the
+    # key exchange and rides straight to the doc fold
+    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
+        w1, w2, pos, nbg = _batch_bigrams(b["text"])
+        ids = b["doc_id"].astype("int64").to_numpy()
+        nb_rows = pd.DataFrame(
+            {"doc_id": ids,
+             "key": pd.Series([None] * len(b), dtype=object),
+             "cnt": nbg.astype("int64"),
+             "kind": np.int64(1),
+             "_part": (ids % P).astype("int64")}
+        )
+        if not len(w1):
+            return nb_rows
+        keys = (pd.Series(w1, dtype=object) + "\x1f" + pd.Series(w2, dtype=object)
+                ).to_numpy(dtype=object)
+        df = pd.DataFrame({"doc_id": ids[pos], "key": keys})
+        agg = df.groupby(["doc_id", "key"], sort=False).size().reset_index(name="cnt")
+        k = agg["key"].to_numpy(dtype=object)
+        pr = pd.DataFrame(
+            {"doc_id": agg["doc_id"].astype("int64"),
+             "key": pd.Series(k, dtype=object),
+             "cnt": agg["cnt"].astype("int64"),
+             "kind": np.int64(0),
+             "_part": (pd.util.hash_array(k) % P).astype("int64")}
+        )
+        return pd.concat([pr, nb_rows], ignore_index=True)
+
+    probes = docs.map_batches(probe_rows, batch_format="pandas")
+
+    # exchange 2 (on hash(key)): partition-local LUT probe; every
+    # in-corpus bigram is observed so lookups never miss
+    def tag_lm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": np.full(len(b), -1, dtype=np.int64),
+             "key": b["key"].astype(object) if len(b) else pd.Series([], dtype=object),
+             "cnt": b["logq"].astype("int64") if len(b) else pd.Series([], dtype="int64"),
+             "kind": np.full(len(b), 2, dtype=np.int64),
+             "_part": b["_part"].astype("int64") if len(b) else
+             pd.Series([], dtype="int64")}
+        )
+
+    def apply_lut(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "val": pd.Series([], dtype="int64"),
+             "kind": pd.Series([], dtype="int64"),
+             "_part": pd.Series([], dtype="int64")}
+        )
+        if "kind" not in g.columns or not len(g):
+            return empty
+        kind = g["kind"].to_numpy(dtype=np.int64)
+        lut = g[kind == 2]
+        pr = g[kind == 0]
+        if not len(pr):
+            return empty
+        lq = pr["key"].map(
+            pd.Series(lut["cnt"].to_numpy(dtype=np.int64),
+                      index=lut["key"].to_numpy(dtype=object))
+        ).to_numpy(dtype="int64")
+        ids = pr["doc_id"].to_numpy(dtype=np.int64)
+        # per-doc partial sums here shrink the doc exchange to ≤ one row
+        # per (doc, partition)
+        part = pd.DataFrame({"doc_id": ids, "v": lq * pr["cnt"].to_numpy(dtype=np.int64)})
+        agg = part.groupby("doc_id", sort=False, as_index=False)["v"].sum()
+        out_ids = agg["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": out_ids,
+             "val": agg["v"].astype("int64"),
+             "kind": np.int64(0),
+             "_part": (out_ids % P).astype("int64")}
+        )
+
+    def keep_nb(b: pd.DataFrame) -> pd.DataFrame:
+        nb = b[b["kind"] == 1] if len(b) else b
+        return pd.DataFrame(
+            {"doc_id": nb["doc_id"].astype("int64") if len(nb) else
+             pd.Series([], dtype="int64"),
+             "val": nb["cnt"].astype("int64") if len(nb) else
+             pd.Series([], dtype="int64"),
+             "kind": np.full(len(nb), 1, dtype=np.int64),
+             "_part": nb["_part"].astype("int64") if len(nb) else
+             pd.Series([], dtype="int64")}
+        )
+
+    def drop_nb(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["kind"] != 1] if len(b) else b
+
+    probes = probes.materialize()  # feeds both the key exchange and the nb rows
+    scored = (
+        probes.map_batches(drop_nb, batch_format="pandas")
+        .union(lm.map_batches(tag_lm, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(apply_lut, batch_format="pandas")
+    )
+
+    # exchange 3 (on doc_id): fold partial scores + the n_bigrams rows
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_bigrams": pd.Series([], dtype="int64"),
+             "logprob_q": pd.Series([], dtype="int64")}
+        )
+        if "kind" not in g.columns or not len(g):
+            return empty
+        kind = g["kind"].to_numpy(dtype=np.int64)
+        nb = g[kind == 1]
+        lp = g[kind == 0]
+        lp_sum = (
+            lp.groupby("doc_id", sort=False)["val"].sum() if len(lp)
+            else pd.Series(dtype="int64")
+        )
+        ids = nb["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_bigrams": nb["val"].astype("int64").to_numpy(),
+             "logprob_q": pd.Series(ids).map(lp_sum).fillna(0).astype("int64").to_numpy()}
+        )
+
+    return (
+        scored.union(probes.map_batches(keep_nb, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+def text_bigram_logprob(sf_dir: str):
+    """Query wrapper: :func:`bigram_logprob` over the documents table
+    (size-gated broadcast / co-partitioned probe join duals — see there)."""
+    return bigram_logprob(_docs(sf_dir))
 
 
 # --- BPE merge training ------------------------------------------------------
