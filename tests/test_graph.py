@@ -182,6 +182,91 @@ class TestNewTextRelOps:
         assert out["n_bench_hits"].tolist() == [1, 0, 1]
         assert out["contaminated"].tolist() == [1, 0, 1]
 
+    def test_snippet_scan_kernel_equals_contains_loop(self):
+        """The rolling-hash multi-pattern kernel (the above-gate scale
+        path) must be bit-identical to the per-snippet contains loop —
+        incl. duplicate snippets (count per list entry), repeated
+        occurrences in one doc (count once), variable lengths, and
+        windows spanning doc boundaries (must not match)."""
+        from tripsu_ray.stages.text import SnippetScanKernel
+
+        rng = np.random.default_rng(31)
+        alpha = list("abcde ")
+        texts = [
+            "".join(rng.choice(alpha, size=int(n))) for n in rng.integers(0, 400, 60)
+        ]
+        # snippets: some carved from the texts (guaranteed hits, various
+        # lengths), one duplicated, some random misses
+        snips = [t[5:5 + L] for t, L in zip(texts[:8], (7, 7, 12, 20, 3, 9, 31, 16))
+                 if len(t) > 40]
+        snips += snips[:1]  # duplicate entry counts double
+        snips += ["zzzz", "qqq"]  # guaranteed misses
+        # a boundary-spanning probe: end of texts[0] + start of texts[1]
+        if len(texts[0]) >= 4 and len(texts[1]) >= 4:
+            snips.append(texts[0][-4:] + texts[1][:4])
+        texts.append(texts[0])  # duplicate doc
+        texts.append("")        # empty doc
+
+        k = SnippetScanKernel(snips)
+        got = k.count_hits(pd.Series(texts))
+        want = np.zeros(len(texts), dtype=np.int64)
+        se = pd.Series(texts)
+        for s in snips:
+            want += se.str.contains(s, regex=False).to_numpy()
+        assert got.tolist() == want.tolist()
+        assert want.sum() > 0  # the fixture actually exercises hits
+
+    def test_snippet_scan_beats_contains_at_1e4_snippets(self):
+        """At 10^4 snippets one rolling-hash pass must beat 10^4
+        vectorized contains passes (the documented crossover)."""
+        import time
+
+        from tripsu_ray.stages.text import SnippetScanKernel
+
+        rng = np.random.default_rng(7)
+        alpha = list("abcdefgh ")
+        texts = pd.Series(
+            ["".join(rng.choice(alpha, size=500)) for _ in range(50)]
+        )
+        snips = ["".join(rng.choice(alpha, size=24)) for _ in range(10_000)]
+        k = SnippetScanKernel(snips)  # build cost excluded: once per actor
+        t0 = time.perf_counter()
+        got = k.count_hits(texts)
+        t_scan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = np.zeros(len(texts), dtype=np.int64)
+        for s in snips:
+            want += texts.str.contains(s, regex=False).to_numpy()
+        t_contains = time.perf_counter() - t0
+        assert got.tolist() == want.tolist()
+        assert t_scan < t_contains, (t_scan, t_contains)
+
+    def test_decontaminate_scale_path_equals_contains(self, tmp_path, monkeypatch):
+        """Forcing the gate to 0 sends text_decontaminate through the
+        actor-pool kernel; results must match the contains path exactly."""
+        from tripsu_ray.stages import text as T
+
+        rng = np.random.default_rng(11)
+        base = "x" * T.BENCH_OFF
+        texts = [
+            base + "".join(rng.choice(list("abc "), size=200)) for _ in range(200)
+        ]
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        want = (
+            T.text_decontaminate(str(tmp_path))
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        monkeypatch.setattr(T, "_DECON_CONTAINS_MAX", 0)
+        got = (
+            T.text_decontaminate(str(tmp_path))
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert want["contaminated"].sum() > 0
+
     def test_rel_sample_formula(self, tmp_path):
         from tripsu_ray.pipelines.docops import (
             SAMPLE_MOD,
