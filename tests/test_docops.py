@@ -2575,13 +2575,55 @@ def test_wav_codec_real_roundtrip_through_audio_actors():
 def test_pyav_codec_init_raises_cleanly_when_absent():
     try:
         import av  # noqa: F401
-        pytest.skip("PyAV present — would be covered by a decode test")
+        pytest.skip("PyAV present — covered by the decode test below")
     except ImportError:
         pass
     with pytest.raises(ImportError):
         multimodal.PyAVVideoCodec()
     with pytest.raises(ImportError):
         multimodal.resolve_codec("pyav")
+
+
+def test_pyav_codec_decodes_real_container():
+    """The import-guarded PyAV adapter fills the real-video slot (the PIL
+    pattern): a real encoded container decodes to the
+    (w, h, c, n_frames, frames) contract and drives SceneCutDetector and
+    VideoFrameSampler end to end. Skipped where PyAV is absent (this
+    sandbox) — the adapter must still import cleanly there (covered by
+    the init test above)."""
+    av = pytest.importorskip("av")
+    import io
+
+    # encode 4 synthetic 32x24 frames into a real mp4 container
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 32, 24, "yuv420p"
+        for i in range(4):
+            arr = np.full((24, 32, 3), i * 60, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    codec = multimodal.PyAVVideoCodec()
+    w, h, c, n, frames = codec.decode_video(payload)
+    assert (w, h, c) == (32, 24, 3)
+    assert n == 4 and frames.shape == (4, 24, 32, 3)
+    assert frames.dtype == np.uint8
+
+    batch = pa.table(
+        {"doc_id": pa.array([7], pa.int64()),
+         "payload": pa.array([payload], pa.binary())}
+    )
+    cuts = multimodal.SceneCutDetector(codec=codec)(batch)
+    assert cuts["n_frames"][0].as_py() == 4
+    sampler = multimodal.VideoFrameSampler(codec=codec, stride=2)
+    sampled = sampler(batch)
+    assert sampled["frame_idx"].to_pylist() == [0, 2]
+    assert all(b == 8 + 24 * 32 * 3 for b in sampled["frame_bytes"].to_pylist())
 
 
 @pytest.mark.usefixtures("ray_session")
