@@ -205,6 +205,63 @@ class TestFoldPassCompiled:
             assert sa.sort() == sb.sort() and pa_ == pb
         assert node_rewrites_any_prefix(a, LINKABLE_PREFIXES) == node_risky2
 
+    def test_fold_pass_sided_equals_two_fold_passes(self):
+        """One tagged scan (fold_pass_sided) ≡ fold_pass per filtered
+        side — the incremental pipeline's fused pass-1."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tripsu_ray.pipelines.kg import DEFAULT_RULES
+        from tripsu_ray.stages.folds import (
+            fold_pass,
+            fold_pass_sided,
+            relevant_types_of,
+            risk_predicates_of,
+        )
+        from tripsu_ray.stages.link import LINKABLE_PREFIXES
+
+        rt = relevant_types_of(DEFAULT_RULES)
+        rp = risk_predicates_of(DEFAULT_RULES)
+
+        def tag(b: pa.Table) -> pa.Table:
+            # deterministic ~25% delta split on subject hash
+            h = pd.util.hash_array(
+                b["subject"].to_numpy(zero_copy_only=False)
+            ) % 4
+            return b.append_column(
+                "_delta", pa.array((h == 0).astype(np.int8))
+            )
+
+        tagged = extract_triples(read_source_files(SF)).map_batches(
+            tag, batch_format="pyarrow"
+        ).materialize()
+        got0, got1 = fold_pass_sided(
+            tagged, rt, side_col="_delta",
+            risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES,
+        )
+
+        def side(flag):
+            return tagged.map_batches(
+                lambda b, _f=flag: b.filter(
+                    pc.equal(b["_delta"], _f)
+                ).drop_columns(["_delta"]),
+                batch_format="pyarrow",
+            )
+
+        for got, flag in ((got0, 0), (got1, 1)):
+            pairs, key_map, n, n_risk = fold_pass(
+                side(flag), rt, risk_predicates=rp,
+                risk_prefixes=LINKABLE_PREFIXES,
+            )
+            gp, gm, gn, gr = got
+            assert (gn, gr) == (n, n_risk)
+            assert gm == key_map
+            key = lambda df: sorted(map(tuple, df.to_numpy()))  # noqa: E731
+            assert key(gp) == key(pairs)
+        assert got1[2] > 0 and got0[2] > got1[2]  # both sides non-trivial
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestTreeFoldEmptyBlocks:

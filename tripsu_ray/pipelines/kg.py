@@ -273,6 +273,20 @@ def kg_pipeline_incremental(
 
         return all_t.map_batches(f, batch_format="pyarrow")
 
+    # both side folds in ONE scan of the tagged stream (fold_pass per
+    # side would re-read all_t twice — a full scan is the unit of cost)
+    from ..stages.folds import fold_pass_sided, relevant_types_of, risk_predicates_of
+    from ..stages.link import LINKABLE_PREFIXES
+
+    _cfg = DEFAULT_RULES if rules_cfg is None else rules_cfg
+    base_fold, delta_fold = fold_pass_sided(
+        all_t,
+        relevant_types_of(_cfg),
+        side_col="_delta",
+        risk_predicates=risk_predicates_of(_cfg),
+        risk_prefixes=LINKABLE_PREFIXES,
+    )
+
     return _incremental_from_triples(
         side(0),
         side(1),
@@ -280,6 +294,8 @@ def kg_pipeline_incremental(
         salt=salt,
         algorithm=algorithm,
         sort=sort,
+        base_state=base_fold,
+        delta_state=delta_fold,
     )
 
 
@@ -313,6 +329,7 @@ def _incremental_from_triples(
     algorithm: str = "sha256-salted",
     sort: bool = False,
     base_state: tuple | None = None,
+    delta_state: tuple | None = None,
     base_out=None,
     return_state: bool = False,
 ):
@@ -387,9 +404,13 @@ def _incremental_from_triples(
         base_pairs, base_map, _nb, base_risk = fold_pass(
             base_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
         )
-    delta_pairs, delta_map, _nd, delta_risk = fold_pass(
-        delta_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
-    )
+    if delta_state is not None:
+        # pre-fused with the base fold in one scan (fold_pass_sided)
+        delta_pairs, delta_map, _nd, delta_risk = delta_state
+    else:
+        delta_pairs, delta_map, _nd, delta_risk = fold_pass(
+            delta_triples, rt, risk_predicates=rp, risk_prefixes=LINKABLE_PREFIXES
+        )
 
     base_matcher = compile_matcher(rules_cfg, base_pairs)
     merged_pairs = pd.concat([base_pairs, delta_pairs], ignore_index=True).drop_duplicates(
@@ -509,23 +530,72 @@ def _incremental_from_triples(
             hit |= ok.isin(keys).to_numpy()
         return hit
 
-    def drop_affected(batch: pa.Table, _f=f_ref, _k=k_ref) -> pa.Table:
-        return batch.filter(pa.array(~_touch_mask(batch, ray.get(_f), ray.get(_k))))
+    # ---- ONE fused full-base pass -----------------------------------------
+    # The three inputs (rendered base output, raw base triples, raw delta)
+    # union into a single tagged stream; one routed map emits BOTH sides —
+    # surviving rendered rows pass through, affected raw rows re-render
+    # in place (pseudonymize_batch + CanonicalizeActor via the same
+    # per-process caches the task-pool stages use). vs the previous
+    # drop_affected/keep_affected pair + separate pseudo/canon/union
+    # chain: each base row crosses ONE operator instead of the filter →
+    # union → materialize-input hops, and the streaming executor schedules
+    # a single stage over the whole base instead of two.
+    from ..stages.pseudo import _cache_latest, _cached_pseudonymizer
 
-    def keep_affected(batch: pa.Table, _f=f_ref, _k=k_ref) -> pa.Table:
-        return batch.filter(pa.array(_touch_mask(batch, ray.get(_f), ray.get(_k))))
+    matcher_ref = broadcast_matcher(merged_matcher)
+    map_ref = ray.put(merged_map)
 
-    kept = base_out.map_batches(drop_affected, batch_format="pyarrow")
-    redo_raw = base_triples.map_batches(keep_affected, batch_format="pyarrow").union(
-        delta_triples
+    def _tagged(ds, k: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_k", pa.array(np.full(b.num_rows, k, np.int8))
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    TAG_RAW_BASE, TAG_RENDERED, TAG_RAW_DELTA = 0, 1, 2
+    fused_in = (
+        _tagged(base_out, TAG_RENDERED)
+        .union(_tagged(base_triples, TAG_RAW_BASE))
+        .union(_tagged(delta_triples, TAG_RAW_DELTA))
     )
-    redo_out = canonicalize_tasks(
-        pseudonymize_tasks(
-            redo_raw, broadcast_matcher(merged_matcher), algorithm=algorithm, secret=salt
-        ),
-        ray.put(merged_map),
+
+    def route(batch: pa.Table, _f=f_ref, _kc=k_ref) -> pa.Table:
+        values, keys = ray.get(_f), ray.get(_kc)
+        karr = batch.column("_k").to_numpy(zero_copy_only=False)
+        t = batch.drop_columns(["_k"])
+        out = []
+        m = karr == TAG_RENDERED
+        if m.any():
+            ren = t.filter(pa.array(m)) if not m.all() else t
+            out.append(ren.filter(pa.array(~_touch_mask(ren, values, keys))))
+        redo = []
+        m = karr == TAG_RAW_BASE
+        if m.any():
+            rb = t.filter(pa.array(m)) if not m.all() else t
+            redo.append(rb.filter(pa.array(_touch_mask(rb, values, keys))))
+        m = karr == TAG_RAW_DELTA
+        if m.any():
+            redo.append(t.filter(pa.array(m)) if not m.all() else t)
+        redo = [r for r in redo if r.num_rows]
+        if redo:
+            mkey = matcher_ref.hex() if hasattr(matcher_ref, "hex") else id(matcher_ref)
+            matcher = _cache_latest("matcher", mkey, lambda: ray.get(matcher_ref))
+            pseudo = _cached_pseudonymizer(algorithm, salt)
+            ckey = map_ref.hex() if hasattr(map_ref, "hex") else id(map_ref)
+            canon = _cache_latest("keymap", ckey, lambda: CanonicalizeActor(map_ref))
+            out.extend(
+                canon(pseudonymize_batch(r, matcher, pseudo)) for r in redo
+            )
+        out = [o for o in out if o.num_rows]
+        if not out:
+            return TRIPLES.empty_table()
+        return pa.concat_tables(out, promote_options="permissive")
+
+    result = materialize(
+        fused_in.map_batches(route, batch_format="pyarrow"),
+        None, sort=sort, layout="bucketed",
     )
-    result = materialize(kept.union(redo_out), None, sort=sort, layout="bucketed")
     if return_state:
         # the merged fold state IS the next update's base state (chaining)
         merged_state = (merged_pairs, merged_map, int(_nb) + int(_nd), 0)

@@ -137,6 +137,94 @@ def fold_pass(
     return pairs, link_map, n_rows, n_risk
 
 
+def fold_pass_sided(
+    triples,
+    relevant_types: list[str] | None = None,
+    *,
+    side_col: str = "_delta",
+    risk_predicates: list[str] | None = None,
+    risk_prefixes: tuple = (),
+    timings: dict | None = None,
+):
+    """ONE scan over a side-tagged triple stream (``side_col`` ∈ {0, 1})
+    → :func:`fold_pass`'s result tuple for EACH side.
+
+    The incremental pipeline needs independent base and delta folds; two
+    ``fold_pass`` calls over the filtered sides each re-read the whole
+    tagged stream — two full scans where one suffices (this module's
+    founding rule). Here ``_fold_batch`` runs per side sub-batch inside a
+    single pass, partial rows carry a ``side`` column, and the tree
+    combine dedups/mins/sums per (side, tag).
+    """
+    def fold2(batch: pa.Table) -> pa.Table:
+        karr = batch.column(side_col).to_numpy(zero_copy_only=False)
+        t = batch.drop_columns([side_col])
+        parts = []
+        for side in (0, 1):
+            m = karr == side
+            if m.any():
+                p = _fold_batch(
+                    t.filter(pa.array(m)) if not m.all() else t,
+                    relevant_types, risk_predicates, tuple(risk_prefixes),
+                )
+                parts.append(
+                    p.append_column(
+                        "side", pa.array(np.full(p.num_rows, side, np.int8))
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {"tag": pa.array([], pa.int8()), "a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string()), "side": pa.array([], pa.int8())}
+            )
+        return pa.concat_tables(parts)
+
+    ds = triples.map_batches(fold2, batch_format="pyarrow")
+    df = tree_fold_tables(ds, _combine_fold_frames_sided, timings=timings)
+    out = []
+    for side in (0, 1):
+        sub = df[df["side"] == side] if df is not None else None
+        if sub is None or not len(sub):
+            out.append((pd.DataFrame({"subject": [], "type": []}), {}, 0, 0))
+            continue
+        pairs = sub[sub["tag"] == TAG_PAIR].rename(
+            columns={"a": "subject", "b": "type"}
+        )
+        pairs = pairs[["subject", "type"]].drop_duplicates(ignore_index=True)
+        links = sub[sub["tag"] == TAG_LINK]
+        link_map = links.groupby("a")["b"].min().to_dict()
+        n_rows = int(sub.loc[sub["tag"] == TAG_COUNT, "a"].astype("int64").sum())
+        n_risk = int(sub.loc[sub["tag"] == TAG_RISK, "a"].astype("int64").sum())
+        out.append((pairs, link_map, n_rows, n_risk))
+    return tuple(out)
+
+
+def _combine_fold_frames_sided(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Per-(side, tag) associative combine — :func:`_combine_fold_frames`
+    with the side key threaded through dedup/min/sum."""
+    df = pd.concat(frames, ignore_index=True)
+    pairs = df[df["tag"] == TAG_PAIR].drop_duplicates(["side", "a", "b"])
+    links = (
+        df[df["tag"] == TAG_LINK]
+        .groupby(["side", "a"], sort=False, as_index=False)["b"]
+        .min()
+        .assign(tag=TAG_LINK)
+    )
+    sums = []
+    for side in sorted(df["side"].unique()):
+        sdf = df[df["side"] == side]
+        for tag in (TAG_COUNT, TAG_RISK):
+            total = sdf.loc[sdf["tag"] == tag, "a"].astype("int64").sum()
+            sums.append((tag, str(int(total)), "", side))
+    sums_df = pd.DataFrame(sums, columns=["tag", "a", "b", "side"])
+    out = pd.concat(
+        [pairs, links[["tag", "a", "b", "side"]], sums_df], ignore_index=True
+    )
+    out["tag"] = out["tag"].astype("int8")
+    out["side"] = out["side"].astype("int8")
+    return out
+
+
 def fold_pass_compiled(
     triples,
     rules_cfg,
