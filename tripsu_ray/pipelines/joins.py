@@ -34,12 +34,39 @@ def _ts_us(ts: pd.Series) -> np.ndarray:
     return ts.astype("datetime64[us]").astype("int64").to_numpy()
 
 
-def _events_stream(sf_dir: str, event_type: str, extra: list | None = None):
+def _sentinel_rows(dtypes: dict, side_col: str = "side"):
+    """One ``side = -1`` row per partition id, in the exchange's shared
+    schema (``dtypes``: column → numpy dtype string, ``_part`` excluded).
+
+    Why: Ray skips a map UDF entirely for 0-row input blocks and emits a
+    SCHEMALESS empty block instead (plan_udf_map_op's empty-block fast
+    path) — so an empty exchange partition yields
+    ``PandasBlockSchema(names=[])`` RefBundles and per-operator schema
+    warnings. With one sentinel per partition, every partition fn runs
+    and returns a TYPED frame; the fns ignore the sentinels by side
+    selection (no real row has ``side = -1``)."""
+    import ray.data
+
+    sent = pd.DataFrame(
+        {c: np.zeros(_P, dtype="int64").astype(t) for c, t in dtypes.items()}
+    )
+    sent[side_col] = np.full(_P, -1, dtype=dtypes[side_col])
+    sent["_part"] = np.arange(_P, dtype=np.int64)
+    return ray.data.from_pandas(sent)
+
+
+def _events_stream(sf_dir: str, event_type: str, extra: list | None = None,
+                   xform=None):
+    """Filtered event stream; ``xform`` (the exchange tagger) fuses INTO
+    the filter UDF — a separate chained map_batches would be skipped by
+    Ray whenever the filter empties a block, emitting schemaless empties
+    (see :func:`_sentinel_rows`)."""
     cols = ["user_id", "ts", "event_type"] + (extra or [])
     ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["event_type"] == event_type].drop(columns=["event_type"])
+        out = b[b["event_type"] == event_type].drop(columns=["event_type"])
+        return xform(out) if xform is not None else out
 
     return ds.map_batches(keep, batch_format="pandas")
 
@@ -56,9 +83,6 @@ def q_rel_asof_join(sf_dir: str):
     purchases with no prior click drop. Output
     (event_id, click_ts_us, click_value_cents), all int64.
     """
-    p = _events_stream(sf_dir, "purchase", ["event_id"])
-    c = _events_stream(sf_dir, "click", ["value"])
-
     def tag_p(b: pd.DataFrame) -> pd.DataFrame:
         u = b["user_id"].to_numpy().astype(np.int64)
         return pd.DataFrame(
@@ -77,8 +101,13 @@ def q_rel_asof_join(sf_dir: str):
              "side": np.full(len(b), 0, dtype=np.int8), "_part": _part_of(u)}
         )
 
-    both = p.map_batches(tag_p, batch_format="pandas").union(
-        c.map_batches(tag_c, batch_format="pandas")
+    p = _events_stream(sf_dir, "purchase", ["event_id"], xform=tag_p)
+    c = _events_stream(sf_dir, "click", ["value"], xform=tag_c)
+    both = p.union(c).union(
+        _sentinel_rows(
+            {"u": "int64", "t": "int64", "ev": "int64",
+             "cents": "int64", "side": "int8"}
+        )
     )
 
     def asof_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -115,9 +144,6 @@ def q_rel_range_join(sf_dir: str):
     semantics (only purchases with ≥1 view in window). Output
     (event_id, n_views), int64.
     """
-    p = _events_stream(sf_dir, "purchase", ["event_id"])
-    v = _events_stream(sf_dir, "view")
-
     def tag(side: int, with_ev: bool):
         def f(b: pd.DataFrame) -> pd.DataFrame:
             u = b["user_id"].to_numpy().astype(np.int64)
@@ -129,8 +155,10 @@ def q_rel_range_join(sf_dir: str):
 
         return f
 
-    both = p.map_batches(tag(1, True), batch_format="pandas").union(
-        v.map_batches(tag(0, False), batch_format="pandas")
+    p = _events_stream(sf_dir, "purchase", ["event_id"], xform=tag(1, True))
+    v = _events_stream(sf_dir, "view", xform=tag(0, False))
+    both = p.union(v).union(
+        _sentinel_rows({"u": "int64", "t": "int64", "ev": "int64", "side": "int8"})
     )
 
     def range_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,6 +166,8 @@ def q_rel_range_join(sf_dir: str):
             {"event_id": pd.Series([], dtype="int64"),
              "n_views": pd.Series([], dtype="int64")}
         )
+        if len(g):
+            g = g[g["side"] != -1]  # partition-fill sentinels
         if not len(g):
             return empty
         code = pd.factorize(g["u"])[0].astype(np.int64)
@@ -193,8 +223,10 @@ def _key_filter_join(sf_dir: str, *, anti: bool):
              "side": np.ones(len(k), np.int8), "_part": _part_of(k)}
         )
 
-    both = cust.map_batches(tag_cust, batch_format="pandas").union(
-        orders.map_batches(tag_orders, batch_format="pandas")
+    both = (
+        cust.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .union(_sentinel_rows({"k": "int64", "cents": "int64", "side": "int8"}))
     )
 
     def filter_part(g: pd.DataFrame) -> pd.DataFrame:
