@@ -150,16 +150,42 @@ _COSTLY = {
     "kg_graph_diff", "dedup_simhash", "ann_ivf", "ml_silhouette", "ann_pq",
 }
 
+# Queries with a green driver-gate row in rounds 3-4 (CORRECTNESS_r03/r04
+# keys): rotate them BEHIND never-driver-checked peers in each family so
+# the round-5 gate's 50-query prefix certifies new surface — the local
+# replica covers everyone, but driver rows are the harder currency
+# (round-4 VERDICT item 10).
+_DRIVER_CERTIFIED = {
+    "ann_filtered", "ann_ivf", "ann_knn_graph", "ann_lsh", "ann_pq",
+    "ann_topk", "dedup_embedding", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "jaccard_pairs", "jaccard_pairs_lsh", "kg_co_neighbors",
+    "kg_components", "kg_degrees", "kg_extract", "kg_hits", "kg_incremental",
+    "kg_link_map", "kg_lpa_communities", "kg_pagerank", "kg_pipeline",
+    "kg_pred_census", "kg_pseudo", "kg_source_files", "kg_type_index",
+    "ml_dbscan", "ml_knn_classify", "ml_label_centroids", "ml_pca_scores",
+    "ml_top_component", "multimodal_audio", "multimodal_dims",
+    "multimodal_features", "multimodal_frames", "multimodal_phash_dedup",
+    "multimodal_resize", "multimodal_scene_cuts", "multimodal_vad",
+    "rel_approx_distinct", "rel_events_window", "rel_join_revenue",
+    "rel_lineitem_agg", "rel_quantiles", "rel_topk_parts", "sim_threshold",
+    "sim_threshold_lsh", "text_fingerprint", "text_langid", "text_quality",
+    "text_rolling_fp", "text_stats", "text_tokens",
+}
+
 
 def _gate_interleave(reg: dict) -> dict:
     """Round-robin the registry across query families after the flagship
-    block, preserving in-family registration order (costly entries last).
+    block, preserving in-family registration order (already-driver-
+    certified entries behind new ones, costly entries last).
 
     The driver's correctness gate walks this dict in order under a time
     budget — round 2's gate reached entry #50 of 173, so every checked row
     was kg_*. Interleaving families makes ANY prefix of the dict a
     cross-family sample: a cutoff at 50 still leaves green driver rows in
-    every family. Pure reordering — no query is added, removed or renamed.
+    every family, and the round-5 rotation pushes queries the r03/r04
+    gates already certified behind their never-driver-checked peers so
+    each round's prefix certifies NEW surface. Pure reordering — no query
+    is added, removed or renamed.
     """
     fams: dict[str, list[str]] = {}
     for k in reg:
@@ -167,15 +193,33 @@ def _gate_interleave(reg: dict) -> dict:
             continue
         fams.setdefault(k.split("_", 1)[0], []).append(k)
     for members in fams.values():
-        members.sort(key=lambda k: k in _COSTLY)  # stable: cheap first
+        # stable: new-cheap, certified-cheap, new-costly, certified-costly
+        members.sort(key=lambda k: (k in _COSTLY, k in _DRIVER_CERTIFIED))
     out = {k: reg[k] for k in _FLAGSHIP if k in reg}
-    cursors = {f: 0 for f in fams}
-    while len(out) < len(reg):
-        for f, members in fams.items():
-            i = cursors[f]
-            if i < len(members):
-                out[members[i]] = reg[members[i]]
-                cursors[f] = i + 1
+    # phase 1 — family coverage: each family's head (new-cheap if it has
+    # one) so any prefix past ~#families samples every family
+    for members in fams.values():
+        if members:
+            out[members[0]] = reg[members[0]]
+    # phase 2 — round-robin the remaining never-driver-certified members
+    # (cheap before costly, preserved by the family sort above)
+    # phase 3 — round-robin the remaining certified members
+    for phase in (lambda k: k not in _DRIVER_CERTIFIED,
+                  lambda k: True):
+        cursors = {f: 1 for f in fams}
+        progressed = True
+        while progressed:
+            progressed = False
+            for f, members in fams.items():
+                i = cursors[f]
+                while i < len(members) and (members[i] in out or not phase(members[i])):
+                    i += 1
+                if i < len(members):
+                    out[members[i]] = reg[members[i]]
+                    cursors[f] = i + 1
+                    progressed = True
+                else:
+                    cursors[f] = i
     return out
 
 
