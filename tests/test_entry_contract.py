@@ -35,17 +35,32 @@ def test_costly_entries_exist_and_sink():
     ks = list(entry.queries())
     reg = set(ks)
     assert entry._COSTLY <= reg, entry._COSTLY - reg
-    # within each family the costly members must come after every cheap one
+    # within each family AND certification tier the costly members must
+    # come after every cheap one (the round-5 rotation orders by
+    # (certified, costly) per family, so cost sinks within each tier)
     pos = {k: i for i, k in enumerate(ks)}
     for k in entry._COSTLY:
         fam = k.split("_", 1)[0]
-        cheap_same_fam = [
+        cheap_same = [
             m for m in ks
             if m.split("_", 1)[0] == fam
             and m not in entry._COSTLY
             and m not in entry._FLAGSHIP
+            and (m in entry._DRIVER_CERTIFIED) == (k in entry._DRIVER_CERTIFIED)
         ]
-        assert all(pos[m] < pos[k] for m in cheap_same_fam), k
+        assert all(pos[m] < pos[k] for m in cheap_same), k
+
+
+def test_gate_prefix_certifies_new_surface():
+    """The 50-query gate prefix must majority-sample queries without a
+    round-3/4 driver row (VERDICT r4 item 10) while still covering every
+    family."""
+    ks = list(entry.queries())
+    pref = ks[:50]
+    new = [k for k in pref if k not in entry._DRIVER_CERTIFIED]
+    assert len(new) >= 25, len(new)
+    fams = {k.split("_", 1)[0] for k in ks}
+    assert {k.split("_", 1)[0] for k in pref} == fams
 
 
 def test_every_oracle_has_a_query():
