@@ -362,8 +362,10 @@ def _incremental_from_triples(
     — no duplicated rendering logic) and probing rendered
     subject/object values plus mention keys; base RAW rows to re-render
     are found by the same probe on raw values. Work ∝ |delta| + |triples
-    touching affected entities|, never ∝ |base|; the only full-base
-    passes are two embarrassingly-parallel filters.
+    touching affected entities|, never ∝ |base|; the only full-base pass
+    is ONE fused routed map (rendered base ∪ raw base ∪ delta, tagged)
+    that emits surviving rendered rows and re-renders affected raw rows
+    in place.
     """
     import numpy as np
     import pandas as pd
