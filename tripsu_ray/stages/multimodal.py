@@ -971,9 +971,24 @@ def media_curate(sf_dir: str, *, batch_size: int = 256, concurrency=(1, 4)):
     """
     import pandas as pd
 
-    dup = _phash_dup_flags(sf_dir, batch_size=batch_size, concurrency=concurrency)
-    cuts = video_scene_cuts(sf_dir, batch_size=batch_size, concurrency=concurrency)
-    vad = audio_vad(sf_dir, batch_size=batch_size, concurrency=concurrency)
+    # each flag stream MATERIALIZES before the union: the three stages
+    # are actor pools, and one fused execution would need all three
+    # pools' minimum actors ALIVE simultaneously alongside the exchange
+    # tasks — on a small CPU budget the streaming executor can deadlock
+    # with every CPU held and pending actors that never start (observed:
+    # 4/4 CPU, "{'CPU': 1.0}: 2+ pending" stall in the 4-CPU test
+    # session). Sequential pool runs release their actors before the
+    # next pool starts, and the materialized intermediates are flag rows
+    # (doc_id + ints) — output-sized, never payload-sized.
+    dup = _phash_dup_flags(
+        sf_dir, batch_size=batch_size, concurrency=concurrency
+    ).materialize()
+    cuts = video_scene_cuts(
+        sf_dir, batch_size=batch_size, concurrency=concurrency
+    ).materialize()
+    vad = audio_vad(
+        sf_dir, batch_size=batch_size, concurrency=concurrency
+    ).materialize()
 
     def dup_row(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
